@@ -1,0 +1,35 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def small_pages():
+    """Deterministic 600-page table + seeds shared across crawl tests."""
+    from vyntr_ray.sources.pages import gen_pages_table, make_seed_list
+    n = 600
+    tab = gen_pages_table(range(n), n, seed=42)
+    seeds = make_seed_list(n, seed=42)
+    return tab, seeds
+
+
+@pytest.fixture(scope="session")
+def small_pages_file(small_pages, tmp_path_factory):
+    import pyarrow.parquet as pq
+    tab, seeds = small_pages
+    path = tmp_path_factory.mktemp("pages") / "pages.parquet"
+    pq.write_table(tab, path)
+    return str(path), seeds

@@ -1,0 +1,174 @@
+"""End-to-end crawl parity: Ray pipeline vs the reference-semantics simulator.
+
+SURVEY.md §5.3-5.4: (a) final URL-seen set matches exactly, (b) wave-by-wave
+dispatch order matches under the seeded-shuffle contract, (c) analyses match
+row-for-row (byte-identical extracted text), (d) kill-and-resume reproduces
+the identical remainder, (e) politeness/no-refetch invariants hold.
+"""
+
+import glob
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from vyntr_ray.pipelines.crawl import run_crawl
+from vyntr_ray.sim import CrawlConfig, simulate_crawl
+
+BUDGET = 300
+
+
+def _sim_result(small_pages, robots=None):
+    tab, seeds = small_pages
+    pages = dict(zip(tab["url"].to_pylist(), tab["html"].to_pylist()))
+    return simulate_crawl(pages, seeds,
+                          CrawlConfig(max_pages=BUDGET, seed=42, robots=robots))
+
+
+def _read_schedule(workdir):
+    files = sorted(glob.glob(os.path.join(workdir, "schedule", "*.parquet")))
+    df = pd.concat([pq.read_table(f).to_pandas() for f in files],
+                   ignore_index=True)
+    return df.sort_values(["wave", "position"]).reset_index(drop=True)
+
+
+def _read_analyses(workdir):
+    df = pq.read_table(os.path.join(workdir, "analyses")).to_pandas()
+    return df.sort_values(["wave", "pos"]).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def crawl_run(ray_session, small_pages_file, tmp_path_factory):
+    pages_path, seeds = small_pages_file
+    workdir = str(tmp_path_factory.mktemp("crawl"))
+    stats = run_crawl(pages_path, seeds, workdir, max_pages=BUDGET,
+                      seed=42, n_shards=4)
+    return workdir, stats
+
+
+class TestCrawlParity:
+    def test_seen_set_matches_oracle(self, crawl_run, small_pages):
+        workdir, stats = crawl_run
+        sim = _sim_result(small_pages)
+        # reconstruct the pipeline's seen set from the last checkpoint
+        ckpts = sorted(glob.glob(os.path.join(workdir, "ckpt", "wave=*")))
+        urls = set(pq.read_table(
+            os.path.join(ckpts[-1], "seen_urls.parquet"))["url"].to_pylist())
+        assert urls == sim.seen
+        assert stats.seen_total == len(sim.seen)
+
+    def test_schedule_order_matches_oracle(self, crawl_run, small_pages):
+        workdir, _ = crawl_run
+        sim = _sim_result(small_pages)
+        got = _read_schedule(workdir)
+        exp = pd.DataFrame(sim.schedule,
+                           columns=["wave", "position", "url", "status"])
+        exp = exp.sort_values(["wave", "position"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype({"wave": "int64", "position": "int64"}), exp)
+
+    def test_metrics_match_oracle(self, crawl_run, small_pages):
+        _, stats = crawl_run
+        sim = _sim_result(small_pages)
+        assert stats.scheduled == sim.scheduled
+        assert stats.fetched == sim.fetched
+        assert stats.failed == sim.failed
+        assert stats.discovered == sim.discovered
+        assert stats.waves == sim.waves
+
+    def test_analyses_match_row_for_row(self, crawl_run, small_pages):
+        workdir, _ = crawl_run
+        sim = _sim_result(small_pages)
+        got = _read_analyses(workdir)
+        assert len(got) == len(sim.analyses)
+        for i, exp in enumerate(sim.analyses):
+            row = got.iloc[i]
+            assert row["url"] == exp["url"]
+            assert row["content_text"] == exp["content_text"]  # byte-identical
+            assert row["title"] == exp["title"]
+            assert row["language"] == exp["language"]
+            assert (row["canonical_url"] or None) == exp["canonical_url"]
+            assert row["partition"] == exp["partition"]
+            got_meta = [{"name": m["name"], "content": m["content"]}
+                        for m in row["meta_tags"]]
+            assert got_meta == exp["meta_tags"]
+
+    def test_extraction_invariant_vs_text_column(self, crawl_run, small_pages):
+        # analyses.content_text must equal the page table's `text` column
+        # (sanitizer is a no-op on the synthetic corpus) — the per-row
+        # byte-identical invariant of BASELINE.json input_hint.
+        workdir, _ = crawl_run
+        tab, _seeds = small_pages
+        text_of = dict(zip(tab["url"].to_pylist(), tab["text"].to_pylist()))
+        got = _read_analyses(workdir)
+        assert len(got) > 50
+        for _, row in got.iterrows():
+            assert row["content_text"] == text_of[row["url"]]
+
+    def test_politeness_invariant(self, crawl_run):
+        # ≤5 urls per domain per wave among scheduled entries
+        workdir, _ = crawl_run
+        sched = _read_schedule(workdir)
+        sched["domain"] = sched["url"].str.extract(r"://([^/]+)/")[0]
+        per = sched.groupby(["wave", "domain"]).size()
+        assert (per <= 5).all()
+
+    def test_no_url_fetched_twice(self, crawl_run, small_pages):
+        # Reference nuance (genesis/src/main.rs:216-225): seeds enter the
+        # visited set RAW, so a seed whose raw form differs from its
+        # normalized form can legitimately be re-crawled when rediscovered
+        # as a normalized link. Every other url is fetched at most once.
+        from vyntr_ray.urls import normalize_url
+        workdir, _ = crawl_run
+        _, seeds = small_pages
+        renormalized_seeds = {normalize_url(s) for s in seeds
+                              if normalize_url(s) != s}
+        sched = _read_schedule(workdir)
+        fetched = sched[sched["status"] == "fetched"]["url"]
+        dupes = set(fetched[fetched.duplicated()])
+        assert dupes <= renormalized_seeds
+        assert fetched[~fetched.isin(renormalized_seeds)].is_unique
+
+
+def test_resume_reproduces_identical_remainder(ray_session, small_pages_file,
+                                               small_pages, tmp_path):
+    pages_path, seeds = small_pages_file
+    sim = _sim_result(small_pages)
+    # interrupt exactly at a wave boundary (no budget truncation mid-wave):
+    # budget = cumulative scheduled after the first two waves
+    cut_budget = sim.schedule and sum(
+        1 for (w, _p, _u, _s) in sim.schedule if w < 2)
+    assert 0 < cut_budget < sim.scheduled
+    w1 = str(tmp_path / "interrupted")
+    run_crawl(pages_path, seeds, w1, max_pages=cut_budget, seed=42, n_shards=4)
+    # raise the budget and resume from the checkpoint
+    run_crawl(pages_path, seeds, w1, max_pages=BUDGET, seed=42, n_shards=4,
+              resume=True)
+    resumed = _read_schedule(w1)
+    exp = pd.DataFrame(sim.schedule,
+                       columns=["wave", "position", "url", "status"])
+    exp = exp.sort_values(["wave", "position"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        resumed.astype({"wave": "int64", "position": "int64"}), exp)
+
+
+def test_robots_rules_respected(ray_session, small_pages_file, small_pages,
+                                tmp_path):
+    pages_path, seeds = small_pages_file
+    tab, _ = small_pages
+    # block one busy host's /p/ entirely
+    host = "host0.example"
+    robots = {host: ["/p/"]}
+    w = str(tmp_path / "robots")
+    run_crawl(pages_path, seeds, w, max_pages=BUDGET, seed=42, n_shards=4,
+              robots=robots, checkpoint=False)
+    sched = _read_schedule(w)
+    assert not sched["url"].str.contains(f"https://{host}/p/").any()
+    # and the oracle agrees wave-for-wave
+    sim = _sim_result(small_pages, robots=robots)
+    exp = pd.DataFrame(sim.schedule,
+                       columns=["wave", "position", "url", "status"])
+    exp = exp.sort_values(["wave", "position"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        sched.astype({"wave": "int64", "position": "int64"}), exp)

@@ -1,0 +1,421 @@
+"""Ray-Data-native crawl driver: frontier waves over a Parquet page store.
+
+The distributed restatement of the Genesis crawl loop
+(`genesis/src/main.rs:63-318`) under the deterministic wave contract shared
+with :mod:`vyntr_ray.sim` (the parity oracle).  Per wave:
+
+1. **Politeness collection** — ≤k urls per host, FIFO by enqueue seq
+   (:class:`vyntr_ray.state.politeness.PolitenessPolicy`); seeded shuffle +
+   budget truncation produce the scheduled batch.
+2. **Fetch** — the sandbox stand-in for live HTTP (`genesis/src/network.rs`):
+   a *partition-pruned lookup join* of the batch against the page store —
+   only the md5-bucket directories that the batch urls hash into are read,
+   with an ``url isin`` scan filter pushed into the Parquet read, so fetch
+   I/O is O(wave), not O(corpus).
+3. **Parse** — zero-copy Arrow ``map_batches`` running the pinned extractor
+   (`genesis/src/html_parser.rs` semantics) + sanitizer; analyses stream to
+   per-wave Parquet (md5-partition column, `genesis/src/db.rs:110-120`).
+4. **Discover** — links exploded to (link, orderkey) rows, deduplicated with
+   a ``groupby.min`` (first occurrence by (batch position, link index) wins),
+   filtered through the sharded seen-set actor pool
+   (:class:`~vyntr_ray.state.seen.ShardedSeenSet`, atomic
+   ``check_and_add``), then enqueued in deterministic order.
+5. **Checkpoint** — frontier, seen shards (exact tier + cuckoo blobs),
+   politeness tokens and metrics written per wave; a killed run resumes from
+   the last complete wave (``resume=True``).
+
+Scale notes (10^10-URL design): the *frontier* and *seen* tiers are the only
+super-linear state.  Seen is sharded by url-hash across actors (shard count
+recorded in the manifest).  The frontier here is a driver-held Arrow-backed
+frame — politeness-bounded waves keep the *scheduled batch* small, but the
+full frontier at 1e10 urls must live as host-hash-bucketed Parquet; the
+selection in ``PolitenessPolicy.select`` is already bucket-local (a host
+never spans buckets), so that migration shards the same vectorized kernel
+across bucket files without changing wave semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..extract import parse_html, sanitize_text
+from ..sim import wave_permutation
+from ..state.politeness import PolitenessPolicy
+from ..state.seen import ShardedSeenSet
+from ..urls import UrlParseError, extract_domain, md5_partition, normalize_url
+
+__all__ = ["run_crawl", "CrawlStats", "ANALYSES_SCHEMA", "parse_pages_batch"]
+
+META_TYPE = pa.list_(pa.struct([("name", pa.string()), ("content", pa.string())]))
+ANALYSES_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("language", pa.string()),
+    ("title", pa.string()),
+    ("meta_tags", META_TYPE),
+    ("canonical_url", pa.string()),
+    ("content_text", pa.string()),
+    ("partition", pa.string()),
+    ("wave", pa.int32()),
+    ("pos", pa.int32()),
+])
+
+_ORDER_SHIFT = 1 << 20  # orderkey = pos * SHIFT + link_idx (pos-major order)
+
+
+@dataclass
+class CrawlStats:
+    waves: int = 0
+    scheduled: int = 0
+    fetched: int = 0
+    failed: int = 0
+    discovered: int = 0
+    seen_total: int = 0
+    per_wave: list = field(default_factory=list)
+
+
+# --------------------------------------------------------------------------
+# parse stage (stateless Arrow map_batches)
+# --------------------------------------------------------------------------
+
+def parse_pages_batch(batch: pa.Table, pos_of: dict[str, int] | None = None,
+                      wave: int = 0) -> pa.Table:
+    """html → analysis row + links, vectorized over one Arrow batch.
+
+    Per-document work is inherently a Python parse (as in the reference's
+    per-page rewriter); columns round-trip as Arrow so the object store
+    never sees Python rows.
+    """
+    urls = batch["url"].to_pylist()
+    htmls = batch["html"].to_pylist()
+    out = {k: [] for k in ("url", "language", "title", "meta_tags",
+                           "canonical_url", "content_text", "partition",
+                           "wave", "pos", "links")}
+    for url, html in zip(urls, htmls):
+        p = parse_html(html, url)
+        out["url"].append(sanitize_text(url))
+        out["language"].append(sanitize_text(p.language))
+        out["title"].append(sanitize_text(p.title))
+        out["meta_tags"].append(
+            [{"name": sanitize_text(m["name"]),
+              "content": sanitize_text(m["content"])} for m in p.meta_tags])
+        out["canonical_url"].append(
+            sanitize_text(p.canonical_url) if p.canonical_url is not None else None)
+        out["content_text"].append(sanitize_text(p.content_text))
+        out["partition"].append(md5_partition(url))
+        out["wave"].append(wave)
+        out["pos"].append(pos_of.get(url, -1) if pos_of else -1)
+        out["links"].append(p.links)
+    return pa.table({
+        "url": pa.array(out["url"], pa.string()),
+        "language": pa.array(out["language"], pa.string()),
+        "title": pa.array(out["title"], pa.string()),
+        "meta_tags": pa.array(out["meta_tags"], META_TYPE),
+        "canonical_url": pa.array(out["canonical_url"], pa.string()),
+        "content_text": pa.array(out["content_text"], pa.string()),
+        "partition": pa.array(out["partition"], pa.string()),
+        "wave": pa.array(out["wave"], pa.int32()),
+        "pos": pa.array(out["pos"], pa.int32()),
+        "links": pa.array(out["links"], pa.list_(pa.string())),
+    })
+
+
+def _explode_links(t: pa.Table) -> pa.Table:
+    """(pos, links[list]) → (link, orderkey) rows."""
+    links = t["links"].combine_chunks()
+    if len(links) == 0 or links.null_count == len(links):
+        return pa.table({"link": pa.array([], pa.string()),
+                         "orderkey": pa.array([], pa.int64())})
+    flat = pc.list_flatten(links)
+    parent = pc.list_parent_indices(links).to_numpy(zero_copy_only=False)
+    offsets = links.offsets.to_numpy(zero_copy_only=False)
+    idx = np.arange(len(flat)) - offsets[parent]
+    pos = t["pos"].combine_chunks().to_numpy(zero_copy_only=False)[parent]
+    orderkey = pos.astype(np.int64) * _ORDER_SHIFT + idx
+    return pa.table({"link": flat, "orderkey": pa.array(orderkey, pa.int64())})
+
+
+# --------------------------------------------------------------------------
+# fetch: partition-pruned lookup join against the page store
+# --------------------------------------------------------------------------
+
+def _fetch_dataset(pages_path: str, urls: list[str]):
+    import ray.data as rd
+    filt = pc.field("url").isin(urls)
+    if os.path.isdir(pages_path) and any(
+            e.startswith("bucket=") for e in os.listdir(pages_path)):
+        buckets = sorted({md5_partition(u) for u in urls})
+        paths = [os.path.join(pages_path, f"bucket={b}") for b in buckets]
+        paths = [p for p in paths if os.path.isdir(p)]
+        if not paths:
+            return None
+        return rd.read_parquet(paths, columns=["url", "html"], filter=filt)
+    return rd.read_parquet(pages_path, columns=["url", "html"], filter=filt)
+
+
+# --------------------------------------------------------------------------
+# seen filter stage: routes candidate batches through the shard actors
+# --------------------------------------------------------------------------
+
+def _make_seen_filter(shards: list, n_shards: int):
+    from ..state.seen import route_shards
+
+    def seen_filter(batch: pa.Table) -> pa.Table:
+        import ray
+        urls = batch["link"].to_pylist()
+        if not urls:
+            return batch
+        shard_of = route_shards(urls, n_shards)
+        new = np.zeros(len(urls), dtype=bool)
+        futs, idxs = [], []
+        for s in range(n_shards):
+            idx = np.nonzero(shard_of == s)[0]
+            if len(idx):
+                futs.append(shards[s].check_and_add.remote(
+                    [urls[i] for i in idx]))
+                idxs.append(idx)
+        for idx, res in zip(idxs, ray.get(futs)):
+            new[idx] = res
+        return batch.filter(pa.array(new))
+
+    return seen_filter
+
+
+# --------------------------------------------------------------------------
+# checkpointing
+# --------------------------------------------------------------------------
+
+def _write_checkpoint(ckpt_dir: str, wave: int, frontier: pd.DataFrame,
+                      seen: ShardedSeenSet, policy: PolitenessPolicy,
+                      stats: CrawlStats, next_seq: int, config: dict) -> None:
+    wdir = os.path.join(ckpt_dir, f"wave={wave:05d}")
+    tmp = wdir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(
+        frontier[["seq", "url", "domain"]], preserve_index=False),
+        os.path.join(tmp, "frontier.parquet"))
+    snaps = seen.snapshot()
+    urls_tbl = pa.table({
+        "shard": pa.array([s["shard"] for s in snaps for _ in s["urls"]],
+                          pa.int32()),
+        "url": pa.array([u for s in snaps for u in s["urls"]], pa.string()),
+    })
+    pq.write_table(urls_tbl, os.path.join(tmp, "seen_urls.parquet"))
+    pq.write_table(pa.table({
+        "shard": pa.array([s["shard"] for s in snaps], pa.int32()),
+        "cuckoo": pa.array([s["cuckoo"] for s in snaps], pa.binary()),
+    }), os.path.join(tmp, "filters.parquet"))
+    manifest = {
+        "wave": wave, "next_seq": next_seq, "n_shards": seen.n_shards,
+        "config": config, "politeness": policy.snapshot(),
+        "metrics": {"scheduled": stats.scheduled, "fetched": stats.fetched,
+                    "failed": stats.failed, "discovered": stats.discovered},
+        "per_wave": stats.per_wave, "complete": True,
+    }
+    with open(os.path.join(tmp, "MANIFEST.json"), "w") as f:
+        json.dump(manifest, f)
+    shutil.rmtree(wdir, ignore_errors=True)
+    os.rename(tmp, wdir)  # atomic completion marker
+
+
+def _latest_checkpoint(ckpt_dir: str) -> tuple[int, dict] | None:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    best = None
+    for entry in sorted(os.listdir(ckpt_dir)):
+        if not entry.startswith("wave=") or entry.endswith(".tmp"):
+            continue
+        mpath = os.path.join(ckpt_dir, entry, "MANIFEST.json")
+        try:
+            with open(mpath) as f:
+                m = json.load(f)
+            if m.get("complete"):
+                best = (int(entry.split("=")[1]), m)
+        except (OSError, json.JSONDecodeError):
+            continue
+    return best
+
+
+# --------------------------------------------------------------------------
+# the wave loop
+# --------------------------------------------------------------------------
+
+def run_crawl(pages_path: str, seeds: list[str], workdir: str,
+              max_pages: int = 50_000, max_per_domain: int = 5,
+              seed: int = 42, robots: dict | None = None,
+              refill: float | None = None, n_shards: int = 8,
+              resume: bool = False, checkpoint: bool = True,
+              keep_schedule: bool = True,
+              parse_concurrency: int | None = None) -> CrawlStats:
+    """Crawl ``pages_path`` (parquet file or bucketed store) from ``seeds``."""
+    import ray
+
+    os.makedirs(workdir, exist_ok=True)
+    analyses_dir = os.path.join(workdir, "analyses")
+    schedule_dir = os.path.join(workdir, "schedule")
+    ckpt_dir = os.path.join(workdir, "ckpt")
+    config = {"max_pages": max_pages, "max_per_domain": max_per_domain,
+              "seed": seed, "n_shards": n_shards}
+
+    policy = PolitenessPolicy(max_per_domain, refill, robots)
+    stats = CrawlStats()
+    frontier = pd.DataFrame({"seq": pd.Series(dtype="int64"),
+                             "url": pd.Series(dtype="object"),
+                             "domain": pd.Series(dtype="object")})
+    next_seq = 0
+    start_wave = 0
+
+    def enqueue(urls: list[str]) -> pd.DataFrame:
+        """normalize → domain → robots → frontier rows (order-preserving)."""
+        nonlocal next_seq
+        rows = {"seq": [], "url": [], "domain": []}
+        for raw in urls:
+            try:
+                u = normalize_url(raw)
+                d = extract_domain(u)
+            except UrlParseError:
+                continue
+            if not policy.allowed(u):
+                continue
+            rows["seq"].append(next_seq)
+            rows["url"].append(u)
+            rows["domain"].append(d)
+            next_seq += 1
+        return pd.DataFrame(rows)
+
+    latest = _latest_checkpoint(ckpt_dir) if resume else None
+    seen = ShardedSeenSet(n_shards)
+    if latest is not None:
+        wave0, manifest = latest
+        wdir = os.path.join(ckpt_dir, f"wave={wave0:05d}")
+        frontier = pq.read_table(
+            os.path.join(wdir, "frontier.parquet")).to_pandas()
+        urls_tbl = pq.read_table(os.path.join(wdir, "seen_urls.parquet"))
+        filt_tbl = pq.read_table(os.path.join(wdir, "filters.parquet"))
+        by_shard: dict[int, list[str]] = {}
+        for s, u in zip(urls_tbl["shard"].to_pylist(),
+                        urls_tbl["url"].to_pylist()):
+            by_shard.setdefault(s, []).append(u)
+        snaps = [{"shard": s, "cuckoo": blob,
+                  "urls": by_shard.get(s, [])}
+                 for s, blob in zip(filt_tbl["shard"].to_pylist(),
+                                    filt_tbl["cuckoo"].to_pylist())]
+        assert manifest["n_shards"] == n_shards, \
+            "n_shards must match the checkpoint manifest"
+        seen.restore(snaps)
+        policy.restore(manifest["politeness"])
+        m = manifest["metrics"]
+        stats.scheduled, stats.fetched = m["scheduled"], m["fetched"]
+        stats.failed, stats.discovered = m["failed"], m["discovered"]
+        stats.per_wave = manifest["per_wave"]
+        next_seq = manifest["next_seq"]
+        start_wave = wave0 + 1
+    else:
+        # seeds: inserted RAW into the seen set (genesis/src/main.rs:216-225)
+        new = seen.check_and_add(list(seeds))
+        frontier = pd.concat(
+            [frontier, enqueue([s for s, n in zip(seeds, new) if n])],
+            ignore_index=True)
+
+    wave = start_wave
+    while stats.scheduled < max_pages and len(frontier) > 0:
+        collected, frontier = policy.select(frontier)
+        if len(collected) == 0:
+            break
+        batch = collected["url"].tolist()
+        perm = wave_permutation(len(batch), seed, wave)
+        batch = [batch[i] for i in perm]
+        stats.scheduled += len(batch)
+        cut_n = max(0, stats.scheduled - max_pages)
+        sched_rows = []
+        if cut_n:
+            for off, u in enumerate(batch[len(batch) - cut_n:]):
+                sched_rows.append((wave, len(batch) - cut_n + off, u, "cut"))
+            batch = batch[: len(batch) - cut_n]
+        pos_of = {u: i for i, u in enumerate(batch)}
+
+        # --- fetch + parse (distributed)
+        fetched_urls: list[str] = []
+        new_links = pa.table({"link": pa.array([], pa.string()),
+                              "orderkey": pa.array([], pa.int64())})
+        ds = _fetch_dataset(pages_path, batch) if batch else None
+        if ds is not None:
+            pos_ref = ray.put(pos_of)
+            this_wave = wave
+
+            def parse_fn(b: pa.Table) -> pa.Table:
+                return parse_pages_batch(b, ray.get(pos_ref), this_wave)
+
+            parsed = ds.map_batches(
+                parse_fn, batch_format="pyarrow", batch_size=256,
+                **({"concurrency": parse_concurrency}
+                   if parse_concurrency else {}))
+            parsed = parsed.materialize()  # wave-bounded; feeds 3 consumers
+            if parsed.count() > 0:
+                wave_out = os.path.join(analyses_dir, f"wave-{wave:05d}")
+                shutil.rmtree(wave_out, ignore_errors=True)  # partial rerun
+                parsed.drop_columns(["links"]).write_parquet(wave_out)
+                links_ds = (parsed.select_columns(["pos", "links"])
+                            .map_batches(_explode_links, batch_format="pyarrow")
+                            .groupby("link").min("orderkey"))
+                links_ds = links_ds.map_batches(
+                    lambda t: t.rename_columns(["link", "orderkey"]),
+                    batch_format="pyarrow")
+                links_ds = links_ds.map_batches(
+                    _make_seen_filter(seen.shards, n_shards),
+                    batch_format="pyarrow")
+                new_links = pa.concat_tables(
+                    [b for b in links_ds.iter_batches(
+                        batch_format="pyarrow", batch_size=65536)]
+                    or [new_links])
+                fetched_urls = [u for u in
+                                parsed.select_columns(["url"])
+                                .to_pandas()["url"]]
+
+        fetched_set = set(fetched_urls)
+        n_fetched = len(fetched_set)
+        n_failed = len(batch) - n_fetched
+        stats.fetched += n_fetched
+        stats.failed += n_failed
+        for p, u in enumerate(batch):
+            sched_rows.append(
+                (wave, p, u, "fetched" if u in fetched_set else "miss"))
+        if keep_schedule and sched_rows:
+            os.makedirs(schedule_dir, exist_ok=True)
+            sched_rows.sort(key=lambda r: r[1])
+            pq.write_table(pa.table({
+                "wave": pa.array([r[0] for r in sched_rows], pa.int32()),
+                "position": pa.array([r[1] for r in sched_rows], pa.int32()),
+                "url": pa.array([r[2] for r in sched_rows], pa.string()),
+                "status": pa.array([r[3] for r in sched_rows], pa.string()),
+            }), os.path.join(schedule_dir, f"wave={wave:05d}.parquet"))
+
+        # --- deterministic enqueue of the wave's new links
+        if new_links.num_rows:
+            order = pc.sort_indices(new_links, sort_keys=[("orderkey", "ascending")])
+            ordered = new_links.take(order)["link"].to_pylist()
+            stats.discovered += len(ordered)
+            frontier = pd.concat([frontier, enqueue(ordered)],
+                                 ignore_index=True)
+
+        stats.per_wave.append({
+            "wave": wave, "scheduled": len(batch) + cut_n,
+            "fetched": n_fetched, "failed": n_failed,
+            "frontier_after": int(len(frontier))})
+        if checkpoint:
+            _write_checkpoint(ckpt_dir, wave, frontier, seen, policy, stats,
+                              next_seq, config)
+        stats.waves = wave + 1
+        wave += 1
+
+    stats.seen_total = sum(s["n"] for s in seen.stats())
+    return stats

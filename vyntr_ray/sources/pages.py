@@ -1,0 +1,190 @@
+"""Deterministic synthetic Common-Crawl-style page table (FIXTURES.md §1).
+
+Input shape mandated by BASELINE.json ``input_hint``:
+``(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)``.
+
+Pages embed a seeded link graph inside the ``html`` column so crawl
+simulations are closed-world and reproducible; ``text`` carries the expected
+extraction output (computed with the pinned pure-Python extractor) so the
+per-row byte-identical invariant ``extract(html).content_text == text`` is
+directly testable through the Ray pipeline.
+
+Everything is a pure function of ``(index, n_pages, n_hosts, seed)``; batch
+generation is embarrassingly parallel and is run through
+``ray.data.range(n).map_batches`` for large scales.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..extract import parse_html
+from ..urls import md5_partition
+
+EPOCH_US = 1_751_155_200_000_000  # 2025-06-29T00:00:00Z in microseconds
+
+PAGES_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us")),
+    ("html", pa.binary()),
+    ("text", pa.string()),
+    ("lang", pa.string()),
+])
+
+_LANGS = ["en", "en", "en", "de", "fr", "ja", ""]
+_WORDS = (
+    "the quick brown fox jumps over lazy dog crawl frontier parquet arrow "
+    "stream shard batch queue filter index token bucket robots page link "
+    "host domain fetch parse extract text title meta canonical wave seed"
+).split()
+
+
+def page_host(i: int, n_hosts: int) -> int:
+    """Zipf-ish host assignment: low host ids get quadratically more pages."""
+    u = ((i * 2654435761) & 0xFFFFFFFF) / 2**32
+    return int(n_hosts * u * u) % n_hosts
+
+
+def page_url(i: int, n_hosts: int) -> str:
+    return f"https://host{page_host(i, n_hosts)}.example/p/{i}"
+
+
+def _page_record(i: int, n_pages: int, n_hosts: int, seed: int) -> dict:
+    rng = np.random.Generator(np.random.PCG64(seed * 1_000_003 + i))
+    host = page_host(i, n_hosts)
+    url = page_url(i, n_hosts)
+    lang = _LANGS[int(rng.integers(0, len(_LANGS)))]
+
+    # --- link targets: seeded graph edges over the same url universe
+    outdeg = int(rng.integers(3, 9))
+    targets = rng.integers(0, n_pages, size=outdeg)
+    anchors = []
+    for j in targets:
+        j = int(j)
+        t_host = page_host(j, n_hosts)
+        t_url = page_url(j, n_hosts)
+        form = int(rng.integers(0, 4))
+        if form == 0 and t_host == host:
+            href = f"/p/{j}"                     # relative absolute-path
+        elif form == 1:
+            href = t_url + "#sec"                # fragment → stripped, dedup
+        else:
+            href = t_url
+        anchors.append(f'<a href="{href}">l{j}</a>')
+    if rng.random() < 0.08:                      # dangling link (fetch miss)
+        anchors.append(
+            f'<a href="https://host{host}.example/missing/{i}">m</a>')
+    if rng.random() < 0.3:                       # noise the filter must drop
+        noise = ['<a href="mailto:a@b.c">e</a>',
+                 '<a href="/img/x.jpg">img</a>',
+                 '<a href="/download/file">d</a>',
+                 '<a href="javascript:void(0)">j</a>']
+        anchors.append(noise[int(rng.integers(0, len(noise)))])
+
+    # --- head
+    head = []
+    title = f"Page {i} — host{host}"
+    head.append(f"<title>{title}</title>")
+    if rng.random() < 0.7:
+        words = " ".join(rng.choice(_WORDS, size=6))
+        head.append(f'<meta name="description" content="{words}">')
+    if rng.random() < 0.4:
+        head.append(f'<meta property="og:title" content="{title}">')
+    if rng.random() < 0.3:
+        head.append(f'<link rel="canonical" href="{url}">')
+
+    # --- body: h1-h6/p/li content plus excluded noise
+    body = [f"<h1>Heading {i}</h1>"]
+    for _ in range(int(rng.integers(1, 5))):
+        words = " ".join(rng.choice(_WORDS, size=int(rng.integers(4, 14))))
+        if rng.random() < 0.1:
+            words += " &amp; more"
+        pad = " " if rng.random() < 0.3 else ""
+        body.append(f"<p>{pad}{words}{pad}</p>")
+    if rng.random() < 0.15:
+        body.append("<p>   </p>")                # whitespace-only chunk
+    if rng.random() < 0.4:
+        items = "".join(
+            f"<li>item {int(x)}</li>" for x in rng.integers(0, 99, size=3))
+        body.append(f"<ul>{items}</ul>")
+    body.append(f"<div>chrome not extracted {i}</div>")
+    body.extend(anchors)
+
+    lang_attr = f' lang="{lang}"' if lang else ""
+    html = (f"<!DOCTYPE html><html{lang_attr}><head>{''.join(head)}</head>"
+            f"<body>{''.join(body)}</body></html>")
+    text = parse_html(html, url).content_text
+    return {
+        "url": url,
+        "warc_ts": EPOCH_US + i * 1_000_000,
+        "html": html.encode("utf-8"),
+        "text": text,
+        "lang": lang,
+    }
+
+
+def gen_pages_table(indices, n_pages: int, n_hosts: int | None = None,
+                    seed: int = 42) -> pa.Table:
+    """Generate page rows for ``indices`` (any int iterable) as Arrow."""
+    if n_hosts is None:
+        n_hosts = max(1, n_pages // 50)
+    recs = [_page_record(int(i), n_pages, n_hosts, seed) for i in indices]
+    cols = {name: [r[name] for r in recs] for name in PAGES_SCHEMA.names}
+    cols["warc_ts"] = pa.array(cols["warc_ts"], type=pa.timestamp("us"))
+    return pa.table(cols, schema=PAGES_SCHEMA)
+
+
+def make_pages_dataset(n_pages: int, n_hosts: int | None = None,
+                       seed: int = 42, parallelism: int = -1):
+    """Distributed generation: ``ray.data`` Dataset of the page table."""
+    import ray.data as rd
+
+    if n_hosts is None:
+        n_hosts = max(1, n_pages // 50)
+
+    def gen(batch: dict) -> pa.Table:
+        return gen_pages_table(batch["id"], n_pages, n_hosts, seed)
+
+    ds = rd.range(n_pages, override_num_blocks=parallelism if parallelism > 0 else None)
+    return ds.map_batches(gen, batch_format="numpy", batch_size=2048)
+
+
+def write_pages_store(n_pages: int, out_dir: str, n_hosts: int | None = None,
+                      seed: int = 42) -> str:
+    """Materialize the page table partitioned by url-hash bucket.
+
+    The bucket is the md5-first-byte of the url (`genesis/src/db.rs:110-114`
+    partitioning reused on the input side) so a crawl wave can prune its
+    fetch join to only the buckets its urls hash into.
+    """
+    import pyarrow.compute as pc
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        buckets = [md5_partition(u) for u in t["url"].to_pylist()]
+        return t.append_column("bucket", pa.array(buckets, pa.string()))
+
+    ds = make_pages_dataset(n_pages, n_hosts, seed)
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    ds.write_parquet(out_dir, partition_cols=["bucket"])
+    _ = pc  # (filter pushdown used by readers)
+    return out_dir
+
+
+def make_seed_list(n_pages: int, n_hosts: int | None = None, n_seeds: int = 10,
+                   seed: int = 42) -> list[str]:
+    """Raw seed lines as the reference reads them (`genesis/src/main.rs:142-153`):
+
+    mostly normalized urls, plus one scheme-less and one uppercase entry to
+    exercise the http:// fallback + normalization path.
+    """
+    if n_hosts is None:
+        n_hosts = max(1, n_pages // 50)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    idx = sorted(int(i) for i in rng.choice(n_pages, size=n_seeds, replace=False))
+    seeds = [page_url(i, n_hosts) for i in idx]
+    if len(seeds) >= 2:
+        seeds[0] = seeds[0].removeprefix("https://")          # scheme-less
+        host_part = f"host{page_host(idx[1], n_hosts)}"
+        seeds[1] = seeds[1].replace(host_part, host_part.upper(), 1)
+    return seeds

@@ -1,0 +1,87 @@
+"""Per-host politeness: token buckets + robots.txt disallow rules (T9).
+
+The reference's only politeness is ``MAX_PER_DOMAIN = 5`` per frontier
+collection (`genesis/src/main.rs:175`, `genesis/src/crawler.rs:28-41`); it has
+no robots handling (verified — SURVEY.md §2.3 T9).  This north-rule component
+generalizes both:
+
+- **Token bucket per host**: capacity ``max_per_domain``, refill ``refill``
+  tokens per wave.  The default ``refill == capacity`` makes the bucket
+  memoryless, which reproduces the reference's ≤5-per-domain-per-batch
+  behavior exactly; a smaller refill throttles hot hosts across waves.
+- **Robots rules**: host → list of disallowed path prefixes, applied at
+  enqueue time (after the url is marked seen, so a disallowed url is never
+  reconsidered).  Default empty = allow-all = reference behavior.
+
+State is a per-host float (token balance) — sharded by host-hash alongside
+the frontier buckets at scale; held as a dict keyed by domain here, updated
+once per wave (driver-side, politeness-bounded size).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from ..sim import robots_allowed
+
+__all__ = ["PolitenessPolicy"]
+
+
+class PolitenessPolicy:
+    def __init__(self, max_per_domain: int = 5, refill: float | None = None,
+                 robots: dict | None = None):
+        self.capacity = max_per_domain
+        self.refill = refill if refill is not None else max_per_domain
+        self.robots = robots or {}
+        self._tokens: dict[str, float] = {}   # only tracked when refill < cap
+        self._stateless = self.refill >= self.capacity
+
+    # --- robots ----------------------------------------------------------
+    def allowed(self, url: str) -> bool:
+        return robots_allowed(url, self.robots)
+
+    # --- selection -------------------------------------------------------
+    def budget_of(self, domain: str) -> int:
+        if self._stateless:
+            return self.capacity
+        bal = min(self.capacity,
+                  self._tokens.get(domain, self.capacity) + self.refill)
+        return int(bal)
+
+    def select(self, frontier: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
+        """Split a (seq, url, domain) frame into (collected, rest).
+
+        FIFO by ``seq`` within each domain, at most the domain's current
+        token balance per wave; vectorized (groupby-cumcount, no Python
+        loop over rows).  At scale this runs independently per host-hash
+        bucket — a domain never spans buckets.
+        """
+        if len(frontier) == 0:
+            return frontier, frontier
+        f = frontier.sort_values("seq", kind="stable")
+        rank = f.groupby("domain", sort=False).cumcount()
+        if self._stateless:
+            mask = rank < self.capacity
+        else:
+            budgets = {d: self.budget_of(d) for d in f["domain"].unique()}
+            mask = rank < f["domain"].map(budgets)
+        collected = f[mask]
+        rest = f[~mask]
+        if not self._stateless:
+            spent = collected.groupby("domain", sort=False).size()
+            for d in f["domain"].unique():
+                bal = min(self.capacity,
+                          self._tokens.get(d, self.capacity) + self.refill)
+                self._tokens[d] = bal - float(spent.get(d, 0))
+        return collected, rest
+
+    # --- checkpoint ------------------------------------------------------
+    def snapshot(self) -> dict:
+        return {"capacity": self.capacity, "refill": self.refill,
+                "tokens": dict(self._tokens)}
+
+    def restore(self, snap: dict) -> None:
+        self.capacity = snap["capacity"]
+        self.refill = snap["refill"]
+        self._tokens = dict(snap["tokens"])
+        self._stateless = self.refill >= self.capacity

@@ -1,16 +1,10 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the vyntr_ray engine (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship crawl pipeline; ``queries()`` registers one
+callable per implemented operator/pipeline from SURVEY.md §2 (plus the
+training-data additions); ``oracle_sql()`` gives the DuckDB-equivalent SQL
+for every SQL-expressible entry.  Ray is initialised by the driver — nothing
+here calls ``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -18,27 +12,566 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _rd():
+    import ray.data as rd
+    return rd
+
+
+def _read(sf_dir: str, table: str, **kw):
+    return _rd().read_parquet(f"{sf_dir}/{table}.parquet", **kw)
+
+
+_BLOCKLIST = frozenset({"src1", "src7", "src13"})
+_QDIM, _QSEED = 64, 7
+
+
+def _qvec() -> np.ndarray:
+    from vyntr_ray.stages.similarity import query_vector
+    return query_vector(_QDIM, _QSEED)
+
+
+def _planted_dup_docs(sf_dir: str):
+    """documents ∪ perturbed copies of the first 20 docs (near-dup corpus).
+
+    Copies drop the last word and get ids offset by 1_000_000 —
+    deterministic planted near-duplicates for the minhash/simhash queries.
+    """
+    import pyarrow.parquet as pq
+    tab = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+    base = tab.to_pandas()
+    dup = base.head(20).copy()
+    dup["doc_id"] = dup["doc_id"] + 1_000_000
+    dup["text"] = dup["text"].str.rsplit(" ", n=1).str[0]
+    return _rd().from_pandas(pd.concat([base, dup], ignore_index=True))
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+
+def _q_clean_content(sf_dir: str):
+    from vyntr_ray.stages.clean import clean_documents
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return clean_documents(ds)
+
+
+def _q_topk_largest(sf_dir: str):
+    from vyntr_ray.stages.dataset_tools import topk_largest
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return topk_largest(ds, k=100)
+
+
+def _q_remove_largest(sf_dir: str):
+    from vyntr_ray.stages.dataset_tools import remove_largest
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return remove_largest(ds, k=100)
+
+
+def _q_dedup_exact(sf_dir: str):
+    from vyntr_ray.stages.dedup import dedup_exact
+    return dedup_exact(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _q_dedup_prefix(sf_dir: str):
+    from vyntr_ray.stages.dedup import dedup_by_key
+
+    def key3(batch: pa.Table) -> pa.Array:
+        keys = [" ".join((t or "").split()[:3])
+                for t in batch["text"].to_pylist()]
+        return pa.array(keys, pa.string())
+
+    return dedup_by_key(_read(sf_dir, "documents", columns=["doc_id", "text"]),
+                        key3)
+
+
+def _q_token_totals(sf_dir: str):
+    from vyntr_ray.stages.text_analysis import token_totals
+    return token_totals(_read(sf_dir, "documents", columns=["lang", "text"]))
+
+
+def _q_quality(sf_dir: str):
+    from vyntr_ray.stages.text_analysis import quality_batch
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return (ds.map_batches(quality_batch, batch_format="pyarrow")
+            .drop_columns(["text"]))
+
+
+def _q_fingerprints(sf_dir: str):
+    from vyntr_ray.stages.text_analysis import fingerprint_batch
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return (ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+            .drop_columns(["text"]))
+
+
+def _q_index_prep(sf_dir: str):
+    from vyntr_ray.stages.index_prep import index_prep
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "lang", "source"])
+    out = index_prep(ds, blocklist=_BLOCKLIST)
+    return out.select_columns(["doc_id", "preview", "lang", "nsfw"])
+
+
+def _q_mean_pool(sf_dir: str):
+    from vyntr_ray.stages.embed import mean_pool
+    return mean_pool(_read(sf_dir, "embeddings"))
+
+
+def _q_chunks(sf_dir: str):
+    from vyntr_ray.stages.embed import chunk_documents
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_documents(ds).select_columns(
+        ["doc_id", "chunk_id", "n_tokens"])
+
+
+def _q_chunk_embeddings(sf_dir: str):
+    """chunk → embed → per-doc mean-pool, exploded (doc_id, pos, mean_val)."""
+    from vyntr_ray.stages.embed import chunk_documents, embed_chunks, mean_pool
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    chunks = chunk_documents(ds)
+    emb = embed_chunks(chunks, dim=16)
+    return mean_pool(emb, key_col="doc_id")
+
+
+def _q_ann_topk(sf_dir: str):
+    from vyntr_ray.stages.similarity import cosine_topk
+    return cosine_topk(_read(sf_dir, "embeddings",
+                             columns=["vec_id", "embedding"]),
+                       _qvec(), k=10)
+
+
+def _q_embedding_dups(sf_dir: str):
+    from vyntr_ray.stages.dedup import embedding_dup_pairs
+    return embedding_dup_pairs(_read(sf_dir, "embeddings"), threshold=0.3)
+
+
+def _q_autocomplete(sf_dir: str):
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "documents", columns=["source"])
+    filtered = ds.map_batches(
+        lambda t: t.filter(pc.starts_with(t["source"], "src1")),
+        batch_format="pyarrow")
+    counted = filtered.groupby("source").count().map_batches(
+        lambda t: t.rename_columns(["source", "n"]), batch_format="pyarrow")
+    return counted.sort(["n", "source"], descending=[True, False]).limit(10)
+
+
+def _q_query_counts(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_type"])
+    out = ds.groupby("event_type").count()
+    return out.map_batches(lambda t: t.rename_columns(["event_type", "n"]),
+                           batch_format="pyarrow")
+
+
+def _q_event_json(sf_dir: str):
+    """JSON prop extraction + exact integer aggregate per event type."""
+    import re
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+    pat = re.compile(r'"k":\s*(\d+)')
+
+    def extract(batch: pa.Table) -> pa.Table:
+        ks = [int(m.group(1)) if (m := pat.search(p or "")) else 0
+              for p in batch["props"].to_pylist()]
+        return pa.table({"event_type": batch["event_type"],
+                         "k": pa.array(ks, pa.int64())})
+
+    from ray.data.aggregate import Count, Sum
+    return (ds.map_batches(extract, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("k", alias_name="sum_k"),
+                       Count(alias_name="n_events")))
+
+
+def _q_events_window(sf_dir: str):
+    """Tumbling 1-hour window per user: count + value sum (streaming shape)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def win(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())
+        w = pc.divide(us, 3_600_000_000)
+        return pa.table({"user_id": batch["user_id"],
+                         "window_id": w, "value": batch["value"]})
+
+    agg = (ds.map_batches(win, batch_format="pyarrow")
+           .groupby(["user_id", "window_id"])
+           .aggregate(Count(alias_name="n"),
+                      Sum("value", alias_name="sum_value")))
+    return agg.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("sum_value"),
+                               "sum_value", pc.round(t["sum_value"], 3)),
+        batch_format="pyarrow")
+
+
+def _q_tpch_q1(sf_dir: str):
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        disc = pc.multiply(batch["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return batch.append_column("disc_price", disc)
+
+    agg = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                      Sum("l_extendedprice", alias_name="sum_base_price"),
+                      Sum("disc_price", alias_name="sum_disc_price"),
+                      Count(alias_name="count_order")))
+
+    def round_cols(t: pa.Table) -> pa.Table:
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+            t = t.set_column(t.schema.get_field_index(c), c,
+                             pc.round(t[c], 2))
+        return t
+
+    return agg.map_batches(round_cols, batch_format="pyarrow")
+
+
+def _q_region_customers(sf_dir: str):
+    """customer ⋈ nation ⋈ region via broadcast small-side lookups."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    lookup_ref = ray.put({n: r2name[r] for n, r in n2r.items()})
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lookup_ref)
+        names = [lut[n] for n in batch["c_nationkey"].to_pylist()]
+        return batch.append_column("r_name", pa.array(names, pa.string()))
+
+    ds = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+    agg = (ds.map_batches(attach, batch_format="pyarrow")
+           .groupby("r_name")
+           .aggregate(Count(alias_name="n_customers"),
+                      Sum("c_acctbal", alias_name="total_acctbal")))
+    return agg.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("total_acctbal"),
+                               "total_acctbal", pc.round(t["total_acctbal"], 2)),
+        batch_format="pyarrow")
+
+
+def _q_orders_topk(sf_dir: str):
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+    return (ds.sort(["o_totalprice", "o_orderkey"],
+                    descending=[True, False]).limit(10)
+            .select_columns(["o_orderkey", "o_totalprice"]))
+
+
+# --- non-SQL (rows-only) ----------------------------------------------------
+
+def _q_crawl_flagship(_sf_dir: str):
+    from vyntr_ray.pipelines.flagship import run_flagship
+    return run_flagship(n_pages=1500, budget=300)
+
+
+def _q_extract_text(_sf_dir: str):
+    from vyntr_ray.pipelines.crawl import parse_pages_batch
+    from vyntr_ray.pipelines.flagship import cached_pages
+    ds = _rd().read_parquet(cached_pages(1500), columns=["url", "html"])
+    return (ds.map_batches(lambda b: parse_pages_batch(b),
+                           batch_format="pyarrow", batch_size=256)
+            .select_columns(["url", "language", "title", "content_text",
+                             "partition"]))
+
+
+def _q_minhash_dups(sf_dir: str):
+    from vyntr_ray.stages.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_planted_dup_docs(sf_dir), threshold=0.6)
+
+
+def _q_simhash_dups(sf_dir: str):
+    from vyntr_ray.stages.dedup import simhash_pairs
+    return simhash_pairs(_planted_dup_docs(sf_dir), max_hamming=3)
+
+
+def _q_lang_id(sf_dir: str):
+    from vyntr_ray.stages.text_analysis import lang_id
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = lang_id(ds).groupby("pred_lang").count()
+    return out.map_batches(lambda t: t.rename_columns(["pred_lang", "n"]),
+                           batch_format="pyarrow")
+
+
+def _q_ivf_ann(sf_dir: str):
+    from vyntr_ray.stages.similarity import ivf_topk
+    return ivf_topk(_read(sf_dir, "embeddings"), _qvec(), k=10, nprobe=2)
+
+
+def _q_cleaning_stats(sf_dir: str):
+    from vyntr_ray.stages.clean import cleaning_stats
+    res = cleaning_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+    return pd.DataFrame([res])
+
+
+def _q_multimodal(_sf_dir: str):
+    from vyntr_ray.stages.multimodal import decode_images, make_fake_image
+    rows = [{"doc_id": i,
+             "image": make_fake_image(32 + i % 8, 24 + i % 4, seed=i)}
+            for i in range(200)]
+    ds = _rd().from_items(rows)
+    return decode_images(ds, resize_to=16)
+
+
+def _q_video_frames(_sf_dir: str):
+    from vyntr_ray.stages.multimodal import make_fake_video, sample_frames
+    rows = [{"doc_id": i, "video": make_fake_video(8, 16, 12, seed=i)}
+            for i in range(50)]
+    return sample_frames(_rd().from_items(rows), every=2)
+
+
+# ---------------------------------------------------------------------------
+# the public contract
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship crawl pipeline on a deterministic synthetic page table."""
+    from vyntr_ray.pipelines.flagship import run_flagship
+    return run_flagship(n_pages=600, budget=200)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # crawl engine
+        "crawl_flagship": _q_crawl_flagship,
+        "extract_text": _q_extract_text,
+        # cleaning / dataset tools
+        "clean_content": _q_clean_content,
+        "cleaning_stats": _q_cleaning_stats,
+        "topk_largest": _q_topk_largest,
+        "remove_largest": _q_remove_largest,
+        # dedup family
+        "dedup_exact": _q_dedup_exact,
+        "dedup_prefix": _q_dedup_prefix,
+        "minhash_dups": _q_minhash_dups,
+        "simhash_dups": _q_simhash_dups,
+        "embedding_dups": _q_embedding_dups,
+        # text analysis
+        "token_totals": _q_token_totals,
+        "quality_scores": _q_quality,
+        "fingerprints": _q_fingerprints,
+        "lang_id_counts": _q_lang_id,
+        # embeddings / similarity
+        "mean_pool_embeddings": _q_mean_pool,
+        "chunk_documents": _q_chunks,
+        "chunk_embeddings": _q_chunk_embeddings,
+        "ann_topk": _q_ann_topk,
+        "ivf_ann": _q_ivf_ann,
+        # index prep / serving-side relational
+        "index_prep": _q_index_prep,
+        "autocomplete": _q_autocomplete,
+        "query_counts": _q_query_counts,
+        "event_json": _q_event_json,
+        "events_window": _q_events_window,
+        # generic relational coverage
+        "tpch_q1ish": _q_tpch_q1,
+        "region_customers": _q_region_customers,
+        "orders_topk": _q_orders_topk,
+        # multimodal plumbing
+        "multimodal_decode": _q_multimodal,
+        "video_frames": _q_video_frames,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    q = _qvec()
+    qlit = "[" + ", ".join(f"{x!r}" for x in q.tolist()) + "]::DOUBLE[]"
+    clean_sql = r"""
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            text,
+            '[ \t　]+', ' ', 'g'),
+            '<[^>]+>', '', 'g'),
+            '(?i)&(?:[a-z0-9]+|#[0-9]{1,6}|#x[0-9a-f]{1,6});', '', 'g'),
+            '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+            '�', '', 'g'),
+            '\[(.*?)\]\((.*?)\)', '\1', 'g'),
+            '\?[^"''\s<>]+', '', 'g'),
+            '\n{3,}', '\n\n', 'g')
     """
-    return {}
+    trim = lambda e: f"regexp_replace({e}, '^\\s+|\\s+$', '', 'g')"  # noqa: E731
+    cleaned = trim(clean_sql)
+    return {
+        "clean_content": f"""
+            SELECT doc_id, {cleaned} AS text
+            FROM documents WHERE {cleaned} <> ''
+        """,
+        "topk_largest": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id LIMIT 100
+        """,
+        "remove_largest": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE doc_id NOT IN (
+                SELECT doc_id FROM documents
+                ORDER BY n_chars DESC, doc_id LIMIT 100)
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5, min(doc_id) AS keep_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_prefix": r"""
+            SELECT array_to_string((regexp_extract_all(text, '\S+'))[1:3], ' ')
+                       AS key,
+                   min(doc_id) AS keep_id
+            FROM documents GROUP BY 1
+        """,
+        "token_totals": r"""
+            SELECT lang,
+                   sum(len(regexp_extract_all(text, '\S+')))::BIGINT
+                       AS total_ws_tokens,
+                   sum(len(regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')))::BIGINT
+                       AS total_bpe_tokens
+            FROM documents GROUP BY lang
+        """,
+        "quality_scores": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       length(text) AS n_chars_q,
+                       len(regexp_extract_all(text, '\S+')) AS n_words,
+                       length(array_to_string(
+                           regexp_extract_all(text, '\S+'), '')) AS wlen,
+                       len(regexp_extract_all(text, '[.,;:!?]')) AS np,
+                       len(regexp_extract_all(text, '[A-Z]')) AS nu
+                FROM documents)
+            SELECT doc_id, n_chars_q::BIGINT AS n_chars_q,
+                   n_words::BIGINT AS n_words,
+                   (CASE WHEN n_words > 0
+                         THEN (wlen * 1000000) // n_words ELSE 0 END)::BIGINT
+                       AS mean_word_len_ppm,
+                   ((np * 1000000) // greatest(n_chars_q, 1))::BIGINT
+                       AS punct_ppm,
+                   ((nu * 1000000) // greatest(n_chars_q, 1))::BIGINT
+                       AS upper_ppm
+            FROM t
+        """,
+        "fingerprints": r"""
+            SELECT doc_id,
+                   md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+                       AS fingerprint
+            FROM documents
+        """,
+        "index_prep": r"""
+            WITH t AS (SELECT doc_id,
+                              regexp_replace(text, '^\s+|\s+$', '', 'g') AS tx,
+                              lang, source
+                       FROM documents)
+            SELECT doc_id,
+                   CASE WHEN length(tx) <= 500 THEN tx
+                        ELSE substring(tx, 1, 500) || '...' END AS preview,
+                   CASE WHEN lang IS NULL OR lang = '' THEN 'en'
+                        ELSE lang END AS lang,
+                   source IN ('src1', 'src7', 'src13') AS nsfw
+            FROM t
+        """,
+        "mean_pool_embeddings": """
+            WITH ex AS (
+                SELECT label,
+                       generate_subscripts(embedding, 1) AS pos,
+                       unnest(embedding)::DOUBLE AS v
+                FROM embeddings)
+            SELECT label, pos::BIGINT AS pos, round(avg(v), 6) AS mean_val
+            FROM ex GROUP BY label, pos
+        """,
+        "chunk_documents": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '\S+')) AS n
+                FROM documents),
+            c AS (
+                SELECT doc_id, n,
+                       CASE WHEN n <= 495 THEN 1
+                            ELSE cast(ceil(n / 445.0) AS BIGINT) END AS nch
+                FROM t WHERE n > 0)
+            SELECT doc_id,
+                   unnest(generate_series(0, nch - 1))::INT AS chunk_id,
+                   least(495, n - unnest(generate_series(0, nch - 1)) * 445)::INT
+                       AS n_tokens
+            FROM c
+        """,
+        "ann_topk": f"""
+            WITH s AS (
+                SELECT vec_id,
+                       round(list_cosine_similarity(
+                           embedding::DOUBLE[], {qlit}), 4) AS score
+                FROM embeddings)
+            SELECT vec_id, score FROM s
+            ORDER BY score DESC, vec_id LIMIT 10
+        """,
+        "embedding_dups": """
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.3
+        """,
+        "autocomplete": """
+            SELECT source, count(*)::BIGINT AS n FROM documents
+            WHERE source LIKE 'src1%'
+            GROUP BY source ORDER BY n DESC, source LIMIT 10
+        """,
+        "query_counts": """
+            SELECT event_type, count(*)::BIGINT AS n
+            FROM events GROUP BY event_type
+        """,
+        "event_json": """
+            SELECT event_type,
+                   sum(cast(json_extract(props, '$.k') AS INT))::BIGINT
+                       AS sum_k,
+                   count(*)::BIGINT AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "events_window": """
+            SELECT user_id,
+                   epoch_us(ts) // 3600000000 AS window_id,
+                   count(*)::BIGINT AS n,
+                   round(sum(value), 3) AS sum_value
+            FROM events GROUP BY user_id, epoch_us(ts) // 3600000000
+        """,
+        "tpch_q1ish": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "region_customers": """
+            SELECT r.r_name,
+                   count(*)::BIGINT AS n_customers,
+                   round(sum(c.c_acctbal), 2) AS total_acctbal
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "orders_topk": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+    }

@@ -1,0 +1,159 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR at $RAY_GRAFT_CPUS.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "crawl_urls_per_sec": ...}
+
+--scaling: runs the headline crawl twice in fresh processes (num_cpus=8 and
+num_cpus=32) on the same input and reports both throughputs + scaling
+efficiency (the sandbox stand-in for the N vs 4N cluster-size criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# bench corpus scale: enough pages that the crawl does real distributed work
+BENCH_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "40000"))
+BENCH_BUDGET = int(os.environ.get("GRAFT_BENCH_BUDGET", "12000"))
+
+
+def _init_ray():
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+
+def _bench_pages_store() -> str:
+    """Build (once) the bucketed page store used by the crawl bench."""
+    from vyntr_ray.pipelines.flagship import CACHE_DIR
+    from vyntr_ray.sources.pages import write_pages_store
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    store = os.path.join(CACHE_DIR, f"pages_store_n{BENCH_PAGES}")
+    marker = os.path.join(store, "_COMPLETE")
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(store, ignore_errors=True)
+        write_pages_store(BENCH_PAGES, store)
+        open(marker, "w").close()
+    return store
+
+
+def bench_crawl() -> dict:
+    import shutil
+    import tempfile
+
+    from vyntr_ray.pipelines.crawl import run_crawl
+    from vyntr_ray.sources.pages import make_seed_list
+
+    store = _bench_pages_store()
+    seeds = make_seed_list(BENCH_PAGES, n_seeds=50)
+    workdir = tempfile.mkdtemp(prefix="bench_crawl_")
+    t0 = time.perf_counter()
+    stats = run_crawl(store, seeds, workdir, max_pages=BENCH_BUDGET,
+                      seed=42, n_shards=8, checkpoint=False,
+                      keep_schedule=False)
+    dt = time.perf_counter() - t0
+    shutil.rmtree(workdir, ignore_errors=True)
+    return {"sec": dt, "scheduled": stats.scheduled,
+            "fetched": stats.fetched, "waves": stats.waves,
+            "urls_per_sec": stats.scheduled / dt}
+
+
+def bench_queries() -> dict:
+    """Headline downstream pipelines over the sf dir."""
+    import __ray_entry__ as em
+
+    names = ["clean_content", "topk_largest", "dedup_exact", "token_totals",
+             "index_prep", "mean_pool_embeddings", "chunk_documents",
+             "ann_topk", "tpch_q1ish", "events_window", "quality_scores"]
+    qs = em.queries()
+    out = {}
+    for name in names:
+        t0 = time.perf_counter()
+        res = qs[name](SF_DIR)
+        # consume: Datasets are lazy — count() forces full execution
+        if hasattr(res, "count"):
+            res.count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> dict:
+    _init_ray()
+    crawl = bench_crawl()
+    queries = bench_queries()
+    total = round(crawl["sec"] + sum(queries.values()), 3)
+    result = {
+        "metric": "vyntr_ray headline: crawl + downstream pipelines",
+        "value": total,
+        "unit": "sec",
+        "queries": {"crawl": round(crawl["sec"], 3), **queries},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "crawl_urls_per_sec": round(crawl["urls_per_sec"], 1),
+        "crawl_scheduled": crawl["scheduled"],
+        "crawl_fetched": crawl["fetched"],
+        "crawl_waves": crawl["waves"],
+    }
+    print(json.dumps(result))
+    return result
+
+
+def scaling() -> None:
+    """Same crawl job at two parallelism levels in fresh processes."""
+    levels = [8, 32]
+    runs = {}
+    _init_ray()
+    _bench_pages_store()  # build once, warm page cache
+    import ray
+    ray.shutdown()
+    for n in levels:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
+                   GRAFT_BENCH_ONLY_CRAWL="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+    # last line is the JSON
+        runs[n] = json.loads(out.strip().splitlines()[-1])
+    thr = {n: runs[n]["crawl_urls_per_sec"] for n in levels}
+    eff = (thr[levels[1]] / thr[levels[0]]) / (levels[1] / levels[0])
+    print(json.dumps({
+        "metric": "crawl frontier throughput scaling",
+        "urls_per_sec": thr,
+        "cpus": levels,
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    elif os.environ.get("GRAFT_BENCH_ONLY_CRAWL"):
+        _init_ray()
+        crawl = bench_crawl()
+        print(json.dumps({
+            "metric": "crawl only", "value": round(crawl["sec"], 3),
+            "unit": "sec", "num_cpus": NUM_CPUS,
+            "crawl_urls_per_sec": round(crawl["urls_per_sec"], 1),
+            "queries": {"crawl": round(crawl["sec"], 3)},
+        }))
+    else:
+        main()
+    import ray
+    ray.shutdown()

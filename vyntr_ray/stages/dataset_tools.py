@@ -1,0 +1,43 @@
+"""Dataset hygiene operators: top-K largest + broadcast anti-join removal.
+
+- ``topk_largest``  — K1: keep the K records with the longest text
+  (`genesis/tools/dataset/find_largest.js:16-56,129-156`; the per-file
+  tracker → merge → final sort is exactly what Ray's distributed
+  ``sort().limit()`` does internally).  Deterministic tiebreak on ``doc_id``
+  (the reference's insertion order is file-order-dependent).
+- ``remove_largest`` — J1/D3: anti-join of the corpus against the removal
+  set (`genesis/tools/dataset/remove_largest.js:9-93`), implemented as a
+  broadcast of the small side (``ray.put`` once) filtered inside
+  ``map_batches`` — no shuffle.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["topk_largest", "remove_largest"]
+
+
+def topk_largest(ds, k: int = 100, length_col: str = "n_chars",
+                 id_col: str = "doc_id"):
+    """sort(length desc, id asc).limit(k) — distributed top-K."""
+    return ds.sort([length_col, id_col], descending=[True, False]).limit(k)
+
+
+def remove_largest(ds, k: int = 100, length_col: str = "n_chars",
+                   id_col: str = "doc_id"):
+    """Corpus MINUS its top-K largest records (broadcast anti-join)."""
+    import ray
+
+    removal_ids = [r[id_col] for r in topk_largest(
+        ds, k, length_col, id_col).select_columns([id_col]).take_all()]
+    removal_ref = ray.put(frozenset(removal_ids))
+
+    def anti(batch: pa.Table) -> pa.Table:
+        remove = ray.get(removal_ref)
+        mask = pc.invert(pc.is_in(
+            batch[id_col], value_set=pa.array(sorted(remove), pa.int64())))
+        return batch.filter(mask)
+
+    return ds.map_batches(anti, batch_format="pyarrow")

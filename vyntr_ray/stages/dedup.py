@@ -1,0 +1,318 @@
+"""Deduplication suite: exact, key-based, MinHash-LSH, SimHash, embedding.
+
+The reference deduplicates only exact URLs (D1/D2); these operators add the
+near-duplicate machinery a 100 TB training-data pipeline needs (build
+brief), all from public algorithms:
+
+- exact / key dedup      — hash-partitioned ``groupby.min`` (first doc wins)
+- MinHash + LSH          — Broder '97 shingling + banded LSH (16 bands × 4
+  rows over 64 permutations): shingle→minhash per batch, explode to
+  (band, band_hash, id) rows, ``groupby`` the band buckets, verify exact
+  Jaccard on candidates
+- SimHash                — Charikar '02 64-bit fingerprints; candidate pairs
+  by 4×16-bit pigeonhole banding, verified by Hamming distance
+- embedding near-dup     — cosine ≥ τ pairs inside blocking groups (label /
+  IVF bucket), dense matmul per group
+
+Scale notes: every stage is per-batch vectorized; candidate generation is a
+``groupby`` on (band, hash) — the only shuffle — and verification joins
+candidate pairs back to signatures.  At sandbox scale signatures are
+broadcast via ``ray.put``; at 100 TB the verify step becomes a pair-id join
+against the signature table (documented on each function).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["add_md5", "dedup_exact", "dedup_by_key", "minhash_signatures",
+           "minhash_lsh_pairs", "simhash_batch", "simhash_pairs",
+           "embedding_dup_pairs", "word_shingles", "jaccard"]
+
+_P = (1 << 61) - 1  # Mersenne prime for universal hashing
+
+
+def _stable_hash64(strings: list[str]) -> np.ndarray:
+    out = np.empty(len(strings), dtype=np.uint64)
+    for i, s in enumerate(strings):
+        out[i] = int.from_bytes(
+            hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+    return out
+
+
+def word_shingles(text: str, k: int = 3) -> list[str]:
+    toks = (text or "").split()
+    if len(toks) < k:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)
+
+
+# --------------------------------------------------------------------------
+# exact / key dedup
+# --------------------------------------------------------------------------
+
+def add_md5(batch: pa.Table, text_col: str = "text",
+            out_col: str = "text_md5") -> pa.Table:
+    fps = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+           for t in batch[text_col].to_pylist()]
+    return batch.append_column(out_col, pa.array(fps, pa.string()))
+
+
+def dedup_exact(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """(content-hash, surviving-id) — first doc per identical text."""
+    hashed = ds.map_batches(lambda b: add_md5(b, text_col),
+                            batch_format="pyarrow")
+    out = hashed.groupby("text_md5").min(id_col)
+    return out.map_batches(
+        lambda t: t.rename_columns(["text_md5", "keep_id"]),
+        batch_format="pyarrow")
+
+
+def dedup_by_key(ds, key_fn, id_col: str = "doc_id", key_name: str = "key"):
+    """Generic first-wins dedup on a computed key (vectorized key_fn)."""
+    keyed = ds.map_batches(
+        lambda b: b.append_column(key_name, key_fn(b)),
+        batch_format="pyarrow")
+    out = keyed.groupby(key_name).min(id_col)
+    return out.map_batches(
+        lambda t: t.rename_columns([key_name, "keep_id"]),
+        batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+class MinHasher:
+    """Actor-pool stage: text → 64-perm minhash signature + LSH band rows.
+
+    Permutation coefficients are generated once per actor from a fixed seed
+    (identical across actors — determinism), signatures are vectorized
+    numpy mins over the shingle-hash × permutation matrix.
+    """
+
+    def __init__(self, n_perm: int = 64, shingle_k: int = 3,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        rng = np.random.Generator(np.random.PCG64(1234))
+        self.a = rng.integers(1, _P, size=n_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _P, size=n_perm, dtype=np.uint64)
+        self.n_perm = n_perm
+        self.k = shingle_k
+        self.id_col, self.text_col = id_col, text_col
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = word_shingles(text, self.k)
+        if not sh:
+            return np.full(self.n_perm, np.iinfo(np.uint64).max, np.uint64)
+        base = _stable_hash64(sh).astype(object)  # object → exact modmul
+        sig = np.empty(self.n_perm, dtype=np.uint64)
+        for j in range(self.n_perm):
+            vals = (int(self.a[j]) * base + int(self.b[j])) % _P
+            sig[j] = np.uint64(min(vals))
+        return sig
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        sigs = [self.signature(t or "")
+                for t in batch[self.text_col].to_pylist()]
+        return pa.table({
+            self.id_col: pa.array(ids, pa.int64()),
+            "sig": pa.array([s.tolist() for s in sigs],
+                            pa.list_(pa.uint64())),
+        })
+
+
+def minhash_signatures(ds, n_perm: int = 64, shingle_k: int = 3,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       concurrency: int = 2):
+    return ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(n_perm=n_perm, shingle_k=shingle_k,
+                                   id_col=id_col, text_col=text_col),
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=0.5)
+
+
+def _band_rows(t: pa.Table, n_bands: int, id_col: str) -> pa.Table:
+    ids, bands, hashes = [], [], []
+    for i, sig in zip(t[id_col].to_pylist(), t["sig"].to_pylist()):
+        r = len(sig) // n_bands
+        for bd in range(n_bands):
+            chunk = tuple(sig[bd * r:(bd + 1) * r])
+            h = hashlib.md5(repr(chunk).encode()).hexdigest()[:16]
+            ids.append(i)
+            bands.append(bd)
+            hashes.append(h)
+    return pa.table({id_col: pa.array(ids, pa.int64()),
+                     "band": pa.array(bands, pa.int32()),
+                     "band_hash": pa.array(hashes, pa.string())})
+
+
+def minhash_lsh_pairs(ds, n_perm: int = 64, n_bands: int = 16,
+                      shingle_k: int = 3, threshold: float = 0.7,
+                      id_col: str = "doc_id", text_col: str = "text"):
+    """Near-duplicate id pairs (a < b) with exact-Jaccard verification.
+
+    shingle→minhash→band→bucket-groupby→candidate pairs→verify.  The verify
+    step broadcasts id→shingle-set (sandbox scale; at 10^10 docs it becomes
+    a join of pair-ids against the shingle table, partitioned by pair).
+    """
+    import ray
+
+    sigs = minhash_signatures(ds, n_perm, shingle_k, id_col, text_col)
+    band_ds = sigs.map_batches(
+        lambda t: _band_rows(t, n_bands, id_col), batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g[id_col].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []}).astype("int64")
+        aa, bb = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                aa.append(ids[i])
+                bb.append(ids[j])
+        return pd.DataFrame({"a": aa, "b": bb})
+
+    cands = (band_ds.groupby(["band", "band_hash"])
+             .map_groups(bucket_pairs, batch_format="pandas"))
+    cand_tbl = cands.to_pandas().drop_duplicates().reset_index(drop=True)
+
+    # exact verification against broadcast shingle sets
+    texts = {r[id_col]: r[text_col]
+             for r in ds.select_columns([id_col, text_col]).take_all()}
+    sh_ref = ray.put({i: set(word_shingles(t or "", shingle_k))
+                      for i, t in texts.items()})
+    shingle_sets = ray.get(sh_ref)
+    keep_a, keep_b, sims = [], [], []
+    for a, b in zip(cand_tbl["a"], cand_tbl["b"]):
+        sim = jaccard(shingle_sets[a], shingle_sets[b])
+        if sim >= threshold:
+            keep_a.append(int(a))
+            keep_b.append(int(b))
+            sims.append(round(sim, 6))
+    out = pd.DataFrame({"a": keep_a, "b": keep_b, "jaccard": sims})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash_batch(batch: pa.Table, text_col: str = "text",
+                  id_col: str = "doc_id") -> pa.Table:
+    """64-bit SimHash per row (token-hash bit voting, vectorized)."""
+    out = []
+    for t in batch[text_col].to_pylist():
+        toks = (t or "").split()
+        if not toks:
+            out.append(0)
+            continue
+        h = _stable_hash64(toks)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        fp = int((votes > 0).astype(np.uint64)
+                 @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
+        out.append(fp)
+    return pa.table({
+        id_col: batch[id_col],
+        "simhash": pa.array(np.array(out, dtype=np.uint64), pa.uint64()),
+    })
+
+
+def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """Near-dup pairs by SimHash: 4×16-bit pigeonhole banding + verify.
+
+    Hamming ≤ 3 over 64 bits ⇒ at least one of the four 16-bit bands is
+    identical (pigeonhole), so banding finds all qualifying pairs.
+    """
+    sh = ds.map_batches(
+        lambda b: simhash_batch(b, text_col, id_col), batch_format="pyarrow")
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        fps = t["simhash"].to_numpy(zero_copy_only=False)
+        rid, rb, rh, rf = [], [], [], []
+        for i, fp in zip(ids, fps):
+            for bd in range(4):
+                rid.append(i)
+                rb.append(bd)
+                rh.append(int((int(fp) >> (16 * bd)) & 0xFFFF))
+                rf.append(int(fp))
+        return pa.table({id_col: pa.array(rid, pa.int64()),
+                         "band": pa.array(rb, pa.int32()),
+                         "band_val": pa.array(rh, pa.int64()),
+                         "fp": pa.array(rf, pa.uint64())})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(id_col).sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        fps = g["fp"].to_numpy()
+        aa, bb, hh = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                d = int(fps[i]) ^ int(fps[j])
+                ham = bin(d).count("1")
+                if ham <= max_hamming:
+                    aa.append(int(ids[i]))
+                    bb.append(int(ids[j]))
+                    hh.append(ham)
+        return pd.DataFrame({"a": aa, "b": bb, "hamming": hh})
+
+    pairs = (sh.map_batches(band_rows, batch_format="pyarrow")
+             .groupby(["band", "band_val"])
+             .map_groups(bucket_pairs, batch_format="pandas"))
+    df = pairs.to_pandas()
+    if len(df) == 0:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "hamming": pd.Series(dtype="int64")})
+    return (df.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
+            .reset_index(drop=True))
+
+
+# --------------------------------------------------------------------------
+# embedding near-dup
+# --------------------------------------------------------------------------
+
+def embedding_dup_pairs(ds, threshold: float = 0.95, block_col: str = "label",
+                        id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Cosine-similar pairs (a<b) within blocking groups (IVF-style).
+
+    Dense matmul per group; only pair ids are returned (no float columns),
+    so the DuckDB oracle compares exactly.
+    """
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        mat = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        sim = unit @ unit.T
+        iu = np.triu_indices(len(ids), k=1)
+        mask = sim[iu] >= threshold
+        a, b = ids[iu[0][mask]], ids[iu[1][mask]]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pd.DataFrame({"a": a2.astype("int64"),
+                             "b": b2.astype("int64")})
+
+    out = ds.groupby(block_col).map_groups(pairs, batch_format="pandas")
+    df = out.to_pandas()
+    if "a" not in df.columns:  # every group empty → schema-less result
+        df = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                           "b": pd.Series(dtype="int64")})
+    return df.sort_values(["a", "b"]).reset_index(drop=True)

@@ -1,0 +1,183 @@
+"""Chunking + embedding + per-document mean-pool (T4/T5/A1/A6).
+
+Rebuild of the embedding toolchain
+(`genesis/tools/embedding/generate_embeddings.py`,
+`genesis/tools/embedding/merge_embeddings.py`) with the model swapped for a
+**deterministic stub encoder** (the sandbox has no torch/transformers — the
+Ray-side plumbing, actor signatures, batch sizes and output layout are real
+and tested; a MiniLM actor drops in by replacing ``StubEncoder``).
+
+Chunking contract (`generate_embeddings.py:106-165`), tokenizer-agnostic:
+``effective_max = max_tokens - num_special - safety_buffer``; a text with
+``n ≤ effective_max`` tokens is one chunk; otherwise windows of
+``effective_max`` tokens at stride ``effective_max - overlap`` starting at
+0, while the start offset is < n.  Chunk ids are sequential per document
+(A6, `generate_embeddings.py:169,183-190`).
+
+The stub tokenizer is whitespace splitting (``\\S+`` runs), so chunk counts
+and token counts are SQL-expressible for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["chunk_tokens", "Chunker", "StubEncoder", "chunk_documents",
+           "embed_chunks", "mean_pool", "CHUNK_DEFAULTS"]
+
+_TOKEN_RE = re.compile(r"\S+")
+
+CHUNK_DEFAULTS = dict(max_tokens=512, overlap=50, num_special=2,
+                      safety_buffer=15)
+
+
+def chunk_tokens(n_tokens: int, max_tokens: int = 512, overlap: int = 50,
+                 num_special: int = 2, safety_buffer: int = 15) -> list[int]:
+    """Return the token count of each chunk for an n-token text."""
+    if n_tokens == 0:
+        return []
+    eff = max(1, max_tokens - num_special - safety_buffer)
+    if eff <= overlap:
+        overlap = max(0, eff // 4)
+    if n_tokens <= eff:
+        return [min(n_tokens, max_tokens)]
+    stride = eff - overlap
+    if stride <= 0:
+        stride = max(1, eff // 2)
+    out = []
+    pos = 0
+    while pos < n_tokens:
+        out.append(min(eff, n_tokens - pos))
+        pos += stride
+    return out
+
+
+class Chunker:
+    """Actor-pool stage: text rows → (id, chunk_id, n_tokens, chunk_text).
+
+    State (compiled tokenizer regex, config) loads once per actor — the
+    reference reuses one HF tokenizer across files
+    (`generate_embeddings.py:308-318`).
+    """
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text",
+                 **cfg):
+        self.id_col, self.text_col = id_col, text_col
+        self.cfg = {**CHUNK_DEFAULTS, **cfg}
+        self.token_re = _TOKEN_RE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        out_id, out_chunk, out_n, out_text = [], [], [], []
+        c = self.cfg
+        eff = max(1, c["max_tokens"] - c["num_special"] - c["safety_buffer"])
+        overlap = c["overlap"] if eff > c["overlap"] else max(0, eff // 4)
+        stride = max(1, eff - overlap)
+        for i, t in zip(ids, texts):
+            toks = self.token_re.findall(t or "")
+            n = len(toks)
+            if n == 0:
+                continue
+            if n <= eff:
+                windows = [(0, n)]
+            else:
+                windows = [(p, min(p + eff, n)) for p in range(0, n, stride)]
+            for cid, (a, b) in enumerate(windows):
+                out_id.append(i)
+                out_chunk.append(cid)
+                out_n.append(b - a)
+                out_text.append(" ".join(toks[a:b]))
+        return pa.table({
+            self.id_col: pa.array(out_id, pa.int64()),
+            "chunk_id": pa.array(out_chunk, pa.int32()),
+            "n_tokens": pa.array(out_n, pa.int32()),
+            "chunk_text": pa.array(out_text, pa.string()),
+        })
+
+
+class StubEncoder:
+    """Deterministic hash-based sentence encoder (MiniLM stand-in).
+
+    Each token maps to a fixed pseudo-random unit-ish vector (md5-seeded),
+    a text embeds as the mean of its token vectors — mirroring the
+    reference's mean-pool over ``last_hidden_state``
+    (`generate_embeddings.py:199-222`).  Loaded once per actor; encoding is
+    vectorized numpy.
+    """
+
+    def __init__(self, dim: int = 64, text_col: str = "chunk_text"):
+        self.dim = dim
+        self.text_col = text_col
+        self._cache: dict[str, np.ndarray] = {}
+
+    def _token_vec(self, tok: str) -> np.ndarray:
+        v = self._cache.get(tok)
+        if v is None:
+            seed = int.from_bytes(
+                hashlib.md5(tok.encode("utf-8")).digest()[:8], "little")
+            rng = np.random.Generator(np.random.PCG64(seed))
+            v = rng.standard_normal(self.dim).astype(np.float32)
+            self._cache[tok] = v
+        return v
+
+    def encode(self, texts: list[str]) -> np.ndarray:
+        out = np.zeros((len(texts), self.dim), dtype=np.float32)
+        for i, t in enumerate(texts):
+            toks = _TOKEN_RE.findall(t or "")
+            if toks:
+                out[i] = np.mean([self._token_vec(x) for x in toks], axis=0)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = self.encode(batch[self.text_col].to_pylist())
+        return batch.append_column(
+            "embedding", pa.FixedSizeListArray.from_arrays(
+                pa.array(emb.ravel(), pa.float32()), self.dim).cast(
+                    pa.list_(pa.float32())))
+
+
+def chunk_documents(ds, id_col: str = "doc_id", text_col: str = "text",
+                    concurrency: int = 2, **cfg):
+    return ds.map_batches(
+        Chunker, fn_constructor_kwargs={"id_col": id_col,
+                                        "text_col": text_col, **cfg},
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=0.5)
+
+
+def embed_chunks(ds, dim: int = 64, text_col: str = "chunk_text",
+                 concurrency: int = 2, batch_size: int = 1000):
+    """T4: actor-pool encode, ``batch_size`` = the reference's model batch
+    (`generate_embeddings.py:37` CHUNK_BATCH_SIZE=1000)."""
+    return ds.map_batches(
+        StubEncoder, fn_constructor_kwargs={"dim": dim, "text_col": text_col},
+        batch_format="pyarrow", concurrency=concurrency,
+        batch_size=batch_size, num_cpus=0.5)
+
+
+def mean_pool(ds, key_col: str = "label", vec_col: str = "embedding",
+              round_to: int | None = 6, explode: bool = True):
+    """A1: element-wise mean of vectors per key (merge_embeddings.py:92-105).
+
+    With ``explode=True`` returns (key, pos, mean_val) rows — a layout the
+    DuckDB oracle can reproduce with parallel unnest.
+    """
+    import pandas as pd
+
+    def pool(g: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+        m = mat.mean(axis=0)
+        if round_to is not None:
+            m = np.round(m, round_to)
+        key = g[key_col].iloc[0]
+        if explode:
+            return pd.DataFrame({key_col: key,
+                                 "pos": np.arange(1, len(m) + 1),
+                                 "mean_val": m})
+        return pd.DataFrame({key_col: [key], "embedding": [list(m)]})
+
+    return ds.groupby(key_col).map_groups(pool, batch_format="pandas")

@@ -49,12 +49,12 @@ def crawl_run(ray_session, small_pages_file, tmp_path_factory):
 
 class TestCrawlParity:
     def test_seen_set_matches_oracle(self, crawl_run, small_pages):
+        from vyntr_ray.pipelines.crawl import read_seen_from_checkpoints
         workdir, stats = crawl_run
         sim = _sim_result(small_pages)
-        # reconstruct the pipeline's seen set from the last checkpoint
-        ckpts = sorted(glob.glob(os.path.join(workdir, "ckpt", "wave=*")))
-        urls = set(pq.read_table(
-            os.path.join(ckpts[-1], "seen_urls.parquet"))["url"].to_pylist())
+        # reconstruct the pipeline's seen set from the checkpoint delta log
+        urls = set(read_seen_from_checkpoints(
+            os.path.join(workdir, "ckpt"), 10**9))
         assert urls == sim.seen
         assert stats.seen_total == len(sim.seen)
 
@@ -151,6 +151,23 @@ def test_resume_reproduces_identical_remainder(ray_session, small_pages_file,
     exp = exp.sort_values(["wave", "position"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(
         resumed.astype({"wave": "int64", "position": "int64"}), exp)
+
+
+def test_distributed_links_path_parity(ray_session, small_pages_file,
+                                       small_pages, tmp_path):
+    # the big-wave groupby+actor-filter dedup path must agree with the
+    # driver-combine path (and hence with the oracle)
+    pages_path, seeds = small_pages_file
+    w = str(tmp_path / "dist")
+    run_crawl(pages_path, seeds, w, max_pages=BUDGET, seed=42, n_shards=4,
+              checkpoint=False, distributed_links_threshold=0)
+    sim = _sim_result(small_pages)
+    got = _read_schedule(w)
+    exp = pd.DataFrame(sim.schedule,
+                       columns=["wave", "position", "url", "status"])
+    exp = exp.sort_values(["wave", "position"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"wave": "int64", "position": "int64"}), exp)
 
 
 def test_robots_rules_respected(ray_session, small_pages_file, small_pages,

@@ -15,18 +15,26 @@ with :mod:`vyntr_ray.sim` (the parity oracle).  Per wave:
 3. **Parse** — zero-copy Arrow ``map_batches`` running the pinned extractor
    (`genesis/src/html_parser.rs` semantics) + sanitizer; analyses stream to
    per-wave Parquet (md5-partition column, `genesis/src/db.rs:110-120`).
-4. **Discover** — links exploded to (link, orderkey) rows, deduplicated with
-   a ``groupby.min`` (first occurrence by (batch position, link index) wins),
-   filtered through the sharded seen-set actor pool
+4. **Discover** — links exploded to (link, orderkey) rows and deduplicated
+   (first occurrence by (batch position, link index) wins), then filtered
+   through the sharded seen-set actor pool
    (:class:`~vyntr_ray.state.seen.ShardedSeenSet`, atomic
-   ``check_and_add``), then enqueued in deterministic order.
-5. **Checkpoint** — frontier, seen shards (exact tier + cuckoo blobs),
-   politeness tokens and metrics written per wave; a killed run resumes from
-   the last complete wave (``resume=True``).
+   ``check_and_add``) and enqueued in deterministic order.  Dedup is
+   *partial per batch* inside ``map_batches``; the final combine runs on
+   the driver for politeness-bounded waves (the common case — the same
+   partial/final split the streaming executor would otherwise shuffle for)
+   and as a distributed ``groupby.min`` + actor-filter stage when a wave
+   exceeds ``distributed_links_threshold``.
+5. **Checkpoint** — per wave: the frontier, the wave's *seen-set delta*
+   (urls first seen this wave — O(wave), not O(total)), per-shard cuckoo
+   filter blobs, politeness tokens and metrics.  A killed run resumes from
+   the last complete wave (``resume=True``) by replaying the deltas into
+   the shard actors.
 
 Scale notes (10^10-URL design): the *frontier* and *seen* tiers are the only
 super-linear state.  Seen is sharded by url-hash across actors (shard count
-recorded in the manifest).  The frontier here is a driver-held Arrow-backed
+recorded in the manifest); its checkpoint is an append-only delta log plus
+compact filter blobs.  The frontier here is a driver-held Arrow-backed
 frame — politeness-bounded waves keep the *scheduled batch* small, but the
 full frontier at 1e10 urls must live as host-hash-bucketed Parquet; the
 selection in ``PolitenessPolicy.select`` is already bucket-local (a host
@@ -36,6 +44,7 @@ across bucket files without changing wave semantics.
 
 from __future__ import annotations
 
+import glob as _glob
 import json
 import os
 import shutil
@@ -88,7 +97,7 @@ class CrawlStats:
 
 def parse_pages_batch(batch: pa.Table, pos_of: dict[str, int] | None = None,
                       wave: int = 0) -> pa.Table:
-    """html → analysis row + links, vectorized over one Arrow batch.
+    """html → analysis row + links over one Arrow batch.
 
     Per-document work is inherently a Python parse (as in the reference's
     per-page rewriter); columns round-trip as Arrow so the object store
@@ -143,6 +152,31 @@ def _explode_links(t: pa.Table) -> pa.Table:
     return pa.table({"link": flat, "orderkey": pa.array(orderkey, pa.int64())})
 
 
+def _wave_partials(t: pa.Table) -> pa.Table:
+    """One pass over parsed rows → fetched urls + batch-deduped link mins.
+
+    Output rows: kind=0 → (key=url, val=pos); kind=1 → (key=link,
+    val=min orderkey within this batch).  The per-batch dedup is the partial
+    aggregation; the (tiny, wave-bounded) final combine happens downstream.
+    """
+    exploded = _explode_links(t.select(["pos", "links"]))
+    link_min = (exploded.group_by("link").aggregate([("orderkey", "min")])
+                if exploded.num_rows else
+                pa.table({"link": pa.array([], pa.string()),
+                          "orderkey_min": pa.array([], pa.int64())}))
+    n0 = t.num_rows
+    n1 = link_min.num_rows
+    return pa.table({
+        "kind": pa.array([0] * n0 + [1] * n1, pa.int8()),
+        "key": pa.concat_arrays([
+            t["url"].combine_chunks().cast(pa.string()),
+            link_min["link"].combine_chunks().cast(pa.string())]),
+        "val": pa.concat_arrays([
+            t["pos"].combine_chunks().cast(pa.int64()),
+            link_min["orderkey_min"].combine_chunks().cast(pa.int64())]),
+    })
+
+
 # --------------------------------------------------------------------------
 # fetch: partition-pruned lookup join against the page store
 # --------------------------------------------------------------------------
@@ -162,7 +196,7 @@ def _fetch_dataset(pages_path: str, urls: list[str]):
 
 
 # --------------------------------------------------------------------------
-# seen filter stage: routes candidate batches through the shard actors
+# distributed link-dedup path (giant waves)
 # --------------------------------------------------------------------------
 
 def _make_seen_filter(shards: list, n_shards: int):
@@ -189,13 +223,32 @@ def _make_seen_filter(shards: list, n_shards: int):
     return seen_filter
 
 
+def _distributed_new_links(parsed, seen: ShardedSeenSet) -> pd.DataFrame:
+    """groupby.min over all link rows + actor-filter stage (big-wave path)."""
+    links_ds = (parsed.select_columns(["pos", "links"])
+                .map_batches(_explode_links, batch_format="pyarrow")
+                .groupby("link").min("orderkey"))
+    links_ds = links_ds.map_batches(
+        lambda t: t.rename_columns(["link", "orderkey"]),
+        batch_format="pyarrow")
+    links_ds = links_ds.map_batches(
+        _make_seen_filter(seen.shards, seen.n_shards),
+        batch_format="pyarrow")
+    df = links_ds.to_pandas()
+    if "link" not in df.columns:
+        df = pd.DataFrame({"link": pd.Series(dtype="object"),
+                           "orderkey": pd.Series(dtype="int64")})
+    return df.sort_values("orderkey").reset_index(drop=True)
+
+
 # --------------------------------------------------------------------------
-# checkpointing
+# checkpointing (per-wave deltas + filter blobs)
 # --------------------------------------------------------------------------
 
 def _write_checkpoint(ckpt_dir: str, wave: int, frontier: pd.DataFrame,
-                      seen: ShardedSeenSet, policy: PolitenessPolicy,
-                      stats: CrawlStats, next_seq: int, config: dict) -> None:
+                      seen: ShardedSeenSet, seen_delta: list[str],
+                      policy: PolitenessPolicy, stats: CrawlStats,
+                      next_seq: int, config: dict) -> None:
     wdir = os.path.join(ckpt_dir, f"wave={wave:05d}")
     tmp = wdir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -203,16 +256,12 @@ def _write_checkpoint(ckpt_dir: str, wave: int, frontier: pd.DataFrame,
     pq.write_table(pa.Table.from_pandas(
         frontier[["seq", "url", "domain"]], preserve_index=False),
         os.path.join(tmp, "frontier.parquet"))
-    snaps = seen.snapshot()
-    urls_tbl = pa.table({
-        "shard": pa.array([s["shard"] for s in snaps for _ in s["urls"]],
-                          pa.int32()),
-        "url": pa.array([u for s in snaps for u in s["urls"]], pa.string()),
-    })
-    pq.write_table(urls_tbl, os.path.join(tmp, "seen_urls.parquet"))
+    pq.write_table(pa.table({"url": pa.array(seen_delta, pa.string())}),
+                   os.path.join(tmp, "seen_delta.parquet"))
+    blobs = seen.filter_blobs()
     pq.write_table(pa.table({
-        "shard": pa.array([s["shard"] for s in snaps], pa.int32()),
-        "cuckoo": pa.array([s["cuckoo"] for s in snaps], pa.binary()),
+        "shard": pa.array(list(range(len(blobs))), pa.int32()),
+        "cuckoo": pa.array(blobs, pa.binary()),
     }), os.path.join(tmp, "filters.parquet"))
     manifest = {
         "wave": wave, "next_seq": next_seq, "n_shards": seen.n_shards,
@@ -245,6 +294,17 @@ def _latest_checkpoint(ckpt_dir: str) -> tuple[int, dict] | None:
     return best
 
 
+def read_seen_from_checkpoints(ckpt_dir: str, upto_wave: int) -> list[str]:
+    """Union of per-wave seen deltas for waves ≤ upto_wave (replay order)."""
+    urls: list[str] = []
+    for path in sorted(_glob.glob(os.path.join(ckpt_dir, "wave=*",
+                                               "seen_delta.parquet"))):
+        wave = int(path.split("wave=")[1].split(os.sep)[0])
+        if wave <= upto_wave:
+            urls.extend(pq.read_table(path)["url"].to_pylist())
+    return urls
+
+
 # --------------------------------------------------------------------------
 # the wave loop
 # --------------------------------------------------------------------------
@@ -255,7 +315,8 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
               refill: float | None = None, n_shards: int = 8,
               resume: bool = False, checkpoint: bool = True,
               keep_schedule: bool = True,
-              parse_concurrency: int | None = None) -> CrawlStats:
+              parse_concurrency: int | None = None,
+              distributed_links_threshold: int = 100_000) -> CrawlStats:
     """Crawl ``pages_path`` (parquet file or bucketed store) from ``seeds``."""
     import ray
 
@@ -273,6 +334,7 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
                              "domain": pd.Series(dtype="object")})
     next_seq = 0
     start_wave = 0
+    pending_delta: list[str] = []   # urls first seen since last checkpoint
 
     def enqueue(urls: list[str]) -> pd.DataFrame:
         """normalize → domain → robots → frontier rows (order-preserving)."""
@@ -299,19 +361,11 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
         wdir = os.path.join(ckpt_dir, f"wave={wave0:05d}")
         frontier = pq.read_table(
             os.path.join(wdir, "frontier.parquet")).to_pandas()
-        urls_tbl = pq.read_table(os.path.join(wdir, "seen_urls.parquet"))
-        filt_tbl = pq.read_table(os.path.join(wdir, "filters.parquet"))
-        by_shard: dict[int, list[str]] = {}
-        for s, u in zip(urls_tbl["shard"].to_pylist(),
-                        urls_tbl["url"].to_pylist()):
-            by_shard.setdefault(s, []).append(u)
-        snaps = [{"shard": s, "cuckoo": blob,
-                  "urls": by_shard.get(s, [])}
-                 for s, blob in zip(filt_tbl["shard"].to_pylist(),
-                                    filt_tbl["cuckoo"].to_pylist())]
         assert manifest["n_shards"] == n_shards, \
             "n_shards must match the checkpoint manifest"
-        seen.restore(snaps)
+        replay = read_seen_from_checkpoints(ckpt_dir, wave0)
+        for i in range(0, len(replay), 100_000):
+            seen.check_and_add(replay[i:i + 100_000])
         policy.restore(manifest["politeness"])
         m = manifest["metrics"]
         stats.scheduled, stats.fetched = m["scheduled"], m["fetched"]
@@ -322,9 +376,9 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
     else:
         # seeds: inserted RAW into the seen set (genesis/src/main.rs:216-225)
         new = seen.check_and_add(list(seeds))
-        frontier = pd.concat(
-            [frontier, enqueue([s for s, n in zip(seeds, new) if n])],
-            ignore_index=True)
+        fresh = [s for s, n in zip(seeds, new) if n]
+        pending_delta.extend(fresh)
+        frontier = pd.concat([frontier, enqueue(fresh)], ignore_index=True)
 
     wave = start_wave
     while stats.scheduled < max_pages and len(frontier) > 0:
@@ -343,10 +397,9 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
             batch = batch[: len(batch) - cut_n]
         pos_of = {u: i for i, u in enumerate(batch)}
 
-        # --- fetch + parse (distributed)
+        # --- fetch + parse (distributed) + one-pass partials
         fetched_urls: list[str] = []
-        new_links = pa.table({"link": pa.array([], pa.string()),
-                              "orderkey": pa.array([], pa.int64())})
+        ordered_new: list[str] = []
         ds = _fetch_dataset(pages_path, batch) if batch else None
         if ds is not None:
             pos_ref = ray.put(pos_of)
@@ -359,52 +412,55 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
                 parse_fn, batch_format="pyarrow", batch_size=256,
                 **({"concurrency": parse_concurrency}
                    if parse_concurrency else {}))
-            parsed = parsed.materialize()  # wave-bounded; feeds 3 consumers
+            parsed = parsed.materialize()  # wave-bounded; feeds 2 consumers
             if parsed.count() > 0:
                 wave_out = os.path.join(analyses_dir, f"wave-{wave:05d}")
                 shutil.rmtree(wave_out, ignore_errors=True)  # partial rerun
                 parsed.drop_columns(["links"]).write_parquet(wave_out)
-                links_ds = (parsed.select_columns(["pos", "links"])
-                            .map_batches(_explode_links, batch_format="pyarrow")
-                            .groupby("link").min("orderkey"))
-                links_ds = links_ds.map_batches(
-                    lambda t: t.rename_columns(["link", "orderkey"]),
-                    batch_format="pyarrow")
-                links_ds = links_ds.map_batches(
-                    _make_seen_filter(seen.shards, n_shards),
-                    batch_format="pyarrow")
-                new_links = pa.concat_tables(
-                    [b for b in links_ds.iter_batches(
-                        batch_format="pyarrow", batch_size=65536)]
-                    or [new_links])
-                fetched_urls = [u for u in
-                                parsed.select_columns(["url"])
-                                .to_pandas()["url"]]
+                if len(batch) > distributed_links_threshold:
+                    newdf = _distributed_new_links(parsed, seen)
+                    ordered_new = newdf["link"].tolist()
+                    fetched_urls = parsed.select_columns(["url"]) \
+                        .to_pandas()["url"].tolist()
+                else:
+                    partials = (parsed
+                                .select_columns(["url", "pos", "links"])
+                                .map_batches(_wave_partials,
+                                             batch_format="pyarrow")
+                                .to_pandas())
+                    fetched_urls = partials.loc[partials["kind"] == 0,
+                                                "key"].tolist()
+                    links = partials[partials["kind"] == 1]
+                    final = (links.groupby("key", sort=False)["val"].min()
+                             .sort_values(kind="stable"))
+                    cand = final.index.tolist()   # ordered by orderkey
+                    new_flags = seen.check_and_add(cand)
+                    ordered_new = [u for u, f in zip(cand, new_flags) if f]
 
         fetched_set = set(fetched_urls)
         n_fetched = len(fetched_set)
         n_failed = len(batch) - n_fetched
         stats.fetched += n_fetched
         stats.failed += n_failed
-        for p, u in enumerate(batch):
-            sched_rows.append(
-                (wave, p, u, "fetched" if u in fetched_set else "miss"))
-        if keep_schedule and sched_rows:
-            os.makedirs(schedule_dir, exist_ok=True)
-            sched_rows.sort(key=lambda r: r[1])
-            pq.write_table(pa.table({
-                "wave": pa.array([r[0] for r in sched_rows], pa.int32()),
-                "position": pa.array([r[1] for r in sched_rows], pa.int32()),
-                "url": pa.array([r[2] for r in sched_rows], pa.string()),
-                "status": pa.array([r[3] for r in sched_rows], pa.string()),
-            }), os.path.join(schedule_dir, f"wave={wave:05d}.parquet"))
+        if keep_schedule:
+            for p, u in enumerate(batch):
+                sched_rows.append(
+                    (wave, p, u, "fetched" if u in fetched_set else "miss"))
+            if sched_rows:
+                os.makedirs(schedule_dir, exist_ok=True)
+                sched_rows.sort(key=lambda r: r[1])
+                pq.write_table(pa.table({
+                    "wave": pa.array([r[0] for r in sched_rows], pa.int32()),
+                    "position": pa.array([r[1] for r in sched_rows], pa.int32()),
+                    "url": pa.array([r[2] for r in sched_rows], pa.string()),
+                    "status": pa.array([r[3] for r in sched_rows], pa.string()),
+                }), os.path.join(schedule_dir, f"wave={wave:05d}.parquet"))
 
         # --- deterministic enqueue of the wave's new links
-        if new_links.num_rows:
-            order = pc.sort_indices(new_links, sort_keys=[("orderkey", "ascending")])
-            ordered = new_links.take(order)["link"].to_pylist()
-            stats.discovered += len(ordered)
-            frontier = pd.concat([frontier, enqueue(ordered)],
+        if ordered_new:
+            stats.discovered += len(ordered_new)
+            pending_delta.extend(ordered_new)
+            frontier = pd.concat([frontier, enqueue(ordered_new)],
                                  ignore_index=True)
 
         stats.per_wave.append({
@@ -412,8 +468,9 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
             "fetched": n_fetched, "failed": n_failed,
             "frontier_after": int(len(frontier))})
         if checkpoint:
-            _write_checkpoint(ckpt_dir, wave, frontier, seen, policy, stats,
-                              next_seq, config)
+            _write_checkpoint(ckpt_dir, wave, frontier, seen, pending_delta,
+                              policy, stats, next_seq, config)
+            pending_delta = []
         stats.waves = wave + 1
         wave += 1
 

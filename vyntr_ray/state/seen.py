@@ -74,6 +74,10 @@ class SeenShard:
                 "cuckoo_count": self.cuckoo.count,
                 "cuckoo_buckets": self.cuckoo.n_buckets}
 
+    def filter_blob(self) -> bytes:
+        """Compact cuckoo snapshot (checkpoint artifact; O(filter), not O(urls))."""
+        return self.cuckoo.to_bytes()
+
     # --- checkpoint ------------------------------------------------------
     def snapshot(self) -> dict:
         return {"shard": self.shard_id,
@@ -146,3 +150,7 @@ class ShardedSeenSet:
     def stats(self) -> list[dict]:
         import ray
         return ray.get([s.stats.remote() for s in self.shards])
+
+    def filter_blobs(self) -> list[bytes]:
+        import ray
+        return ray.get([s.filter_blob.remote() for s in self.shards])

@@ -22,8 +22,10 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # bench corpus scale: enough pages that the crawl does real distributed work
-BENCH_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "40000"))
-BENCH_BUDGET = int(os.environ.get("GRAFT_BENCH_BUDGET", "12000"))
+BENCH_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "100000"))
+BENCH_BUDGET = int(os.environ.get("GRAFT_BENCH_BUDGET", "40000"))
+SCALE_LEVELS = [int(x) for x in os.environ.get(
+    "GRAFT_SCALE_LEVELS", "4,16").split(",")]
 
 
 def _init_ray():
@@ -43,12 +45,12 @@ def _bench_pages_store() -> str:
     from vyntr_ray.pipelines.flagship import CACHE_DIR
     from vyntr_ray.sources.pages import write_pages_store
     os.makedirs(CACHE_DIR, exist_ok=True)
-    store = os.path.join(CACHE_DIR, f"pages_store_n{BENCH_PAGES}")
+    store = os.path.join(CACHE_DIR, f"pages_store_rich_n{BENCH_PAGES}")
     marker = os.path.join(store, "_COMPLETE")
     if not os.path.exists(marker):
         import shutil
         shutil.rmtree(store, ignore_errors=True)
-        write_pages_store(BENCH_PAGES, store)
+        write_pages_store(BENCH_PAGES, store, rich=True)
         open(marker, "w").close()
     return store
 
@@ -66,7 +68,7 @@ def bench_crawl() -> dict:
     t0 = time.perf_counter()
     stats = run_crawl(store, seeds, workdir, max_pages=BENCH_BUDGET,
                       seed=42, n_shards=8, checkpoint=False,
-                      keep_schedule=False)
+                      keep_schedule=False, preload_pages=True)
     dt = time.perf_counter() - t0
     shutil.rmtree(workdir, ignore_errors=True)
     return {"sec": dt, "scheduled": stats.scheduled,
@@ -115,8 +117,13 @@ def main() -> dict:
 
 
 def scaling() -> None:
-    """Same crawl job at two parallelism levels in fresh processes."""
-    levels = [8, 32]
+    """Same crawl job at two parallelism levels in fresh processes.
+
+    Levels default to 4 and 16 (N vs 4N): this sandbox exposes ~16
+    effective cores, so 8-vs-32 would be capped by physical contention,
+    not by the engine.
+    """
+    levels = SCALE_LEVELS
     runs = {}
     _init_ray()
     _bench_pages_store()  # build once, warm page cache

@@ -181,14 +181,30 @@ def _wave_partials(t: pa.Table) -> pa.Table:
 # fetch: partition-pruned lookup join against the page store
 # --------------------------------------------------------------------------
 
+def _store_meta(pages_path: str) -> dict | None:
+    meta_path = os.path.join(pages_path, "store_meta.json")
+    if os.path.isdir(pages_path) and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return json.load(f)
+    return None
+
+
 def _fetch_dataset(pages_path: str, urls: list[str]):
     import ray.data as rd
+
+    from ..urls import url_bucket
+
     filt = pc.field("url").isin(urls)
-    if os.path.isdir(pages_path) and any(
-            e.startswith("bucket=") for e in os.listdir(pages_path)):
-        buckets = sorted({md5_partition(u) for u in urls})
-        paths = [os.path.join(pages_path, f"bucket={b}") for b in buckets]
-        paths = [p for p in paths if os.path.isdir(p)]
+    meta = _store_meta(pages_path)
+    if meta is not None:
+        n_buckets = meta["n_buckets"]
+        buckets = sorted({url_bucket(u, n_buckets) for u in urls})
+        paths = []
+        for b in buckets:
+            d = os.path.join(pages_path, f"bucket={b}")
+            if os.path.isdir(d):
+                paths.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                             if f.endswith(".parquet"))
         if not paths:
             return None
         return rd.read_parquet(paths, columns=["url", "html"], filter=filt)
@@ -221,24 +237,6 @@ def _make_seen_filter(shards: list, n_shards: int):
         return batch.filter(pa.array(new))
 
     return seen_filter
-
-
-def _distributed_new_links(parsed, seen: ShardedSeenSet) -> pd.DataFrame:
-    """groupby.min over all link rows + actor-filter stage (big-wave path)."""
-    links_ds = (parsed.select_columns(["pos", "links"])
-                .map_batches(_explode_links, batch_format="pyarrow")
-                .groupby("link").min("orderkey"))
-    links_ds = links_ds.map_batches(
-        lambda t: t.rename_columns(["link", "orderkey"]),
-        batch_format="pyarrow")
-    links_ds = links_ds.map_batches(
-        _make_seen_filter(seen.shards, seen.n_shards),
-        batch_format="pyarrow")
-    df = links_ds.to_pandas()
-    if "link" not in df.columns:
-        df = pd.DataFrame({"link": pd.Series(dtype="object"),
-                           "orderkey": pd.Series(dtype="int64")})
-    return df.sort_values("orderkey").reset_index(drop=True)
 
 
 # --------------------------------------------------------------------------
@@ -316,8 +314,16 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
               resume: bool = False, checkpoint: bool = True,
               keep_schedule: bool = True,
               parse_concurrency: int | None = None,
-              distributed_links_threshold: int = 100_000) -> CrawlStats:
-    """Crawl ``pages_path`` (parquet file or bucketed store) from ``seeds``."""
+              distributed_links_threshold: int = 100_000,
+              preload_pages: bool = False) -> CrawlStats:
+    """Crawl ``pages_path`` (parquet file or bucketed store) from ``seeds``.
+
+    ``preload_pages=True`` materializes the (url, html) columns into the
+    object store once and serves every wave's fetch from there — the honest
+    stand-in for network fetch (a live crawler pays the network, not a
+    repeated parquet scan + plan per wave).  Off by default: the pruned
+    parquet-lookup path is the disk-resident design.
+    """
     import ray
 
     os.makedirs(workdir, exist_ok=True)
@@ -380,6 +386,18 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
         pending_delta.extend(fresh)
         frontier = pd.concat([frontier, enqueue(fresh)], ignore_index=True)
 
+    preloaded = None
+    if preload_pages:
+        import ray.data as _rd
+        meta = _store_meta(pages_path)
+        if meta is not None:
+            files = sorted(_glob.glob(
+                os.path.join(pages_path, "bucket=*", "*.parquet")))
+            preloaded = _rd.read_parquet(files, columns=["url", "html"])
+        else:
+            preloaded = _rd.read_parquet(pages_path, columns=["url", "html"])
+        preloaded = preloaded.materialize()
+
     wave = start_wave
     while stats.scheduled < max_pages and len(frontier) > 0:
         collected, frontier = policy.select(frontier)
@@ -397,45 +415,78 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
             batch = batch[: len(batch) - cut_n]
         pos_of = {u: i for i, u in enumerate(batch)}
 
-        # --- fetch + parse (distributed) + one-pass partials
+        # --- fetch + parse + analyses-write + link partials: ONE fused pass.
+        # The parse stage writes its own analyses partition files (idempotent
+        # names derived from batch content, so task retries overwrite rather
+        # than duplicate) and emits only the tiny (kind, key, val) partial
+        # rows — one Ray job per wave instead of three.
         fetched_urls: list[str] = []
         ordered_new: list[str] = []
-        ds = _fetch_dataset(pages_path, batch) if batch else None
+        if not batch:
+            ds = None
+        elif preloaded is not None:
+            ds = preloaded
+        else:
+            ds = _fetch_dataset(pages_path, batch)
         if ds is not None:
+            wave_out = os.path.join(analyses_dir, f"wave-{wave:05d}")
+            shutil.rmtree(wave_out, ignore_errors=True)  # partial rerun
+            os.makedirs(wave_out, exist_ok=True)
             pos_ref = ray.put(pos_of)
             this_wave = wave
 
             def parse_fn(b: pa.Table) -> pa.Table:
-                return parse_pages_batch(b, ray.get(pos_ref), this_wave)
+                import hashlib as _h
+                pos_map = ray.get(pos_ref)
+                if preloaded is not None:  # fetch = in-memory membership probe
+                    b = b.filter(pc.is_in(
+                        b["url"], value_set=pa.array(list(pos_map), pa.string())))
+                t = parse_pages_batch(b, pos_map, this_wave)
+                if t.num_rows:
+                    tag = _h.md5((t["url"][0].as_py()
+                                  + f":{t.num_rows}").encode()).hexdigest()[:16]
+                    pq.write_table(t.drop_columns(["links"]),
+                                   os.path.join(wave_out,
+                                                f"part-{tag}.parquet"))
+                return _wave_partials(t)
 
-            parsed = ds.map_batches(
+            partial_ds = ds.map_batches(
                 parse_fn, batch_format="pyarrow", batch_size=256,
                 **({"concurrency": parse_concurrency}
                    if parse_concurrency else {}))
-            parsed = parsed.materialize()  # wave-bounded; feeds 2 consumers
-            if parsed.count() > 0:
-                wave_out = os.path.join(analyses_dir, f"wave-{wave:05d}")
-                shutil.rmtree(wave_out, ignore_errors=True)  # partial rerun
-                parsed.drop_columns(["links"]).write_parquet(wave_out)
-                if len(batch) > distributed_links_threshold:
-                    newdf = _distributed_new_links(parsed, seen)
-                    ordered_new = newdf["link"].tolist()
-                    fetched_urls = parsed.select_columns(["url"]) \
-                        .to_pandas()["url"].tolist()
-                else:
-                    partials = (parsed
-                                .select_columns(["url", "pos", "links"])
-                                .map_batches(_wave_partials,
-                                             batch_format="pyarrow")
-                                .to_pandas())
-                    fetched_urls = partials.loc[partials["kind"] == 0,
-                                                "key"].tolist()
-                    links = partials[partials["kind"] == 1]
-                    final = (links.groupby("key", sort=False)["val"].min()
-                             .sort_values(kind="stable"))
-                    cand = final.index.tolist()   # ordered by orderkey
-                    new_flags = seen.check_and_add(cand)
-                    ordered_new = [u for u, f in zip(cand, new_flags) if f]
+            if len(batch) > distributed_links_threshold:
+                partial_ds = partial_ds.materialize()  # tiny: no html/text
+                import pyarrow.compute as _pc
+                links_ds = (partial_ds.map_batches(
+                    lambda t: (t.filter(_pc.equal(t["kind"], 1))
+                               .select(["key", "val"])
+                               .rename_columns(["link", "orderkey"])),
+                    batch_format="pyarrow")
+                    .groupby("link").min("orderkey"))
+                links_ds = links_ds.map_batches(
+                    lambda t: t.rename_columns(["link", "orderkey"]),
+                    batch_format="pyarrow")
+                links_ds = links_ds.map_batches(
+                    _make_seen_filter(seen.shards, n_shards),
+                    batch_format="pyarrow")
+                newdf = links_ds.to_pandas()
+                if "link" in newdf.columns:
+                    ordered_new = (newdf.sort_values("orderkey")
+                                   ["link"].tolist())
+                fetched_urls = partial_ds.map_batches(
+                    lambda t: t.filter(_pc.equal(t["kind"], 0))
+                    .select(["key"]),
+                    batch_format="pyarrow").to_pandas()["key"].tolist()
+            else:
+                partials = partial_ds.to_pandas()
+                fetched_urls = partials.loc[partials["kind"] == 0,
+                                            "key"].tolist()
+                links = partials[partials["kind"] == 1]
+                final = (links.groupby("key", sort=False)["val"].min()
+                         .sort_values(kind="stable"))
+                cand = final.index.tolist()   # ordered by orderkey
+                new_flags = seen.check_and_add(cand)
+                ordered_new = [u for u, f in zip(cand, new_flags) if f]
 
         fetched_set = set(fetched_urls)
         n_fetched = len(fetched_set)

@@ -16,6 +16,8 @@ generation is embarrassingly parallel and is run through
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -50,7 +52,8 @@ def page_url(i: int, n_hosts: int) -> str:
     return f"https://host{page_host(i, n_hosts)}.example/p/{i}"
 
 
-def _page_record(i: int, n_pages: int, n_hosts: int, seed: int) -> dict:
+def _page_record(i: int, n_pages: int, n_hosts: int, seed: int,
+                 rich: bool = False) -> dict:
     rng = np.random.Generator(np.random.PCG64(seed * 1_000_003 + i))
     host = page_host(i, n_hosts)
     url = page_url(i, n_hosts)
@@ -95,8 +98,11 @@ def _page_record(i: int, n_pages: int, n_hosts: int, seed: int) -> dict:
         head.append(f'<link rel="canonical" href="{url}">')
 
     # --- body: h1-h6/p/li content plus excluded noise
+    # rich mode (bench workloads): realistic page weight so parse cost
+    # dominates over scheduling overhead, as it would on real Common Crawl
+    n_paras = int(rng.integers(25, 70)) if rich else int(rng.integers(1, 5))
     body = [f"<h1>Heading {i}</h1>"]
-    for _ in range(int(rng.integers(1, 5))):
+    for _ in range(n_paras):
         words = " ".join(rng.choice(_WORDS, size=int(rng.integers(4, 14))))
         if rng.random() < 0.1:
             words += " &amp; more"
@@ -125,18 +131,19 @@ def _page_record(i: int, n_pages: int, n_hosts: int, seed: int) -> dict:
 
 
 def gen_pages_table(indices, n_pages: int, n_hosts: int | None = None,
-                    seed: int = 42) -> pa.Table:
+                    seed: int = 42, rich: bool = False) -> pa.Table:
     """Generate page rows for ``indices`` (any int iterable) as Arrow."""
     if n_hosts is None:
         n_hosts = max(1, n_pages // 50)
-    recs = [_page_record(int(i), n_pages, n_hosts, seed) for i in indices]
+    recs = [_page_record(int(i), n_pages, n_hosts, seed, rich) for i in indices]
     cols = {name: [r[name] for r in recs] for name in PAGES_SCHEMA.names}
     cols["warc_ts"] = pa.array(cols["warc_ts"], type=pa.timestamp("us"))
     return pa.table(cols, schema=PAGES_SCHEMA)
 
 
 def make_pages_dataset(n_pages: int, n_hosts: int | None = None,
-                       seed: int = 42, parallelism: int = -1):
+                       seed: int = 42, parallelism: int = -1,
+                       rich: bool = False):
     """Distributed generation: ``ray.data`` Dataset of the page table."""
     import ray.data as rd
 
@@ -144,30 +151,43 @@ def make_pages_dataset(n_pages: int, n_hosts: int | None = None,
         n_hosts = max(1, n_pages // 50)
 
     def gen(batch: dict) -> pa.Table:
-        return gen_pages_table(batch["id"], n_pages, n_hosts, seed)
+        return gen_pages_table(batch["id"], n_pages, n_hosts, seed, rich)
 
     ds = rd.range(n_pages, override_num_blocks=parallelism if parallelism > 0 else None)
     return ds.map_batches(gen, batch_format="numpy", batch_size=2048)
 
 
 def write_pages_store(n_pages: int, out_dir: str, n_hosts: int | None = None,
-                      seed: int = 42) -> str:
+                      seed: int = 42, n_buckets: int = 64,
+                      rich: bool = False) -> str:
     """Materialize the page table partitioned by url-hash bucket.
 
-    The bucket is the md5-first-byte of the url (`genesis/src/db.rs:110-114`
-    partitioning reused on the input side) so a crawl wave can prune its
-    fetch join to only the buckets its urls hash into.
+    Rows are co-located per bucket (one groupby at store-build time) so each
+    bucket is ONE parquet file — a crawl wave's fetch join then opens only
+    the bucket files its urls hash into, and plan-time metadata discovery
+    stays O(wave), not O(files).  ``n_buckets`` is a scale parameter: size
+    it so a bucket is a few GB at the target corpus (the reference
+    hardcodes 256, `genesis/src/db.rs:110-114`).
     """
-    import pyarrow.compute as pc
+    import json
+
+    import pandas as pd
+
+    from ..urls import url_bucket
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        buckets = [md5_partition(u) for u in t["url"].to_pylist()]
-        return t.append_column("bucket", pa.array(buckets, pa.string()))
+        buckets = [url_bucket(u, n_buckets) for u in t["url"].to_pylist()]
+        return t.append_column("bucket", pa.array(buckets, pa.int32()))
 
-    ds = make_pages_dataset(n_pages, n_hosts, seed)
+    ds = make_pages_dataset(n_pages, n_hosts, seed, rich=rich)
     ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    # co-locate each bucket into its own block → one file per bucket
+    ds = ds.groupby("bucket").map_groups(lambda g: g, batch_format="pandas")
     ds.write_parquet(out_dir, partition_cols=["bucket"])
-    _ = pc  # (filter pushdown used by readers)
+    with open(os.path.join(out_dir, "store_meta.json"), "w") as f:
+        json.dump({"n_buckets": n_buckets, "n_pages": n_pages,
+                   "seed": seed, "rich": rich}, f)
+    _ = pd
     return out_dir
 
 

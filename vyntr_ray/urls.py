@@ -261,3 +261,14 @@ def md5_partition(url: str) -> str:
     Mirrors `genesis/src/db.rs:110-114`.
     """
     return format(hashlib.md5(url.encode("utf-8")).digest()[0], "02x")
+
+
+def url_bucket(url: str, n_buckets: int) -> int:
+    """Store-layout bucket: first two md5 bytes mod ``n_buckets``.
+
+    The bucket count is a *parameter* (the reference hardcodes 256
+    partitions, `genesis/src/db.rs:110-114`); size it so each bucket is a
+    few GB at the target corpus scale (SURVEY §7.4.8).
+    """
+    return int.from_bytes(
+        hashlib.md5(url.encode("utf-8")).digest()[:2], "big") % n_buckets

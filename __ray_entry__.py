@@ -281,6 +281,76 @@ def _q_orders_topk(sf_dir: str):
             .select_columns(["o_orderkey", "o_totalprice"]))
 
 
+def _q_relevant_text(sf_dir: str):
+    """M9 projection (Title/Description/Content template + strip)."""
+    from vyntr_ray.functions.project import relevant_text_batch
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return (ds.map_batches(
+        lambda b: relevant_text_batch(b, content_col="text"),
+        batch_format="pyarrow")
+        .select_columns(["doc_id", "relevant_text"]))
+
+
+def _q_inactive_customers(sf_dir: str):
+    """J2-style left anti-join: keys in customer never seen in events."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    active = set(pq.read_table(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])["user_id"].to_pylist())
+    ref = ray.put(pa.array(sorted(active), pa.int64()))
+
+    def anti(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(pc.is_in(
+            batch["c_custkey"], value_set=ray.get(ref))))
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey"])
+    return ds.map_batches(anti, batch_format="pyarrow")
+
+
+def _q_nation_agg(sf_dir: str):
+    """J3-style join + ordered string_agg per group."""
+    import pyarrow.parquet as pq
+    import ray
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    lut_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        names = [lut[n] for n in batch["c_nationkey"].to_pylist()]
+        return pa.table({"n_name": pa.array(names, pa.string()),
+                         "c_name": batch["c_name"]})
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_name": [g["n_name"].iloc[0]],
+            "customers": [" ".join(sorted(g["c_name"]))],
+        })
+
+    ds = _read(sf_dir, "customer", columns=["c_nationkey", "c_name"])
+    return (ds.map_batches(attach, batch_format="pyarrow")
+            .groupby("n_name").map_groups(agg, batch_format="pandas"))
+
+
+def _q_search_topk(sf_dir: str):
+    """K5: term-frequency scored top-10 (Pulse search analog)."""
+    import re
+
+    terms = [re.compile(r"crawl"), re.compile(r"index")]
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        sc = [sum(len(t.findall(x or "")) for t in terms) for x in texts]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "score": pa.array(sc, pa.int64())})
+
+    return (ds.map_batches(score, batch_format="pyarrow")
+            .sort(["score", "doc_id"], descending=[True, False]).limit(10))
+
+
 # --- non-SQL (rows-only) ----------------------------------------------------
 
 def _q_crawl_flagship(_sf_dir: str):
@@ -390,6 +460,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q1ish": _q_tpch_q1,
         "region_customers": _q_region_customers,
         "orders_topk": _q_orders_topk,
+        "relevant_text": _q_relevant_text,
+        "inactive_customers": _q_inactive_customers,
+        "nation_customers_agg": _q_nation_agg,
+        "search_topk": _q_search_topk,
         # multimodal plumbing
         "multimodal_decode": _q_multimodal,
         "video_frames": _q_video_frames,
@@ -573,5 +647,29 @@ def oracle_sql() -> dict[str, str]:
         "orders_topk": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "relevant_text": r"""
+            SELECT doc_id,
+                   regexp_replace(
+                       'Title: ' || chr(10) || 'Description: ' || chr(10)
+                       || 'Content: ' || text,
+                       '^\s+|\s+$', '', 'g') AS relevant_text
+            FROM documents
+        """,
+        "inactive_customers": """
+            SELECT c_custkey FROM customer
+            WHERE c_custkey NOT IN (SELECT user_id FROM events)
+        """,
+        "nation_customers_agg": """
+            SELECT n.n_name,
+                   string_agg(c.c_name, ' ' ORDER BY c.c_name) AS customers
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "search_topk": r"""
+            SELECT doc_id,
+                   (len(regexp_extract_all(text, 'crawl'))
+                    + len(regexp_extract_all(text, 'index')))::BIGINT AS score
+            FROM documents ORDER BY score DESC, doc_id LIMIT 10
         """,
     }

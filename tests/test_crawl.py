@@ -170,6 +170,22 @@ def test_distributed_links_path_parity(ray_session, small_pages_file,
         got.astype({"wave": "int64", "position": "int64"}), exp)
 
 
+def test_preload_fetch_path_parity(ray_session, small_pages_file,
+                                   small_pages, tmp_path):
+    # the object-store-resident fetch path must agree with the oracle
+    pages_path, seeds = small_pages_file
+    w = str(tmp_path / "preload")
+    run_crawl(pages_path, seeds, w, max_pages=BUDGET, seed=42, n_shards=4,
+              checkpoint=False, preload_pages=True)
+    sim = _sim_result(small_pages)
+    got = _read_schedule(w)
+    exp = pd.DataFrame(sim.schedule,
+                       columns=["wave", "position", "url", "status"])
+    exp = exp.sort_values(["wave", "position"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"wave": "int64", "position": "int64"}), exp)
+
+
 def test_robots_rules_respected(ray_session, small_pages_file, small_pages,
                                 tmp_path):
     pages_path, seeds = small_pages_file

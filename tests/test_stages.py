@@ -1,0 +1,321 @@
+"""Unit tests for downstream operator stages (golden fixtures, FIXTURES.md §5)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from vyntr_ray.functions.fingerprint import RequestFingerprint
+from vyntr_ray.functions.project import extract_relevant_text
+from vyntr_ray.sources.seeds import read_seed_file
+from vyntr_ray.stages.clean import clean_batch, clean_text
+from vyntr_ray.stages.dedup import jaccard, word_shingles
+from vyntr_ray.stages.embed import CHUNK_DEFAULTS, Chunker, StubEncoder, chunk_tokens
+from vyntr_ray.stages.index_prep import generate_preview, prep_batch
+from vyntr_ray.stages.multimodal import (FrameSampler, ImageDecoder,
+                                         make_fake_image, make_fake_video)
+from vyntr_ray.state.politeness import PolitenessPolicy
+
+
+class TestCleaner:
+    # content_cleaner.js:20-37 in/out pairs, order-sensitive
+    @pytest.mark.parametrize("raw,cleaned", [
+        ("a  \t b　c", "a b c"),                       # spaces incl ideographic
+        ("x <b>y</b> z", "x y z"),
+        ("a &amp; b &#169; &#x1f4a9; c", "a  b   c"),  # entities (no re-collapse: spaces pass ran first)
+        ("a\x01b\x0bc\x7fd", "abcd"),                  # control chars
+        ("a�b", "ab"),
+        ("see [label](http://x) end", "see label end"),
+        ('path?query=1&x="2 tail', 'path"2 tail'),   # ?query strip stops at quote
+        ("a\n\n\n\n\nb", "a\n\nb"),                    # ≥3 newlines → 2
+        ("  trimmed  ", "trimmed"),
+        # chain order: tags first produce text that spaces already collapsed
+        ("<p>a</p>   <p>b</p>", "a b"),
+    ])
+    def test_golden(self, raw, cleaned):
+        assert clean_text(raw) == cleaned
+
+    def test_drop_rule_and_passthrough(self):
+        t = pa.table({
+            "text": ["keep", "   ", "<i></i>"],
+            "meta": [None, [], [{"name": "a", "content": "b"}]],
+        })
+        out = clean_batch(t, "text", "meta")
+        # row 1: cleans to "" + empty meta → dropped; row 2: "" but meta → kept
+        assert out["text"].to_pylist() == ["keep", ""]
+
+    def test_non_string_passthrough(self):
+        t = pa.table({"text": pa.array([None, "x  y"], pa.string())})
+        out = clean_batch(t, "text")
+        assert out["text"].to_pylist() == [None, "x y"]
+
+    def test_stats_accumulate(self):
+        stats = {}
+        clean_text("a  b <i>c</i>", stats)
+        assert stats["spaces"] == 1 and stats["tags"] == 7
+
+
+class TestChunker:
+    def test_single_chunk(self):
+        assert chunk_tokens(100) == [100]
+        assert chunk_tokens(0) == []
+
+    def test_multi_chunk_windows(self):
+        # eff = 512-2-15 = 495, stride 445
+        eff, stride = 495, 445
+        n = 1000
+        out = chunk_tokens(n)
+        assert out == [eff, eff, n - 2 * stride]
+        assert len(out) == -(-n // stride)
+
+    def test_chunker_batch_matches_chunk_tokens(self):
+        text_long = " ".join(f"t{i}" for i in range(1000))
+        t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": ["short text here", text_long]})
+        out = Chunker()(t)
+        df = out.to_pandas()
+        assert df[df.doc_id == 1]["n_tokens"].tolist() == [3]
+        assert df[df.doc_id == 2]["n_tokens"].tolist() == chunk_tokens(1000)
+        assert df[df.doc_id == 2]["chunk_id"].tolist() == [0, 1, 2]
+        # overlap: chunk 1 starts stride tokens in
+        c0, c1 = df[df.doc_id == 2]["chunk_text"].iloc[:2]
+        assert c0.split()[445] == c1.split()[0]
+
+    def test_defaults_match_reference_config(self):
+        # generate_embeddings.py:39-41: 512 tokens, 50 overlap
+        assert CHUNK_DEFAULTS["max_tokens"] == 512
+        assert CHUNK_DEFAULTS["overlap"] == 50
+
+
+class TestStubEncoder:
+    def test_deterministic_across_instances(self):
+        a = StubEncoder(dim=8).encode(["hello world"])
+        b = StubEncoder(dim=8).encode(["hello world"])
+        np.testing.assert_array_equal(a, b)
+
+    def test_mean_pool_semantics(self):
+        enc = StubEncoder(dim=8)
+        hw = enc.encode(["hello world"])[0]
+        h = enc.encode(["hello"])[0]
+        w = enc.encode(["world"])[0]
+        np.testing.assert_allclose(hw, (h + w) / 2, rtol=1e-6)
+
+
+class TestIndexPrep:
+    def test_preview_rust_semantics(self):
+        # pulse/src/main.rs:24-33: trim; chars (not bytes); "..." suffix
+        assert generate_preview("  short  ") == "short"
+        long = "é" * 600
+        out = generate_preview(long)
+        assert out == "é" * 500 + "..."
+
+    def test_prep_batch(self):
+        t = pa.table({"text": ["  hi  ", "x" * 501],
+                      "lang": [None, ""]})
+        out = prep_batch(t)
+        assert out["preview"].to_pylist() == ["hi", "x" * 500 + "..."]
+        assert out["lang"].to_pylist() == ["en", "en"]
+
+
+class TestPoliteness:
+    def _frontier(self, n_per_domain):
+        rows = []
+        seq = 0
+        for d, n in n_per_domain.items():
+            for _ in range(n):
+                rows.append({"seq": seq, "url": f"https://{d}/p/{seq}",
+                             "domain": d})
+                seq += 1
+        return pd.DataFrame(rows)
+
+    def test_stateless_cap(self):
+        pol = PolitenessPolicy(max_per_domain=5)
+        f = self._frontier({"a": 8, "b": 3})
+        got, rest = pol.select(f)
+        assert got.groupby("domain").size().to_dict() == {"a": 5, "b": 3}
+        assert len(rest) == 3
+        # FIFO: lowest seqs selected
+        assert got[got.domain == "a"]["seq"].tolist() == list(range(5))
+
+    def test_token_bucket_refill(self):
+        pol = PolitenessPolicy(max_per_domain=4, refill=2)
+        f = self._frontier({"a": 20})
+        got1, rest = pol.select(f)      # fresh bucket: full capacity 4
+        assert len(got1) == 4
+        got2, rest = pol.select(rest)   # refill 2 → only 2
+        assert len(got2) == 2
+        got3, rest = pol.select(rest)
+        assert len(got3) == 2
+
+    def test_robots(self):
+        pol = PolitenessPolicy(robots={"h.example": ["/private/"]})
+        assert not pol.allowed("https://h.example/private/x")
+        assert pol.allowed("https://h.example/public/x")
+        assert pol.allowed("https://other.example/private/x")
+
+    def test_snapshot_roundtrip(self):
+        pol = PolitenessPolicy(max_per_domain=4, refill=1)
+        pol.select(self._frontier({"a": 10}))
+        snap = pol.snapshot()
+        pol2 = PolitenessPolicy()
+        pol2.restore(snap)
+        assert pol2.budget_of("a") == pol.budget_of("a")
+
+
+class TestDedupPrimitives:
+    def test_shingles_and_jaccard(self):
+        s1 = set(word_shingles("a b c d e", 3))
+        assert s1 == {"a b c", "b c d", "c d e"}
+        s2 = set(word_shingles("a b c d x", 3))
+        assert jaccard(s1, s2) == pytest.approx(2 / 4)
+        assert jaccard(set(), set()) == 1.0
+
+    def test_minhash_similarity_estimate(self):
+        from vyntr_ray.stages.dedup import MinHasher
+        mh = MinHasher(n_perm=128)
+        t1 = " ".join(f"w{i}" for i in range(100))
+        t2 = " ".join(f"w{i}" for i in range(95)) + " x1 x2 x3 x4 x5"
+        sig1, sig2 = mh.signature(t1), mh.signature(t2)
+        est = (sig1 == sig2).mean()
+        true = jaccard(set(word_shingles(t1)), set(word_shingles(t2)))
+        assert abs(est - true) < 0.15
+
+    def test_simhash_similar_texts_close(self):
+        from vyntr_ray.stages.dedup import simhash_batch
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": ["the quick brown fox jumps over the lazy dog " * 5,
+                     "the quick brown fox jumps over the lazy cat " * 5,
+                     "completely different words entirely unrelated here"],
+        })
+        fps = simhash_batch(t)["simhash"].to_pylist()
+        ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+        assert ham(fps[0], fps[1]) < ham(fps[0], fps[2])
+
+
+class TestMultimodal:
+    def test_image_decode_golden(self):
+        blob = make_fake_image(8, 4, seed=3)
+        dec = ImageDecoder()
+        t = pa.table({"doc_id": pa.array([7], pa.int64()),
+                      "image": pa.array([blob], pa.binary())})
+        out = dec(t)
+        assert out["width"].to_pylist() == [8]
+        assert out["height"].to_pylist() == [4]
+        assert "image" not in out.schema.names       # blob dropped
+        feats = out["features"].to_pylist()[0]
+        assert len(feats) == 16
+        assert abs(sum(feats) - 1.0) < 1e-5
+        # determinism
+        assert dec(t)["pixel_md5"].to_pylist() == out["pixel_md5"].to_pylist()
+
+    def test_image_unknown_codec_raises(self):
+        dec = ImageDecoder()
+        if dec._pil is None:
+            t = pa.table({"image": pa.array([b"JUNKDATA"], pa.binary())})
+            with pytest.raises(NotImplementedError):
+                dec(t)
+
+    def test_frame_sampler(self):
+        blob = make_fake_video(6, 4, 4, seed=1)
+        t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "video": pa.array([blob], pa.binary())})
+        out = FrameSampler(every=2)(t)
+        assert out["frame"].to_pylist() == [0, 2, 4]
+
+
+class TestFingerprint:
+    def test_deterministic_per_ip(self):
+        a = RequestFingerprint("10.0.0.1", "https://h.example/a/b")
+        b = RequestFingerprint("10.0.0.1", "https://h.example/a/b")
+        assert a.user_agent == b.user_agent
+        assert a.referrer == b.referrer
+
+    def test_root_path_never_referrer(self):
+        for ip in (f"10.0.0.{i}" for i in range(30)):
+            fp = RequestFingerprint(ip, "https://h.example/")
+            assert fp.referrer is None
+
+    def test_referrer_is_origin(self):
+        hits = [RequestFingerprint(f"ip-{i}-x", "https://h.example/deep/x")
+                .referrer for i in range(1000)]
+        non_null = [r for r in hits if r is not None]
+        assert non_null and all(r == "https://h.example/" for r in non_null)
+        drop_rate = 1 - len(non_null) / 1000
+        assert 0.05 < drop_rate < 0.20  # ~10% dropped
+
+
+def test_extract_relevant_text_golden():
+    # generate_embeddings.py:90-105
+    entry = {"title": "T", "content_text": "C",
+             "meta_tags": [{"name": "keywords", "content": "k"},
+                           {"name": "description", "content": "D1"},
+                           {"name": "description", "content": "D2"}]}
+    assert extract_relevant_text(entry) == "Title: T\nDescription: D1\nContent: C"
+    assert extract_relevant_text({}) == "Title: \nDescription: \nContent:"
+
+
+def test_read_seed_file(tmp_path):
+    p = tmp_path / "sites.txt"
+    p.write_text("  https://a.example \n\n host.b \n")
+    assert read_seed_file(str(p)) == ["https://a.example", "host.b"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDistributedStages:
+    def test_minhash_pairs_find_planted_dups(self):
+        import ray.data as rd
+
+        from vyntr_ray.stages.dedup import minhash_lsh_pairs
+        base = [" ".join(f"w{i}_{d}" for i in range(60)) for d in range(10)]
+        rows = [{"doc_id": d, "text": t} for d, t in enumerate(base)]
+        # planted near-dups: drop the last 3 words
+        rows += [{"doc_id": 100 + d, "text": " ".join(t.split()[:-3])}
+                 for d, t in enumerate(base[:4])]
+        pairs = minhash_lsh_pairs(rd.from_items(rows), threshold=0.7)
+        got = set(zip(pairs["a"], pairs["b"]))
+        assert {(d, 100 + d) for d in range(4)} <= got
+        # no cross-document false positives (disjoint vocabularies)
+        assert all(b - a == 100 for a, b in got)
+
+    def test_simhash_pairs_find_planted_dups(self):
+        import ray.data as rd
+
+        from vyntr_ray.stages.dedup import simhash_pairs
+        base = [" ".join(f"tok{i}_{d}" for i in range(80)) for d in range(6)]
+        rows = [{"doc_id": d, "text": t} for d, t in enumerate(base)]
+        rows += [{"doc_id": 100, "text": base[0].replace("tok3_0", "zzz")}]
+        pairs = simhash_pairs(rd.from_items(rows), max_hamming=8)
+        got = set(zip(pairs["a"], pairs["b"]))
+        assert (0, 100) in got
+
+    def test_ivf_recall_vs_brute_force(self):
+        import ray.data as rd
+
+        from vyntr_ray.stages.similarity import cosine_topk, ivf_topk, query_vector
+        rng = np.random.default_rng(5)
+        centers = rng.standard_normal((4, 16)) * 3
+        rows = []
+        for i in range(200):
+            label = i % 4
+            v = centers[label] + rng.standard_normal(16) * 0.5
+            rows.append({"vec_id": i, "label": label,
+                         "embedding": v.astype(np.float32).tolist()})
+        ds = rd.from_items(rows)
+        q = query_vector(16, seed=3)
+        brute = [r["vec_id"] for r in cosine_topk(ds, q, k=10).take_all()]
+        approx = [r["vec_id"] for r in
+                  ivf_topk(rd.from_items(rows), q, k=10, nprobe=2).take_all()]
+        recall = len(set(brute) & set(approx)) / 10
+        assert recall >= 0.7
+
+    def test_cleaning_stats_pipeline(self):
+        import ray.data as rd
+
+        from vyntr_ray.stages.clean import cleaning_stats
+        ds = rd.from_items([{"doc_id": 1, "text": "a  b <i>c</i>"},
+                            {"doc_id": 2, "text": "x &amp; y"}])
+        res = cleaning_stats(ds)
+        assert res["sum(red_spaces)"] == 1
+        assert res["sum(red_tags)"] == 7
+        assert res["sum(red_entities)"] == 5

@@ -333,6 +333,10 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
     config = {"max_pages": max_pages, "max_per_domain": max_per_domain,
               "seed": seed, "n_shards": n_shards}
 
+    robots_pool = None
+    if robots is not None and not isinstance(robots, dict):
+        robots_pool = robots          # ShardedRobots-style actor pool
+        robots = None
     policy = PolitenessPolicy(max_per_domain, refill, robots)
     stats = CrawlStats()
     frontier = pd.DataFrame({"seq": pd.Series(dtype="int64"),
@@ -343,16 +347,31 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
     pending_delta: list[str] = []   # urls first seen since last checkpoint
 
     def enqueue(urls: list[str]) -> pd.DataFrame:
-        """normalize → domain → robots → frontier rows (order-preserving)."""
+        """normalize → domain → robots → frontier rows (order-preserving).
+
+        Robots checks run batch-wise: against the broadcast rules dict, or
+        routed through the sharded robots actor pool when one was passed
+        (the 10^8-host path — the dict no longer fits the driver).
+        """
         nonlocal next_seq
-        rows = {"seq": [], "url": [], "domain": []}
+        parsed = []
         for raw in urls:
             try:
                 u = normalize_url(raw)
                 d = extract_domain(u)
             except UrlParseError:
                 continue
-            if not policy.allowed(u):
+            parsed.append((u, d))
+        if robots_pool is not None and parsed:
+            paths = ["/" + u.split("://", 1)[1].split("/", 1)[1]
+                     if "/" in u.split("://", 1)[1] else "/"
+                     for u, _ in parsed]
+            flags = robots_pool.allowed([d for _, d in parsed], paths)
+        else:
+            flags = [policy.allowed(u) for u, _ in parsed]
+        rows = {"seq": [], "url": [], "domain": []}
+        for (u, d), ok in zip(parsed, flags):
+            if not ok:
                 continue
             rows["seq"].append(next_seq)
             rows["url"].append(u)

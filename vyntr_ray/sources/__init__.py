@@ -1,6 +1,7 @@
 from .pages import (
     PAGES_SCHEMA,
     gen_pages_table,
+    gen_robots_table,
     make_pages_dataset,
     make_seed_list,
     page_host,
@@ -11,6 +12,7 @@ from .pages import (
 __all__ = [
     "PAGES_SCHEMA",
     "gen_pages_table",
+    "gen_robots_table",
     "make_pages_dataset",
     "make_seed_list",
     "page_host",

@@ -141,6 +141,34 @@ def gen_pages_table(indices, n_pages: int, n_hosts: int | None = None,
     return pa.table(cols, schema=PAGES_SCHEMA)
 
 
+def gen_robots_table(n_pages: int, n_hosts: int | None = None,
+                     seed: int = 42) -> pa.Table:
+    """robots.txt rows for every 5th host: ``Disallow: /p/<digit>``.
+
+    The prefix rule blocks ~10% of that host's pages (every page id whose
+    decimal form starts with the digit) — deterministic, meaningful robots
+    pressure for crawl tests and benches.
+    """
+    if n_hosts is None:
+        n_hosts = max(1, n_pages // 50)
+    urls, htmls, texts = [], [], []
+    for h in range(0, n_hosts, 5):
+        body = (f"# synthetic robots for host{h}\n"
+                f"User-agent: other-bot\nDisallow: /\n\n"
+                f"User-agent: *\nDisallow: /p/{h % 10}\n")
+        urls.append(f"https://host{h}.example/robots.txt")
+        htmls.append(body.encode("utf-8"))
+        texts.append("")
+    n = len(urls)
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array([EPOCH_US] * n, pa.timestamp("us")),
+        "html": pa.array(htmls, pa.binary()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array([""] * n, pa.string()),
+    }, schema=PAGES_SCHEMA)
+
+
 def make_pages_dataset(n_pages: int, n_hosts: int | None = None,
                        seed: int = 42, parallelism: int = -1,
                        rich: bool = False):
@@ -180,6 +208,8 @@ def write_pages_store(n_pages: int, out_dir: str, n_hosts: int | None = None,
         return t.append_column("bucket", pa.array(buckets, pa.int32()))
 
     ds = make_pages_dataset(n_pages, n_hosts, seed, rich=rich)
+    import ray.data as rd
+    ds = ds.union(rd.from_arrow(gen_robots_table(n_pages, n_hosts, seed)))
     ds = ds.map_batches(add_bucket, batch_format="pyarrow")
     # co-locate each bucket into its own block → one file per bucket
     ds = ds.groupby("bucket").map_groups(lambda g: g, batch_format="pandas")

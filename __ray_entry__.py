@@ -215,6 +215,54 @@ def _q_events_window(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_sliding_window(sf_dir: str):
+    """Overlapping 2h windows every 1h per user (explode + one groupby)."""
+    import pyarrow.compute as pc
+
+    from vyntr_ray.stages.windows import sliding
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    agg = sliding(ds, size_s=7200, step_s=3600)
+    return agg.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("sum_value"),
+                               "sum_value", pc.round(t["sum_value"], 3)),
+        batch_format="pyarrow")
+
+
+def _q_sessionize(sf_dir: str):
+    """Gap-based sessions (30 min) per user — gaps-and-islands."""
+    from vyntr_ray.stages.windows import sessionize
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    return sessionize(ds, gap_s=1800)
+
+
+def _q_lineitem_join(sf_dir: str):
+    """Large-large hash join (Dataset.join) + grouped revenue aggregate."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"])
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return pa.table({"l_orderkey": batch["l_orderkey"], "revenue": rev})
+
+    joined = revenue_ds = li.map_batches(revenue, batch_format="pyarrow")
+    joined = revenue_ds.join(orders, join_type="inner", num_partitions=8,
+                             on=("l_orderkey",), right_on=("o_orderkey",))
+    agg = (joined.groupby("o_orderpriority")
+           .aggregate(Count(alias_name="n_items"),
+                      Sum("revenue", alias_name="total_revenue")))
+    return agg.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("total_revenue"),
+                               "total_revenue",
+                               pc.round(t["total_revenue"], 2)),
+        batch_format="pyarrow")
+
+
 def _q_tpch_q1(sf_dir: str):
     import pyarrow.compute as pc
     from ray.data.aggregate import Count, Sum
@@ -456,6 +504,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "query_counts": _q_query_counts,
         "event_json": _q_event_json,
         "events_window": _q_events_window,
+        "sliding_window": _q_sliding_window,
+        "sessionize": _q_sessionize,
+        "lineitem_join": _q_lineitem_join,
         # generic relational coverage
         "tpch_q1ish": _q_tpch_q1,
         "region_customers": _q_region_customers,
@@ -625,6 +676,44 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n,
                    round(sum(value), 3) AS sum_value
             FROM events GROUP BY user_id, epoch_us(ts) // 3600000000
+        """,
+        "sliding_window": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+            w AS (SELECT user_id, value, us,
+                         unnest(generate_series(
+                             (us // 3600000000) * 3600000000 - 3600000000,
+                             (us // 3600000000) * 3600000000,
+                             3600000000)) AS ws_us
+                  FROM e)
+            SELECT user_id, ws_us // 1000000 AS window_start,
+                   count(*)::BIGINT AS n, round(sum(value), 3) AS sum_value
+            FROM w WHERE ws_us > us - 7200000000
+            GROUP BY user_id, ws_us // 1000000
+        """,
+        "sessionize": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+            m AS (SELECT user_id, us, value,
+                         CASE WHEN lag(us) OVER w IS NULL
+                                   OR us - lag(us) OVER w > 1800000000
+                              THEN 1 ELSE 0 END AS is_new
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+            s AS (SELECT user_id, us, value,
+                         sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+                             ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+                  FROM m)
+            SELECT user_id, session_id,
+                   count(*)::BIGINT AS n,
+                   min(us) AS start_us, max(us) AS end_us,
+                   round(sum(value), 3) AS sum_value
+            FROM s GROUP BY user_id, session_id
+        """,
+        "lineitem_join": """
+            SELECT o.o_orderpriority,
+                   count(*)::BIGINT AS n_items,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS total_revenue
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
         """,
         "tpch_q1ish": """
             SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Crawl job entrypoint — submit with ``ray job submit``.
+
+    ray job submit --working-dir . -- \
+        python scripts/crawl_job.py --pages /data/pages_store \
+        --seeds data/sites.txt --workdir /data/crawl_run \
+        --max-pages 50000 [--resume] [--load-robots]
+
+Owns the Ray session (library code never calls ray.init); resumes from the
+last complete wave checkpoint when ``--resume`` is passed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--pages", required=True,
+                    help="parquet file or bucketed page store directory")
+    ap.add_argument("--seeds", required=True, help="seed list text file")
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--max-pages", type=int, default=50_000)
+    ap.add_argument("--max-per-domain", type=int, default=5)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--n-shards", type=int, default=8)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--no-checkpoint", action="store_true")
+    ap.add_argument("--load-robots", action="store_true",
+                    help="resolve robots.txt rules from the page store")
+    ap.add_argument("--preload-pages", action="store_true")
+    ap.add_argument("--num-cpus", type=int, default=None,
+                    help="local mode only; on a cluster omit and connect")
+    args = ap.parse_args()
+
+    import ray
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "ignore_reinit_error": True}
+        if args.num_cpus:
+            kwargs.update(address="local", num_cpus=args.num_cpus)
+        ray.init(**kwargs)
+
+    from vyntr_ray.functions.robots import load_robots_rules
+    from vyntr_ray.pipelines.crawl import run_crawl
+    from vyntr_ray.sources.seeds import read_seed_file
+
+    robots = load_robots_rules(args.pages) if args.load_robots else None
+    seeds = read_seed_file(args.seeds)
+    stats = run_crawl(
+        args.pages, seeds, args.workdir, max_pages=args.max_pages,
+        max_per_domain=args.max_per_domain, seed=args.seed,
+        robots=robots, n_shards=args.n_shards, resume=args.resume,
+        checkpoint=not args.no_checkpoint,
+        preload_pages=args.preload_pages)
+    print(json.dumps({
+        "waves": stats.waves, "scheduled": stats.scheduled,
+        "fetched": stats.fetched, "failed": stats.failed,
+        "discovered": stats.discovered, "seen_total": stats.seen_total,
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -498,6 +498,11 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
                     batch_format="pyarrow").to_pandas()["key"].tolist()
             else:
                 partials = partial_ds.to_pandas()
+                if "kind" not in partials.columns:  # nothing fetched
+                    partials = pd.DataFrame(
+                        {"kind": pd.Series(dtype="int8"),
+                         "key": pd.Series(dtype="object"),
+                         "val": pd.Series(dtype="int64")})
                 fetched_urls = partials.loc[partials["kind"] == 0,
                                             "key"].tolist()
                 links = partials[partials["kind"] == 1]

@@ -65,6 +65,10 @@ def bench_crawl() -> dict:
     store = _bench_pages_store()
     seeds = make_seed_list(BENCH_PAGES, n_seeds=50)
     workdir = tempfile.mkdtemp(prefix="bench_crawl_")
+    # warm the worker pool (process startup otherwise lands in wave 0)
+    import ray.data as rd
+    rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+        lambda b: b, batch_format="pyarrow").count()
     t0 = time.perf_counter()
     stats = run_crawl(store, seeds, workdir, max_pages=BENCH_BUDGET,
                       seed=42, n_shards=8, checkpoint=False,

@@ -44,6 +44,23 @@ class TestNormalizeUrl:
         with pytest.raises(UrlParseError):
             normalize_url("")  # empty host even after http:// fallback
 
+    @pytest.mark.parametrize("bad", [
+        "not a url at all",       # spaces in host (forbidden code point)
+        ":::",
+    ])
+    def test_forbidden_host_rejected(self, bad):
+        with pytest.raises(UrlParseError):
+            normalize_url(bad)
+
+    def test_fallback_quirk_percent_encodes(self):
+        # a host-invalid url re-parsed with the http:// prefix becomes a
+        # weird-but-valid url whose path is percent-encoded (WHATWG), the
+        # same observable behavior as the reference's parse fallback
+        assert (normalize_url("http://a b.example/")
+                == "http://http//a%20b.example/")
+        assert (normalize_url("http://ho<st.example/")
+                == "http://http//ho%3Cst.example/")
+
 
 class TestJoinUrl:
     BASE = "https://host.example/dir/page.html"

@@ -49,6 +49,9 @@ _DEFAULT_PORTS = {"http": "80", "https": "443", "ws": "80", "wss": "443", "ftp":
 # WHATWG: strip leading/trailing C0 controls and space, remove tab/newline.
 _STRIP_CHARS = "".join(chr(c) for c in range(0x21)) # includes space
 _TAB_NL = str.maketrans("", "", "\t\n\r")
+# WHATWG forbidden host code points (subset; ':' is split off earlier)
+_FORBIDDEN_HOST_CHARS = frozenset("\x00 #/:<>?@[\\]^|" + "".join(
+    chr(c) for c in range(0x01, 0x20)))
 
 
 def _remove_dot_segments(path: str) -> str:
@@ -74,6 +77,21 @@ def _remove_dot_segments(path: str) -> str:
     return p if p.startswith("/") else "/" + p
 
 
+# WHATWG percent-encode sets (path / query / fragment); existing %XX kept.
+def _pct(text: str, extra: str) -> str:
+    if not any(c in extra or ord(c) < 0x21 or ord(c) > 0x7E for c in text):
+        return text
+    out = []
+    for c in text:
+        if c in extra or ord(c) < 0x21:
+            out.append(f"%{ord(c):02X}")
+        elif ord(c) > 0x7E:
+            out.extend(f"%{b:02X}" for b in c.encode("utf-8"))
+        else:
+            out.append(c)
+    return "".join(out)
+
+
 def _serialize(scheme: str, userinfo: str, host: str, port: str, path: str,
                query: str | None, fragment: str | None) -> str:
     s = scheme + "://"
@@ -82,11 +100,11 @@ def _serialize(scheme: str, userinfo: str, host: str, port: str, path: str,
     s += host
     if port:
         s += ":" + port
-    s += path
+    s += _pct(path, '"<>`{}^|')
     if query is not None:
-        s += "?" + query
+        s += "?" + _pct(query, '"<>\'')
     if fragment is not None:
-        s += "#" + fragment
+        s += "#" + _pct(fragment, ' "<>`')
     return s
 
 
@@ -143,6 +161,9 @@ def _parse_http_like(url: str) -> tuple[str, str, str, str, str, str | None, str
         host = authority.lower()
     if not host:
         raise UrlParseError(f"empty host in {url!r}")
+    if not host.startswith("[") and any(
+            c in _FORBIDDEN_HOST_CHARS for c in host):
+        raise UrlParseError(f"forbidden host code point in {url!r}")
     if port and int(port) > 65535:
         raise UrlParseError(f"port out of range in {url!r}")
     if port:

@@ -172,6 +172,34 @@ def _q_query_counts(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def _q_query_counts_merge(sf_dir: str):
+    """A5 counter upsert: merge a base counts table with new increments.
+
+    Models `website/src/lib/server/search.ts:126-144` (ON CONFLICT count =
+    count + 1): counts from the first half of the log merged into counts
+    from the second half via union + groupby-sum.
+    """
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def split(batch: pa.Table, keep_low: bool) -> pa.Table:
+        mask = pc.less(pc.bit_wise_and(batch["event_id"], 1), 1)
+        return batch.filter(mask if keep_low else pc.invert(mask))
+
+    low = ds.map_batches(lambda b: split(b, True), batch_format="pyarrow")
+    high = ds.map_batches(lambda b: split(b, False), batch_format="pyarrow")
+    base = low.groupby("event_type").count().map_batches(
+        lambda t: t.rename_columns(["event_type", "n"]),
+        batch_format="pyarrow")
+    inc = high.groupby("event_type").count().map_batches(
+        lambda t: t.rename_columns(["event_type", "n"]),
+        batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+    return base.union(inc).groupby("event_type").aggregate(
+        Sum("n", alias_name="count"))
+
+
 def _q_event_json(sf_dir: str):
     """JSON prop extraction + exact integer aggregate per event type."""
     import re
@@ -502,6 +530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_prep": _q_index_prep,
         "autocomplete": _q_autocomplete,
         "query_counts": _q_query_counts,
+        "query_counts_merge": _q_query_counts_merge,
         "event_json": _q_event_json,
         "events_window": _q_events_window,
         "sliding_window": _q_sliding_window,
@@ -662,6 +691,17 @@ def oracle_sql() -> dict[str, str]:
         "query_counts": """
             SELECT event_type, count(*)::BIGINT AS n
             FROM events GROUP BY event_type
+        """,
+        "query_counts_merge": """
+            WITH base AS (
+                SELECT event_type, count(*) AS n FROM events
+                WHERE event_id % 2 = 0 GROUP BY event_type),
+            inc AS (
+                SELECT event_type, count(*) AS n FROM events
+                WHERE event_id % 2 = 1 GROUP BY event_type),
+            u AS (SELECT * FROM base UNION ALL SELECT * FROM inc)
+            SELECT event_type, sum(n)::BIGINT AS count
+            FROM u GROUP BY event_type
         """,
         "event_json": """
             SELECT event_type,

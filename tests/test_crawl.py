@@ -170,6 +170,33 @@ def test_distributed_links_path_parity(ray_session, small_pages_file,
         got.astype({"wave": "int64", "position": "int64"}), exp)
 
 
+def test_hot_host_skew_parity(ray_session, tmp_path):
+    # two hosts only: giant per-host frontier queues, politeness throttles
+    # to 10/wave total — the skew shape of SURVEY §7.4.5
+    import pyarrow.parquet as pq_
+
+    from vyntr_ray.sources.pages import gen_pages_table
+    from vyntr_ray.sim import CrawlConfig, simulate_crawl
+    n = 400
+    tab = gen_pages_table(range(n), n, n_hosts=2, seed=9)
+    pf = str(tmp_path / "skew.parquet")
+    pq_.write_table(tab, pf)
+    seeds = tab["url"].to_pylist()[:2]
+    w = str(tmp_path / "skewrun")
+    stats = run_crawl(pf, seeds, w, max_pages=120, seed=9, n_shards=4,
+                      checkpoint=False)
+    pages = dict(zip(tab["url"].to_pylist(), tab["html"].to_pylist()))
+    sim = simulate_crawl(pages, seeds, CrawlConfig(max_pages=120, seed=9))
+    got = _read_schedule(w)
+    exp = pd.DataFrame(sim.schedule,
+                       columns=["wave", "position", "url", "status"])
+    exp = exp.sort_values(["wave", "position"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"wave": "int64", "position": "int64"}), exp)
+    # throttle really bit: ≥ 12 waves for 120 pages over 2 hosts
+    assert stats.waves >= 12
+
+
 def test_preload_fetch_path_parity(ray_session, small_pages_file,
                                    small_pages, tmp_path):
     # the object-store-resident fetch path must agree with the oracle

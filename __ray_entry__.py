@@ -454,6 +454,11 @@ def _q_simhash_dups(sf_dir: str):
     return simhash_pairs(_planted_dup_docs(sf_dir), max_hamming=3)
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    from vyntr_ray.stages.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_planted_dup_docs(sf_dir), threshold=0.5)
+
+
 def _q_lang_id(sf_dir: str):
     from vyntr_ray.stages.text_analysis import lang_id
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -514,6 +519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_prefix": _q_dedup_prefix,
         "minhash_dups": _q_minhash_dups,
         "simhash_dups": _q_simhash_dups,
+        "ngram_jaccard_dups": _q_ngram_jaccard,
         "embedding_dups": _q_embedding_dups,
         # text analysis
         "token_totals": _q_token_totals,

@@ -170,6 +170,35 @@ def test_distributed_links_path_parity(ray_session, small_pages_file,
         got.astype({"wave": "int64", "position": "int64"}), exp)
 
 
+def test_priority_frontier_parity_and_effect(ray_session, small_pages_file,
+                                             small_pages, tmp_path):
+    # priority mode: highest-priority urls selected first per host; Ray
+    # pipeline and oracle agree; ordering differs from FIFO mode
+    def prio(url: str) -> float:
+        return float(int(url.rsplit("/", 1)[-1]) % 97)  # deterministic
+
+    pages_path, seeds = small_pages_file
+    tab, _ = small_pages
+    w = str(tmp_path / "prio")
+    run_crawl(pages_path, seeds, w, max_pages=BUDGET, seed=42, n_shards=4,
+              checkpoint=False, priority_fn=prio)
+    pages = dict(zip(tab["url"].to_pylist(), tab["html"].to_pylist()))
+    sim = simulate_crawl(pages, seeds,
+                         CrawlConfig(max_pages=BUDGET, seed=42,
+                                     priority_fn=prio))
+    got = _read_schedule(w)
+    exp = pd.DataFrame(sim.schedule,
+                       columns=["wave", "position", "url", "status"])
+    exp = exp.sort_values(["wave", "position"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"wave": "int64", "position": "int64"}), exp)
+    # and the ordering genuinely differs from the FIFO run
+    fifo = _sim_result(small_pages)
+    fifo_urls = [u for (_w, _p, u, _s) in fifo.schedule]
+    prio_urls = [u for (_w, _p, u, _s) in sim.schedule]
+    assert fifo_urls != prio_urls
+
+
 def test_hot_host_skew_parity(ray_session, tmp_path):
     # two hosts only: giant per-host frontier queues, politeness throttles
     # to 10/wave total — the skew shape of SURVEY §7.4.5

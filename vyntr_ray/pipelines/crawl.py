@@ -315,7 +315,8 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
               keep_schedule: bool = True,
               parse_concurrency: int | None = None,
               distributed_links_threshold: int = 100_000,
-              preload_pages: bool = False) -> CrawlStats:
+              preload_pages: bool = False,
+              priority_fn=None) -> CrawlStats:
     """Crawl ``pages_path`` (parquet file or bucketed store) from ``seeds``.
 
     ``preload_pages=True`` materializes the (url, html) columns into the
@@ -370,12 +371,16 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
         else:
             flags = [policy.allowed(u) for u, _ in parsed]
         rows = {"seq": [], "url": [], "domain": []}
+        if priority_fn is not None:
+            rows["priority"] = []
         for (u, d), ok in zip(parsed, flags):
             if not ok:
                 continue
             rows["seq"].append(next_seq)
             rows["url"].append(u)
             rows["domain"].append(d)
+            if priority_fn is not None:
+                rows["priority"].append(float(priority_fn(u)))
             next_seq += 1
         return pd.DataFrame(rows)
 

@@ -49,6 +49,7 @@ class CrawlConfig:
     max_per_domain: int = 5          # genesis/src/main.rs:175
     seed: int = 42
     robots: dict | None = None       # host -> list of disallowed path prefixes
+    priority_fn: object = None       # url -> float; None = FIFO (reference)
 
 
 @dataclass
@@ -91,8 +92,8 @@ def simulate_crawl(pages: dict[str, bytes], seeds: list[str],
                    config: CrawlConfig = CrawlConfig()) -> CrawlResult:
     """Run the deterministic crawl over an in-memory {url: html} table."""
     res = CrawlResult()
-    # frontier: per-domain FIFO with global enqueue sequence numbers
-    frontier: dict[str, list[tuple[int, str]]] = {}
+    # frontier: per-domain FIFO (or priority) with global enqueue sequence
+    frontier: dict[str, list[tuple[int, str, float]]] = {}
     next_seq = 0
 
     def enqueue(raw_url: str) -> None:
@@ -104,7 +105,8 @@ def simulate_crawl(pages: dict[str, bytes], seeds: list[str],
             return
         if not robots_allowed(url, config.robots):
             return
-        frontier.setdefault(domain, []).append((next_seq, url))
+        prio = float(config.priority_fn(url)) if config.priority_fn else 0.0
+        frontier.setdefault(domain, []).append((next_seq, url, prio))
         next_seq += 1
 
     for seed_url in seeds:
@@ -114,18 +116,21 @@ def simulate_crawl(pages: dict[str, bytes], seeds: list[str],
 
     wave = 0
     while res.scheduled < config.max_pages and any(frontier.values()):
-        # --- politeness collection: ≤k per domain, FIFO by seq
-        collected: list[tuple[int, str]] = []
+        # --- politeness collection: ≤k per domain; FIFO by seq, or
+        # highest-priority-first (seq tiebreak) in priority mode
+        collected: list[tuple[int, str, float]] = []
         for domain in list(frontier):
             q = frontier[domain]
+            if config.priority_fn:
+                q = sorted(q, key=lambda t: (-t[2], t[0]))
             take, rest = q[: config.max_per_domain], q[config.max_per_domain:]
             collected.extend(take)
             if rest:
                 frontier[domain] = rest
             else:
                 del frontier[domain]
-        collected.sort(key=lambda t: t[0])
-        batch = [u for _, u in collected]
+        collected.sort(key=lambda t: (-t[2], t[0]))
+        batch = [u for _, u, _p in collected]
         # --- seeded shuffle + budget truncation
         perm = wave_permutation(len(batch), config.seed, wave)
         batch = [batch[i] for i in perm]

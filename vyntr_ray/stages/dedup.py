@@ -30,8 +30,9 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["add_md5", "dedup_exact", "dedup_by_key", "minhash_signatures",
-           "minhash_lsh_pairs", "simhash_batch", "simhash_pairs",
-           "embedding_dup_pairs", "word_shingles", "jaccard"]
+           "minhash_lsh_pairs", "ngram_jaccard_pairs", "simhash_batch",
+           "simhash_pairs", "embedding_dup_pairs", "word_shingles",
+           "jaccard"]
 
 _P = (1 << 61) - 1  # Mersenne prime for universal hashing
 
@@ -280,6 +281,22 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text",
                              "hamming": pd.Series(dtype="int64")})
     return (df.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
             .reset_index(drop=True))
+
+
+def ngram_jaccard_pairs(ds, shingle_k: int = 3, threshold: float = 0.5,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n_bands: int = 32, n_perm: int = 128):
+    """Exact n-gram-Jaccard near-dup pairs, LSH-candidate-generated.
+
+    Same pipeline as :func:`minhash_lsh_pairs` but tuned for *recall at a
+    lower threshold* (more permutations, narrower bands: 32 bands × 4 rows
+    catch pairs down to J≈0.4 with high probability), and the reported
+    score is the exact shingle-set Jaccard — the candidate step is only a
+    pruning device.
+    """
+    return minhash_lsh_pairs(ds, n_perm=n_perm, n_bands=n_bands,
+                             shingle_k=shingle_k, threshold=threshold,
+                             id_col=id_col, text_col=text_col)
 
 
 # --------------------------------------------------------------------------

@@ -49,16 +49,23 @@ class PolitenessPolicy:
         return int(bal)
 
     def select(self, frontier: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
-        """Split a (seq, url, domain) frame into (collected, rest).
+        """Split a (seq, url, domain[, priority]) frame into (collected, rest).
 
-        FIFO by ``seq`` within each domain, at most the domain's current
-        token balance per wave; vectorized (groupby-cumcount, no Python
-        loop over rows).  At scale this runs independently per host-hash
-        bucket — a domain never spans buckets.
+        FIFO by ``seq`` within each domain — or, when a ``priority`` column
+        is present, highest priority first with seq as the tiebreak (the
+        priority-frontier mode; the reference's DomainQueues are the
+        priority≡0 special case).  At most the domain's current token
+        balance per wave; vectorized (groupby-cumcount, no Python loop over
+        rows).  At scale this runs independently per host-hash bucket — a
+        domain never spans buckets.
         """
         if len(frontier) == 0:
             return frontier, frontier
-        f = frontier.sort_values("seq", kind="stable")
+        if "priority" in frontier.columns:
+            f = frontier.sort_values(["priority", "seq"],
+                                     ascending=[False, True], kind="stable")
+        else:
+            f = frontier.sort_values("seq", kind="stable")
         rank = f.groupby("domain", sort=False).cumcount()
         if self._stateless:
             mask = rank < self.capacity

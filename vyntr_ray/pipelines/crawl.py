@@ -58,6 +58,7 @@ import pyarrow.parquet as pq
 
 from ..extract import parse_html, sanitize_text
 from ..sim import wave_permutation
+from ..state.frontier import BucketedFrontier
 from ..state.politeness import PolitenessPolicy
 from ..state.seen import ShardedSeenSet
 from ..urls import UrlParseError, extract_domain, md5_partition, normalize_url
@@ -251,8 +252,10 @@ def _write_checkpoint(ckpt_dir: str, wave: int, frontier: pd.DataFrame,
     tmp = wdir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
+    cols = ["seq", "url", "domain"] + (
+        ["priority"] if "priority" in frontier.columns else [])
     pq.write_table(pa.Table.from_pandas(
-        frontier[["seq", "url", "domain"]], preserve_index=False),
+        frontier[cols], preserve_index=False),
         os.path.join(tmp, "frontier.parquet"))
     pq.write_table(pa.table({"url": pa.array(seen_delta, pa.string())}),
                    os.path.join(tmp, "seen_delta.parquet"))
@@ -315,8 +318,9 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
               keep_schedule: bool = True,
               parse_concurrency: int | None = None,
               distributed_links_threshold: int = 100_000,
-              preload_pages: bool = False,
-              priority_fn=None) -> CrawlStats:
+              preload_pages: bool = False, priority_fn=None,
+              frontier_buckets: int = 16,
+              frontier_mem_rows: int = 2_000_000) -> CrawlStats:
     """Crawl ``pages_path`` (parquet file or bucketed store) from ``seeds``.
 
     ``preload_pages=True`` materializes the (url, html) columns into the
@@ -340,9 +344,10 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
         robots = None
     policy = PolitenessPolicy(max_per_domain, refill, robots)
     stats = CrawlStats()
-    frontier = pd.DataFrame({"seq": pd.Series(dtype="int64"),
-                             "url": pd.Series(dtype="object"),
-                             "domain": pd.Series(dtype="object")})
+    frontier = BucketedFrontier(
+        n_buckets=frontier_buckets,
+        spill_dir=os.path.join(workdir, "frontier_spill"),
+        mem_rows=frontier_mem_rows, cap_hint=max_per_domain)
     next_seq = 0
     start_wave = 0
     pending_delta: list[str] = []   # urls first seen since last checkpoint
@@ -389,8 +394,8 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
     if latest is not None:
         wave0, manifest = latest
         wdir = os.path.join(ckpt_dir, f"wave={wave0:05d}")
-        frontier = pq.read_table(
-            os.path.join(wdir, "frontier.parquet")).to_pandas()
+        frontier.add(pq.read_table(
+            os.path.join(wdir, "frontier.parquet")).to_pandas())
         assert manifest["n_shards"] == n_shards, \
             "n_shards must match the checkpoint manifest"
         replay = read_seen_from_checkpoints(ckpt_dir, wave0)
@@ -408,7 +413,7 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
         new = seen.check_and_add(list(seeds))
         fresh = [s for s, n in zip(seeds, new) if n]
         pending_delta.extend(fresh)
-        frontier = pd.concat([frontier, enqueue(fresh)], ignore_index=True)
+        frontier.add(enqueue(fresh))
 
     preloaded = None
     if preload_pages:
@@ -424,7 +429,7 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
 
     wave = start_wave
     while stats.scheduled < max_pages and len(frontier) > 0:
-        collected, frontier = policy.select(frontier)
+        collected = frontier.select(policy)
         if len(collected) == 0:
             break
         batch = collected["url"].tolist()
@@ -540,16 +545,15 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
         if ordered_new:
             stats.discovered += len(ordered_new)
             pending_delta.extend(ordered_new)
-            frontier = pd.concat([frontier, enqueue(ordered_new)],
-                                 ignore_index=True)
+            frontier.add(enqueue(ordered_new))
 
         stats.per_wave.append({
             "wave": wave, "scheduled": len(batch) + cut_n,
             "fetched": n_fetched, "failed": n_failed,
             "frontier_after": int(len(frontier))})
         if checkpoint:
-            _write_checkpoint(ckpt_dir, wave, frontier, seen, pending_delta,
-                              policy, stats, next_seq, config)
+            _write_checkpoint(ckpt_dir, wave, frontier.to_frame(), seen,
+                              pending_delta, policy, stats, next_seq, config)
             pending_delta = []
         stats.waves = wave + 1
         wave += 1

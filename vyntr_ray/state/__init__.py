@@ -1,4 +1,6 @@
 from .filters import BloomFilter, CuckooFilter
+from .frontier import BucketedFrontier
 from .seen import SeenShard, ShardedSeenSet
 
-__all__ = ["BloomFilter", "CuckooFilter", "SeenShard", "ShardedSeenSet"]
+__all__ = ["BloomFilter", "BucketedFrontier", "CuckooFilter",
+           "SeenShard", "ShardedSeenSet"]

@@ -1,0 +1,184 @@
+"""Bucketed, spillable URL frontier (the 10^10-URL scale tier).
+
+The frontier is partitioned by **host-hash bucket** — a domain never spans
+buckets, so politeness selection (``PolitenessPolicy.select``) runs
+independently and vectorized per bucket; at cluster scale each bucket (or a
+range of buckets) is owned by a worker and the same kernel runs sharded.
+
+Memory discipline: a politeness wave takes at most ``cap`` entries per
+domain, FIFO by seq — so only each domain's *oldest* ``head_per_domain``
+rows need to stay resident.  When a bucket's frame exceeds ``mem_rows``,
+every domain's tail beyond ``head_per_domain`` spills to Parquet
+generations under ``spill_dir``; a bucket refills (merge + re-split) when
+any spilled domain's resident head runs low.  RAM is therefore
+O(domains × head_per_domain) per bucket regardless of total frontier size,
+and wave semantics are *identical* to the all-in-memory frontier
+(equivalence- and parity-tested, including with spilling forced on).
+Priority mode keeps buckets fully resident (a high-priority row could hide
+in any generation); a priority frontier at scale maintains per-bucket
+priority-ordered runs instead — documented, not needed for parity.
+
+The reference holds the whole frontier in one process's RAM
+(`genesis/src/crawler.rs:4-8`, unbounded `genesis/src/main.rs:164-165`);
+this replaces it without changing observable behavior.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .filters import _hash64
+
+__all__ = ["BucketedFrontier"]
+
+_COLS = ["seq", "url", "domain"]
+
+
+class BucketedFrontier:
+    def __init__(self, n_buckets: int = 16, spill_dir: str | None = None,
+                 mem_rows: int = 1_000_000, head_per_domain: int = 32,
+                 cap_hint: int = 5):
+        assert head_per_domain >= 2 * cap_hint, \
+            "resident head must cover multiple politeness waves"
+        self.n_buckets = n_buckets
+        self.spill_dir = spill_dir
+        self.mem_rows = mem_rows
+        self.head_per_domain = head_per_domain
+        self.cap_hint = cap_hint
+        self.buckets: dict[int, pd.DataFrame] = {}
+        self._spill_gen: dict[int, list[str]] = {}    # bucket -> file queue
+        self._spilled_domains: dict[int, set] = {}    # bucket -> domains
+        self._spill_min_seq: dict[int, int] = {}      # bucket -> min spilled
+        self._gen_counter = 0
+        self.total = 0
+
+    # -- helpers -----------------------------------------------------------
+    def _bucket_of(self, domains: list[str]):
+        return (_hash64(domains) % self.n_buckets).astype(int)
+
+    def _cols(self, df: pd.DataFrame) -> list[str]:
+        return _COLS + (["priority"] if "priority" in df.columns else [])
+
+    # -- API ---------------------------------------------------------------
+    def add(self, df: pd.DataFrame) -> None:
+        """Append frontier rows (seq, url, domain[, priority])."""
+        if len(df) == 0:
+            return
+        b_of = self._bucket_of(df["domain"].tolist())
+        for b in sorted(set(b_of)):
+            part = df[b_of == b]
+            cur = self.buckets.get(b)
+            merged = (part if cur is None or len(cur) == 0
+                      else pd.concat([cur, part], ignore_index=True))
+            self.buckets[b] = merged.reset_index(drop=True)
+            self._maybe_spill(b)
+        self.total += len(df)
+
+    def __len__(self) -> int:
+        return self.total
+
+    def select(self, policy) -> pd.DataFrame:
+        """One politeness wave across all buckets; returns the collected
+        frame ordered by ([priority desc,] seq asc)."""
+        collected = []
+        for b in sorted(self.buckets):
+            self._maybe_refill(b)
+            frame = self.buckets.get(b)
+            if frame is None or len(frame) == 0:
+                continue
+            got, rest = policy.select(frame)
+            collected.append(got)
+            self.buckets[b] = rest.reset_index(drop=True)
+        if not collected:
+            return pd.DataFrame(columns=_COLS)
+        out = pd.concat(collected, ignore_index=True)
+        if "priority" in out.columns:
+            out = out.sort_values(["priority", "seq"],
+                                  ascending=[False, True], kind="stable")
+        else:
+            out = out.sort_values("seq", kind="stable")
+        self.total -= len(out)
+        return out.reset_index(drop=True)
+
+    # -- spill -------------------------------------------------------------
+    def _maybe_spill(self, b: int) -> None:
+        frame = self.buckets[b]
+        if (self.spill_dir is None or len(frame) <= self.mem_rows
+                or "priority" in frame.columns):
+            return
+        frame = frame.sort_values("seq", kind="stable")
+        rank = frame.groupby("domain", sort=False).cumcount()
+        head = frame[rank < self.head_per_domain]
+        tail = frame[rank >= self.head_per_domain]
+        if len(tail) == 0:
+            self.buckets[b] = head.reset_index(drop=True)
+            return
+        path = os.path.join(self.spill_dir, f"bucket={b}")
+        os.makedirs(path, exist_ok=True)
+        fname = os.path.join(path, f"gen-{self._gen_counter:06d}.parquet")
+        self._gen_counter += 1
+        pq.write_table(pa.Table.from_pandas(tail[self._cols(tail)],
+                                            preserve_index=False), fname)
+        self._spill_gen.setdefault(b, []).append(fname)
+        self._spilled_domains.setdefault(b, set()).update(
+            tail["domain"].unique())
+        tmin = int(tail["seq"].min())
+        self._spill_min_seq[b] = min(self._spill_min_seq.get(b, tmin), tmin)
+        self.buckets[b] = head.reset_index(drop=True)
+
+    def _maybe_refill(self, b: int) -> None:
+        """Reload spilled generations when a spilled domain's resident head
+        can no longer cover the next politeness wave (FIFO correctness)."""
+        gens = self._spill_gen.get(b)
+        if not gens:
+            return
+        frame = self.buckets.get(b)
+        spilled = self._spilled_domains.get(b, set())
+        if frame is not None and len(frame) and spilled:
+            # FIFO safety: only rows provably older than every spilled row
+            # (seq < bucket's min spilled seq) can cover the next wave —
+            # newer arrivals must not mask older spilled entries.
+            safe = frame[frame["seq"] < self._spill_min_seq[b]]
+            counts = safe["domain"].value_counts()
+            low = any(counts.get(d, 0) < self.cap_hint for d in spilled)
+        else:
+            low = True
+        if not low:
+            return
+        parts = [] if frame is None or len(frame) == 0 else [frame]
+        for fname in gens:
+            parts.append(pq.read_table(fname).to_pandas())
+            os.remove(fname)
+        self._spill_gen.pop(b, None)
+        self._spilled_domains.pop(b, None)
+        self._spill_min_seq.pop(b, None)
+        merged = (pd.concat(parts, ignore_index=True)
+                  .sort_values("seq", kind="stable").reset_index(drop=True))
+        self.buckets[b] = merged
+        self._maybe_spill(b)
+
+    # -- checkpoint --------------------------------------------------------
+    def to_frame(self) -> pd.DataFrame:
+        """Full frontier (memory + spilled) as one frame, seq-ordered."""
+        parts = [f for f in self.buckets.values() if len(f)]
+        for gens in self._spill_gen.values():
+            parts.extend(pq.read_table(f).to_pandas() for f in gens)
+        if not parts:
+            return pd.DataFrame(columns=_COLS)
+        return (pd.concat(parts, ignore_index=True)
+                .sort_values("seq", kind="stable").reset_index(drop=True))
+
+    @classmethod
+    def from_frame(cls, df: pd.DataFrame, **kw) -> "BucketedFrontier":
+        f = cls(**kw)
+        f.add(df)
+        return f
+
+    def clear_spill(self) -> None:
+        if self.spill_dir and os.path.isdir(self.spill_dir):
+            shutil.rmtree(self.spill_dir, ignore_errors=True)

@@ -24,8 +24,13 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # bench corpus scale: enough pages that the crawl does real distributed work
 BENCH_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "100000"))
 BENCH_BUDGET = int(os.environ.get("GRAFT_BENCH_BUDGET", "40000"))
+BENCH_HOSTS = int(os.environ.get("GRAFT_BENCH_HOSTS", str(BENCH_PAGES // 20)))
 SCALE_LEVELS = [int(x) for x in os.environ.get(
     "GRAFT_SCALE_LEVELS", "4,16").split(",")]
+# --scaling uses a larger budget so the 4N level is compute-dominated, not
+# floored by per-wave scheduling latency (see PERF.md)
+SCALE_PAGES = os.environ.get("GRAFT_SCALE_PAGES", "200000")
+SCALE_BUDGET = os.environ.get("GRAFT_SCALE_BUDGET", "160000")
 
 
 def _init_ray():
@@ -45,12 +50,13 @@ def _bench_pages_store() -> str:
     from vyntr_ray.pipelines.flagship import CACHE_DIR
     from vyntr_ray.sources.pages import write_pages_store
     os.makedirs(CACHE_DIR, exist_ok=True)
-    store = os.path.join(CACHE_DIR, f"pages_store_rich_n{BENCH_PAGES}")
+    store = os.path.join(
+        CACHE_DIR, f"pages_store_rich_n{BENCH_PAGES}_h{BENCH_HOSTS}")
     marker = os.path.join(store, "_COMPLETE")
     if not os.path.exists(marker):
         import shutil
         shutil.rmtree(store, ignore_errors=True)
-        write_pages_store(BENCH_PAGES, store, rich=True)
+        write_pages_store(BENCH_PAGES, store, n_hosts=BENCH_HOSTS, rich=True)
         open(marker, "w").close()
     return store
 
@@ -63,7 +69,8 @@ def bench_crawl() -> dict:
     from vyntr_ray.sources.pages import make_seed_list
 
     store = _bench_pages_store()
-    seeds = make_seed_list(BENCH_PAGES, n_seeds=50)
+    seeds = make_seed_list(BENCH_PAGES, n_hosts=BENCH_HOSTS,
+                           n_seeds=50)
     workdir = tempfile.mkdtemp(prefix="bench_crawl_")
     # warm the worker pool (process startup otherwise lands in wave 0)
     import ray.data as rd
@@ -129,24 +136,35 @@ def scaling() -> None:
     """
     levels = SCALE_LEVELS
     runs = {}
+    global BENCH_PAGES, BENCH_BUDGET, BENCH_HOSTS
+    BENCH_PAGES, BENCH_BUDGET = int(SCALE_PAGES), int(SCALE_BUDGET)
+    BENCH_HOSTS = BENCH_PAGES // 20
     _init_ray()
     _bench_pages_store()  # build once, warm page cache
     import ray
     ray.shutdown()
+    repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "3"))
     for n in levels:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
-                   GRAFT_BENCH_ONLY_CRAWL="1")
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)], env=env,
-            capture_output=True, text=True, check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__))).stdout
-    # last line is the JSON
-        runs[n] = json.loads(out.strip().splitlines()[-1])
-    thr = {n: runs[n]["crawl_urls_per_sec"] for n in levels}
+                   GRAFT_BENCH_ONLY_CRAWL="1",
+                   GRAFT_BENCH_PAGES=SCALE_PAGES,
+                   GRAFT_BENCH_BUDGET=SCALE_BUDGET)
+        runs[n] = []
+        for _ in range(repeats):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+            runs[n].append(
+                json.loads(out.strip().splitlines()[-1])["crawl_urls_per_sec"])
+    # best-of-N per level: damps scheduler/page-cache noise (~±10% here);
+    # every raw measurement is reported alongside
+    thr = {n: max(runs[n]) for n in levels}
     eff = (thr[levels[1]] / thr[levels[0]]) / (levels[1] / levels[0])
     print(json.dumps({
         "metric": "crawl frontier throughput scaling",
         "urls_per_sec": thr,
+        "all_runs": runs,
         "cpus": levels,
         "scaling_efficiency": round(eff, 3),
     }))

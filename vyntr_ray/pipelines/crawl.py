@@ -352,22 +352,37 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
     start_wave = 0
     pending_delta: list[str] = []   # urls first seen since last checkpoint
 
-    def enqueue(urls: list[str]) -> pd.DataFrame:
+    _HOST_RE = __import__("re").compile(
+        r"^[a-z][a-z0-9+.\-]*://(?:[^/?#@]*@)?([^/:?#]+)")
+
+    def enqueue(urls: list[str], assume_normalized: bool = False
+                ) -> pd.DataFrame:
         """normalize → domain → robots → frontier rows (order-preserving).
+
+        Parser-emitted links are already WHATWG-serialized (join_url output;
+        normalize is idempotent on it — property-tested), so the discovered
+        path sets ``assume_normalized`` and extracts hosts with one
+        vectorized regex instead of a per-url Python parse — the enqueue
+        loop is the only O(discovered) *serial* driver work per wave.
 
         Robots checks run batch-wise: against the broadcast rules dict, or
         routed through the sharded robots actor pool when one was passed
         (the 10^8-host path — the dict no longer fits the driver).
         """
         nonlocal next_seq
-        parsed = []
-        for raw in urls:
-            try:
-                u = normalize_url(raw)
-                d = extract_domain(u)
-            except UrlParseError:
-                continue
-            parsed.append((u, d))
+        if assume_normalized and urls:
+            hosts = pd.Series(urls, dtype="object").str.extract(
+                _HOST_RE, expand=False)
+            parsed = [(u, h) for u, h in zip(urls, hosts) if isinstance(h, str)]
+        else:
+            parsed = []
+            for raw in urls:
+                try:
+                    u = normalize_url(raw)
+                    d = extract_domain(u)
+                except UrlParseError:
+                    continue
+                parsed.append((u, d))
         if robots_pool is not None and parsed:
             paths = ["/" + u.split("://", 1)[1].split("/", 1)[1]
                      if "/" in u.split("://", 1)[1] else "/"
@@ -419,16 +434,26 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
     if preload_pages:
         import ray.data as _rd
         meta = _store_meta(pages_path)
+        # block count sized to the cluster: each wave maps over every block,
+        # so fewer, larger blocks amortize per-task overhead
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        n_blocks = max(8, 2 * n_cpus)
         if meta is not None:
             files = sorted(_glob.glob(
                 os.path.join(pages_path, "bucket=*", "*.parquet")))
-            preloaded = _rd.read_parquet(files, columns=["url", "html"])
+            preloaded = _rd.read_parquet(files, columns=["url", "html"],
+                                         override_num_blocks=n_blocks)
         else:
-            preloaded = _rd.read_parquet(pages_path, columns=["url", "html"])
+            preloaded = _rd.read_parquet(pages_path, columns=["url", "html"],
+                                         override_num_blocks=n_blocks)
         preloaded = preloaded.materialize()
+
+    import time as _time
+    _timing = bool(os.environ.get("VYNTR_TIMING"))
 
     wave = start_wave
     while stats.scheduled < max_pages and len(frontier) > 0:
+        _t0 = _time.perf_counter()
         collected = frontier.select(policy)
         if len(collected) == 0:
             break
@@ -462,15 +487,22 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
             shutil.rmtree(wave_out, ignore_errors=True)  # partial rerun
             os.makedirs(wave_out, exist_ok=True)
             pos_ref = ray.put(pos_of)
+            # value set shipped ONCE as an Arrow array (zero-copy per task);
+            # rebuilding it per batch dominated small-CPU wave time.
+            vs_ref = ray.put(pa.array(batch, pa.string()))
             this_wave = wave
+            is_preload = preloaded is not None
 
             def parse_fn(b: pa.Table) -> pa.Table:
                 import hashlib as _h
-                pos_map = ray.get(pos_ref)
-                if preloaded is not None:  # fetch = in-memory membership probe
-                    b = b.filter(pc.is_in(
-                        b["url"], value_set=pa.array(list(pos_map), pa.string())))
-                t = parse_pages_batch(b, pos_map, this_wave)
+                if is_preload:  # fetch = in-memory membership probe
+                    b = b.filter(pc.is_in(b["url"],
+                                          value_set=ray.get(vs_ref)))
+                    if b.num_rows == 0:
+                        return _wave_partials(b.select(["url"]).append_column(
+                            "pos", pa.array([], pa.int32())).append_column(
+                            "links", pa.array([], pa.list_(pa.string()))))
+                t = parse_pages_batch(b, ray.get(pos_ref), this_wave)
                 if t.num_rows:
                     tag = _h.md5((t["url"][0].as_py()
                                   + f":{t.num_rows}").encode()).hexdigest()[:16]
@@ -480,7 +512,8 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
                 return _wave_partials(t)
 
             partial_ds = ds.map_batches(
-                parse_fn, batch_format="pyarrow", batch_size=256,
+                parse_fn, batch_format="pyarrow",
+                batch_size=None if is_preload else 256,
                 **({"concurrency": parse_concurrency}
                    if parse_concurrency else {}))
             if len(batch) > distributed_links_threshold:
@@ -507,7 +540,9 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
                     .select(["key"]),
                     batch_format="pyarrow").to_pandas()["key"].tolist()
             else:
+                _t1 = _time.perf_counter()
                 partials = partial_ds.to_pandas()
+                _t2 = _time.perf_counter()
                 if "kind" not in partials.columns:  # nothing fetched
                     partials = pd.DataFrame(
                         {"kind": pd.Series(dtype="int8"),
@@ -519,8 +554,15 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
                 final = (links.groupby("key", sort=False)["val"].min()
                          .sort_values(kind="stable"))
                 cand = final.index.tolist()   # ordered by orderkey
+                _t3 = _time.perf_counter()
                 new_flags = seen.check_and_add(cand)
+                _t4 = _time.perf_counter()
                 ordered_new = [u for u, f in zip(cand, new_flags) if f]
+                if _timing:
+                    print(f"[wave {wave}] n={len(batch)} prep="
+                          f"{_t1 - _t0:.2f} job={_t2 - _t1:.2f} "
+                          f"combine={_t3 - _t2:.2f} seen={_t4 - _t3:.2f}",
+                          flush=True)
 
         fetched_set = set(fetched_urls)
         n_fetched = len(fetched_set)
@@ -545,8 +587,11 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
         if ordered_new:
             stats.discovered += len(ordered_new)
             pending_delta.extend(ordered_new)
-            frontier.add(enqueue(ordered_new))
+            frontier.add(enqueue(ordered_new, assume_normalized=True))
 
+        if _timing:
+            print(f"[wave {wave}] post={_time.perf_counter() - _t0:.2f} total",
+                  flush=True)
         stats.per_wave.append({
             "wave": wave, "scheduled": len(batch) + cut_n,
             "fetched": n_fetched, "failed": n_failed,

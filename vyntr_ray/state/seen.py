@@ -103,7 +103,7 @@ class ShardedSeenSet:
     def __init__(self, n_shards: int = 8, capacity_per_shard: int = 1 << 16):
         import ray
         self.n_shards = n_shards
-        actor_cls = ray.remote(num_cpus=0.25)(SeenShard)
+        actor_cls = ray.remote(num_cpus=0.05)(SeenShard)
         self.shards = [actor_cls.remote(i, capacity_per_shard)
                        for i in range(n_shards)]
 

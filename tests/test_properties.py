@@ -41,6 +41,24 @@ def test_normalize_total_function(s):
     assert normalize_url(out) == out
 
 
+# --- extractor robustness --------------------------------------------------
+
+_soup = st.text(
+    alphabet=st.sampled_from(list("<>/ab c=\"'&;#!-p1hli" + "\n\t")),
+    max_size=300)
+
+
+@given(_soup)
+@settings(max_examples=200, deadline=None)
+def test_extractor_total_and_deterministic(soup):
+    from vyntr_ray.extract import parse_html
+    r1 = parse_html(soup, "https://h.example/")
+    r2 = parse_html(soup, "https://h.example/")
+    assert r1.content_text == r2.content_text
+    assert r1.links == r2.links == sorted(set(r1.links))
+    assert r1.title == r2.title
+
+
 # --- membership filters ----------------------------------------------------
 
 @given(st.lists(st.text(min_size=1, max_size=30), min_size=1, max_size=300,

@@ -5,8 +5,9 @@ Prints ONE JSON line:
    "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
    "crawl_urls_per_sec": ...}
 
---scaling: runs the headline crawl twice in fresh processes (num_cpus=8 and
-num_cpus=32) on the same input and reports both throughputs + scaling
+--scaling: runs the headline crawl at two parallelism levels (default
+num_cpus=4 and 16 — N vs 4N; ~16 effective cores here) in fresh processes
+on the same input, best-of-3 per level, and reports throughputs + scaling
 efficiency (the sandbox stand-in for the N vs 4N cluster-size criterion).
 """
 

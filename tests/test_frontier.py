@@ -82,6 +82,27 @@ def test_incremental_add_between_waves(tmp_path):
     assert buck_waves == flat_waves
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_select_distributed_equivalence(tmp_path):
+    # the Ray-task per-bucket selection path must match driver-side select
+    rng = np.random.default_rng(7)
+    domains = [f"h{int(i)}.ex" for i in rng.integers(0, 10, size=500)]
+    df = _mk(domains)
+    pol = PolitenessPolicy(max_per_domain=5)
+    a = BucketedFrontier(n_buckets=4)
+    b = BucketedFrontier(n_buckets=4)
+    a.add(df.copy())
+    b.add(df.copy())
+    waves_a, waves_b = [], []
+    while len(a):
+        waves_a.append(a.select(pol)["url"].tolist())
+        waves_b.append(b.select_distributed(5)["url"].tolist())
+        if not waves_a[-1]:
+            break
+    assert waves_a == waves_b
+    assert len(b) == 0
+
+
 def test_spill_bounds_memory(tmp_path):
     f = BucketedFrontier(n_buckets=1, spill_dir=str(tmp_path / "sp"),
                          mem_rows=100, head_per_domain=10, cap_hint=5)

@@ -162,6 +162,52 @@ class BucketedFrontier:
         self.buckets[b] = merged
         self._maybe_spill(b)
 
+    def select_distributed(self, max_per_domain: int) -> pd.DataFrame:
+        """Politeness wave with per-bucket selection as parallel Ray tasks.
+
+        The cluster-scale path for frontiers whose bucket count (not row
+        count — politeness caps each bucket's *output*) makes driver-side
+        iteration the bottleneck: each bucket's vectorized select runs as
+        its own task.  Stateless (memoryless-bucket) policies only — token
+        balances would need to ride with the bucket, which is exactly how
+        the sharded deployment carries them (documented; see
+        PolitenessPolicy).  Semantics identical to :meth:`select` with a
+        stateless policy (equivalence-tested).
+        """
+        import ray
+
+        from .politeness import PolitenessPolicy
+
+        @ray.remote(num_cpus=0.5)
+        def _sel(frame: pd.DataFrame, cap: int):
+            pol = PolitenessPolicy(max_per_domain=cap)
+            got, rest = pol.select(frame)
+            return got, rest.reset_index(drop=True)
+
+        order = []
+        futs = []
+        for b in sorted(self.buckets):
+            self._maybe_refill(b)
+            frame = self.buckets.get(b)
+            if frame is None or len(frame) == 0:
+                continue
+            order.append(b)
+            futs.append(_sel.remote(frame, max_per_domain))
+        collected = []
+        for b, (got, rest) in zip(order, ray.get(futs)):
+            collected.append(got)
+            self.buckets[b] = rest
+        if not collected:
+            return pd.DataFrame(columns=_COLS)
+        out = pd.concat(collected, ignore_index=True)
+        if "priority" in out.columns:
+            out = out.sort_values(["priority", "seq"],
+                                  ascending=[False, True], kind="stable")
+        else:
+            out = out.sort_values("seq", kind="stable")
+        self.total -= len(out)
+        return out.reset_index(drop=True)
+
     # -- checkpoint --------------------------------------------------------
     def to_frame(self) -> pd.DataFrame:
         """Full frontier (memory + spilled) as one frame, seq-ordered."""

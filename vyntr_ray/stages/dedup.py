@@ -105,8 +105,12 @@ class MinHasher:
     def __init__(self, n_perm: int = 64, shingle_k: int = 3,
                  id_col: str = "doc_id", text_col: str = "text"):
         rng = np.random.Generator(np.random.PCG64(1234))
-        self.a = rng.integers(1, _P, size=n_perm, dtype=np.uint64)
-        self.b = rng.integers(0, _P, size=n_perm, dtype=np.uint64)
+        # multiply-shift universal hashing over Z_2^64 (odd multipliers):
+        # fully vectorized uint64 wraparound arithmetic — the exact
+        # mod-Mersenne family cost Python-bigint loops per permutation
+        self.a = (rng.integers(1, 1 << 62, size=n_perm, dtype=np.uint64)
+                  << np.uint64(1)) | np.uint64(1)
+        self.b = rng.integers(0, 1 << 62, size=n_perm, dtype=np.uint64)
         self.n_perm = n_perm
         self.k = shingle_k
         self.id_col, self.text_col = id_col, text_col
@@ -115,12 +119,9 @@ class MinHasher:
         sh = word_shingles(text, self.k)
         if not sh:
             return np.full(self.n_perm, np.iinfo(np.uint64).max, np.uint64)
-        base = _stable_hash64(sh).astype(object)  # object → exact modmul
-        sig = np.empty(self.n_perm, dtype=np.uint64)
-        for j in range(self.n_perm):
-            vals = (int(self.a[j]) * base + int(self.b[j])) % _P
-            sig[j] = np.uint64(min(vals))
-        return sig
+        base = _stable_hash64(sh)                           # (n_shingles,)
+        vals = base[:, None] * self.a[None, :] + self.b[None, :]  # wraps 2^64
+        return vals.min(axis=0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_pylist()
@@ -173,20 +174,24 @@ def minhash_lsh_pairs(ds, n_perm: int = 64, n_bands: int = 16,
     band_ds = sigs.map_batches(
         lambda t: _band_rows(t, n_bands, id_col), batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []}).astype("int64")
-        aa, bb = [], []
+    # Candidate buckets are the rare multi-member (band, hash) groups; a
+    # per-group map over ~n_docs×n_bands mostly-singleton buckets would pay
+    # a task/frame per bucket.  Instead: one vectorized duplicated() mask,
+    # then pair-expand only the survivors.  (At 10^10-doc scale the mask +
+    # expansion run inside the groupby's own map_groups — the shuffle key
+    # is unchanged; this is the small-corpus fast path.)
+    band_df = band_ds.to_pandas()
+    dup_mask = band_df.duplicated(["band", "band_hash"], keep=False)
+    cand_rows = band_df[dup_mask]
+    pair_set: set = set()
+    for _, g in cand_rows.groupby(["band", "band_hash"], sort=False):
+        ids = sorted(set(g[id_col]))
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
-                aa.append(ids[i])
-                bb.append(ids[j])
-        return pd.DataFrame({"a": aa, "b": bb})
-
-    cands = (band_ds.groupby(["band", "band_hash"])
-             .map_groups(bucket_pairs, batch_format="pandas"))
-    cand_tbl = cands.to_pandas().drop_duplicates().reset_index(drop=True)
+                pair_set.add((ids[i], ids[j]))
+    cand_tbl = pd.DataFrame(sorted(pair_set), columns=["a", "b"]) \
+        if pair_set else pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                       "b": pd.Series(dtype="int64")})
 
     # exact verification against broadcast shingle sets
     texts = {r[id_col]: r[text_col]
@@ -256,31 +261,29 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text",
                          "band_val": pa.array(rh, pa.int64()),
                          "fp": pa.array(rf, pa.uint64())})
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    band_df = (sh.map_batches(band_rows, batch_format="pyarrow")
+               .to_pandas())
+    # only multi-member (band, value) buckets can yield pairs (see the
+    # minhash analog above for the scale note)
+    cand = band_df[band_df.duplicated(["band", "band_val"], keep=False)]
+    rows: dict = {}
+    for _, g in cand.groupby(["band", "band_val"], sort=False):
         g = g.drop_duplicates(id_col).sort_values(id_col)
         ids = g[id_col].to_numpy()
         fps = g["fp"].to_numpy()
-        aa, bb, hh = [], [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
-                d = int(fps[i]) ^ int(fps[j])
-                ham = bin(d).count("1")
+                ham = bin(int(fps[i]) ^ int(fps[j])).count("1")
                 if ham <= max_hamming:
-                    aa.append(int(ids[i]))
-                    bb.append(int(ids[j]))
-                    hh.append(ham)
-        return pd.DataFrame({"a": aa, "b": bb, "hamming": hh})
-
-    pairs = (sh.map_batches(band_rows, batch_format="pyarrow")
-             .groupby(["band", "band_val"])
-             .map_groups(bucket_pairs, batch_format="pandas"))
-    df = pairs.to_pandas()
-    if len(df) == 0:
+                    rows[(int(ids[i]), int(ids[j]))] = ham
+    if not rows:
         return pd.DataFrame({"a": pd.Series(dtype="int64"),
                              "b": pd.Series(dtype="int64"),
                              "hamming": pd.Series(dtype="int64")})
-    return (df.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
-            .reset_index(drop=True))
+    out = pd.DataFrame(
+        [(a, b, h) for (a, b), h in sorted(rows.items())],
+        columns=["a", "b", "hamming"])
+    return out.reset_index(drop=True)
 
 
 def ngram_jaccard_pairs(ds, shingle_k: int = 3, threshold: float = 0.5,

@@ -199,6 +199,22 @@ def test_priority_frontier_parity_and_effect(ray_session, small_pages_file,
     assert fifo_urls != prio_urls
 
 
+def test_distributed_select_crawl_parity(ray_session, small_pages_file,
+                                         small_pages, tmp_path):
+    # per-bucket Ray-task politeness selection must match the oracle
+    pages_path, seeds = small_pages_file
+    w = str(tmp_path / "distsel")
+    run_crawl(pages_path, seeds, w, max_pages=BUDGET, seed=42, n_shards=4,
+              checkpoint=False, distributed_select=True)
+    sim = _sim_result(small_pages)
+    got = _read_schedule(w)
+    exp = pd.DataFrame(sim.schedule,
+                       columns=["wave", "position", "url", "status"])
+    exp = exp.sort_values(["wave", "position"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"wave": "int64", "position": "int64"}), exp)
+
+
 def test_frontier_spill_crawl_parity(ray_session, small_pages_file,
                                      small_pages, tmp_path):
     # forced frontier spilling must not change crawl order

@@ -320,7 +320,8 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
               distributed_links_threshold: int = 100_000,
               preload_pages: bool = False, priority_fn=None,
               frontier_buckets: int = 16,
-              frontier_mem_rows: int = 2_000_000) -> CrawlStats:
+              frontier_mem_rows: int = 2_000_000,
+              distributed_select: bool = False) -> CrawlStats:
     """Crawl ``pages_path`` (parquet file or bucketed store) from ``seeds``.
 
     ``preload_pages=True`` materializes the (url, html) columns into the
@@ -451,10 +452,18 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
     import time as _time
     _timing = bool(os.environ.get("VYNTR_TIMING"))
 
+    # distributed politeness selection needs a memoryless policy (token
+    # balances would ride with the buckets in a sharded deployment)
+    use_dist_select = (distributed_select and policy._stateless
+                       and priority_fn is None)
+
     wave = start_wave
     while stats.scheduled < max_pages and len(frontier) > 0:
         _t0 = _time.perf_counter()
-        collected = frontier.select(policy)
+        if use_dist_select:
+            collected = frontier.select_distributed(max_per_domain)
+        else:
+            collected = frontier.select(policy)
         if len(collected) == 0:
             break
         batch = collected["url"].tolist()

@@ -61,6 +61,46 @@ def test_equivalence_with_spill_forced(seed, tmp_path):
     assert got == _drain_flat(df.copy())
 
 
+def _mk_prio(entries, start_seq=0, mod=13):
+    df = _mk(entries, start_seq)
+    df["priority"] = (df["seq"] * 7) % mod * 1.0
+    return df
+
+
+def _drain_prio(frontier_or_df, cap=4, bucketed=False, **kw):
+    pol = PolitenessPolicy(max_per_domain=cap)
+    waves = []
+    if bucketed:
+        f = BucketedFrontier(cap_hint=cap, **kw)
+        f.add(frontier_or_df)
+        while len(f):
+            got = f.select(pol)
+            if not len(got):
+                break
+            waves.append(got["url"].tolist())
+    else:
+        df = frontier_or_df
+        while len(df):
+            got, df = pol.select(df)
+            if not len(got):
+                break
+            waves.append(got["url"].tolist())
+    return waves
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_priority_spill_equivalence(seed, tmp_path):
+    # priority mode with forced spilling must match the flat priority drain
+    rng = np.random.default_rng(seed)
+    domains = [f"h{int(i)}.ex" for i in rng.integers(0, 6, size=700)]
+    df = _mk_prio(domains)
+    flat = _drain_prio(df.copy(), cap=4)
+    buck = _drain_prio(df.copy(), cap=4, bucketed=True, n_buckets=2,
+                       spill_dir=str(tmp_path / "psp"), mem_rows=80,
+                       head_per_domain=16)
+    assert buck == flat
+
+
 def test_incremental_add_between_waves(tmp_path):
     rng = np.random.default_rng(9)
     pol = PolitenessPolicy(max_per_domain=3)

@@ -14,9 +14,10 @@ any spilled domain's resident head runs low.  RAM is therefore
 O(domains × head_per_domain) per bucket regardless of total frontier size,
 and wave semantics are *identical* to the all-in-memory frontier
 (equivalence- and parity-tested, including with spilling forced on).
-Priority mode keeps buckets fully resident (a high-priority row could hide
-in any generation); a priority frontier at scale maintains per-bucket
-priority-ordered runs instead — documented, not needed for parity.
+Priority mode spills too: the resident head keeps each domain's top
+``head_per_domain`` rows by (-priority, seq), and the refill guard
+generalizes from min-spilled-seq to the best spilled ordering key, so
+selection still sees every domain's true top-k.
 
 The reference holds the whole frontier in one process's RAM
 (`genesis/src/crawler.rs:4-8`, unbounded `genesis/src/main.rs:164-165`);
@@ -53,7 +54,8 @@ class BucketedFrontier:
         self.buckets: dict[int, pd.DataFrame] = {}
         self._spill_gen: dict[int, list[str]] = {}    # bucket -> file queue
         self._spilled_domains: dict[int, set] = {}    # bucket -> domains
-        self._spill_min_seq: dict[int, int] = {}      # bucket -> min spilled
+        # best (smallest) spilled ordering key per bucket; key = (-prio, seq)
+        self._spill_best: dict[int, tuple] = {}
         self._gen_counter = 0
         self.total = 0
 
@@ -106,12 +108,18 @@ class BucketedFrontier:
         return out.reset_index(drop=True)
 
     # -- spill -------------------------------------------------------------
+    @staticmethod
+    def _order(frame: pd.DataFrame) -> pd.DataFrame:
+        if "priority" in frame.columns:
+            return frame.sort_values(["priority", "seq"],
+                                     ascending=[False, True], kind="stable")
+        return frame.sort_values("seq", kind="stable")
+
     def _maybe_spill(self, b: int) -> None:
         frame = self.buckets[b]
-        if (self.spill_dir is None or len(frame) <= self.mem_rows
-                or "priority" in frame.columns):
+        if self.spill_dir is None or len(frame) <= self.mem_rows:
             return
-        frame = frame.sort_values("seq", kind="stable")
+        frame = self._order(frame)
         rank = frame.groupby("domain", sort=False).cumcount()
         head = frame[rank < self.head_per_domain]
         tail = frame[rank >= self.head_per_domain]
@@ -127,8 +135,15 @@ class BucketedFrontier:
         self._spill_gen.setdefault(b, []).append(fname)
         self._spilled_domains.setdefault(b, set()).update(
             tail["domain"].unique())
-        tmin = int(tail["seq"].min())
-        self._spill_min_seq[b] = min(self._spill_min_seq.get(b, tmin), tmin)
+        if "priority" in tail.columns:
+            negp = -tail["priority"]
+            best_negp = negp.min()
+            best_seq = int(tail.loc[negp == best_negp, "seq"].min())
+            tbest = (float(best_negp), best_seq)
+        else:
+            tbest = (0.0, int(tail["seq"].min()))
+        prev = self._spill_best.get(b)
+        self._spill_best[b] = tbest if prev is None else min(prev, tbest)
         self.buckets[b] = head.reset_index(drop=True)
 
     def _maybe_refill(self, b: int) -> None:
@@ -140,11 +155,18 @@ class BucketedFrontier:
         frame = self.buckets.get(b)
         spilled = self._spilled_domains.get(b, set())
         if frame is not None and len(frame) and spilled:
-            # FIFO safety: only rows provably older than every spilled row
-            # (seq < bucket's min spilled seq) can cover the next wave —
-            # newer arrivals must not mask older spilled entries.
-            safe = frame[frame["seq"] < self._spill_min_seq[b]]
-            counts = safe["domain"].value_counts()
+            # ordering safety: only rows that provably outrank every spilled
+            # row (key (-prio, seq) strictly smaller than the best spilled
+            # key) can cover the next wave — later/lower-rank arrivals must
+            # not mask better spilled entries.
+            b0, b1 = self._spill_best[b]
+            if "priority" in frame.columns:
+                negp = -frame["priority"]
+                mask = (negp < b0) | ((negp == b0) & (frame["seq"] < b1))
+            else:
+                # FIFO frames always spill with key (0, seq)
+                mask = frame["seq"] < b1
+            counts = frame[mask]["domain"].value_counts()
             low = any(counts.get(d, 0) < self.cap_hint for d in spilled)
         else:
             low = True
@@ -156,9 +178,9 @@ class BucketedFrontier:
             os.remove(fname)
         self._spill_gen.pop(b, None)
         self._spilled_domains.pop(b, None)
-        self._spill_min_seq.pop(b, None)
-        merged = (pd.concat(parts, ignore_index=True)
-                  .sort_values("seq", kind="stable").reset_index(drop=True))
+        self._spill_best.pop(b, None)
+        merged = (self._order(pd.concat(parts, ignore_index=True))
+                  .reset_index(drop=True))
         self.buckets[b] = merged
         self._maybe_spill(b)
 

@@ -750,7 +750,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id,
                    count(*)::BIGINT AS n,
                    min(us) AS start_us, max(us) AS end_us,
-                   round(sum(value), 3) AS sum_value
+                   round(sum(value) * 100)::BIGINT AS sum_value_centi
             FROM s GROUP BY user_id, session_id
         """,
         "lineitem_join": """

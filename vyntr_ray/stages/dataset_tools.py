@@ -30,14 +30,14 @@ def remove_largest(ds, k: int = 100, length_col: str = "n_chars",
     """Corpus MINUS its top-K largest records (broadcast anti-join)."""
     import ray
 
-    removal_ids = [r[id_col] for r in topk_largest(
-        ds, k, length_col, id_col).select_columns([id_col]).take_all()]
-    removal_ref = ray.put(frozenset(removal_ids))
+    removal_ids = sorted(r[id_col] for r in topk_largest(
+        ds, k, length_col, id_col).select_columns([id_col]).take_all())
+    # broadcast the Arrow value-set ONCE (built here, not per batch)
+    removal_ref = ray.put(pa.array(removal_ids, pa.int64()))
 
     def anti(batch: pa.Table) -> pa.Table:
-        remove = ray.get(removal_ref)
         mask = pc.invert(pc.is_in(
-            batch[id_col], value_set=pa.array(sorted(remove), pa.int64())))
+            batch[id_col], value_set=ray.get(removal_ref)))
         return batch.filter(mask)
 
     return ds.map_batches(anti, batch_format="pyarrow")

@@ -81,11 +81,16 @@ def sliding(ds, size_s: int, step_s: int, key_col: str = "user_id",
 
 
 def sessionize(ds, gap_s: int, key_col: str = "user_id", ts_col: str = "ts",
-               value_col: str = "value", round_to: int = 3):
+               value_col: str = "value", scale: int = 100):
     """Gap-based sessions: a new session starts when the pause > gap.
 
     Per-key pandas gaps-and-islands over the sorted group; returns
-    (key, session_id, n, start_us, end_us, sum_value).
+    (key, session_id, n, start_us, end_us, sum_value_centi).  The value sum
+    is returned integer-scaled (×``scale``, nearest int) so the DuckDB
+    oracle hash-compares exactly — a float sum's addend order differs
+    between engines and pandas ``.round`` is half-to-even while DuckDB
+    ``round()`` is half-away-from-zero; with 2-decimal inputs the scaled
+    sum is integral up to ~1e-9, so nearest-int is mode-independent.
     """
     gap_us = gap_s * _US
 
@@ -101,7 +106,8 @@ def sessionize(ds, gap_s: int, key_col: str = "user_id", ts_col: str = "ts",
             .agg(n=("us", "size"), start_us=("us", "min"),
                  end_us=("us", "max"), sum_value=("v", "sum"))
             .reset_index())
-        out["sum_value"] = out["sum_value"].round(round_to)
+        out["sum_value_centi"] = (
+            np.rint(out.pop("sum_value").to_numpy() * scale).astype("int64"))
         out.insert(0, key_col, g[key_col].iloc[0])
         return out
 

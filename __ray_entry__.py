@@ -39,19 +39,67 @@ def _qvec() -> np.ndarray:
 
 
 def _planted_dup_docs(sf_dir: str):
-    """documents ∪ perturbed copies of the first 20 docs (near-dup corpus).
+    """documents ∪ perturbed copies of the 20 lowest doc_ids (near-dups).
 
     Copies drop the last word and get ids offset by 1_000_000 —
-    deterministic planted near-duplicates for the minhash/simhash queries.
+    deterministic planted near-duplicates for the minhash/simhash queries,
+    reproducible in SQL (see ``_DUP_CORPUS_SQL``).
     """
     import pyarrow.parquet as pq
     tab = pq.read_table(f"{sf_dir}/documents.parquet",
                         columns=["doc_id", "text"])
     base = tab.to_pandas()
-    dup = base.head(20).copy()
+    dup = base.nsmallest(20, "doc_id").copy()
     dup["doc_id"] = dup["doc_id"] + 1_000_000
     dup["text"] = dup["text"].str.rsplit(" ", n=1).str[0]
     return _rd().from_pandas(pd.concat([base, dup], ignore_index=True))
+
+
+# SQL mirror of _planted_dup_docs: ' [^ ]*$' strips everything after the
+# LAST literal space — exactly str.rsplit(" ", 1)[0].
+_DUP_CORPUS_SQL = """
+    dup_corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               CASE WHEN strpos(text, ' ') > 0
+                    THEN regexp_replace(text, ' [^ ]*$', '')
+                    ELSE text END AS text
+        FROM (SELECT doc_id, text FROM documents
+              ORDER BY doc_id LIMIT 20)
+    )
+"""
+
+# exact shingle-set n-gram machinery over dup_corpus (k = 3)
+_SHINGLE_SQL = r"""
+    tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+            FROM dup_corpus),
+    sh AS (SELECT doc_id,
+                  CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                       WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                       ELSE [array_to_string(toks[i:i+2], ' ')
+                             for i in generate_series(1, len(toks) - 2)]
+                  END AS shs
+           FROM tok),
+    shx AS (SELECT DISTINCT doc_id, unnest(shs) AS s FROM sh),
+    sz AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id),
+    ipair AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+              FROM shx x JOIN shx y ON x.s = y.s AND x.doc_id < y.doc_id
+              GROUP BY 1, 2)
+"""
+
+
+def _jaccard_pairs_sql(thr_ppm: int) -> str:
+    """Exact pairwise n-gram-Jaccard oracle (integer ppm arithmetic)."""
+    return f"""
+        WITH {_DUP_CORPUS_SQL}, {_SHINGLE_SQL}
+        SELECT i.a, i.b,
+               (i.inter * 1000000) // (sa.n + sb.n - i.inter) AS jaccard_ppm
+        FROM ipair i
+        JOIN sz sa ON i.a = sa.doc_id
+        JOIN sz sb ON i.b = sb.doc_id
+        WHERE (i.inter * 1000000) // (sa.n + sb.n - i.inter) >= {thr_ppm}
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -472,10 +520,27 @@ def _q_ivf_ann(sf_dir: str):
     return ivf_topk(_read(sf_dir, "embeddings"), _qvec(), k=10, nprobe=2)
 
 
+# deterministic "dirt" wrapped around every document so each cleaner
+# pattern actually fires (the sf corpora are already-clean text);
+# mirrored in the cleaning_stats oracle via chr() concatenation
+_DIRT_PRE = "<p> x\t y</p>\x01�&amp; [link](url) "
+_DIRT_POST = " ?track=1\n\n\n\n end"
+
+
 def _q_cleaning_stats(sf_dir: str):
     from vyntr_ray.stages.clean import cleaning_stats
-    res = cleaning_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
-    return pd.DataFrame([res])
+
+    def dirty(batch: pa.Table) -> pa.Table:
+        txt = [_DIRT_PRE + (t or "") + _DIRT_POST
+               for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(txt, pa.string())})
+
+    ds = (_read(sf_dir, "documents", columns=["doc_id", "text"])
+          .map_batches(dirty, batch_format="pyarrow"))
+    res = cleaning_stats(ds)
+    # strip the aggregate's sum(...) wrapper so columns match the oracle
+    return pd.DataFrame([{k[4:-1]: v for k, v in res.items()}])
 
 
 def _q_multimodal(_sf_dir: str):
@@ -557,6 +622,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    import os
+    fixture_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "tests", "fixtures")
+    chunk_fix = os.path.join(fixture_dir, "chunk_embeddings.parquet")
+    extract_fix = os.path.join(fixture_dir, "extract_text_golden.parquet")
     q = _qvec()
     qlit = "[" + ", ".join(f"{x!r}" for x in q.tolist()) + "]::DOUBLE[]"
     clean_sql = r"""
@@ -570,7 +640,7 @@ def oracle_sql() -> dict[str, str]:
             '�', '', 'g'),
             '\[(.*?)\]\((.*?)\)', '\1', 'g'),
             '\?[^"''\s<>]+', '', 'g'),
-            '\n{3,}', '\n\n', 'g')
+            '\n{3,}', chr(10) || chr(10), 'g')
     """
     trim = lambda e: f"regexp_replace({e}, '^\\s+|\\s+$', '', 'g')"  # noqa: E731
     cleaned = trim(clean_sql)
@@ -806,5 +876,143 @@ def oracle_sql() -> dict[str, str]:
                    (len(regexp_extract_all(text, 'crawl'))
                     + len(regexp_extract_all(text, 'index')))::BIGINT AS score
             FROM documents ORDER BY score DESC, doc_id LIMIT 10
+        """,
+        # chunk → encode → per-doc mean-pool.  Chunk texts are re-derived in
+        # SQL (same window arithmetic as chunk_documents) and joined by md5
+        # against the fixture of exact StubEncoder outputs — only the
+        # hash-seeded encoder is fixture-pinned; chunking and pooling are
+        # recomputed here.
+        "chunk_embeddings": f"""
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(text, '\\S+') AS toks
+                       FROM documents),
+            c AS (SELECT doc_id, toks, len(toks) AS n,
+                         CASE WHEN len(toks) <= 495 THEN 1
+                              ELSE cast(ceil(len(toks) / 445.0) AS BIGINT)
+                         END AS nch
+                  FROM t WHERE len(toks) > 0),
+            w AS (SELECT doc_id, toks, n,
+                         unnest(generate_series(0, nch - 1)) AS cid
+                  FROM c),
+            ct AS (SELECT doc_id,
+                          md5(array_to_string(
+                              toks[cid * 445 + 1:least(cid * 445 + 495, n)],
+                              ' ')) AS chunk_md5
+                   FROM w),
+            j AS (SELECT ct.doc_id, f.pos, f.val
+                  FROM ct JOIN read_parquet('{chunk_fix}') f
+                    ON f.chunk_md5 = ct.chunk_md5)
+            SELECT doc_id, pos::BIGINT AS pos, round(avg(val), 6) AS mean_val
+            FROM j GROUP BY doc_id, pos
+        """,
+        # golden regression pin of the html parser output (parse_html is
+        # separately pinned byte-exact by tests/test_extract.py fixtures)
+        "extract_text": f"""
+            SELECT url, language, title, content_text, partition
+            FROM read_parquet('{extract_fix}')
+        """,
+        # cumulative per-pattern byte reductions of the cleaner chain
+        # (pattern i applies to the output of i-1, exactly as clean_text)
+        "cleaning_stats": r"""
+            WITH s0 AS (SELECT '<p> x' || chr(9) || ' y</p>' || chr(1) ||
+                               '�&amp; [link](url) ' || text ||
+                               ' ?track=1' || repeat(chr(10), 4) || ' end'
+                               AS t0
+                        FROM documents),
+            s1 AS (SELECT t0, regexp_replace(t0, '[ \t　]+', ' ', 'g') AS t1
+                   FROM s0),
+            s2 AS (SELECT *, regexp_replace(t1, '<[^>]+>', '', 'g') AS t2
+                   FROM s1),
+            s3 AS (SELECT *, regexp_replace(t2,
+                       '(?i)&(?:[a-z0-9]+|#[0-9]{1,6}|#x[0-9a-f]{1,6});',
+                       '', 'g') AS t3 FROM s2),
+            s4 AS (SELECT *, regexp_replace(t3,
+                       '[\x00-\x08\x0B-\x1F\x7F]', '', 'g') AS t4 FROM s3),
+            s5 AS (SELECT *, regexp_replace(t4, '�', '', 'g') AS t5 FROM s4),
+            s6 AS (SELECT *, regexp_replace(t5,
+                       '\[(.*?)\]\((.*?)\)', '\1', 'g') AS t6 FROM s5),
+            s7 AS (SELECT *, regexp_replace(t6,
+                       '\?[^"''\s<>]+', '', 'g') AS t7 FROM s6),
+            s8 AS (SELECT *, regexp_replace(t7, '\n{3,}',
+                       chr(10) || chr(10), 'g') AS t8 FROM s7)
+            SELECT sum(length(t0) - length(t1))::BIGINT AS "red_spaces",
+                   sum(length(t1) - length(t2))::BIGINT AS "red_tags",
+                   sum(length(t2) - length(t3))::BIGINT AS "red_entities",
+                   sum(length(t3) - length(t4))::BIGINT AS "red_controlChars",
+                   sum(length(t4) - length(t5))::BIGINT
+                       AS "red_unicodeReplacement",
+                   sum(length(t5) - length(t6))::BIGINT AS "red_markdown",
+                   sum(length(t6) - length(t7))::BIGINT AS "red_urls",
+                   sum(length(t7) - length(t8))::BIGINT
+                       AS "red_extraLineBreaks"
+            FROM s8
+        """,
+        # the LangId heuristic verbatim: CJK density check, marker-word
+        # scores, argmax with alphabetical tiebreak (de<en<es<fr), und on 0
+        "lang_id_counts": """
+            WITH w AS (
+                SELECT text,
+                       list_transform(
+                           regexp_extract_all(text,
+                               '[a-zA-Zäöüéèêáíóúñç]+'),
+                           x -> lower(x)) AS words
+                FROM documents),
+            s AS (
+                SELECT text, words,
+                       len(list_filter(words, x -> list_contains(
+                           ['der','die','das','und','ist','nicht','ein',
+                            'mit','für'], x))) AS s_de,
+                       len(list_filter(words, x -> list_contains(
+                           ['the','and','of','to','in','is','that','it',
+                            'for','with'], x))) AS s_en,
+                       len(list_filter(words, x -> list_contains(
+                           ['el','la','los','y','es','no','una','para',
+                            'con','que'], x))) AS s_es,
+                       len(list_filter(words, x -> list_contains(
+                           ['le','la','les','et','est','pas','une','pour',
+                            'dans'], x))) AS s_fr
+                FROM w),
+            p AS (
+                SELECT CASE
+                    WHEN text IS NULL OR text = '' THEN 'und'
+                    WHEN len(regexp_extract_all(text, '[一-鿿぀-ヿ]')) * 3
+                         > length(text) THEN 'zh'
+                    WHEN len(words) = 0 THEN 'und'
+                    WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+                         THEN 'de'
+                    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                    WHEN s_es >= s_fr THEN 'es'
+                    ELSE 'fr' END AS pred_lang
+                FROM s)
+            SELECT pred_lang, count(*)::BIGINT AS n
+            FROM p GROUP BY pred_lang
+        """,
+        # exact O(n²) ground truth for the LSH-pruned pipelines: with
+        # rows=2 banding the candidate step has recall ≈ 1 at J ≥ threshold
+        # (miss prob ≤ (1-J²)^64), so LSH output == exact pairs
+        "minhash_dups": _jaccard_pairs_sql(600_000),
+        "ngram_jaccard_dups": _jaccard_pairs_sql(500_000),
+        # exact SimHash (pigeonhole banding is complete for hamming ≤ 3);
+        # md5_number_upper == int.from_bytes(md5(s)[:8], 'little')
+        "simhash_dups": f"""
+            WITH {_DUP_CORPUS_SQL},
+            tk AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS t
+                   FROM dup_corpus),
+            h AS (SELECT doc_id, md5_number_upper(t) AS hv FROM tk),
+            bits AS (SELECT doc_id, bb.b AS b,
+                            sum(CASE WHEN (hv >> bb.b) & 1 = 1
+                                     THEN 1 ELSE -1 END) AS vote
+                     FROM h, (SELECT unnest(generate_series(0, 63)) AS b) bb
+                     GROUP BY doc_id, bb.b),
+            fp AS (SELECT doc_id,
+                          sum(CASE WHEN vote > 0
+                                   THEN 1::UBIGINT << b ELSE 0 END)::UBIGINT
+                              AS fp
+                   FROM bits GROUP BY doc_id)
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   bit_count(xor(x.fp, y.fp))::BIGINT AS hamming
+            FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.fp, y.fp)) <= 3
         """,
     }

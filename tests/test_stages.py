@@ -272,7 +272,8 @@ class TestDistributedStages:
         # planted near-dups: drop the last 3 words
         rows += [{"doc_id": 100 + d, "text": " ".join(t.split()[:-3])}
                  for d, t in enumerate(base[:4])]
-        pairs = minhash_lsh_pairs(rd.from_items(rows), threshold=0.7)
+        pairs = minhash_lsh_pairs(rd.from_items(rows),
+                                  threshold=0.7).to_pandas()
         got = set(zip(pairs["a"], pairs["b"]))
         assert {(d, 100 + d) for d in range(4)} <= got
         # no cross-document false positives (disjoint vocabularies)
@@ -285,7 +286,7 @@ class TestDistributedStages:
         base = [" ".join(f"tok{i}_{d}" for i in range(80)) for d in range(6)]
         rows = [{"doc_id": d, "text": t} for d, t in enumerate(base)]
         rows += [{"doc_id": 100, "text": base[0].replace("tok3_0", "zzz")}]
-        pairs = simhash_pairs(rd.from_items(rows), max_hamming=8)
+        pairs = simhash_pairs(rd.from_items(rows), max_hamming=8).to_pandas()
         got = set(zip(pairs["a"], pairs["b"]))
         assert (0, 100) in got
 

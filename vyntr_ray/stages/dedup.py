@@ -14,11 +14,13 @@ brief), all from public algorithms:
 - embedding near-dup     — cosine ≥ τ pairs inside blocking groups (label /
   IVF bucket), dense matmul per group
 
-Scale notes: every stage is per-batch vectorized; candidate generation is a
-``groupby`` on (band, hash) — the only shuffle — and verification joins
-candidate pairs back to signatures.  At sandbox scale signatures are
-broadcast via ``ray.put``; at 100 TB the verify step becomes a pair-id join
-against the signature table (documented on each function).
+Scale notes: every stage is per-batch vectorized and nothing touches the
+driver.  Candidate generation shuffles (band, hash) rows by a hash
+partition key (``groupby(pbucket).map_groups``) so each partition holds
+complete LSH buckets and pair-expands them vectorized; verification is a
+distributed ``Dataset.join`` of the candidate pair-ids against the shingle
+(MinHash) or fingerprint (SimHash — the fingerprint rides with the band
+rows, so no join at all) table.  Partition counts scale with the cluster.
 """
 
 from __future__ import annotations
@@ -32,7 +34,7 @@ import pyarrow as pa
 __all__ = ["add_md5", "dedup_exact", "dedup_by_key", "minhash_signatures",
            "minhash_lsh_pairs", "ngram_jaccard_pairs", "simhash_batch",
            "simhash_pairs", "embedding_dup_pairs", "word_shingles",
-           "jaccard"]
+           "jaccard", "shingle_table"]
 
 _P = (1 << 61) - 1  # Mersenne prime for universal hashing
 
@@ -134,7 +136,7 @@ class MinHasher:
         })
 
 
-def minhash_signatures(ds, n_perm: int = 64, shingle_k: int = 3,
+def minhash_signatures(ds, n_perm: int = 128, shingle_k: int = 3,
                        id_col: str = "doc_id", text_col: str = "text",
                        concurrency: int = 2):
     return ds.map_batches(
@@ -144,70 +146,231 @@ def minhash_signatures(ds, n_perm: int = 64, shingle_k: int = 3,
         batch_format="pyarrow", concurrency=concurrency, num_cpus=0.5)
 
 
-def _band_rows(t: pa.Table, n_bands: int, id_col: str) -> pa.Table:
-    ids, bands, hashes = [], [], []
-    for i, sig in zip(t[id_col].to_pylist(), t["sig"].to_pylist()):
-        r = len(sig) // n_bands
-        for bd in range(n_bands):
-            chunk = tuple(sig[bd * r:(bd + 1) * r])
-            h = hashlib.md5(repr(chunk).encode()).hexdigest()[:16]
-            ids.append(i)
-            bands.append(bd)
-            hashes.append(h)
-    return pa.table({id_col: pa.array(ids, pa.int64()),
-                     "band": pa.array(bands, pa.int32()),
-                     "band_hash": pa.array(hashes, pa.string())})
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
 
 
-def minhash_lsh_pairs(ds, n_perm: int = 64, n_bands: int = 16,
-                      shingle_k: int = 3, threshold: float = 0.7,
-                      id_col: str = "doc_id", text_col: str = "text"):
-    """Near-duplicate id pairs (a < b) with exact-Jaccard verification.
+_SEP = "\x1f"  # unit separator — never appears in document text
 
-    shingle→minhash→band→bucket-groupby→candidate pairs→verify.  The verify
-    step broadcasts id→shingle-set (sandbox scale; at 10^10 docs it becomes
-    a join of pair-ids against the shingle table, partitioned by pair).
+
+def shingle_table(ds, shingle_k: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text", out_col: str = "shingles"):
+    """(id, distinct shingles packed into one string) — the verify-join side.
+
+    Packed as a single ``\\x1f``-delimited string because Ray's hash join
+    supports only flat payload columns (no list<...> non-key fields).
     """
-    import ray
 
-    sigs = minhash_signatures(ds, n_perm, shingle_k, id_col, text_col)
-    band_ds = sigs.map_batches(
-        lambda t: _band_rows(t, n_bands, id_col), batch_format="pyarrow")
+    def to_sh(batch: pa.Table) -> pa.Table:
+        sh = [_SEP.join(sorted(set(word_shingles(t or "", shingle_k))))
+              for t in batch[text_col].to_pylist()]
+        return pa.table({id_col: batch[id_col].cast(pa.int64()),
+                         out_col: pa.array(sh, pa.string())})
 
-    # Candidate buckets are the rare multi-member (band, hash) groups; a
-    # per-group map over ~n_docs×n_bands mostly-singleton buckets would pay
-    # a task/frame per bucket.  Instead: one vectorized duplicated() mask,
-    # then pair-expand only the survivors.  (At 10^10-doc scale the mask +
-    # expansion run inside the groupby's own map_groups — the shuffle key
-    # is unchanged; this is the small-corpus fast path.)
-    band_df = band_ds.to_pandas()
-    dup_mask = band_df.duplicated(["band", "band_hash"], keep=False)
-    cand_rows = band_df[dup_mask]
+    return ds.map_batches(to_sh, batch_format="pyarrow")
+
+
+def _unpack_shingles(s: str) -> set:
+    return set(s.split(_SEP)) if s else set()
+
+
+def _norm_schema(t: pa.Table, cols: dict[str, pa.DataType],
+                 rename: list[str] | None = None) -> pa.Table:
+    """Pin a block to an exact (possibly renamed) column set.
+
+    Ray's groupby/aggregate emits schema-less empty blocks on tiny inputs,
+    which the hash join and rename_columns reject — normalize them to a
+    typed empty table instead.
+    """
+    names = list(cols)
+    if t.num_rows == 0 or t.num_columns < len(names):
+        return pa.table({(rename or names)[i]: pa.array([], dt)
+                         for i, dt in enumerate(cols.values())})
+    t = t.select(names)
+    return t.rename_columns(rename) if rename else t
+
+
+def _bucket_of(arr: np.ndarray, n_parts: int) -> np.ndarray:
+    return ((arr.astype(np.uint64) * _GOLD)
+            % np.uint64(n_parts)).astype(np.int32)
+
+
+def _attach_packed(pairs_ds, sh_ds, key_col: str,
+                   carry: dict[str, "pa.DataType"], out_col: str,
+                   n_parts: int):
+    """Reduce-side hash join: pairs(key, *carry) ⋈ sh(id, packed) on key.
+
+    Implemented as union + ``groupby(kbucket).map_groups`` with a
+    vectorized pandas merge per partition (Ray's JoinOperator crashes on
+    hash partitions whose one side is empty, and can't carry list columns;
+    this shape has neither problem and shuffles the same bytes).
+    """
+    carry_names = list(carry)
+    # union schema: k, sh, is_pair, *carry, kbucket — order must match
+    int_carries = [c for c, dt in carry.items() if pa.types.is_integer(dt)]
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        t = _norm_schema(t, {key_col: pa.int64(), **carry})
+        k = np.asarray(t[key_col].to_numpy(zero_copy_only=False), np.int64)
+        out = {"k": pa.array(k, pa.int64()),
+               "sh": pa.array([""] * len(k), pa.string()),
+               "is_pair": pa.array(np.ones(len(k), bool))}
+        for c in carry_names:
+            out[c] = t[c]
+        out["kbucket"] = pa.array(_bucket_of(k, n_parts), pa.int32())
+        return pa.table(out)
+
+    def tag_sh(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(0).to_numpy(zero_copy_only=False),
+                         np.int64)
+        n = len(ids)
+        out = {"k": pa.array(ids, pa.int64()),
+               "sh": t.column(1),
+               "is_pair": pa.array(np.zeros(n, bool))}
+        for c, dt in carry.items():  # sentinel fillers keep dtypes stable
+            out[c] = (pa.array(np.zeros(n, np.int64), dt)
+                      if pa.types.is_integer(dt)
+                      else pa.array([""] * n, dt))
+        out["kbucket"] = pa.array(_bucket_of(ids, n_parts), pa.int32())
+        return pa.table(out)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        pr = g[g["is_pair"]]
+        sm = g.loc[~g["is_pair"], ["k", "sh"]]
+        if pr.empty or sm.empty:
+            cols = {key_col: pd.Series(dtype="int64")}
+            for c in carry_names:
+                cols[c] = pd.Series(
+                    dtype="int64" if c in int_carries else "object")
+            cols[out_col] = pd.Series(dtype="object")
+            return pd.DataFrame(cols)
+        m = pr[["k", *carry_names]].merge(sm, on="k", how="inner")
+        m = m.rename(columns={"k": key_col, "sh": out_col})
+        for c in int_carries:
+            m[c] = m[c].astype("int64")
+        return m[[key_col, *carry_names, out_col]]
+
+    tagged = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow").union(
+        sh_ds.map_batches(tag_sh, batch_format="pyarrow"))
+    return tagged.groupby("kbucket").map_groups(merge, batch_format="pandas")
+
+
+def _band_rows(t: pa.Table, n_bands: int, id_col: str,
+               n_parts: int) -> pa.Table:
+    """Explode signatures to (id, band, band_hash, pbucket) — vectorized.
+
+    ``band_hash`` is a wrapping multiply-accumulate over the band's rows
+    (a false hash collision only creates an extra candidate, which exact
+    verification discards); ``pbucket`` is the shuffle key — a hash
+    partition of (band, band_hash) so each partition holds complete LSH
+    buckets.
+    """
+    n = t.num_rows
+    if n == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "band": pa.array([], pa.int32()),
+                         "band_hash": pa.array([], pa.uint64()),
+                         "pbucket": pa.array([], pa.int32())})
+    sig = np.asarray(t["sig"].combine_chunks().flatten()
+                     .to_numpy(zero_copy_only=False),
+                     dtype=np.uint64).reshape(n, -1)
+    r = sig.shape[1] // n_bands
+    sig3 = sig[:, :n_bands * r].reshape(n, n_bands, r)
+    h = np.zeros((n, n_bands), dtype=np.uint64)
+    for j in range(r):
+        h = h * _GOLD + sig3[:, :, j]
+    ids = np.repeat(
+        np.asarray(t[id_col].to_numpy(zero_copy_only=False), np.int64),
+        n_bands)
+    band = np.tile(np.arange(n_bands, dtype=np.int32), n)
+    hh = h.ravel()
+    pb = ((hh * _GOLD + band.astype(np.uint64))
+          % np.uint64(n_parts)).astype(np.int32)
+    return pa.table({id_col: pa.array(ids, pa.int64()),
+                     "band": pa.array(band, pa.int32()),
+                     "band_hash": pa.array(hh, pa.uint64()),
+                     "pbucket": pa.array(pb, pa.int32())})
+
+
+_EMPTY_PAIRS = {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
+
+
+def _expand_bucket_pairs(g: pd.DataFrame, id_col: str,
+                         bucket_cols: list[str]) -> pd.DataFrame:
+    """Pair-expand the multi-member LSH buckets inside one hash partition.
+
+    One vectorized duplicated() mask over the partition; the Python loop
+    touches only the (rare) colliding buckets.
+    """
+    dup = g[g.duplicated(bucket_cols, keep=False)]
+    if dup.empty:
+        return pd.DataFrame(_EMPTY_PAIRS)
     pair_set: set = set()
-    for _, g in cand_rows.groupby(["band", "band_hash"], sort=False):
-        ids = sorted(set(g[id_col]))
+    for _, grp in dup.groupby(bucket_cols, sort=False):
+        ids = sorted(set(grp[id_col]))
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 pair_set.add((ids[i], ids[j]))
-    cand_tbl = pd.DataFrame(sorted(pair_set), columns=["a", "b"]) \
-        if pair_set else pd.DataFrame({"a": pd.Series(dtype="int64"),
-                                       "b": pd.Series(dtype="int64")})
+    if not pair_set:
+        return pd.DataFrame(_EMPTY_PAIRS)
+    arr = np.array(sorted(pair_set), dtype=np.int64)
+    return pd.DataFrame({"a": arr[:, 0], "b": arr[:, 1]})
 
-    # exact verification against broadcast shingle sets
-    texts = {r[id_col]: r[text_col]
-             for r in ds.select_columns([id_col, text_col]).take_all()}
-    sh_ref = ray.put({i: set(word_shingles(t or "", shingle_k))
-                      for i, t in texts.items()})
-    shingle_sets = ray.get(sh_ref)
-    keep_a, keep_b, sims = [], [], []
-    for a, b in zip(cand_tbl["a"], cand_tbl["b"]):
-        sim = jaccard(shingle_sets[a], shingle_sets[b])
-        if sim >= threshold:
-            keep_a.append(int(a))
-            keep_b.append(int(b))
-            sims.append(round(sim, 6))
-    out = pd.DataFrame({"a": keep_a, "b": keep_b, "jaccard": sims})
-    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+def minhash_lsh_pairs(ds, n_perm: int = 128, n_bands: int = 64,
+                      shingle_k: int = 3, threshold: float = 0.7,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n_parts: int = 32, join_parts: int = 8):
+    """Near-duplicate id pairs (a < b) with exact-Jaccard verification.
+
+    Fully distributed: shingle→minhash→band rows→``groupby(pbucket)``
+    pair-expansion→pair dedup (groupby)→``Dataset.join`` of pair ids
+    against the shingle table→vectorized exact-Jaccard filter.  No
+    driver-side materialization at any step; ``n_parts``/``join_parts``
+    scale with the cluster.  Returns (a, b, jaccard_ppm) where
+    ``jaccard_ppm = |∩|·10⁶ // |∪|`` — integer arithmetic on both this and
+    the DuckDB-oracle side, so results hash-compare exactly.  With rows=2
+    banding (128 perms × 64 bands) a pair at J=threshold≥0.5 escapes the
+    candidate set with probability ≤ (1-J²)^64 ≈ 1e-8.
+    """
+    thr_ppm = int(round(threshold * 1_000_000))
+
+    sigs = minhash_signatures(ds, n_perm, shingle_k, id_col, text_col)
+    band_ds = sigs.map_batches(
+        lambda t: _band_rows(t, n_bands, id_col, n_parts),
+        batch_format="pyarrow")
+    pairs = band_ds.groupby("pbucket").map_groups(
+        lambda g: _expand_bucket_pairs(g, id_col, ["band", "band_hash"]),
+        batch_format="pandas")
+    # the same pair surfaces from several bands/partitions — dedup by key
+    cand = pairs.groupby(["a", "b"]).count().map_batches(
+        lambda t: _norm_schema(t, {"a": pa.int64(), "b": pa.int64()}),
+        batch_format="pyarrow")
+
+    sh = shingle_table(ds, shingle_k, id_col, text_col)
+    with_a = _attach_packed(cand, sh, "a", {"b": pa.int64()}, "sh_a",
+                            join_parts)
+    joined = _attach_packed(with_a, sh, "b",
+                            {"a": pa.int64(), "sh_a": pa.string()}, "sh_b",
+                            join_parts)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        oa, ob, op = [], [], []
+        for a, b, x, y in zip(batch["a"].to_pylist(), batch["b"].to_pylist(),
+                              batch["sh_a"].to_pylist(),
+                              batch["sh_b"].to_pylist()):
+            xs, ys = _unpack_shingles(x), _unpack_shingles(y)
+            uni = len(xs | ys)
+            ppm = 1_000_000 if uni == 0 else (len(xs & ys) * 1_000_000) // uni
+            if ppm >= thr_ppm:
+                oa.append(a)
+                ob.append(b)
+                op.append(ppm)
+        return pa.table({"a": pa.array(oa, pa.int64()),
+                         "b": pa.array(ob, pa.int64()),
+                         "jaccard_ppm": pa.array(op, pa.int64())})
+
+    return (joined.map_batches(verify, batch_format="pyarrow")
+            .sort(["a", "b"]))
 
 
 # --------------------------------------------------------------------------
@@ -237,65 +400,86 @@ def simhash_batch(batch: pa.Table, text_col: str = "text",
 
 
 def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text",
-                  id_col: str = "doc_id"):
+                  id_col: str = "doc_id", n_parts: int = 32):
     """Near-dup pairs by SimHash: 4×16-bit pigeonhole banding + verify.
 
     Hamming ≤ 3 over 64 bits ⇒ at least one of the four 16-bit bands is
-    identical (pigeonhole), so banding finds all qualifying pairs.
+    identical (pigeonhole), so banding finds ALL qualifying pairs — the
+    candidate step is exact, not probabilistic.  Fully distributed: the
+    fingerprint rides with the band rows, so Hamming verification happens
+    inside the same ``groupby(pbucket)`` pass (no second join); duplicate
+    pairs across bands collapse with one small pair-key groupby.
     """
     sh = ds.map_batches(
         lambda b: simhash_batch(b, text_col, id_col), batch_format="pyarrow")
 
     def band_rows(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_pylist()
-        fps = t["simhash"].to_numpy(zero_copy_only=False)
-        rid, rb, rh, rf = [], [], [], []
-        for i, fp in zip(ids, fps):
-            for bd in range(4):
-                rid.append(i)
-                rb.append(bd)
-                rh.append(int((int(fp) >> (16 * bd)) & 0xFFFF))
-                rf.append(int(fp))
-        return pa.table({id_col: pa.array(rid, pa.int64()),
-                         "band": pa.array(rb, pa.int32()),
-                         "band_val": pa.array(rh, pa.int64()),
-                         "fp": pa.array(rf, pa.uint64())})
+        n = t.num_rows
+        if n == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "band": pa.array([], pa.int32()),
+                             "band_val": pa.array([], pa.int64()),
+                             "fp": pa.array([], pa.uint64()),
+                             "pbucket": pa.array([], pa.int32())})
+        ids = np.repeat(
+            np.asarray(t[id_col].to_numpy(zero_copy_only=False), np.int64), 4)
+        fps = np.asarray(t["simhash"].to_numpy(zero_copy_only=False),
+                         np.uint64)
+        shifts = (np.arange(4, dtype=np.uint64) * np.uint64(16))
+        vals = ((fps[:, None] >> shifts[None, :])
+                & np.uint64(0xFFFF)).astype(np.int64)
+        band = np.tile(np.arange(4, dtype=np.int32), n)
+        pb = ((vals.ravel().astype(np.uint64) * _GOLD
+               + band.astype(np.uint64)) % np.uint64(n_parts)).astype(np.int32)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "band": pa.array(band, pa.int32()),
+                         "band_val": pa.array(vals.ravel(), pa.int64()),
+                         "fp": pa.array(np.repeat(fps, 4), pa.uint64()),
+                         "pbucket": pa.array(pb, pa.int32())})
 
-    band_df = (sh.map_batches(band_rows, batch_format="pyarrow")
-               .to_pandas())
-    # only multi-member (band, value) buckets can yield pairs (see the
-    # minhash analog above for the scale note)
-    cand = band_df[band_df.duplicated(["band", "band_val"], keep=False)]
-    rows: dict = {}
-    for _, g in cand.groupby(["band", "band_val"], sort=False):
-        g = g.drop_duplicates(id_col).sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        fps = g["fp"].to_numpy()
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                ham = bin(int(fps[i]) ^ int(fps[j])).count("1")
-                if ham <= max_hamming:
-                    rows[(int(ids[i]), int(ids[j]))] = ham
-    if not rows:
-        return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                             "b": pd.Series(dtype="int64"),
-                             "hamming": pd.Series(dtype="int64")})
-    out = pd.DataFrame(
-        [(a, b, h) for (a, b), h in sorted(rows.items())],
-        columns=["a", "b", "hamming"])
-    return out.reset_index(drop=True)
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g[g.duplicated(["band", "band_val"], keep=False)]
+        rows: dict = {}
+        for _, grp in dup.groupby(["band", "band_val"], sort=False):
+            grp = grp.drop_duplicates(id_col).sort_values(id_col)
+            ids = grp[id_col].to_numpy()
+            fps = grp["fp"].to_numpy()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    ham = bin(int(fps[i]) ^ int(fps[j])).count("1")
+                    if ham <= max_hamming:
+                        rows[(int(ids[i]), int(ids[j]))] = ham
+        if not rows:
+            return pd.DataFrame({**_EMPTY_PAIRS,
+                                 "hamming": pd.Series(dtype="int64")})
+        arr = sorted(rows.items())
+        return pd.DataFrame({"a": [a for (a, _), _ in arr],
+                             "b": [b for (_, b), _ in arr],
+                             "hamming": [h for _, h in arr]})
+
+    pairs = (sh.map_batches(band_rows, batch_format="pyarrow")
+             .groupby("pbucket")
+             .map_groups(emit, batch_format="pandas"))
+    # a pair can surface from up to 4 bands/partitions; hamming identical
+    out = pairs.groupby(["a", "b"]).min("hamming")
+    return (out.map_batches(
+        lambda t: _norm_schema(
+            t, {"a": pa.int64(), "b": pa.int64(),
+                "min(hamming)": pa.int64()},
+            rename=["a", "b", "hamming"]),
+        batch_format="pyarrow")
+        .sort(["a", "b"]))
 
 
 def ngram_jaccard_pairs(ds, shingle_k: int = 3, threshold: float = 0.5,
                         id_col: str = "doc_id", text_col: str = "text",
-                        n_bands: int = 32, n_perm: int = 128):
+                        n_bands: int = 64, n_perm: int = 128):
     """Exact n-gram-Jaccard near-dup pairs, LSH-candidate-generated.
 
-    Same pipeline as :func:`minhash_lsh_pairs` but tuned for *recall at a
-    lower threshold* (more permutations, narrower bands: 32 bands × 4 rows
-    catch pairs down to J≈0.4 with high probability), and the reported
-    score is the exact shingle-set Jaccard — the candidate step is only a
-    pruning device.
+    Same distributed pipeline as :func:`minhash_lsh_pairs` (rows=2 banding
+    keeps candidate recall ≈1 down to J≈0.5); the reported score is the
+    exact shingle-set Jaccard in ppm — the LSH step is only a pruning
+    device.
     """
     return minhash_lsh_pairs(ds, n_perm=n_perm, n_bands=n_bands,
                              shingle_k=shingle_k, threshold=threshold,

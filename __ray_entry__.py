@@ -515,9 +515,28 @@ def _q_lang_id(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def _cache_key(sf_dir: str, tag: str) -> str:
+    import re
+    return f"{tag}_{re.sub(r'[^A-Za-z0-9.]+', '_', sf_dir.strip('/'))}"
+
+
 def _q_ivf_ann(sf_dir: str):
     from vyntr_ray.stages.similarity import ivf_topk
-    return ivf_topk(_read(sf_dir, "embeddings"), _qvec(), k=10, nprobe=2)
+    return ivf_topk(_read(sf_dir, "embeddings"), _qvec(), k=10, nprobe=2,
+                    cache_key=_cache_key(sf_dir, "label"))
+
+
+def _q_ivf_kmeans(sf_dir: str):
+    """IVF over LEARNED cells: k-means quantizer → partitioned layout →
+    pruned probe.  Rows-only (k-means isn't SQL-expressible); recall vs
+    brute force is pinned in tests/test_stages.py."""
+    from vyntr_ray.stages.similarity import (assign_cells, ivf_topk,
+                                             kmeans_cells)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cen = kmeans_cells(ds, n_cells=8, iters=5)
+    celled = assign_cells(ds, cen)
+    return ivf_topk(celled, _qvec(), k=10, nprobe=3, cell_col="cell",
+                    cache_key=_cache_key(sf_dir, "kmeans"))
 
 
 # deterministic "dirt" wrapped around every document so each cleaner
@@ -597,6 +616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_embeddings": _q_chunk_embeddings,
         "ann_topk": _q_ann_topk,
         "ivf_ann": _q_ivf_ann,
+        "ivf_kmeans": _q_ivf_kmeans,
         # index prep / serving-side relational
         "index_prep": _q_index_prep,
         "autocomplete": _q_autocomplete,
@@ -750,6 +770,32 @@ def oracle_sql() -> dict[str, str]:
                            embedding::DOUBLE[], {qlit}), 4) AS score
                 FROM embeddings)
             SELECT vec_id, score FROM s
+            ORDER BY score DESC, vec_id LIMIT 10
+        """,
+        # IVF probe: rank label-cells by centroid cosine (scale-invariant,
+        # so the unnormalized q works), take top nprobe=2 (ties: label
+        # desc, matching the python sort), then exact top-k within
+        "ivf_ann": f"""
+            WITH ex AS (
+                SELECT label, generate_subscripts(embedding, 1) AS pos,
+                       unnest(embedding)::DOUBLE AS v
+                FROM embeddings),
+            cen AS (SELECT label, pos, avg(v) AS c
+                    FROM ex GROUP BY label, pos),
+            qv AS (SELECT generate_subscripts(arr, 1) AS pos,
+                          unnest(arr) AS qv
+                   FROM (SELECT {qlit} AS arr)),
+            sim AS (SELECT label,
+                           sum(c * qv) / (sqrt(sum(c * c))
+                                          * sqrt(sum(qv * qv))) AS s
+                    FROM cen JOIN qv USING (pos) GROUP BY label),
+            probe AS (SELECT label FROM sim
+                      ORDER BY s DESC, label DESC LIMIT 2)
+            SELECT vec_id,
+                   round(list_cosine_similarity(
+                       embedding::DOUBLE[], {qlit}), 4) AS score
+            FROM embeddings
+            WHERE label IN (SELECT label FROM probe)
             ORDER BY score DESC, vec_id LIMIT 10
         """,
         "embedding_dups": """

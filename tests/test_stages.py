@@ -310,6 +310,49 @@ class TestDistributedStages:
         recall = len(set(brute) & set(approx)) / 10
         assert recall >= 0.7
 
+    def test_kmeans_ivf_recall_and_pruned_read(self):
+        import os
+
+        import ray.data as rd
+
+        from vyntr_ray.stages.similarity import (CACHE_DIR, assign_cells,
+                                                 cosine_topk, ivf_topk,
+                                                 kmeans_cells, query_vector)
+        rng = np.random.default_rng(11)
+        centers = rng.standard_normal((6, 16)) * 3
+        rows = [{"vec_id": i,
+                 "embedding": (centers[i % 6]
+                               + rng.standard_normal(16) * 0.5)
+                 .astype(np.float32).tolist()}
+                for i in range(300)]
+        ds = rd.from_items(rows)
+        cen = kmeans_cells(ds, n_cells=6, iters=5)
+        assert cen.shape == (6, 16)
+        celled = assign_cells(ds, cen)
+        q = query_vector(16, seed=3)
+        key = "test_kmeans_pruned"
+        approx = [r["vec_id"] for r in
+                  ivf_topk(celled, q, k=10, nprobe=3, cell_col="cell",
+                           cache_key=key).take_all()]
+        brute = [r["vec_id"] for r in cosine_topk(ds, q, k=10).take_all()]
+        assert len(set(brute) & set(approx)) / 10 >= 0.7
+        # pruned-read evidence: the layout holds every cell, yet the probe
+        # touched only nprobe of the cell dirs' bytes
+        layout = os.path.join(CACHE_DIR, key)
+        dirs = [d for d in os.listdir(layout) if d.startswith("cell=")]
+        assert len(dirs) >= 5  # all learned cells materialized
+
+        def dir_bytes(d):
+            p = os.path.join(layout, d)
+            return sum(os.path.getsize(os.path.join(p, f))
+                       for f in os.listdir(p))
+
+        total = sum(dir_bytes(d) for d in dirs)
+        # the probe reads exactly 3 cell dirs; even the 3 LARGEST dirs are
+        # well under the full layout, bounding scanned bytes < 75% of index
+        probed_upper = sum(sorted(dir_bytes(d) for d in dirs)[-3:])
+        assert probed_upper < 0.75 * total
+
     def test_cleaning_stats_pipeline(self):
         import ray.data as rd
 

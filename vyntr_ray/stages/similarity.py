@@ -4,20 +4,34 @@
   matrix: numpy matmul per batch (the K6 pgvector ANN analog,
   `genesis/tools/embedding/search_repl.py:125-147`), then a distributed
   ``sort().limit(k)``.  The query matrix ships once via ``ray.put``.
-- ``ivf_topk``     — the scale path: IVF-style bucketing (here the ``label``
-  column stands in for the coarse quantizer cell), probe the ``nprobe``
-  closest centroids only.  Recall measured against brute force in tests.
+- ``ivf_topk``     — the scale path: embeddings are written ONCE into a
+  cell-partitioned parquet layout (``cell=X/`` hive dirs — the IVF index
+  build), probing is a *pruned read* of only the ``nprobe`` highest-scoring
+  cells: I/O is O(corpus × nprobe / n_cells), not O(corpus).
+- ``kmeans_cells`` — learned coarse quantizer (distributed Lloyd
+  iterations: per-batch assign + partial sums, driver combines k×dim);
+  ``assign_cells`` attaches the learned cell id per row.
 
 Scores are computed in float64 and rounded so results hash-compare stably.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["query_vector", "cosine_topk", "ivf_topk"]
+__all__ = ["query_vector", "cosine_topk", "ivf_topk", "build_ivf_layout",
+           "kmeans_cells", "assign_cells"]
+
+CACHE_DIR = "/tmp/vyntr_ray_cache/ivf"
+
+import itertools as _itertools
+
+_ADHOC_SEQ = _itertools.count()
 
 
 def query_vector(dim: int = 64, seed: int = 7) -> np.ndarray:
@@ -52,15 +66,106 @@ def cosine_topk(ds, q: np.ndarray, k: int = 10, id_col: str = "vec_id",
     return scored.sort(["score", id_col], descending=[True, False]).limit(k)
 
 
-def ivf_topk(ds, q: np.ndarray, k: int = 10, nprobe: int = 2,
-             cell_col: str = "label", id_col: str = "vec_id",
-             vec_col: str = "embedding", round_to: int = 4):
-    """IVF-bucketed ANN: rank cells by centroid similarity, probe top cells.
+# --------------------------------------------------------------------------
+# IVF: learned cells, partitioned layout, pruned probe
+# --------------------------------------------------------------------------
 
-    Centroids come from a small per-cell mean aggregate (one shuffle over
-    the cell key); the probe is a pruned read of only the selected cells.
+def kmeans_cells(ds, n_cells: int = 8, iters: int = 10, sample: int = 2048,
+                 vec_col: str = "embedding") -> np.ndarray:
+    """Distributed Lloyd k-means: returns (n_cells, dim) centroids.
+
+    Each iteration is one pass of per-batch assign + partial (sum, count)
+    — only k×dim floats per batch reach the driver, never the vectors.
+    Init is deterministic: the first ``sample`` rows, evenly strided.
     """
     import ray
+
+    init = np.stack([np.asarray(r[vec_col], np.float64)
+                     for r in ds.limit(sample).take_all()])
+    # deterministic farthest-point init (kmeans++-style, no RNG): spreads
+    # seeds across the sample's clusters instead of strided picks
+    chosen = [0]
+    d2 = ((init - init[0]) ** 2).sum(axis=1)
+    while len(chosen) < min(n_cells, len(init)):
+        nxt = int(d2.argmax())
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((init - init[nxt]) ** 2).sum(axis=1))
+    cen = init[chosen].copy()
+
+    for _ in range(iters):
+        cen_ref = ray.put(cen)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cen_ref)
+            mat = np.stack(batch[vec_col].to_pylist()).astype(np.float64)
+            d = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            cell = d.argmin(axis=1)
+            rows = []
+            for ci in np.unique(cell):
+                sel = mat[cell == ci]
+                rows.append((int(ci), sel.sum(axis=0).tolist(), len(sel)))
+            return pa.table({
+                "cell": pa.array([r[0] for r in rows], pa.int32()),
+                "vsum": pa.array([r[1] for r in rows],
+                                 pa.list_(pa.float64())),
+                "n": pa.array([r[2] for r in rows], pa.int64()),
+            })
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        sums = np.zeros_like(cen)
+        counts = np.zeros(len(cen))
+        for r in parts:
+            sums[r["cell"]] += np.asarray(r["vsum"])
+            counts[r["cell"]] += r["n"]
+        nonzero = counts > 0
+        cen[nonzero] = sums[nonzero] / counts[nonzero, None]
+    return cen
+
+
+def assign_cells(ds, centroids: np.ndarray, vec_col: str = "embedding",
+                 cell_col: str = "cell"):
+    """Attach the nearest-centroid cell id (broadcast centroids once)."""
+    import ray
+    cen_ref = ray.put(np.asarray(centroids, np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cen_ref)
+        mat = np.stack(batch[vec_col].to_pylist()).astype(np.float64)
+        d = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return batch.append_column(
+            cell_col, pa.array(d.argmin(axis=1).astype(np.int64), pa.int64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def build_ivf_layout(ds, cache_key: str, cell_col: str = "label",
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     cache_root: str = CACHE_DIR) -> str:
+    """One-time IVF index build: write (id, vec, cell) partitioned by cell.
+
+    The layout is the on-disk analog of IVF posting lists — hive dirs
+    ``cell=X/`` that later probes read *selectively*.  Idempotent via a
+    _SUCCESS marker (a failed build is rebuilt from scratch; a finished one
+    is reused across runs — the resumable-output contract).
+    """
+    out = os.path.join(cache_root, cache_key)
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    # sort by cell so each hive dir holds O(1) files, not one per input
+    # block — read_parquet plan time is per-file (the index-build shuffle)
+    (ds.select_columns([id_col, vec_col, cell_col])
+       .sort(cell_col)
+       .write_parquet(out, partition_cols=[cell_col]))
+    with open(marker, "w", encoding="utf-8"):
+        pass
+    return out
+
+
+def _rank_cells(ds, q: np.ndarray, cell_col: str, vec_col: str):
+    """Per-cell mean centroid (distributed partials) ranked by cosine(q)."""
 
     def partial_centroid(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame({
@@ -95,17 +200,43 @@ def ivf_topk(ds, q: np.ndarray, k: int = 10, nprobe: int = 2,
         cen = vsum / n
         nrm = np.linalg.norm(cen)
         cells.append((float(cen @ qn / (nrm or 1.0)), c))
-    probe = {c for _, c in sorted(cells, reverse=True)[:nprobe]}
-    probe_arr = pa.array(sorted(probe))
+    return sorted(cells, reverse=True), qn
+
+
+def ivf_topk(ds, q: np.ndarray, k: int = 10, nprobe: int = 2,
+             cell_col: str = "label", id_col: str = "vec_id",
+             vec_col: str = "embedding", round_to: int = 4,
+             cache_key: str | None = None, cache_root: str = CACHE_DIR):
+    """IVF ANN: rank cells by centroid cosine, scan ONLY the probed cells.
+
+    The cell-partitioned layout is built once (``build_ivf_layout``) and
+    probes are pruned ``read_parquet`` calls over the ``nprobe`` selected
+    ``cell=X/`` dirs — at 100 TB only nprobe/n_cells of the index leaves
+    storage per query, the same bucket-pruning the page store uses.
+    """
+    import ray
+    import ray.data as rd
+
+    ranked, qn = _rank_cells(ds, q, cell_col, vec_col)
+    probe = [c for _, c in ranked[:nprobe]]
+
+    if cache_key is None:
+        cache_key = f"adhoc_{os.getpid()}_{next(_ADHOC_SEQ)}"
+    layout = build_ivf_layout(ds, cache_key, cell_col, id_col, vec_col,
+                              cache_root)
+    # pruned read: only the probed cell=X/ dirs (list-of-paths reads want
+    # concrete files, so glob each probed dir)
+    paths = []
+    for c in probe:
+        d = os.path.join(layout, f"{cell_col}={c}")
+        paths.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                     if f.endswith(".parquet"))
+    probe_ds = rd.read_parquet(paths, columns=[id_col, vec_col])
+
     q_ref = ray.put(qn)
 
-    def score_probed(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        sel = batch.filter(pc.is_in(batch[cell_col], value_set=probe_arr))
-        if sel.num_rows == 0:
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             "score": pa.array([], pa.float64())})
-        return _scores_batch(sel, ray.get(q_ref), id_col, vec_col, round_to)
+    def score(batch: pa.Table) -> pa.Table:
+        return _scores_batch(batch, ray.get(q_ref), id_col, vec_col, round_to)
 
-    scored = ds.map_batches(score_probed, batch_format="pyarrow")
+    scored = probe_ds.map_batches(score, batch_format="pyarrow")
     return scored.sort(["score", id_col], descending=[True, False]).limit(k)

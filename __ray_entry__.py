@@ -458,6 +458,25 @@ def _q_nation_agg(sf_dir: str):
             .groupby("n_name").map_groups(agg, batch_format="pandas"))
 
 
+_BM25_TERMS = ["data", "scan", "merge"]
+
+
+def _q_inverted_index(sf_dir: str):
+    """Inverted-index build (Pulse analog): (term, df, total_tf) summary."""
+    from vyntr_ray.stages.search_index import build_text_index, index_summary
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    idx = build_text_index(ds, cache_key=_cache_key(sf_dir, "textidx"))
+    return index_summary(idx)
+
+
+def _q_bm25_topk(sf_dir: str):
+    """BM25 ranked top-10 over the inverted index (pruned shard reads)."""
+    from vyntr_ray.stages.search_index import bm25_topk, build_text_index
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    idx = build_text_index(ds, cache_key=_cache_key(sf_dir, "textidx"))
+    return bm25_topk(idx, _BM25_TERMS, k=10)
+
+
 def _q_search_topk(sf_dir: str):
     """K5: term-frequency scored top-10 (Pulse search analog)."""
     import re
@@ -635,6 +654,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inactive_customers": _q_inactive_customers,
         "nation_customers_agg": _q_nation_agg,
         "search_topk": _q_search_topk,
+        "inverted_index": _q_inverted_index,
+        "bm25_topk": _q_bm25_topk,
         # multimodal plumbing
         "multimodal_decode": _q_multimodal,
         "video_frames": _q_video_frames,
@@ -1033,6 +1054,43 @@ def oracle_sql() -> dict[str, str]:
                 FROM s)
             SELECT pred_lang, count(*)::BIGINT AS n
             FROM p GROUP BY pred_lang
+        """,
+        "inverted_index": r"""
+            WITH tok AS (SELECT doc_id,
+                                unnest(regexp_extract_all(lower(text),
+                                    '[a-z0-9]+')) AS term
+                         FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM tok GROUP BY doc_id, term)
+            SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS total_tf
+            FROM tf GROUP BY term
+        """,
+        # Lucene-variant BM25 (k1=1.2, b=0.75) over whole-corpus stats
+        "bm25_topk": r"""
+            WITH tok AS (SELECT doc_id,
+                                unnest(regexp_extract_all(lower(text),
+                                    '[a-z0-9]+')) AS term
+                         FROM documents),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            stats AS (SELECT count(*)::DOUBLE AS n_docs,
+                             avg(dl)::DOUBLE AS avgdl FROM dl),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                   WHERE term IN ('data', 'scan', 'merge')
+                   GROUP BY doc_id, term),
+            dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            sc AS (SELECT tf.doc_id,
+                          sum(ln((stats.n_docs - dfq.df + 0.5)
+                                 / (dfq.df + 0.5) + 1.0)
+                              * tf.tf * 2.2
+                              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                                / stats.avgdl))) AS s
+                   FROM tf
+                   JOIN dfq USING (term)
+                   JOIN dl ON tf.doc_id = dl.doc_id
+                   CROSS JOIN stats
+                   GROUP BY tf.doc_id)
+            SELECT doc_id, round(s, 4) AS score
+            FROM sc ORDER BY score DESC, doc_id LIMIT 10
         """,
         # exact O(n²) ground truth for the LSH-pruned pipelines: with
         # rows=2 banding the candidate step has recall ≈ 1 at J ≥ threshold

@@ -310,6 +310,31 @@ class TestDistributedStages:
         recall = len(set(brute) & set(approx)) / 10
         assert recall >= 0.7
 
+    def test_bm25_index_build_and_ranked_search(self, tmp_path):
+        import ray.data as rd
+
+        from vyntr_ray.stages.search_index import (bm25_topk,
+                                                   build_text_index,
+                                                   index_summary)
+        rows = [
+            {"doc_id": 0, "text": "apple apple apple banana"},
+            {"doc_id": 1, "text": "apple banana cherry"},
+            {"doc_id": 2, "text": "cherry cherry date date date"},
+            {"doc_id": 3, "text": "banana date elderberry fig grape"},
+        ]
+        idx = build_text_index(rd.from_items(rows), cache_key="t",
+                               cache_root=str(tmp_path))
+        summ = index_summary(idx).to_pandas().set_index("term")
+        assert summ.loc["apple", "df"] == 2
+        assert summ.loc["apple", "total_tf"] == 4
+        assert summ.loc["date", "df"] == 2
+        top = bm25_topk(idx, ["apple"], k=2).to_pandas()
+        # doc 0 has tf=3 of 'apple' in a 4-token doc — must outrank doc 1
+        assert list(top["doc_id"]) == [0, 1]
+        # rebuild is a no-op (idempotent _SUCCESS contract)
+        assert build_text_index(rd.from_items(rows), cache_key="t",
+                                cache_root=str(tmp_path)) == idx
+
     def test_kmeans_ivf_recall_and_pruned_read(self):
         import os
 

@@ -1,0 +1,206 @@
+"""Inverted-index build + BM25 ranked search — the Pulse analog.
+
+The reference indexes crawl analyses into a Tantivy full-text index with a
+field schema (`pulse/src/main.rs:45-54`) and serves scored top-k search
+(`pulse/src/bin/server.rs:75-77`).  Re-expressed Ray-Data-first:
+
+- **build**: tokenize → (term, doc_id, tf, dl) rows → ONE shuffle
+  (``groupby(shard)`` where shard = hash(term) % n_shards) → vectorized
+  per-shard posting-list assembly (term, df, total_tf, doc_ids, tfs, dls)
+  → partitioned parquet ``shard=XX/`` dirs.  Document length rides inside
+  the postings (Lucene-norms-style denormalization) so scoring needs no
+  corpus-side join.  Global stats (N, avgdl) land in ``_stats.json``.
+- **search**: resolve the query terms' shards, *pruned read* of only those
+  ``shard=XX/`` dirs, filter to the query terms, explode posting lists,
+  vectorized BM25, ``groupby(doc).sum`` → ``sort().limit(k)``.
+
+Scale notes: the only all-to-all is the build groupby (shard count scales
+with the cluster).  A stop-word-grade hot term makes one posting row huge;
+at 10^10 docs split postings into (term, doc_block) sub-lists — same
+layout, same reader, documented here rather than built.  Search I/O is
+O(postings of the query terms' shards), independent of corpus size.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+import shutil
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["build_text_index", "bm25_topk", "index_summary",
+           "term_rows_batch", "TEXT_TOKEN"]
+
+TEXT_TOKEN = re.compile(r"[a-z0-9]+")
+
+CACHE_DIR = "/tmp/vyntr_ray_cache/text_index"
+
+
+def _shard_of(term: str, n_shards: int) -> int:
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8],
+               16) % n_shards
+
+
+def term_rows_batch(batch: pa.Table, n_shards: int, id_col: str = "doc_id",
+                    text_col: str = "text") -> pa.Table:
+    """(term, doc_id, tf, dl, shard) rows for one Arrow batch."""
+    ids, terms, tfs, dls, shards = [], [], [], [], []
+    for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+        toks = TEXT_TOKEN.findall((t or "").lower())
+        if not toks:
+            continue
+        dl = len(toks)
+        for term, tf in Counter(toks).items():
+            ids.append(i)
+            terms.append(term)
+            tfs.append(tf)
+            dls.append(dl)
+            shards.append(_shard_of(term, n_shards))
+    return pa.table({
+        "term": pa.array(terms, pa.string()),
+        id_col: pa.array(ids, pa.int64()),
+        "tf": pa.array(tfs, pa.int64()),
+        "dl": pa.array(dls, pa.int64()),
+        "shard": pa.array(shards, pa.int32()),
+    })
+
+
+def build_text_index(ds, cache_key: str, n_shards: int = 16,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     cache_root: str = CACHE_DIR) -> str:
+    """One-time index build; idempotent via _SUCCESS (resumable output)."""
+    out = os.path.join(cache_root, cache_key)
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    rows = ds.map_batches(
+        lambda b: term_rows_batch(b, n_shards, id_col, text_col),
+        batch_format="pyarrow")
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        # all complete terms of one shard — vectorized pandas assembly
+        g = g.sort_values(["term", id_col], kind="mergesort")
+        agg = g.groupby("term", sort=False).agg(
+            df=(id_col, "size"), total_tf=("tf", "sum"),
+            doc_ids=(id_col, list), tfs=("tf", list), dls=("dl", list),
+            shard=("shard", "first"))
+        return agg.reset_index()
+
+    postings = rows.groupby("shard").map_groups(
+        assemble, batch_format="pandas")
+    postings.write_parquet(out, partition_cols=["shard"])
+
+    # global stats: docs-with-tokens count + mean doc length (tiny)
+    import pyarrow.compute as pc
+
+    def dl_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({id_col: b[id_col].to_pylist(),
+                           "dl": b["dl"].to_pylist()})
+        u = df.drop_duplicates(id_col)
+        return pa.table({"n": pa.array([len(u)], pa.int64()),
+                         "dl_sum": pa.array([int(u["dl"].sum())],
+                                            pa.int64())})
+
+    parts = rows.map_batches(dl_partial, batch_format="pyarrow").take_all()
+    # a doc's rows never split across batches (term_rows emits per input
+    # row), so per-batch distinct-doc partials sum exactly
+    n_docs = sum(p["n"] for p in parts)
+    dl_sum = sum(p["dl_sum"] for p in parts)
+    with open(os.path.join(out, "_stats.json"), "w", encoding="utf-8") as f:
+        json.dump({"n_docs": n_docs, "dl_sum": dl_sum,
+                   "n_shards": n_shards}, f)
+    with open(marker, "w", encoding="utf-8"):
+        pass
+    return out
+
+
+def _read_shards(index_dir: str, shards: set[int], columns: list[str]):
+    import ray.data as rd
+    paths = []
+    for s in sorted(shards):
+        d = os.path.join(index_dir, f"shard={s}")
+        if os.path.isdir(d):
+            paths.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                         if f.endswith(".parquet"))
+    return rd.read_parquet(paths, columns=columns) if paths else None
+
+
+def bm25_topk(index_dir: str, query_terms: list[str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75, id_col: str = "doc_id",
+              round_to: int = 4):
+    """BM25 top-k over the built index — reads ONLY the query terms' shards.
+
+    idf = ln((N - df + 0.5) / (df + 0.5) + 1)  (the Lucene BM25 variant);
+    score(d) = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    """
+    import ray
+
+    with open(os.path.join(index_dir, "_stats.json"), encoding="utf-8") as f:
+        stats = json.load(f)
+    n_docs, avgdl = stats["n_docs"], stats["dl_sum"] / stats["n_docs"]
+    n_shards = stats["n_shards"]
+
+    terms = sorted(set(t.lower() for t in query_terms))
+    shards = {_shard_of(t, n_shards) for t in terms}
+    probe = _read_shards(index_dir, shards,
+                         ["term", "df", "doc_ids", "tfs", "dls"])
+    if probe is None:
+        import ray.data as rd
+        return rd.from_items([])
+    terms_ref = ray.put(set(terms))
+
+    def score(batch: pa.Table) -> pa.Table:
+        want = ray.get(terms_ref)
+        ids_out, sc_out = [], []
+        for term, df, dids, tfs, dls in zip(
+                batch["term"].to_pylist(), batch["df"].to_pylist(),
+                batch["doc_ids"].to_pylist(), batch["tfs"].to_pylist(),
+                batch["dls"].to_pylist()):
+            if term not in want:
+                continue
+            idf = float(np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
+            tf = np.asarray(tfs, np.float64)
+            dl = np.asarray(dls, np.float64)
+            s = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            ids_out.append(np.asarray(dids, np.int64))
+            sc_out.append(s)
+        if not ids_out:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "partial": pa.array([], pa.float64())})
+        return pa.table({id_col: pa.array(np.concatenate(ids_out),
+                                          pa.int64()),
+                         "partial": pa.array(np.concatenate(sc_out),
+                                             pa.float64())})
+
+    from ray.data.aggregate import Sum
+    import pyarrow.compute as pc
+
+    agg = (probe.map_batches(score, batch_format="pyarrow")
+           .groupby(id_col)
+           .aggregate(Sum("partial", alias_name="score")))
+    rounded = agg.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("score"), "score",
+                               pc.round(t["score"], round_to)),
+        batch_format="pyarrow")
+    return rounded.sort(["score", id_col],
+                        descending=[True, False]).limit(k)
+
+
+def index_summary(index_dir: str):
+    """(term, df, total_tf) projection of the built index (all shards)."""
+    import ray.data as rd
+    with open(os.path.join(index_dir, "_stats.json"), encoding="utf-8") as f:
+        n_shards = json.load(f)["n_shards"]
+    ds = _read_shards(index_dir, set(range(n_shards)),
+                      ["term", "df", "total_tf"])
+    assert ds is not None
+    return ds

@@ -35,6 +35,10 @@ def main() -> None:
     ap.add_argument("--load-robots", action="store_true",
                     help="resolve robots.txt rules from the page store")
     ap.add_argument("--preload-pages", action="store_true")
+    ap.add_argument("--flaky-tunnel-rate", type=float, default=0.0,
+                    help="inject per-attempt tunnel failures (retry-ladder"
+                         " exercise; 2 tunnel tries then proxy rotation)")
+    ap.add_argument("--flaky-proxy-rate", type=float, default=0.0)
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="local mode only; on a cluster omit and connect")
     args = ap.parse_args()
@@ -52,16 +56,23 @@ def main() -> None:
 
     robots = load_robots_rules(args.pages) if args.load_robots else None
     seeds = read_seed_file(args.seeds)
+    ladder = None
+    if args.flaky_tunnel_rate or args.flaky_proxy_rate:
+        from vyntr_ray.functions.fetch import HashFlaky, RetryLadder
+        ladder = RetryLadder(fail_fn=HashFlaky(
+            tunnel_rate=args.flaky_tunnel_rate,
+            proxy_rate=args.flaky_proxy_rate))
     stats = run_crawl(
         args.pages, seeds, args.workdir, max_pages=args.max_pages,
         max_per_domain=args.max_per_domain, seed=args.seed,
         robots=robots, n_shards=args.n_shards, resume=args.resume,
         checkpoint=not args.no_checkpoint,
-        preload_pages=args.preload_pages)
+        preload_pages=args.preload_pages, fetch_ladder=ladder)
     print(json.dumps({
         "waves": stats.waves, "scheduled": stats.scheduled,
         "fetched": stats.fetched, "failed": stats.failed,
-        "discovered": stats.discovered, "seen_total": stats.seen_total,
+        "discovered": stats.discovered, "retried": stats.retried,
+        "seen_total": stats.seen_total,
     }))
     ray.shutdown()
 

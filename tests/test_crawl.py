@@ -215,6 +215,78 @@ def test_distributed_select_crawl_parity(ray_session, small_pages_file,
         got.astype({"wave": "int64", "position": "int64"}), exp)
 
 
+def test_distributed_select_stateful_tokens_parity(ray_session,
+                                                   small_pages_file,
+                                                   tmp_path):
+    # token balances ride with the bucket tasks: a throttled (refill <
+    # capacity) crawl must be identical run distributed vs driver-side
+    pages_path, seeds = small_pages_file
+    w1 = str(tmp_path / "tok_driver")
+    w2 = str(tmp_path / "tok_dist")
+    s1 = run_crawl(pages_path, seeds, w1, max_pages=BUDGET, seed=42,
+                   n_shards=4, checkpoint=False, refill=2.0)
+    s2 = run_crawl(pages_path, seeds, w2, max_pages=BUDGET, seed=42,
+                   n_shards=4, checkpoint=False, refill=2.0,
+                   distributed_select=True)
+    pd.testing.assert_frame_equal(_read_schedule(w1), _read_schedule(w2))
+    assert (s1.scheduled, s1.fetched, s1.waves) == \
+        (s2.scheduled, s2.fetched, s2.waves)
+    # throttling actually engaged: more waves than the memoryless run
+    w3 = str(tmp_path / "memless")
+    s3 = run_crawl(pages_path, seeds, w3, max_pages=BUDGET, seed=42,
+                   n_shards=4, checkpoint=False)
+    assert s1.waves > s3.waves
+
+
+def test_retry_ladder_unit():
+    from vyntr_ray.functions.fetch import HashFlaky, RetryLadder
+
+    # no fail_fn: first tunnel attempt succeeds
+    assert RetryLadder().outcome("http://a.ex/") == (True, 1, "tunnel")
+    # tunnel always fails, first proxy succeeds
+    lad = RetryLadder(fail_fn=lambda u, ch, a: ch == "tunnel")
+    assert lad.outcome("http://a.ex/") == (True, 3, "proxy-0")
+    # everything fails: 2 tunnel + 3 proxies = 5 attempts, exhausted
+    lad = RetryLadder(fail_fn=lambda u, ch, a: True)
+    assert lad.outcome("http://a.ex/") == (False, 5, "exhausted")
+    # HashFlaky is deterministic and actually exercises the rungs
+    flaky = HashFlaky(tunnel_rate=0.9, proxy_rate=0.3)
+    lad = RetryLadder(fail_fn=flaky)
+    outs = [lad.outcome(f"http://h{i}.ex/p") for i in range(200)]
+    assert outs == [lad.outcome(f"http://h{i}.ex/p") for i in range(200)]
+    vias = {v for _, _, v in outs}
+    assert "tunnel" in vias and any(v.startswith("proxy") for v in vias)
+    assert any(not ok for ok, _, _ in outs)   # some urls exhaust the ladder
+
+
+def test_flaky_fetch_crawl_parity(ray_session, small_pages_file,
+                                  small_pages, tmp_path):
+    # transport failures injected through the retry ladder must produce the
+    # identical schedule (miss rows included) and retry count on both sides
+    from vyntr_ray.functions.fetch import HashFlaky, RetryLadder
+
+    ladder = RetryLadder(fail_fn=HashFlaky(tunnel_rate=0.7, proxy_rate=0.5))
+    pages_path, seeds = small_pages_file
+    w = str(tmp_path / "flaky")
+    stats = run_crawl(pages_path, seeds, w, max_pages=BUDGET, seed=42,
+                      n_shards=4, checkpoint=False, fetch_ladder=ladder)
+    tab, _ = small_pages
+    pages = dict(zip(tab["url"].to_pylist(), tab["html"].to_pylist()))
+    sim = simulate_crawl(pages, seeds,
+                         CrawlConfig(max_pages=BUDGET, seed=42,
+                                     fetch_ladder=ladder))
+    got = _read_schedule(w)
+    exp = pd.DataFrame(sim.schedule,
+                       columns=["wave", "position", "url", "status"])
+    exp = exp.sort_values(["wave", "position"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"wave": "int64", "position": "int64"}), exp)
+    assert stats.retried == sim.retried > 0
+    assert stats.fetched == sim.fetched
+    # the ladder really dropped some store-present pages
+    assert stats.failed > 0
+
+
 def test_frontier_spill_crawl_parity(ray_session, small_pages_file,
                                      small_pages, tmp_path):
     # forced frontier spilling must not change crawl order
@@ -256,6 +328,41 @@ def test_hot_host_skew_parity(ray_session, tmp_path):
         got.astype({"wave": "int64", "position": "int64"}), exp)
     # throttle really bit: ≥ 12 waves for 120 pages over 2 hosts
     assert stats.waves >= 12
+
+
+def test_ipv6_userinfo_host_parity(ray_session, tmp_path):
+    # the enqueue fast path extracts hosts with a regex; bracketed IPv6
+    # literals and multi-@ userinfo must land in the SAME politeness bucket
+    # as sim.py's extract_domain or wave composition diverges
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+
+    links = []
+    for h in ("[2001:db8::1]", "[2001:db8::2]"):  # shared pre-':' prefix
+        links += [f"http://{h}/p{i}" for i in range(6)]
+    links += ["http://u:p@dup.example/a", "http://x@y@dup.example/b",
+              "http://dup.example/c", "http://dup.example/d",
+              "http://dup.example/e", "http://dup.example/f"]
+    html = ("<html><head><title>t</title></head><body>"
+            + "".join(f'<a href="{u}">l</a>' for u in links)
+            + "</body></html>").encode()
+    seed_url = "http://seed.example/"
+    pf = str(tmp_path / "v6.parquet")
+    pq_.write_table(pa_.table({"url": [seed_url], "html": [html]}), pf)
+    w = str(tmp_path / "v6run")
+    run_crawl(pf, [seed_url], w, max_pages=50, max_per_domain=2, seed=3,
+              n_shards=2, checkpoint=False)
+    sim = simulate_crawl({seed_url: html}, [seed_url],
+                         CrawlConfig(max_pages=50, max_per_domain=2, seed=3))
+    got = _read_schedule(w)
+    exp = pd.DataFrame(sim.schedule,
+                       columns=["wave", "position", "url", "status"])
+    exp = exp.sort_values(["wave", "position"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"wave": "int64", "position": "int64"}), exp)
+    # the two IPv6 hosts are distinct domains: 2/wave each + 2 from
+    # dup.example = 6 scheduled in the second wave
+    assert (exp[exp["wave"] == 1]).shape[0] == 6
 
 
 def test_preload_fetch_path_parity(ray_session, small_pages_file,

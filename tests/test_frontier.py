@@ -129,6 +129,7 @@ def test_select_distributed_equivalence(tmp_path):
     domains = [f"h{int(i)}.ex" for i in rng.integers(0, 10, size=500)]
     df = _mk(domains)
     pol = PolitenessPolicy(max_per_domain=5)
+    pol_b = PolitenessPolicy(max_per_domain=5)
     a = BucketedFrontier(n_buckets=4)
     b = BucketedFrontier(n_buckets=4)
     a.add(df.copy())
@@ -136,10 +137,34 @@ def test_select_distributed_equivalence(tmp_path):
     waves_a, waves_b = [], []
     while len(a):
         waves_a.append(a.select(pol)["url"].tolist())
-        waves_b.append(b.select_distributed(5)["url"].tolist())
+        waves_b.append(b.select_distributed(pol_b)["url"].tolist())
         if not waves_a[-1]:
             break
     assert waves_a == waves_b
+    assert len(b) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_select_distributed_stateful_equivalence(tmp_path):
+    # token balances ride with the bucket tasks — throttled selection must
+    # match the driver-side stateful path wave for wave
+    rng = np.random.default_rng(8)
+    domains = [f"h{int(i)}.ex" for i in rng.integers(0, 6, size=400)]
+    df = _mk(domains)
+    pol_a = PolitenessPolicy(max_per_domain=5, refill=2.0)
+    pol_b = PolitenessPolicy(max_per_domain=5, refill=2.0)
+    a = BucketedFrontier(n_buckets=4)
+    b = BucketedFrontier(n_buckets=4)
+    a.add(df.copy())
+    b.add(df.copy())
+    waves_a, waves_b = [], []
+    while len(a):
+        waves_a.append(a.select(pol_a)["url"].tolist())
+        waves_b.append(b.select_distributed(pol_b)["url"].tolist())
+        if not waves_a[-1]:
+            break
+    assert waves_a == waves_b
+    assert pol_a._tokens == pol_b._tokens
     assert len(b) == 0
 
 

@@ -88,6 +88,7 @@ class CrawlStats:
     fetched: int = 0
     failed: int = 0
     discovered: int = 0
+    retried: int = 0    # extra transport attempts beyond the first (S4)
     seen_total: int = 0
     per_wave: list = field(default_factory=list)
 
@@ -268,7 +269,8 @@ def _write_checkpoint(ckpt_dir: str, wave: int, frontier: pd.DataFrame,
         "wave": wave, "next_seq": next_seq, "n_shards": seen.n_shards,
         "config": config, "politeness": policy.snapshot(),
         "metrics": {"scheduled": stats.scheduled, "fetched": stats.fetched,
-                    "failed": stats.failed, "discovered": stats.discovered},
+                    "failed": stats.failed, "discovered": stats.discovered,
+                    "retried": stats.retried},
         "per_wave": stats.per_wave, "complete": True,
     }
     with open(os.path.join(tmp, "MANIFEST.json"), "w") as f:
@@ -321,7 +323,8 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
               preload_pages: bool = False, priority_fn=None,
               frontier_buckets: int = 16,
               frontier_mem_rows: int = 2_000_000,
-              distributed_select: bool = False) -> CrawlStats:
+              distributed_select: bool = False,
+              fetch_ladder=None) -> CrawlStats:
     """Crawl ``pages_path`` (parquet file or bucketed store) from ``seeds``.
 
     ``preload_pages=True`` materializes the (url, html) columns into the
@@ -353,8 +356,11 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
     start_wave = 0
     pending_delta: list[str] = []   # urls first seen since last checkpoint
 
+    # host of an already-normalized URL: greedy userinfo strip (rsplit at
+    # the LAST '@' of the authority, as extract_domain does), bracketed
+    # IPv6 literals kept whole, port split off for plain hosts
     _HOST_RE = __import__("re").compile(
-        r"^[a-z][a-z0-9+.\-]*://(?:[^/?#@]*@)?([^/:?#]+)")
+        r"^[a-z][a-z0-9+.\-]*://(?:[^/?#]*@)?(\[[^\]/?#]*\]|[^/:?#@]+)")
 
     def enqueue(urls: list[str], assume_normalized: bool = False
                 ) -> pd.DataFrame:
@@ -372,38 +378,44 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
         """
         nonlocal next_seq
         if assume_normalized and urls:
-            hosts = pd.Series(urls, dtype="object").str.extract(
-                _HOST_RE, expand=False)
-            parsed = [(u, h) for u, h in zip(urls, hosts) if isinstance(h, str)]
+            s = pd.Series(urls, dtype="object")
+            hosts = s.str.extract(_HOST_RE, expand=False)
+            ok = hosts.notna()
+            kept_urls = s[ok]
+            kept_hosts = hosts[ok]
         else:
-            parsed = []
+            us, ds_ = [], []
             for raw in urls:
                 try:
                     u = normalize_url(raw)
                     d = extract_domain(u)
                 except UrlParseError:
                     continue
-                parsed.append((u, d))
-        if robots_pool is not None and parsed:
+                us.append(u)
+                ds_.append(d)
+            kept_urls = pd.Series(us, dtype="object")
+            kept_hosts = pd.Series(ds_, dtype="object")
+        if len(kept_urls) and robots_pool is not None:
             paths = ["/" + u.split("://", 1)[1].split("/", 1)[1]
                      if "/" in u.split("://", 1)[1] else "/"
-                     for u, _ in parsed]
-            flags = robots_pool.allowed([d for _, d in parsed], paths)
-        else:
-            flags = [policy.allowed(u) for u, _ in parsed]
-        rows = {"seq": [], "url": [], "domain": []}
+                     for u in kept_urls]
+            flags = np.asarray(robots_pool.allowed(
+                kept_hosts.tolist(), paths), dtype=bool)
+            kept_urls, kept_hosts = kept_urls[flags], kept_hosts[flags]
+        elif len(kept_urls) and policy.robots:
+            flags = np.fromiter((policy.allowed(u) for u in kept_urls),
+                                bool, len(kept_urls))
+            kept_urls, kept_hosts = kept_urls[flags], kept_hosts[flags]
+        n = len(kept_urls)
+        rows = pd.DataFrame({
+            "seq": np.arange(next_seq, next_seq + n, dtype=np.int64),
+            "url": kept_urls.reset_index(drop=True),
+            "domain": kept_hosts.reset_index(drop=True),
+        })
         if priority_fn is not None:
-            rows["priority"] = []
-        for (u, d), ok in zip(parsed, flags):
-            if not ok:
-                continue
-            rows["seq"].append(next_seq)
-            rows["url"].append(u)
-            rows["domain"].append(d)
-            if priority_fn is not None:
-                rows["priority"].append(float(priority_fn(u)))
-            next_seq += 1
-        return pd.DataFrame(rows)
+            rows["priority"] = [float(priority_fn(u)) for u in rows["url"]]
+        next_seq += n
+        return rows
 
     latest = _latest_checkpoint(ckpt_dir) if resume else None
     seen = ShardedSeenSet(n_shards)
@@ -421,6 +433,7 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
         m = manifest["metrics"]
         stats.scheduled, stats.fetched = m["scheduled"], m["fetched"]
         stats.failed, stats.discovered = m["failed"], m["discovered"]
+        stats.retried = m.get("retried", 0)
         stats.per_wave = manifest["per_wave"]
         next_seq = manifest["next_seq"]
         start_wave = wave0 + 1
@@ -452,16 +465,14 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
     import time as _time
     _timing = bool(os.environ.get("VYNTR_TIMING"))
 
-    # distributed politeness selection needs a memoryless policy (token
-    # balances would ride with the buckets in a sharded deployment)
-    use_dist_select = (distributed_select and policy._stateless
-                       and priority_fn is None)
-
     wave = start_wave
     while stats.scheduled < max_pages and len(frontier) > 0:
         _t0 = _time.perf_counter()
-        if use_dist_select:
-            collected = frontier.select_distributed(max_per_domain)
+        if distributed_select:
+            # token balances ride with each bucket's task and come back
+            # with the result — works stateful, stateless and in priority
+            # mode (parity-tested against the driver-side path)
+            collected = frontier.select_distributed(policy)
         else:
             collected = frontier.select(policy)
         if len(collected) == 0:
@@ -499,6 +510,8 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
             # value set shipped ONCE as an Arrow array (zero-copy per task);
             # rebuilding it per batch dominated small-CPU wave time.
             vs_ref = ray.put(pa.array(batch, pa.string()))
+            ladder_ref = (ray.put(fetch_ladder)
+                          if fetch_ladder is not None else None)
             this_wave = wave
             is_preload = preloaded is not None
 
@@ -507,10 +520,18 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
                 if is_preload:  # fetch = in-memory membership probe
                     b = b.filter(pc.is_in(b["url"],
                                           value_set=ray.get(vs_ref)))
-                    if b.num_rows == 0:
-                        return _wave_partials(b.select(["url"]).append_column(
-                            "pos", pa.array([], pa.int32())).append_column(
-                            "links", pa.array([], pa.list_(pa.string()))))
+                if ladder_ref is not None and b.num_rows:
+                    # transport ladder (tunnel retries → proxy fallback):
+                    # drop urls whose every rung failed (S4 semantics)
+                    lad = ray.get(ladder_ref)
+                    b = b.filter(pa.array(
+                        [lad.ok(u) for u in b["url"].to_pylist()],
+                        pa.bool_()))
+                if b.num_rows == 0:
+                    return _wave_partials(pa.table({
+                        "url": pa.array([], pa.string()),
+                        "pos": pa.array([], pa.int32()),
+                        "links": pa.array([], pa.list_(pa.string()))}))
                 t = parse_pages_batch(b, ray.get(pos_ref), this_wave)
                 if t.num_rows:
                     tag = _h.md5((t["url"][0].as_py()
@@ -578,6 +599,9 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
         n_failed = len(batch) - n_fetched
         stats.fetched += n_fetched
         stats.failed += n_failed
+        if fetch_ladder is not None:   # O(wave) metric, matches sim.retried
+            stats.retried += sum(fetch_ladder.outcome(u)[1] - 1
+                                 for u in batch)
         if keep_schedule:
             for p, u in enumerate(batch):
                 sched_rows.append(

@@ -50,6 +50,8 @@ class CrawlConfig:
     seed: int = 42
     robots: dict | None = None       # host -> list of disallowed path prefixes
     priority_fn: object = None       # url -> float; None = FIFO (reference)
+    fetch_ladder: object = None      # RetryLadder transport model (S4);
+    # None = every fetch attempt succeeds (the reference's happy path)
 
 
 @dataclass
@@ -65,6 +67,7 @@ class CrawlResult:
     fetched: int = 0
     failed: int = 0
     discovered: int = 0
+    retried: int = 0     # extra transport attempts beyond the first
 
 
 def wave_permutation(n: int, seed: int, wave: int) -> np.ndarray:
@@ -142,6 +145,15 @@ def simulate_crawl(pages: dict[str, bytes], seeds: list[str],
             batch = batch[: len(batch) - cut]
         # --- fetch + parse + discover
         for pos, url in enumerate(batch):
+            # transport ladder first (tunnel retries → proxy fallback);
+            # store presence models content, the ladder models transport
+            if config.fetch_ladder is not None:
+                ok, attempts, _via = config.fetch_ladder.outcome(url)
+                res.retried += attempts - 1
+                if not ok:
+                    res.failed += 1
+                    res.schedule.append((wave, pos, url, "miss"))
+                    continue
             html = pages.get(url)
             if html is None:
                 res.failed += 1

@@ -184,27 +184,30 @@ class BucketedFrontier:
         self.buckets[b] = merged
         self._maybe_spill(b)
 
-    def select_distributed(self, max_per_domain: int) -> pd.DataFrame:
+    def select_distributed(self, policy) -> pd.DataFrame:
         """Politeness wave with per-bucket selection as parallel Ray tasks.
 
         The cluster-scale path for frontiers whose bucket count (not row
         count — politeness caps each bucket's *output*) makes driver-side
         iteration the bottleneck: each bucket's vectorized select runs as
-        its own task.  Stateless (memoryless-bucket) policies only — token
-        balances would need to ride with the bucket, which is exactly how
-        the sharded deployment carries them (documented; see
-        PolitenessPolicy).  Semantics identical to :meth:`select` with a
-        stateless policy (equivalence-tested).
+        its own task.  Token-bucket state RIDES WITH the bucket: each task
+        receives only its bucket's domains' balances (a domain never spans
+        buckets, so the partition is exact) and ships the updated balances
+        back with the result — semantics identical to :meth:`select`
+        (equivalence- and crawl-parity-tested, stateless and stateful).
         """
         import ray
 
         from .politeness import PolitenessPolicy
 
+        cap, refill = policy.capacity, policy.refill
+        stateless = policy._stateless
+
         @ray.remote(num_cpus=0.5)
-        def _sel(frame: pd.DataFrame, cap: int):
-            pol = PolitenessPolicy(max_per_domain=cap)
-            got, rest = pol.select(frame)
-            return got, rest.reset_index(drop=True)
+        def _sel(frame: pd.DataFrame, tokens: dict | None):
+            got, rest, updated = PolitenessPolicy.select_frame(
+                frame, cap, refill, tokens)
+            return got, rest.reset_index(drop=True), updated
 
         order = []
         futs = []
@@ -214,11 +217,19 @@ class BucketedFrontier:
             if frame is None or len(frame) == 0:
                 continue
             order.append(b)
-            futs.append(_sel.remote(frame, max_per_domain))
+            if stateless:
+                toks = None
+            else:  # only this bucket's domains' balances travel
+                doms = frame["domain"].unique()
+                toks = {d: policy._tokens[d] for d in doms
+                        if d in policy._tokens}
+            futs.append(_sel.remote(frame, toks))
         collected = []
-        for b, (got, rest) in zip(order, ray.get(futs)):
+        for b, (got, rest, updated) in zip(order, ray.get(futs)):
             collected.append(got)
             self.buckets[b] = rest
+            if updated:
+                policy._tokens.update(updated)
         if not collected:
             return pd.DataFrame(columns=_COLS)
         out = pd.concat(collected, ignore_index=True)

@@ -48,6 +48,44 @@ class PolitenessPolicy:
                   self._tokens.get(domain, self.capacity) + self.refill)
         return int(bal)
 
+    @staticmethod
+    def select_frame(frontier: pd.DataFrame, capacity: int, refill: float,
+                     tokens: dict[str, float] | None
+                     ) -> tuple[pd.DataFrame, pd.DataFrame,
+                                dict[str, float] | None]:
+        """Pure vectorized politeness selection over one frame.
+
+        Returns (collected, rest, updated-token-balances for the frame's
+        domains — None in stateless mode).  Pure so the same kernel runs
+        driver-side (:meth:`select`) and as a per-bucket Ray task
+        (``BucketedFrontier.select_distributed`` — token balances ride with
+        the bucket and come back with the result).
+        """
+        stateless = refill >= capacity
+        if len(frontier) == 0:
+            return frontier, frontier, (None if stateless else {})
+        if "priority" in frontier.columns:
+            f = frontier.sort_values(["priority", "seq"],
+                                     ascending=[False, True], kind="stable")
+        else:
+            f = frontier.sort_values("seq", kind="stable")
+        rank = f.groupby("domain", sort=False).cumcount()
+        if stateless:
+            mask = rank < capacity
+            collected = f[mask]
+            return collected, f[~mask], None
+        tokens = tokens or {}
+        budgets = {d: int(min(capacity, tokens.get(d, capacity) + refill))
+                   for d in f["domain"].unique()}
+        mask = rank < f["domain"].map(budgets)
+        collected = f[mask]
+        spent = collected.groupby("domain", sort=False).size()
+        updated = {}
+        for d in f["domain"].unique():
+            bal = min(capacity, tokens.get(d, capacity) + refill)
+            updated[d] = bal - float(spent.get(d, 0))
+        return collected, f[~mask], updated
+
     def select(self, frontier: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
         """Split a (seq, url, domain[, priority]) frame into (collected, rest).
 
@@ -59,27 +97,11 @@ class PolitenessPolicy:
         rows).  At scale this runs independently per host-hash bucket — a
         domain never spans buckets.
         """
-        if len(frontier) == 0:
-            return frontier, frontier
-        if "priority" in frontier.columns:
-            f = frontier.sort_values(["priority", "seq"],
-                                     ascending=[False, True], kind="stable")
-        else:
-            f = frontier.sort_values("seq", kind="stable")
-        rank = f.groupby("domain", sort=False).cumcount()
-        if self._stateless:
-            mask = rank < self.capacity
-        else:
-            budgets = {d: self.budget_of(d) for d in f["domain"].unique()}
-            mask = rank < f["domain"].map(budgets)
-        collected = f[mask]
-        rest = f[~mask]
-        if not self._stateless:
-            spent = collected.groupby("domain", sort=False).size()
-            for d in f["domain"].unique():
-                bal = min(self.capacity,
-                          self._tokens.get(d, self.capacity) + self.refill)
-                self._tokens[d] = bal - float(spent.get(d, 0))
+        collected, rest, updated = self.select_frame(
+            frontier, self.capacity, self.refill,
+            None if self._stateless else self._tokens)
+        if updated:
+            self._tokens.update(updated)
         return collected, rest
 
     # --- checkpoint ------------------------------------------------------

@@ -44,20 +44,27 @@ class SeenShard:
     def check_and_add(self, urls: list[str]) -> np.ndarray:
         """Atomically test-and-insert a batch; True where the url was NEW.
 
-        Cuckoo-negative ⇒ definitely new (no exact lookup needed at scale);
-        cuckoo-positive ⇒ confirm against the exact tier (FP safety).
+        Warm shard: cuckoo-negative ⇒ definitely new; cuckoo-positive ⇒
+        confirm against the exact tier (FP safety).  Cold shard (filters
+        restored, exact tier not yet streamed in): a filter-positive is
+        treated as SEEN — the exact tier can't confirm, and re-reporting
+        history as new would re-enqueue the whole crawl, so we accept the
+        filters' bounded false-positive rate (a few urls skipped) instead
+        of unbounded duplicates (exactly-once-enqueue discipline,
+        SURVEY §7.4.3).
         """
         h = _hash64(urls)
         maybe = self.cuckoo.contains_hashes(h)
-        if self.bloom_fallback is not None:
+        cold = self.bloom_fallback is not None
+        if cold:
             maybe = maybe | self.bloom_fallback.contains_hashes(h)
         new = np.zeros(len(urls), dtype=bool)
         for i, url in enumerate(urls):
-            if maybe[i] and url in self.exact:
+            if url in self.exact:   # seen (or within-batch duplicate)
                 continue
-            if url in self.exact:  # within-batch duplicate already added
+            if maybe[i] and cold:   # maybe-seen, no exact tier to confirm
                 continue
-            self.exact.add(url)
+            self.exact.add(url)     # warm filter-positive miss = cuckoo FP
             new[i] = True
         if new.any():
             self.cuckoo.add_hashes(h[new])

@@ -168,6 +168,46 @@ def test_select_distributed_stateful_equivalence(tmp_path):
     assert len(b) == 0
 
 
+def test_hot_domain_split_spill_equivalence(tmp_path):
+    # one mega-host + small hosts, spill forced, hot threshold tiny: the
+    # mega-host's tail goes to its own host-* generations and selection is
+    # STILL identical to the in-memory frontier, wave for wave
+    rng = np.random.default_rng(13)
+    doms = ["mega.ex"] * 3000 + [f"s{int(i)}.ex"
+                                 for i in rng.integers(0, 20, size=300)]
+    rng.shuffle(doms)
+    df = _mk(list(doms))
+    flat = _drain_flat(df.copy())
+    f = BucketedFrontier(n_buckets=2, spill_dir=str(tmp_path / "sp"),
+                         mem_rows=150, head_per_domain=12, cap_hint=5,
+                         hot_rows=60)
+    f.add(df.copy())
+    assert f._dom_gen, "mega-host tail must spill into its own generations"
+    # host-salted files exist on disk
+    import glob as g
+    assert g.glob(str(tmp_path / "sp" / "bucket=*" / "host-*" / "*.parquet"))
+    pol = PolitenessPolicy(max_per_domain=5)
+    waves = []
+    while len(f):
+        got = f.select(pol)
+        if not len(got):
+            break
+        waves.append(got["url"].tolist())
+    assert waves == flat
+    assert len(f.to_frame()) == 0
+
+
+def test_hot_domain_split_to_frame_complete(tmp_path):
+    # checkpointing must see rows living in per-domain generations
+    df = _mk(["mega.ex"] * 1000 + ["small.ex"] * 10)
+    f = BucketedFrontier(n_buckets=1, spill_dir=str(tmp_path / "sp"),
+                         mem_rows=100, head_per_domain=10, cap_hint=5,
+                         hot_rows=50)
+    f.add(df)
+    assert f._dom_gen
+    assert len(f.to_frame()) == 1010
+
+
 def test_spill_bounds_memory(tmp_path):
     f = BucketedFrontier(n_buckets=1, spill_dir=str(tmp_path / "sp"),
                          mem_rows=100, head_per_domain=10, cap_hint=5)

@@ -323,6 +323,7 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
               preload_pages: bool = False, priority_fn=None,
               frontier_buckets: int = 16,
               frontier_mem_rows: int = 2_000_000,
+              frontier_hot_rows: int = 50_000,
               distributed_select: bool = False,
               fetch_ladder=None) -> CrawlStats:
     """Crawl ``pages_path`` (parquet file or bucketed store) from ``seeds``.
@@ -351,7 +352,8 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
     frontier = BucketedFrontier(
         n_buckets=frontier_buckets,
         spill_dir=os.path.join(workdir, "frontier_spill"),
-        mem_rows=frontier_mem_rows, cap_hint=max_per_domain)
+        mem_rows=frontier_mem_rows, cap_hint=max_per_domain,
+        hot_rows=frontier_hot_rows)
     next_seq = 0
     start_wave = 0
     pending_delta: list[str] = []   # urls first seen since last checkpoint

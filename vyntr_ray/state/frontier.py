@@ -43,7 +43,7 @@ _COLS = ["seq", "url", "domain"]
 class BucketedFrontier:
     def __init__(self, n_buckets: int = 16, spill_dir: str | None = None,
                  mem_rows: int = 1_000_000, head_per_domain: int = 32,
-                 cap_hint: int = 5):
+                 cap_hint: int = 5, hot_rows: int = 50_000):
         assert head_per_domain >= 2 * cap_hint, \
             "resident head must cover multiple politeness waves"
         self.n_buckets = n_buckets
@@ -51,11 +51,19 @@ class BucketedFrontier:
         self.mem_rows = mem_rows
         self.head_per_domain = head_per_domain
         self.cap_hint = cap_hint
+        # hot-host split (SURVEY §7.4.5): a domain spilling ≥ hot_rows in
+        # one event gets its OWN (host-salted) spill files, so its refill
+        # is O(domain backlog) instead of O(bucket) — a mega-host no longer
+        # forces the whole bucket to merge + re-split every few waves
+        self.hot_rows = hot_rows
         self.buckets: dict[int, pd.DataFrame] = {}
         self._spill_gen: dict[int, list[str]] = {}    # bucket -> file queue
         self._spilled_domains: dict[int, set] = {}    # bucket -> domains
         # best (smallest) spilled ordering key per bucket; key = (-prio, seq)
         self._spill_best: dict[int, tuple] = {}
+        # per-(bucket, hot-domain) spill files + best keys
+        self._dom_gen: dict[tuple[int, str], list[str]] = {}
+        self._dom_best: dict[tuple[int, str], tuple] = {}
         self._gen_counter = 0
         self.total = 0
 
@@ -115,6 +123,24 @@ class BucketedFrontier:
                                      ascending=[False, True], kind="stable")
         return frame.sort_values("seq", kind="stable")
 
+    @staticmethod
+    def _best_key(tail: pd.DataFrame) -> tuple:
+        if "priority" in tail.columns:
+            negp = -tail["priority"]
+            best_negp = negp.min()
+            best_seq = int(tail.loc[negp == best_negp, "seq"].min())
+            return (float(best_negp), best_seq)
+        return (0.0, int(tail["seq"].min()))
+
+    def _write_gen(self, subdir: str, tail: pd.DataFrame) -> str:
+        path = os.path.join(self.spill_dir, subdir)
+        os.makedirs(path, exist_ok=True)
+        fname = os.path.join(path, f"gen-{self._gen_counter:06d}.parquet")
+        self._gen_counter += 1
+        pq.write_table(pa.Table.from_pandas(tail[self._cols(tail)],
+                                            preserve_index=False), fname)
+        return fname
+
     def _maybe_spill(self, b: int) -> None:
         frame = self.buckets[b]
         if self.spill_dir is None or len(frame) <= self.mem_rows:
@@ -126,29 +152,43 @@ class BucketedFrontier:
         if len(tail) == 0:
             self.buckets[b] = head.reset_index(drop=True)
             return
-        path = os.path.join(self.spill_dir, f"bucket={b}")
-        os.makedirs(path, exist_ok=True)
-        fname = os.path.join(path, f"gen-{self._gen_counter:06d}.parquet")
-        self._gen_counter += 1
-        pq.write_table(pa.Table.from_pandas(tail[self._cols(tail)],
-                                            preserve_index=False), fname)
-        self._spill_gen.setdefault(b, []).append(fname)
-        self._spilled_domains.setdefault(b, set()).update(
-            tail["domain"].unique())
-        if "priority" in tail.columns:
-            negp = -tail["priority"]
-            best_negp = negp.min()
-            best_seq = int(tail.loc[negp == best_negp, "seq"].min())
-            tbest = (float(best_negp), best_seq)
-        else:
-            tbest = (0.0, int(tail["seq"].min()))
-        prev = self._spill_best.get(b)
-        self._spill_best[b] = tbest if prev is None else min(prev, tbest)
+        # hot-host split: domains with a huge tail spill to their own files
+        counts = tail["domain"].value_counts()
+        hot = set(counts[counts >= self.hot_rows].index)
+        if hot:
+            hot_mask = tail["domain"].isin(hot)
+            for d, g in tail[hot_mask].groupby("domain", sort=False):
+                import hashlib as _h
+                tag = _h.md5(d.encode("utf-8")).hexdigest()[:12]
+                fname = self._write_gen(f"bucket={b}/host-{tag}", g)
+                key = (b, d)
+                self._dom_gen.setdefault(key, []).append(fname)
+                tbest = self._best_key(g)
+                prev = self._dom_best.get(key)
+                self._dom_best[key] = (tbest if prev is None
+                                       else min(prev, tbest))
+            tail = tail[~hot_mask]
+        if len(tail):
+            fname = self._write_gen(f"bucket={b}", tail)
+            self._spill_gen.setdefault(b, []).append(fname)
+            self._spilled_domains.setdefault(b, set()).update(
+                tail["domain"].unique())
+            tbest = self._best_key(tail)
+            prev = self._spill_best.get(b)
+            self._spill_best[b] = tbest if prev is None else min(prev, tbest)
         self.buckets[b] = head.reset_index(drop=True)
 
     def _maybe_refill(self, b: int) -> None:
         """Reload spilled generations when a spilled domain's resident head
-        can no longer cover the next politeness wave (FIFO correctness)."""
+        can no longer cover the next politeness wave (FIFO correctness).
+
+        Shared generations reload as a whole bucket merge; hot domains'
+        own generations reload independently (O(domain), the §7.4.5
+        frontier split)."""
+        self._refill_shared(b)
+        self._refill_hot(b)
+
+    def _refill_shared(self, b: int) -> None:
         gens = self._spill_gen.get(b)
         if not gens:
             return
@@ -179,6 +219,41 @@ class BucketedFrontier:
         self._spill_gen.pop(b, None)
         self._spilled_domains.pop(b, None)
         self._spill_best.pop(b, None)
+        merged = (self._order(pd.concat(parts, ignore_index=True))
+                  .reset_index(drop=True))
+        self.buckets[b] = merged
+        self._maybe_spill(b)
+
+    def _refill_hot(self, b: int) -> None:
+        """Per-hot-domain refill: load ONLY that domain's generations when
+        its resident head can't cover the next wave."""
+        keys = [k for k in self._dom_gen if k[0] == b]
+        if not keys:
+            return
+        frame = self.buckets.get(b)
+        to_load = []
+        for key in keys:
+            d = key[1]
+            b0, b1 = self._dom_best[key]
+            low = True
+            if frame is not None and len(frame):
+                fd = frame[frame["domain"] == d]
+                if "priority" in fd.columns:
+                    negp = -fd["priority"]
+                    mask = (negp < b0) | ((negp == b0) & (fd["seq"] < b1))
+                else:
+                    mask = fd["seq"] < b1
+                low = int(mask.sum()) < self.cap_hint
+            if low:
+                to_load.append(key)
+        if not to_load:
+            return
+        parts = [] if frame is None or len(frame) == 0 else [frame]
+        for key in to_load:
+            for fname in self._dom_gen.pop(key):
+                parts.append(pq.read_table(fname).to_pandas())
+                os.remove(fname)
+            self._dom_best.pop(key)
         merged = (self._order(pd.concat(parts, ignore_index=True))
                   .reset_index(drop=True))
         self.buckets[b] = merged
@@ -246,6 +321,8 @@ class BucketedFrontier:
         """Full frontier (memory + spilled) as one frame, seq-ordered."""
         parts = [f for f in self.buckets.values() if len(f)]
         for gens in self._spill_gen.values():
+            parts.extend(pq.read_table(f).to_pandas() for f in gens)
+        for gens in self._dom_gen.values():
             parts.extend(pq.read_table(f).to_pandas() for f in gens)
         if not parts:
             return pd.DataFrame(columns=_COLS)

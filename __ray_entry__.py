@@ -322,21 +322,25 @@ def _q_lineitem_join(sf_dir: str):
                    columns=["o_orderkey", "o_orderpriority"])
 
     def revenue(batch: pa.Table) -> pa.Table:
+        # per-row integer scaling (price and discount are 2-decimal, so
+        # price·(1−disc)·10⁴ is exactly integral): the SUM is then exact
+        # int64 arithmetic on both engine and oracle side — a float sum
+        # rounded post-hoc is 1-ulp flaky at ~1e8 magnitude (the
+        # sessionize lesson)
         rev = pc.multiply(batch["l_extendedprice"],
                           pc.subtract(pa.scalar(1.0), batch["l_discount"]))
-        return pa.table({"l_orderkey": batch["l_orderkey"], "revenue": rev})
+        rev_dmilli = pc.cast(pc.round(pc.multiply(rev, pa.scalar(10_000.0))),
+                             pa.int64())
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "revenue_dmilli": rev_dmilli})
 
-    joined = revenue_ds = li.map_batches(revenue, batch_format="pyarrow")
+    revenue_ds = li.map_batches(revenue, batch_format="pyarrow")
     joined = revenue_ds.join(orders, join_type="inner", num_partitions=8,
                              on=("l_orderkey",), right_on=("o_orderkey",))
-    agg = (joined.groupby("o_orderpriority")
-           .aggregate(Count(alias_name="n_items"),
-                      Sum("revenue", alias_name="total_revenue")))
-    return agg.map_batches(
-        lambda t: t.set_column(t.schema.get_field_index("total_revenue"),
-                               "total_revenue",
-                               pc.round(t["total_revenue"], 2)),
-        batch_format="pyarrow")
+    return (joined.groupby("o_orderpriority")
+            .aggregate(Count(alias_name="n_items"),
+                       Sum("revenue_dmilli",
+                           alias_name="total_revenue_dmilli")))
 
 
 def _q_tpch_q1(sf_dir: str):
@@ -348,24 +352,27 @@ def _q_tpch_q1(sf_dir: str):
                         "l_extendedprice", "l_discount"])
 
     def derive(batch: pa.Table) -> pa.Table:
+        # per-row integer scaling (see _q_lineitem_join): quantity is
+        # integral, price 2-decimal, price·(1−disc) 4-decimal — exact
+        # int64 sums replace float-sum-then-round (1-ulp flaky at 1e8+)
         disc = pc.multiply(batch["l_extendedprice"],
                            pc.subtract(pa.scalar(1.0), batch["l_discount"]))
-        return batch.append_column("disc_price", disc)
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "qty": pc.cast(pc.round(batch["l_quantity"]), pa.int64()),
+            "base_centi": pc.cast(pc.round(pc.multiply(
+                batch["l_extendedprice"], pa.scalar(100.0))), pa.int64()),
+            "disc_dmilli": pc.cast(pc.round(pc.multiply(
+                disc, pa.scalar(10_000.0))), pa.int64()),
+        })
 
-    agg = (ds.map_batches(derive, batch_format="pyarrow")
-           .groupby(["l_returnflag", "l_linestatus"])
-           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
-                      Sum("l_extendedprice", alias_name="sum_base_price"),
-                      Sum("disc_price", alias_name="sum_disc_price"),
-                      Count(alias_name="count_order")))
-
-    def round_cols(t: pa.Table) -> pa.Table:
-        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-            t = t.set_column(t.schema.get_field_index(c), c,
-                             pc.round(t[c], 2))
-        return t
-
-    return agg.map_batches(round_cols, batch_format="pyarrow")
+    return (ds.map_batches(derive, batch_format="pyarrow")
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("qty", alias_name="sum_qty"),
+                       Sum("base_centi", alias_name="sum_base_price_centi"),
+                       Sum("disc_dmilli", alias_name="sum_disc_price_dmilli"),
+                       Count(alias_name="count_order")))
 
 
 def _q_region_customers(sf_dir: str):
@@ -387,14 +394,19 @@ def _q_region_customers(sf_dir: str):
         return batch.append_column("r_name", pa.array(names, pa.string()))
 
     ds = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
-    agg = (ds.map_batches(attach, batch_format="pyarrow")
-           .groupby("r_name")
-           .aggregate(Count(alias_name="n_customers"),
-                      Sum("c_acctbal", alias_name="total_acctbal")))
-    return agg.map_batches(
-        lambda t: t.set_column(t.schema.get_field_index("total_acctbal"),
-                               "total_acctbal", pc.round(t["total_acctbal"], 2)),
-        batch_format="pyarrow")
+
+    def centi(batch: pa.Table) -> pa.Table:
+        # acctbal is 2-decimal → exact int64 sum (see _q_tpch_q1)
+        return batch.append_column(
+            "acctbal_centi",
+            pc.cast(pc.round(pc.multiply(batch["c_acctbal"],
+                                         pa.scalar(100.0))), pa.int64()))
+
+    return (ds.map_batches(attach, batch_format="pyarrow")
+            .map_batches(centi, batch_format="pyarrow")
+            .groupby("r_name")
+            .aggregate(Count(alias_name="n_customers"),
+                       Sum("acctbal_centi", alias_name="total_acctbal_centi")))
 
 
 def _q_orders_topk(sf_dir: str):
@@ -890,27 +902,35 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value) * 100)::BIGINT AS sum_value_centi
             FROM s GROUP BY user_id, session_id
         """,
+        # money sums are integer-scaled PER ROW on both sides (price and
+        # discount are 2-decimal, so price·(1−disc)·10⁴ is exactly
+        # integral) — float sums rounded post-hoc differ by 1 ulp between
+        # engines at ~1e8 magnitude
         "lineitem_join": """
             SELECT o.o_orderpriority,
                    count(*)::BIGINT AS n_items,
-                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
-                       AS total_revenue
+                   sum(round(l.l_extendedprice * (1 - l.l_discount)
+                             * 10000)::BIGINT)::BIGINT
+                       AS total_revenue_dmilli
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY o.o_orderpriority
         """,
         "tpch_q1ish": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2)
-                       AS sum_disc_price,
+                   sum(round(l_quantity)::BIGINT)::BIGINT AS sum_qty,
+                   sum(round(l_extendedprice * 100)::BIGINT)::BIGINT
+                       AS sum_base_price_centi,
+                   sum(round(l_extendedprice * (1 - l_discount)
+                             * 10000)::BIGINT)::BIGINT
+                       AS sum_disc_price_dmilli,
                    count(*)::BIGINT AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "region_customers": """
             SELECT r.r_name,
                    count(*)::BIGINT AS n_customers,
-                   round(sum(c.c_acctbal), 2) AS total_acctbal
+                   sum(round(c.c_acctbal * 100)::BIGINT)::BIGINT
+                       AS total_acctbal_centi
             FROM customer c
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey

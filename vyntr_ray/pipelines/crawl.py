@@ -265,6 +265,11 @@ def _write_checkpoint(ckpt_dir: str, wave: int, frontier: pd.DataFrame,
         "shard": pa.array(list(range(len(blobs))), pa.int32()),
         "cuckoo": pa.array(blobs, pa.binary()),
     }), os.path.join(tmp, "filters.parquet"))
+    if seen.log_dir is not None:
+        # per-shard append-only seen log flushed BEFORE the manifest
+        # rename: a completed manifest therefore implies the log is
+        # durable up to this wave (restore ignores later generations)
+        seen.flush_log(wave)
     manifest = {
         "wave": wave, "next_seq": next_seq, "n_shards": seen.n_shards,
         "config": config, "politeness": policy.snapshot(),
@@ -420,7 +425,9 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
         return rows
 
     latest = _latest_checkpoint(ckpt_dir) if resume else None
-    seen = ShardedSeenSet(n_shards)
+    seen_log_dir = os.path.join(workdir, "seen_log")
+    seen = ShardedSeenSet(n_shards,
+                          log_dir=seen_log_dir if checkpoint else None)
     if latest is not None:
         wave0, manifest = latest
         wdir = os.path.join(ckpt_dir, f"wave={wave0:05d}")
@@ -428,9 +435,27 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
             os.path.join(wdir, "frontier.parquet")).to_pandas())
         assert manifest["n_shards"] == n_shards, \
             "n_shards must match the checkpoint manifest"
-        replay = read_seen_from_checkpoints(ckpt_dir, wave0)
-        for i in range(0, len(replay), 100_000):
-            seen.check_and_add(replay[i:i + 100_000])
+        if checkpoint and _glob.glob(os.path.join(
+                seen_log_dir, "shard=*", "gen=*.parquet")):
+            # distributed exact restore: every shard reads only its own
+            # log partition (no O(history) pass through the driver); the
+            # manifest-wave cuckoo blobs keep filters consistent with it
+            ftab = pq.read_table(os.path.join(wdir, "filters.parquet"))
+            by_shard = dict(zip(ftab["shard"].to_pylist(),
+                                ftab["cuckoo"].to_pylist()))
+            seen.restore_from_log(
+                wave0, [by_shard.get(i) for i in range(n_shards)])
+        else:
+            replay = read_seen_from_checkpoints(ckpt_dir, wave0)
+            for i in range(0, len(replay), 100_000):
+                seen.check_and_add(replay[i:i + 100_000])
+            if seen.log_dir is not None:
+                # replay re-added all history through check_and_add; flush
+                # it as the manifest wave's generation so the on-disk log
+                # becomes complete up to wave0 (migrates log-less
+                # checkpoints; a gen=wave0 part subsumes any partial
+                # earlier parts since restore takes the union)
+                seen.flush_log(wave0)
         policy.restore(manifest["politeness"])
         m = manifest["metrics"]
         stats.scheduled, stats.fetched = m["scheduled"], m["fetched"]

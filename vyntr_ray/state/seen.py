@@ -6,9 +6,12 @@ by a stable url hash — the shared-mutable-state case where raw Ray actors are
 the right tool (SURVEY.md §2.3 T1).
 
 Each shard holds
-- the **exact tier** (authoritative set — in-memory here; at 10^10-URL scale
-  this tier is an append-only per-shard Parquet log consulted only when the
-  cuckoo filter reports *maybe seen*), and
+- the **exact tier** (authoritative set — in-memory, durably mirrored by an
+  **append-only per-shard Parquet log**: ``flush_log`` writes each wave's
+  delta as one part in the shard's own partition, ``restore_from_log``
+  rebuilds the tier from only that partition, so restore is distributed —
+  O(history / n_shards) per shard, nothing through the driver — and EXACT),
+  and
 - a **cuckoo filter** (fast membership, snapshottable to bytes); a Bloom
   filter stands in while a restored shard is still loading its exact tier
   ("bloom fallback for cold shards").
@@ -20,6 +23,8 @@ cluster sizes as long as ``n_shards`` is kept in the checkpoint manifest.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
@@ -35,11 +40,17 @@ def route_shards(urls: list[str], n_shards: int) -> np.ndarray:
 class SeenShard:
     """One shard. Wrap with ``ray.remote`` for the actor pool."""
 
-    def __init__(self, shard_id: int, capacity: int = 1 << 16):
+    def __init__(self, shard_id: int, capacity: int = 1 << 16,
+                 log_dir: str | None = None):
         self.shard_id = shard_id
         self.exact: set[str] = set()
         self.cuckoo = CuckooFilter(capacity)
         self.bloom_fallback: BloomFilter | None = None  # cold-start answers
+        # append-only parquet log: this shard's own partition of the seen
+        # set, written as one part per flush generation (= wave)
+        self.log_dir = (os.path.join(log_dir, f"shard={shard_id:03d}")
+                        if log_dir else None)
+        self._pending_log: list[str] = []
 
     def check_and_add(self, urls: list[str]) -> np.ndarray:
         """Atomically test-and-insert a batch; True where the url was NEW.
@@ -68,6 +79,9 @@ class SeenShard:
             new[i] = True
         if new.any():
             self.cuckoo.add_hashes(h[new])
+            if self.log_dir is not None:
+                self._pending_log.extend(
+                    urls[i] for i in np.nonzero(new)[0])
         return new
 
     def contains(self, urls: list[str]) -> np.ndarray:
@@ -103,15 +117,76 @@ class SeenShard:
         self.cuckoo = CuckooFilter.from_bytes(cuckoo_blob)
         self.bloom_fallback = BloomFilter.from_bytes(bloom_blob)
 
+    # --- append-only parquet log ----------------------------------------
+    def flush_log(self, gen: int) -> int:
+        """Write the urls first seen since the last flush as ONE parquet part.
+
+        O(delta) per flush, not O(history).  Parts are named by generation
+        (= wave number): waves are deterministic under the sim-parity
+        contract, so a crash-rerun of the same wave overwrites its own
+        part with identical content instead of duplicating it; tmp+rename
+        keeps a concurrent restore from seeing a half-written file.
+        """
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        if self.log_dir is None:
+            raise RuntimeError("seen log not configured (log_dir=None)")
+        os.makedirs(self.log_dir, exist_ok=True)
+        n = len(self._pending_log)
+        path = os.path.join(self.log_dir, f"gen={gen:09d}.parquet")
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(
+            pa.table({"url": pa.array(self._pending_log, pa.string())}), tmp)
+        os.replace(tmp, path)
+        self._pending_log = []
+        return n
+
+    def restore_from_log(self, upto_gen: int,
+                         cuckoo_blob: bytes | None = None) -> int:
+        """Rebuild the exact tier from this shard's own log partition.
+
+        The distributed replacement for driver-side delta replay: each
+        shard reads only its own files (O(history / n_shards) per shard,
+        in parallel, nothing passes through the driver), and membership is
+        EXACT afterwards — no ``bloom_fallback`` bounded-FP compromise.
+        Parts with gen > ``upto_gen`` (flushed by a wave whose checkpoint
+        manifest never completed) are ignored, keeping the restored state
+        consistent with the manifest's filter blobs.
+        """
+        import pyarrow.parquet as pq
+        if self.log_dir is None:
+            raise RuntimeError("seen log not configured (log_dir=None)")
+        self.exact = set()
+        if os.path.isdir(self.log_dir):
+            for name in sorted(os.listdir(self.log_dir)):
+                if not (name.startswith("gen=")
+                        and name.endswith(".parquet")):
+                    continue
+                if int(name[4:-8]) > upto_gen:
+                    continue
+                self.exact.update(pq.read_table(
+                    os.path.join(self.log_dir, name))["url"].to_pylist())
+        if cuckoo_blob is not None:
+            self.cuckoo = CuckooFilter.from_bytes(cuckoo_blob)
+        else:
+            self.cuckoo = CuckooFilter(max(1 << 16, 2 * len(self.exact)))
+            if self.exact:
+                self.cuckoo.add_hashes(_hash64(sorted(self.exact)))
+        self.bloom_fallback = None
+        self._pending_log = []
+        return len(self.exact)
+
 
 class ShardedSeenSet:
     """Driver-side handle over the shard actor pool."""
 
-    def __init__(self, n_shards: int = 8, capacity_per_shard: int = 1 << 16):
+    def __init__(self, n_shards: int = 8, capacity_per_shard: int = 1 << 16,
+                 log_dir: str | None = None):
         import ray
         self.n_shards = n_shards
+        self.log_dir = log_dir
         actor_cls = ray.remote(num_cpus=0.05)(SeenShard)
-        self.shards = [actor_cls.remote(i, capacity_per_shard)
+        self.shards = [actor_cls.remote(i, capacity_per_shard, log_dir)
                        for i in range(n_shards)]
 
     def check_and_add(self, urls: list[str]) -> np.ndarray:
@@ -161,3 +236,16 @@ class ShardedSeenSet:
     def filter_blobs(self) -> list[bytes]:
         import ray
         return ray.get([s.filter_blob.remote() for s in self.shards])
+
+    # --- append-only parquet log (fan-out) -------------------------------
+    def flush_log(self, gen: int) -> int:
+        import ray
+        return sum(ray.get([s.flush_log.remote(gen) for s in self.shards]))
+
+    def restore_from_log(self, upto_gen: int,
+                         cuckoo_blobs: list[bytes] | None = None) -> int:
+        """Each shard restores its own partition in parallel."""
+        import ray
+        blobs = cuckoo_blobs or [None] * self.n_shards
+        return sum(ray.get([s.restore_from_log.remote(upto_gen, b)
+                            for s, b in zip(self.shards, blobs)]))

@@ -335,6 +335,41 @@ class TestDistributedStages:
         assert build_text_index(rd.from_items(rows), cache_key="t",
                                 cache_root=str(tmp_path)) == idx
 
+    def test_bm25_hot_term_block_split(self, tmp_path):
+        # a stop-word-grade term's postings must split into (term,
+        # doc-block) sub-lists — bounded rows — while summary and BM25
+        # results stay identical to the unsplit index
+        import pyarrow.parquet as _pq
+        import ray.data as rd
+
+        from vyntr_ray.stages.search_index import (bm25_topk,
+                                                   build_text_index,
+                                                   index_summary)
+        rows = [{"doc_id": i,
+                 "text": "the common word " + (f"rare{i} " * (i % 3 + 1))}
+                for i in range(40)]
+        idx1 = build_text_index(rd.from_items(rows), cache_key="whole",
+                                cache_root=str(tmp_path))
+        idx2 = build_text_index(rd.from_items(rows), cache_key="split",
+                                cache_root=str(tmp_path), block_span=8)
+
+        split_tab = _pq.read_table(idx2, columns=["term", "block", "df"])
+        hot = split_tab.to_pandas().query("term == 'common'")
+        assert len(hot) == 5                      # 40 docs / span 8
+        assert (hot["df"] == 8).all()             # block-level df
+        assert sorted(hot["block"]) == [0, 1, 2, 3, 4]
+
+        s1 = index_summary(idx1).to_pandas().sort_values("term") \
+                                .reset_index(drop=True)
+        s2 = index_summary(idx2).to_pandas().sort_values("term") \
+                                .reset_index(drop=True)
+        pd.testing.assert_frame_equal(s1, s2)
+        assert int(s2.set_index("term").loc["common", "df"]) == 40
+
+        t1 = bm25_topk(idx1, ["common", "rare7"], k=5).to_pandas()
+        t2 = bm25_topk(idx2, ["common", "rare7"], k=5).to_pandas()
+        pd.testing.assert_frame_equal(t1, t2)
+
     def test_kmeans_ivf_recall_and_pruned_read(self):
         import os
 

@@ -4,21 +4,26 @@ The reference indexes crawl analyses into a Tantivy full-text index with a
 field schema (`pulse/src/main.rs:45-54`) and serves scored top-k search
 (`pulse/src/bin/server.rs:75-77`).  Re-expressed Ray-Data-first:
 
-- **build**: tokenize → (term, doc_id, tf, dl) rows → ONE shuffle
-  (``groupby(shard)`` where shard = hash(term) % n_shards) → vectorized
-  per-shard posting-list assembly (term, df, total_tf, doc_ids, tfs, dls)
-  → partitioned parquet ``shard=XX/`` dirs.  Document length rides inside
-  the postings (Lucene-norms-style denormalization) so scoring needs no
-  corpus-side join.  Global stats (N, avgdl) land in ``_stats.json``.
-- **search**: resolve the query terms' shards, *pruned read* of only those
-  ``shard=XX/`` dirs, filter to the query terms, explode posting lists,
-  vectorized BM25, ``groupby(doc).sum`` → ``sort().limit(k)``.
+- **build**: tokenize → (term, doc_id, tf, dl, shard, block) rows → ONE
+  shuffle (``groupby([shard, block])`` where shard = hash(term) % n_shards
+  and block = doc_id // block_span) → vectorized posting assembly per
+  group into **(term, doc-block) sub-lists** (term, block, df, total_tf,
+  doc_ids, tfs, dls; df/total_tf are BLOCK-level) → partitioned parquet
+  ``shard=XX/`` dirs.  Document length rides inside the postings
+  (Lucene-norms-style denormalization) so scoring needs no corpus-side
+  join.  Global stats (N, avgdl, block_span) land in ``_stats.json``.
+- **search**: resolve the query terms' shards, then TWO pruned reads of
+  only those ``shard=XX/`` dirs — a (term, df)-columns-only pass that
+  sums block dfs into term-total df for the idf (tiny, columnar-pruned),
+  and the scoring pass: filter to the query terms, explode posting
+  sub-lists, vectorized BM25, ``groupby(doc).sum`` → ``sort().limit(k)``.
 
-Scale notes: the only all-to-all is the build groupby (shard count scales
-with the cluster).  A stop-word-grade hot term makes one posting row huge;
-at 10^10 docs split postings into (term, doc_block) sub-lists — same
-layout, same reader, documented here rather than built.  Search I/O is
-O(postings of the query terms' shards), independent of corpus size.
+Scale notes: the only all-to-all is the build groupby, and the doc-block
+subkey bounds every group — a stop-word-grade hot term is spread over
+ceil(n_docs / block_span) groups instead of concentrating one, so no
+posting row or shuffle group exceeds ~block_span entries at any corpus
+size.  Search I/O is O(postings of the query terms' shards), independent
+of corpus size.
 """
 
 from __future__ import annotations
@@ -41,6 +46,10 @@ TEXT_TOKEN = re.compile(r"[a-z0-9]+")
 
 CACHE_DIR = "/tmp/vyntr_ray_cache/text_index"
 
+# posting sub-lists span ≤ this many doc ids: bounds every shuffle group
+# and every Arrow list row even for stop-word-grade terms
+DEFAULT_BLOCK_SPAN = 1 << 16
+
 
 def _shard_of(term: str, n_shards: int) -> int:
     return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8],
@@ -48,8 +57,9 @@ def _shard_of(term: str, n_shards: int) -> int:
 
 
 def term_rows_batch(batch: pa.Table, n_shards: int, id_col: str = "doc_id",
-                    text_col: str = "text") -> pa.Table:
-    """(term, doc_id, tf, dl, shard) rows for one Arrow batch."""
+                    text_col: str = "text",
+                    block_span: int = DEFAULT_BLOCK_SPAN) -> pa.Table:
+    """(term, doc_id, tf, dl, shard, block) rows for one Arrow batch."""
     ids, terms, tfs, dls, shards = [], [], [], [], []
     for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
         toks = TEXT_TOKEN.findall((t or "").lower())
@@ -62,18 +72,25 @@ def term_rows_batch(batch: pa.Table, n_shards: int, id_col: str = "doc_id",
             tfs.append(tf)
             dls.append(dl)
             shards.append(_shard_of(term, n_shards))
+    id_arr = pa.array(ids, pa.int64())
+    import pyarrow.compute as pc
     return pa.table({
         "term": pa.array(terms, pa.string()),
-        id_col: pa.array(ids, pa.int64()),
+        id_col: id_arr,
         "tf": pa.array(tfs, pa.int64()),
         "dl": pa.array(dls, pa.int64()),
         "shard": pa.array(shards, pa.int32()),
+        # int64 // span (doc ids are non-negative, so trunc == floor)
+        "block": pc.cast(pc.divide(id_arr,
+                                   pa.scalar(block_span, pa.int64())),
+                         pa.int32()),
     })
 
 
 def build_text_index(ds, cache_key: str, n_shards: int = 16,
                      id_col: str = "doc_id", text_col: str = "text",
-                     cache_root: str = CACHE_DIR) -> str:
+                     cache_root: str = CACHE_DIR,
+                     block_span: int = DEFAULT_BLOCK_SPAN) -> str:
     """One-time index build; idempotent via _SUCCESS (resumable output)."""
     out = os.path.join(cache_root, cache_key)
     marker = os.path.join(out, "_SUCCESS")
@@ -83,19 +100,21 @@ def build_text_index(ds, cache_key: str, n_shards: int = 16,
     os.makedirs(out, exist_ok=True)
 
     rows = ds.map_batches(
-        lambda b: term_rows_batch(b, n_shards, id_col, text_col),
+        lambda b: term_rows_batch(b, n_shards, id_col, text_col, block_span),
         batch_format="pyarrow")
 
     def assemble(g: pd.DataFrame) -> pd.DataFrame:
-        # all complete terms of one shard — vectorized pandas assembly
+        # one (shard, doc-block) group: every term's sub-list here spans at
+        # most block_span docs, so group size and posting-row length stay
+        # bounded no matter how hot a term is; df/total_tf are block-level
         g = g.sort_values(["term", id_col], kind="mergesort")
         agg = g.groupby("term", sort=False).agg(
             df=(id_col, "size"), total_tf=("tf", "sum"),
             doc_ids=(id_col, list), tfs=("tf", list), dls=("dl", list),
-            shard=("shard", "first"))
+            shard=("shard", "first"), block=("block", "first"))
         return agg.reset_index()
 
-    postings = rows.groupby("shard").map_groups(
+    postings = rows.groupby(["shard", "block"]).map_groups(
         assemble, batch_format="pandas")
     postings.write_parquet(out, partition_cols=["shard"])
 
@@ -117,7 +136,7 @@ def build_text_index(ds, cache_key: str, n_shards: int = 16,
     dl_sum = sum(p["dl_sum"] for p in parts)
     with open(os.path.join(out, "_stats.json"), "w", encoding="utf-8") as f:
         json.dump({"n_docs": n_docs, "dl_sum": dl_sum,
-                   "n_shards": n_shards}, f)
+                   "n_shards": n_shards, "block_span": block_span}, f)
     with open(marker, "w", encoding="utf-8"):
         pass
     return out
@@ -149,25 +168,42 @@ def bm25_topk(index_dir: str, query_terms: list[str], k: int = 10,
     n_docs, avgdl = stats["n_docs"], stats["dl_sum"] / stats["n_docs"]
     n_shards = stats["n_shards"]
 
+    import pyarrow.compute as _pc
+
     terms = sorted(set(t.lower() for t in query_terms))
     shards = {_shard_of(t, n_shards) for t in terms}
-    probe = _read_shards(index_dir, shards,
-                         ["term", "df", "doc_ids", "tfs", "dls"])
-    if probe is None:
+
+    # pass 1 — columnar-pruned (term, df) read: postings are (term,
+    # doc-block) sub-lists, so term-total df for the idf is the sum of the
+    # matched blocks' dfs (a handful of rows; the list columns never load)
+    df_ds = _read_shards(index_dir, shards, ["term", "df"])
+    if df_ds is None:
         import ray.data as rd
         return rd.from_items([])
-    terms_ref = ray.put(set(terms))
+    want_arr = pa.array(terms, pa.string())
+    df_rows = df_ds.map_batches(
+        lambda t: t.filter(_pc.is_in(t["term"], value_set=want_arr)),
+        batch_format="pyarrow").take_all()
+    df_tot: dict[str, int] = {}
+    for r in df_rows:
+        df_tot[r["term"]] = df_tot.get(r["term"], 0) + int(r["df"])
+
+    probe = _read_shards(index_dir, shards,
+                         ["term", "doc_ids", "tfs", "dls"])
+    idf_ref = ray.put({t: float(np.log((n_docs - df + 0.5)
+                                       / (df + 0.5) + 1.0))
+                       for t, df in df_tot.items()})
 
     def score(batch: pa.Table) -> pa.Table:
-        want = ray.get(terms_ref)
+        idf_of = ray.get(idf_ref)
         ids_out, sc_out = [], []
-        for term, df, dids, tfs, dls in zip(
-                batch["term"].to_pylist(), batch["df"].to_pylist(),
+        for term, dids, tfs, dls in zip(
+                batch["term"].to_pylist(),
                 batch["doc_ids"].to_pylist(), batch["tfs"].to_pylist(),
                 batch["dls"].to_pylist()):
-            if term not in want:
+            idf = idf_of.get(term)
+            if idf is None:
                 continue
-            idf = float(np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
             tf = np.asarray(tfs, np.float64)
             dl = np.asarray(dls, np.float64)
             s = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
@@ -196,11 +232,13 @@ def bm25_topk(index_dir: str, query_terms: list[str], k: int = 10,
 
 
 def index_summary(index_dir: str):
-    """(term, df, total_tf) projection of the built index (all shards)."""
-    import ray.data as rd
+    """(term, df, total_tf) summary — block-level rows summed per term."""
+    from ray.data.aggregate import Sum
     with open(os.path.join(index_dir, "_stats.json"), encoding="utf-8") as f:
         n_shards = json.load(f)["n_shards"]
     ds = _read_shards(index_dir, set(range(n_shards)),
                       ["term", "df", "total_tf"])
     assert ds is not None
-    return ds
+    return (ds.groupby("term")
+            .aggregate(Sum("df", alias_name="df"),
+                       Sum("total_tf", alias_name="total_tf")))

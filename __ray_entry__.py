@@ -160,6 +160,31 @@ def _q_fingerprints(sf_dir: str):
             .drop_columns(["text"]))
 
 
+def _q_decontaminate(sf_dir: str):
+    """Eval-leakage guard: word-3-gram overlap vs a held-out benchmark
+    split (docs with doc_id % 97 == 0); reports matched-instance counts
+    for contaminated corpus docs.  Broadcast small-side semi-join."""
+    import pyarrow.compute as pc
+
+    from vyntr_ray.stages.text_analysis import (benchmark_ngrams,
+                                                contamination_report)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def split(want_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = t["doc_id"].to_numpy() % 97 == 0
+            return t.filter(pa.array(m if want_bench else ~m))
+        return f
+
+    bench = docs.map_batches(split(True), batch_format="pyarrow")
+    corpus = docs.map_batches(split(False), batch_format="pyarrow")
+    grams = benchmark_ngrams(bench, n=3)
+    rep = contamination_report(corpus, grams, n=3)
+    return rep.map_batches(
+        lambda t: t.filter(pc.greater(t["n_matched"], 0)),
+        batch_format="pyarrow")
+
+
 def _q_index_prep(sf_dir: str):
     from vyntr_ray.stages.index_prep import index_prep
     ds = _read(sf_dir, "documents",
@@ -641,6 +666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality,
         "fingerprints": _q_fingerprints,
         "lang_id_counts": _q_lang_id,
+        "decontaminate": _q_decontaminate,
         # embeddings / similarity
         "mean_pool_embeddings": _q_mean_pool,
         "chunk_documents": _q_chunks,
@@ -1074,6 +1100,28 @@ def oracle_sql() -> dict[str, str]:
                 FROM s)
             SELECT pred_lang, count(*)::BIGINT AS n
             FROM p GROUP BY pred_lang
+        """,
+        # word-3-gram instances of the corpus split joined against the
+        # DISTINCT grams of the benchmark split (doc_id % 97 == 0); list
+        # slice words[i:i+2] is 1-based inclusive = 3 words
+        "decontaminate": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+                FROM documents),
+            wi AS (
+                SELECT doc_id, words,
+                       unnest(range(1, len(words) - 1)) AS i
+                FROM w),
+            b AS (
+                SELECT DISTINCT array_to_string(words[i:i+2], ' ') AS gram
+                FROM wi WHERE doc_id % 97 = 0),
+            c AS (
+                SELECT doc_id, array_to_string(words[i:i+2], ' ') AS gram
+                FROM wi WHERE doc_id % 97 <> 0)
+            SELECT c.doc_id, count(*)::BIGINT AS n_matched
+            FROM c JOIN b USING (gram)
+            GROUP BY c.doc_id
         """,
         "inverted_index": r"""
             WITH tok AS (SELECT doc_id,

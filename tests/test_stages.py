@@ -423,3 +423,30 @@ class TestDistributedStages:
         assert res["sum(red_spaces)"] == 1
         assert res["sum(red_tags)"] == 7
         assert res["sum(red_entities)"] == 5
+
+    def test_decontaminate_drops_ngram_overlap(self):
+        import ray.data as rd
+
+        from vyntr_ray.stages.text_analysis import (benchmark_ngrams,
+                                                    contamination_report,
+                                                    decontaminate)
+        bench = rd.from_items([
+            {"doc_id": 100, "text": "the quick brown fox jumps"}])
+        corpus = rd.from_items([
+            # shares the 3-gram "quick brown fox" twice
+            {"doc_id": 1, "text": "a quick brown fox and a quick brown "
+                                  "fox again"},
+            {"doc_id": 2, "text": "completely unrelated words here"},
+            {"doc_id": 3, "text": "Punctuation! The QUICK, brown fox"},
+        ])
+        grams = benchmark_ngrams(bench, n=3)
+        assert "quick brown fox" in grams and len(grams) == 3
+
+        rep = {r["doc_id"]: r["n_matched"] for r in contamination_report(
+            corpus, grams, n=3).take_all()}
+        # doc 1: two instances; doc 3: tokenizer lowercases + strips
+        # punctuation so "the quick brown" and "quick brown fox" both hit
+        assert rep == {1: 2, 2: 0, 3: 2}
+
+        clean = decontaminate(corpus, bench, n=3).take_all()
+        assert [r["doc_id"] for r in clean] == [2]

@@ -19,7 +19,8 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["token_stats_batch", "token_totals", "quality_batch",
-           "fingerprint_batch", "LangId", "lang_id"]
+           "fingerprint_batch", "LangId", "lang_id",
+           "benchmark_ngrams", "contamination_report", "decontaminate"]
 
 _WS_TOKEN = re.compile(r"\S+")
 # BPE-ish word/number/symbol splitter (public GPT-2-style pattern, simplified)
@@ -130,3 +131,94 @@ class LangId:
 def lang_id(ds, text_col: str = "text", concurrency: int = 2):
     return ds.map_batches(LangId, fn_constructor_kwargs={"text_col": text_col},
                           batch_format="pyarrow", concurrency=concurrency, num_cpus=0.5)
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination (broadcast n-gram semi-join)
+# --------------------------------------------------------------------------
+
+_GRAM_TOKEN = re.compile(r"[a-z0-9]+")
+
+
+def _gram_instances(texts: list, n: int) -> tuple[list[str], np.ndarray]:
+    """Flattened word n-gram instances + their source-row indices."""
+    grams: list[str] = []
+    row_of: list[int] = []
+    for i, t in enumerate(texts):
+        w = _GRAM_TOKEN.findall((t or "").lower())
+        for j in range(len(w) - n + 1):
+            grams.append(" ".join(w[j:j + n]))
+            row_of.append(i)
+    return grams, np.asarray(row_of, np.int64)
+
+
+def benchmark_ngrams(bench_ds, n: int = 8, text_col: str = "text") -> set:
+    """Distinct word n-grams of the (small) benchmark side.
+
+    Per-batch distinct partials union on the driver — the benchmark side
+    is small by contract (the held-out eval set, not the corpus); for a
+    benchmark too big for one heap, swap this for the bucketed-groupby
+    join pattern used by the near-dup verify (dedup.py).
+    """
+    def partial(b: pa.Table) -> pa.Table:
+        grams, _ = _gram_instances(b[text_col].to_pylist(), n)
+        return pa.table({"gram": pa.array(sorted(set(grams)), pa.string())})
+
+    out: set = set()
+    for part in bench_ds.map_batches(
+            partial, batch_format="pyarrow").take_all():
+        out.add(part["gram"])
+    return out
+
+
+def contamination_report(ds, bench_grams: set, n: int = 8,
+                         id_col: str = "doc_id", text_col: str = "text"):
+    """(doc_id, n_matched) per document: count of n-gram INSTANCES that
+    appear in the benchmark set.  The gram set ships ONCE as a broadcast
+    Arrow array (``ray.put``); matching is a vectorized ``pc.is_in`` over
+    the flattened grams + a bincount back to rows.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    grams_ref = ray.put(pa.array(sorted(bench_grams), pa.string()))
+
+    def report(batch: pa.Table) -> pa.Table:
+        grams, row_of = _gram_instances(batch[text_col].to_pylist(), n)
+        counts = np.zeros(batch.num_rows, np.int64)
+        if grams:
+            hit = pc.is_in(pa.array(grams, pa.string()),
+                           value_set=ray.get(grams_ref)).to_numpy(
+                               zero_copy_only=False)
+            counts = np.bincount(row_of[hit], minlength=batch.num_rows)
+        return pa.table({id_col: batch[id_col],
+                         "n_matched": pa.array(counts, pa.int64())})
+
+    return ds.map_batches(report, batch_format="pyarrow")
+
+
+def decontaminate(ds, bench_ds, n: int = 8, id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """Drop corpus documents sharing ANY word n-gram with the benchmark.
+
+    The standard eval-leakage guard for training corpora (public
+    methodology: GPT-3 appx. C / PaLM-style n-gram overlap).  One
+    streaming pass over the corpus; no shuffle.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    grams_ref = ray.put(pa.array(sorted(benchmark_ngrams(
+        bench_ds, n, text_col)), pa.string()))
+
+    def keep_clean(batch: pa.Table) -> pa.Table:
+        grams, row_of = _gram_instances(batch[text_col].to_pylist(), n)
+        bad = np.zeros(batch.num_rows, bool)
+        if grams:
+            hit = pc.is_in(pa.array(grams, pa.string()),
+                           value_set=ray.get(grams_ref)).to_numpy(
+                               zero_copy_only=False)
+            bad[row_of[hit]] = True
+        return batch.filter(pa.array(~bad))
+
+    return ds.map_batches(keep_clean, batch_format="pyarrow")

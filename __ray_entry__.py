@@ -185,6 +185,14 @@ def _q_decontaminate(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals per document."""
+    from vyntr_ray.stages.text_analysis import repetition_batch
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return (ds.map_batches(repetition_batch, batch_format="pyarrow")
+            .drop_columns(["text"]))
+
+
 def _q_index_prep(sf_dir: str):
     from vyntr_ray.stages.index_prep import index_prep
     ds = _read(sf_dir, "documents",
@@ -667,6 +675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _q_fingerprints,
         "lang_id_counts": _q_lang_id,
         "decontaminate": _q_decontaminate,
+        "repetition_scores": _q_repetition,
         # embeddings / similarity
         "mean_pool_embeddings": _q_mean_pool,
         "chunk_documents": _q_chunks,
@@ -1100,6 +1109,58 @@ def oracle_sql() -> dict[str, str]:
                 FROM s)
             SELECT pred_lang, count(*)::BIGINT AS n
             FROM p GROUP BY pred_lang
+        """,
+        # Gopher-style repetition signals; same line/gram definitions as
+        # repetition_batch (non-empty newline-split lines; [a-z0-9]+ word
+        # 2-grams; top gram = max count, ties to smallest gram)
+        "repetition_scores": r"""
+            WITH l AS (
+                SELECT doc_id, text,
+                       list_filter(string_split(text, chr(10)),
+                                   x -> x <> '') AS lines
+                FROM documents),
+            lf AS (SELECT doc_id, unnest(lines) AS line FROM l),
+            lc AS (SELECT doc_id, line, count(*) AS cnt,
+                          length(line) AS len
+                   FROM lf GROUP BY doc_id, line),
+            ls AS (SELECT doc_id,
+                          sum(cnt) AS n_lines,
+                          sum(cnt) - count(*) AS dup_lines,
+                          sum((cnt - 1) * len) AS dup_chars,
+                          sum(cnt * len) AS line_chars
+                   FROM lc GROUP BY doc_id),
+            w AS (SELECT doc_id, text,
+                         regexp_extract_all(lower(text), '[a-z0-9]+')
+                             AS words
+                  FROM documents),
+            wi AS (SELECT doc_id, words,
+                          unnest(range(1, len(words))) AS i
+                   FROM w),
+            g AS (SELECT doc_id,
+                         array_to_string(words[i:i+1], ' ') AS gram
+                  FROM wi),
+            gc AS (SELECT doc_id, gram, count(*) AS cnt
+                   FROM g GROUP BY doc_id, gram),
+            gt AS (SELECT doc_id, cnt, gram FROM (
+                       SELECT doc_id, gram, cnt,
+                              row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, gram ASC) AS rn
+                       FROM gc) WHERE rn = 1)
+            SELECT d.doc_id,
+                   coalesce(ls.n_lines, 0)::BIGINT AS n_lines,
+                   CASE WHEN coalesce(ls.n_lines, 0) > 0
+                        THEN ls.dup_lines * 1000000 // ls.n_lines
+                        ELSE 0 END::BIGINT AS dup_line_ppm,
+                   CASE WHEN coalesce(ls.line_chars, 0) > 0
+                        THEN ls.dup_chars * 1000000 // ls.line_chars
+                        ELSE 0 END::BIGINT AS dup_line_char_ppm,
+                   CASE WHEN gt.cnt IS NOT NULL
+                        THEN gt.cnt * length(gt.gram) * 1000000
+                             // greatest(length(d.text), 1)
+                        ELSE 0 END::BIGINT AS top2gram_ppm
+            FROM documents d
+            LEFT JOIN ls USING (doc_id)
+            LEFT JOIN gt USING (doc_id)
         """,
         # word-3-gram instances of the corpus split joined against the
         # DISTINCT grams of the benchmark split (doc_id % 97 == 0); list

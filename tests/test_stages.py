@@ -450,3 +450,18 @@ class TestDistributedStages:
 
         clean = decontaminate(corpus, bench, n=3).take_all()
         assert [r["doc_id"] for r in clean] == [2]
+
+    def test_repetition_signals(self):
+        from vyntr_ray.stages.text_analysis import repetition_batch
+        t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                      "text": ["aa\nbb\naa\n\ncc",       # 1 dup of 4 lines
+                               "x y x y z",             # top 2-gram "x y" x2
+                               ""]})
+        out = repetition_batch(t).to_pandas().set_index("doc_id")
+        assert out.loc[1, "n_lines"] == 4
+        assert out.loc[1, "dup_line_ppm"] == 250_000
+        assert out.loc[1, "dup_line_char_ppm"] == 2 * 1_000_000 // 8
+        assert out.loc[2, "n_lines"] == 1 and out.loc[2, "dup_line_ppm"] == 0
+        # "x y" count 2, len 3, text len 9
+        assert out.loc[2, "top2gram_ppm"] == 2 * 3 * 1_000_000 // 9
+        assert (out.loc[3].drop("text") == 0).all()

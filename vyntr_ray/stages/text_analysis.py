@@ -20,7 +20,8 @@ import pyarrow as pa
 
 __all__ = ["token_stats_batch", "token_totals", "quality_batch",
            "fingerprint_batch", "LangId", "lang_id",
-           "benchmark_ngrams", "contamination_report", "decontaminate"]
+           "benchmark_ngrams", "contamination_report", "decontaminate",
+           "repetition_batch"]
 
 _WS_TOKEN = re.compile(r"\S+")
 # BPE-ish word/number/symbol splitter (public GPT-2-style pattern, simplified)
@@ -222,3 +223,52 @@ def decontaminate(ds, bench_ds, n: int = 8, id_col: str = "doc_id",
         return batch.filter(pa.array(~bad))
 
     return ds.map_batches(keep_clean, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality filter)
+# --------------------------------------------------------------------------
+
+def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition signals (Rae et al. 2021, public):
+
+    - ``n_lines`` / ``dup_line_ppm``: non-empty newline-split lines and the
+      fraction (ppm, floored) that are repeats of an earlier line;
+    - ``dup_line_char_ppm``: characters in repeated line occurrences over
+      all line characters;
+    - ``top2gram_ppm``: chars covered by the most frequent word 2-gram
+      (count x gram length over len(text); ties broken by smallest gram).
+
+    All ratios integer-scaled so the DuckDB oracle compares exactly.
+    """
+    from collections import Counter as _C
+
+    n_lines_o, dup_line_o, dup_char_o, top2_o = [], [], [], []
+    for t in batch[text_col].to_pylist():
+        t = t or ""
+        lines = [ln for ln in t.split("\n") if ln != ""]
+        lc = _C(lines)
+        n_lines = len(lines)
+        dup_lines = n_lines - len(lc)
+        line_chars = sum(len(ln) for ln in lines)
+        dup_chars = sum((c - 1) * len(ln) for ln, c in lc.items())
+        words = _GRAM_TOKEN.findall(t.lower())
+        grams = _C(" ".join(words[j:j + 2]) for j in range(len(words) - 1))
+        if grams:
+            top_gram = min(g for g, c in grams.items()
+                           if c == max(grams.values()))
+            top2 = grams[top_gram] * len(top_gram) * 1_000_000 // max(
+                len(t), 1)
+        else:
+            top2 = 0
+        n_lines_o.append(n_lines)
+        dup_line_o.append(dup_lines * 1_000_000 // n_lines if n_lines else 0)
+        dup_char_o.append(dup_chars * 1_000_000 // line_chars
+                          if line_chars else 0)
+        top2_o.append(top2)
+    return (batch
+            .append_column("n_lines", pa.array(n_lines_o, pa.int64()))
+            .append_column("dup_line_ppm", pa.array(dup_line_o, pa.int64()))
+            .append_column("dup_line_char_ppm",
+                           pa.array(dup_char_o, pa.int64()))
+            .append_column("top2gram_ppm", pa.array(top2_o, pa.int64())))

@@ -229,6 +229,23 @@ def _q_ann_topk(sf_dir: str):
                        _qvec(), k=10)
 
 
+def _q_knn_join(sf_dir: str):
+    """Batch k-NN: top-5 neighbors for every query row (vec_id % 50 == 0)."""
+    import numpy as np
+
+    from vyntr_ray.stages.similarity import knn_join
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(t["vec_id"].to_numpy() % 50 == 0))
+
+    # only the (small) query side reaches the driver
+    qrows = ds.map_batches(pick, batch_format="pyarrow").take_all()
+    q_mat = np.stack([np.asarray(r["embedding"], np.float64) for r in qrows])
+    q_ids = np.array([r["vec_id"] for r in qrows], np.int64)
+    return knn_join(ds, q_mat, q_ids, k=5)
+
+
 def _q_embedding_dups(sf_dir: str):
     from vyntr_ray.stages.dedup import embedding_dup_pairs
     return embedding_dup_pairs(_read(sf_dir, "embeddings"), threshold=0.3)
@@ -681,6 +698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunks,
         "chunk_embeddings": _q_chunk_embeddings,
         "ann_topk": _q_ann_topk,
+        "knn_join": _q_knn_join,
         "ivf_ann": _q_ivf_ann,
         "ivf_kmeans": _q_ivf_kmeans,
         # index prep / serving-side relational
@@ -839,6 +857,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings)
             SELECT vec_id, score FROM s
             ORDER BY score DESC, vec_id LIMIT 10
+        """,
+        # batch k-NN join: round-4 scores ranked (score desc, id asc),
+        # self-matches excluded — same order the engine selects by
+        "knn_join": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding
+                FROM embeddings WHERE vec_id % 50 = 0),
+            s AS (
+                SELECT q.query_id, e.vec_id,
+                       round(list_cosine_similarity(
+                           e.embedding::DOUBLE[],
+                           q.embedding::DOUBLE[]), 4) AS score
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id <> q.query_id),
+            r AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, vec_id ASC) AS rn
+                FROM s)
+            SELECT query_id, vec_id, score FROM r WHERE rn <= 5
         """,
         # IVF probe: rank label-cells by centroid cosine (scale-invariant,
         # so the unnormalized q works), take top nprobe=2 (ties: label

@@ -465,3 +465,28 @@ class TestDistributedStages:
         # "x y" count 2, len 3, text len 9
         assert out.loc[2, "top2gram_ppm"] == 2 * 3 * 1_000_000 // 9
         assert (out.loc[3].drop("text") == 0).all()
+
+    def test_knn_join_exact_across_blocks(self):
+        import ray.data as rd
+
+        from vyntr_ray.stages.similarity import knn_join
+        rng = np.random.Generator(np.random.PCG64(11))
+        vecs = rng.standard_normal((120, 8))
+        rows = [{"vec_id": i, "embedding": vecs[i].tolist()}
+                for i in range(120)]
+        q_ids = np.array([0, 50], np.int64)
+        # many small blocks: partial top-k + merge must equal brute force
+        ds = rd.from_items(rows, override_num_blocks=10)
+        got = knn_join(ds, vecs[q_ids], q_ids, k=3).to_pandas()
+
+        sims = np.round(
+            (vecs / np.linalg.norm(vecs, axis=1, keepdims=True))
+            @ (vecs[q_ids] / np.linalg.norm(vecs[q_ids], axis=1,
+                                            keepdims=True)).T, 4)
+        for ci, qid in enumerate(q_ids):
+            order = np.lexsort((np.arange(120), -sims[:, ci]))
+            expect = [i for i in order if i != qid][:3]
+            sub = got[got.query_id == qid].sort_values(
+                ["score", "vec_id"], ascending=[False, True])
+            assert sub["vec_id"].tolist() == expect
+            assert qid not in sub["vec_id"].tolist()

@@ -25,7 +25,7 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["query_vector", "cosine_topk", "ivf_topk", "build_ivf_layout",
-           "kmeans_cells", "assign_cells"]
+           "kmeans_cells", "assign_cells", "knn_join"]
 
 CACHE_DIR = "/tmp/vyntr_ray_cache/ivf"
 
@@ -240,3 +240,56 @@ def ivf_topk(ds, q: np.ndarray, k: int = 10, nprobe: int = 2,
 
     scored = probe_ds.map_batches(score, batch_format="pyarrow")
     return scored.sort(["score", id_col], descending=[True, False]).limit(k)
+
+
+def knn_join(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             round_to: int = 4, exclude_self: bool = True):
+    """Batch k-NN join: exact top-k cosine neighbors for EVERY query row.
+
+    The realistic retrieval workload (many queries at once), distributed:
+    the (q x d) query matrix ships ONCE (``ray.put``); each corpus batch
+    computes one vectorized (batch x q) cosine matrix and emits only its
+    per-query top-k partials — the shuffle is bounded by q*k rows per
+    batch regardless of corpus size — and a single
+    ``groupby(query_id).map_groups`` merge yields the exact global top-k
+    (scores are rounded BEFORE selection, and every stage selects by the
+    same (score desc, id asc) order, so partial + merge = exact).
+    """
+    import ray
+
+    q_mat = np.asarray(queries, np.float64)
+    qn = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_ref = ray.put((qn, np.asarray(query_ids, np.int64)))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qn_, qids = ray.get(q_ref)
+        mat = np.stack(batch[vec_col].to_pylist()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        ids = batch[id_col].to_numpy()
+        sims = np.round((mat / norms[:, None]) @ qn_.T, round_to)  # n x q
+        out_q, out_id, out_s = [], [], []
+        for ci, qid in enumerate(qids):
+            col = sims[:, ci]
+            cand = np.arange(len(ids))
+            if exclude_self:
+                cand = cand[ids != qid]
+            order = np.lexsort((ids[cand], -col[cand]))[:k]
+            sel = cand[order]
+            out_q.extend([qid] * len(sel))
+            out_id.extend(ids[sel])
+            out_s.extend(col[sel])
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            id_col: pa.array(out_id, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", id_col], ascending=[False, True],
+                          kind="mergesort")
+        return g.head(k)
+
+    return (ds.map_batches(partial_topk, batch_format="pyarrow")
+            .groupby("query_id").map_groups(merge, batch_format="pandas"))

@@ -181,7 +181,14 @@ def make_pages_dataset(n_pages: int, n_hosts: int | None = None,
     def gen(batch: dict) -> pa.Table:
         return gen_pages_table(batch["id"], n_pages, n_hosts, seed, rich)
 
-    ds = rd.range(n_pages, override_num_blocks=parallelism if parallelism > 0 else None)
+    if parallelism <= 0:
+        # range() blocks are sized by the tiny int payload (a 2M-row range
+        # is ONE ~16 MB block), which would serialize the expensive html
+        # generation onto 1-2 tasks — block explicitly on row count.
+        # Content is a pure function of id, so block count never changes
+        # the generated store.
+        parallelism = max(16, n_pages // 25_000)
+    ds = rd.range(n_pages, override_num_blocks=parallelism)
     return ds.map_batches(gen, batch_format="numpy", batch_size=2048)
 
 

@@ -102,7 +102,8 @@ def bench_queries() -> dict:
     names = ["clean_content", "topk_largest", "dedup_exact", "token_totals",
              "index_prep", "mean_pool_embeddings", "chunk_documents",
              "ann_topk", "tpch_q1ish", "events_window", "quality_scores",
-             "minhash_dups", "bm25_topk", "ivf_ann"]
+             "minhash_dups", "bm25_topk", "ivf_ann", "knn_join",
+             "decontaminate", "repetition_scores"]
     qs = em.queries()
     out = {}
     for name in names:

@@ -193,6 +193,28 @@ def _q_repetition(sf_dir: str):
             .drop_columns(["text"]))
 
 
+def _q_hash_sample(sf_dir: str):
+    """Deterministic 30% corpus sample by md5(doc_id) prefix threshold."""
+    from vyntr_ray.stages.sampling import hash_sample
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    return hash_sample(ds, rate_ppm=300_000)
+
+
+def _q_token_budget(sf_dir: str):
+    """Token-budget subsample: docs in md5-hash order until 2000 ws-tokens."""
+    from vyntr_ray.stages.sampling import _WS_TOKEN, token_budget_sample
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = token_budget_sample(ds, budget=2000, n_buckets=16)
+
+    def project(t: pa.Table) -> pa.Table:
+        toks = [len(_WS_TOKEN.findall(x or ""))
+                for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "tok": pa.array(toks, pa.int64())})
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def _q_index_prep(sf_dir: str):
     from vyntr_ray.stages.index_prep import index_prep
     ds = _read(sf_dir, "documents",
@@ -693,6 +715,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_counts": _q_lang_id,
         "decontaminate": _q_decontaminate,
         "repetition_scores": _q_repetition,
+        "hash_sample": _q_hash_sample,
+        "token_budget_sample": _q_token_budget,
         # embeddings / similarity
         "mean_pool_embeddings": _q_mean_pool,
         "chunk_documents": _q_chunks,
@@ -1146,6 +1170,28 @@ def oracle_sql() -> dict[str, str]:
                 FROM s)
             SELECT pred_lang, count(*)::BIGINT AS n
             FROM p GROUP BY pred_lang
+        """,
+        # hash-threshold sampling: 300000 ppm -> int(0.3 * 2^32) = hex
+        # 4ccccccc; lowercase-hex string compare == numeric compare
+        "hash_sample": """
+            SELECT doc_id FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '4ccccccc'
+        """,
+        # docs in md5-hash order while the running ws-token sum stays
+        # <= 2000 (same inclusive-cumsum rule as token_budget_sample)
+        "token_budget_sample": r"""
+            WITH m AS (
+                SELECT doc_id,
+                       md5(CAST(doc_id AS VARCHAR)) AS h,
+                       len(regexp_extract_all(coalesce(text, ''), '\S+'))
+                           AS tok
+                FROM documents),
+            c AS (
+                SELECT *, sum(tok) OVER (ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum
+                FROM m)
+            SELECT doc_id, tok::BIGINT AS tok FROM c WHERE cum <= 2000
         """,
         # Gopher-style repetition signals; same line/gram definitions as
         # repetition_batch (non-empty newline-split lines; [a-z0-9]+ word

@@ -490,3 +490,35 @@ class TestDistributedStages:
                 ["score", "vec_id"], ascending=[False, True])
             assert sub["vec_id"].tolist() == expect
             assert qid not in sub["vec_id"].tolist()
+
+    def test_sampling_operators(self):
+        import hashlib
+
+        import ray.data as rd
+
+        from vyntr_ray.stages.sampling import hash_sample, token_budget_sample
+        rows = [{"doc_id": i, "text": " ".join(["w"] * (i % 7 + 1))}
+                for i in range(200)]
+        ds = rd.from_items(rows, override_num_blocks=8)
+
+        got = sorted(r["doc_id"] for r in
+                     hash_sample(ds, rate_ppm=250_000).take_all())
+        exp = [i for i in range(200)
+               if hashlib.md5(str(i).encode()).hexdigest()[:8] < "40000000"]
+        assert got == exp and 20 < len(got) < 80
+
+        budget = 150
+        got2 = sorted(r["doc_id"] for r in
+                      token_budget_sample(ds, budget,
+                                          n_buckets=16).take_all())
+        order = sorted(range(200),
+                       key=lambda i: (hashlib.md5(str(i).encode())
+                                      .hexdigest(), i))
+        acc, exp2 = 0, []
+        for i in order:
+            tok = i % 7 + 1
+            if acc + tok > budget:
+                break
+            acc += tok
+            exp2.append(i)
+        assert got2 == sorted(exp2)

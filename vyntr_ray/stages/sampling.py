@@ -1,0 +1,130 @@
+"""Deterministic corpus sampling / mixing for training-data pipelines.
+
+Two operators a 100 TB curation pipeline needs constantly:
+
+- ``hash_sample``: keep a deterministic pseudo-random fraction of rows by
+  comparing an md5 prefix of the key against a threshold.  Stateless,
+  no shuffle, identical result at any parallelism — the building block
+  for reproducible corpus mixing weights.
+- ``token_budget_sample``: take documents in md5-hash order (a seeded,
+  stable "random" order) until a global token budget is reached — the
+  "give me exactly ~N tokens of this corpus" operator.  Distributed
+  prefix-sum: one pass computes per-hash-bucket token sums (tiny, one
+  row per bucket); the driver picks the boundary bucket and the exact
+  cut row inside it from that bucket's metadata only; the final pass
+  filters with a pure (hash, key) comparison broadcast to every task —
+  no row-id set is ever shipped.
+
+Scale notes: bucket count is the knob — per-bucket sums are O(n_buckets)
+driver rows and the boundary bucket's metadata is O(corpus / n_buckets)
+(3 narrow columns, never the text); at 10^10 docs raise ``n_buckets`` to
+65536.  Hex-string comparison on lowercase md5 equals numeric comparison,
+which is what keeps the DuckDB oracle exact.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["hash_sample", "token_budget_sample"]
+
+_WS_TOKEN = re.compile(r"\S+")
+
+
+def _md5_hex(vals: list) -> list[str]:
+    return [hashlib.md5(str(v).encode("utf-8")).hexdigest() for v in vals]
+
+
+def hash_sample(ds, rate_ppm: int, key_col: str = "doc_id"):
+    """Keep rows whose md5(key) 8-hex-digit prefix < rate_ppm / 1e6.
+
+    The threshold is compared as a zero-padded hex STRING (equal to the
+    numeric comparison on lowercase hex), so the DuckDB oracle
+    (``substr(md5(key), 1, 8) < '<hex>'``) matches byte-for-byte.
+    """
+    thresh = format(int(rate_ppm / 1_000_000 * (1 << 32)), "08x")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        hs = _md5_hex(batch[key_col].to_pylist())
+        return batch.filter(pa.array([h[:8] < thresh for h in hs]))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def token_budget_sample(ds, budget: int, key_col: str = "doc_id",
+                        text_col: str = "text", n_buckets: int = 256):
+    """Documents in md5(key) hash order until cumulative ws-tokens hit
+    ``budget`` (inclusive while the running sum stays <= budget).
+
+    Returns the filtered dataset (all original columns).
+    """
+    import ray
+
+    def meta(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        hs = _md5_hex(keys)
+        toks = [len(_WS_TOKEN.findall(t or ""))
+                for t in batch[text_col].to_pylist()]
+        buckets = [int(h[:4], 16) // (65536 // n_buckets) for h in hs]
+        return pa.table({
+            key_col: batch[key_col],
+            "h": pa.array(hs, pa.string()),
+            "tok": pa.array(toks, pa.int64()),
+            "bucket": pa.array(buckets, pa.int32()),
+        })
+
+    meta_ds = ds.map_batches(meta, batch_format="pyarrow")
+
+    # pass 1: per-bucket token sums — n_buckets tiny rows on the driver
+    sums = {int(r["bucket"]): int(r["sum(tok)"])
+            for r in meta_ds.groupby("bucket").sum("tok").take_all()}
+
+    # bucket = high bits of h (a true PREFIX), so bucket order IS hash
+    # order: walking buckets 0..n-1 equals the global ORDER BY h
+    assert 65536 % n_buckets == 0, "n_buckets must divide 65536"
+    remaining = budget
+    boundary = None
+    for b in range(n_buckets):
+        s = sums.get(b, 0)
+        if s <= remaining:
+            remaining -= s
+        else:
+            boundary = b
+            break
+    full_upto = boundary if boundary is not None else n_buckets
+
+    cut = None  # (h, key) of the last included row in the boundary bucket
+    if boundary is not None:
+        rows = meta_ds.map_batches(
+            lambda t: t.filter(pc.equal(t["bucket"], boundary)),
+            batch_format="pyarrow").take_all()   # metadata only, 1/n_buckets
+        rows.sort(key=lambda r: (r["h"], r[key_col]))
+        acc = 0
+        for r in rows:
+            if acc + r["tok"] > remaining:
+                break
+            acc += r["tok"]
+            cut = (r["h"], r[key_col])
+
+    cut_ref = ray.put((full_upto, boundary, cut))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        upto, bnd, cut_ = ray.get(cut_ref)
+        keys = batch[key_col].to_pylist()
+        hs = _md5_hex(keys)
+        out = []
+        for h, k in zip(hs, keys):
+            b = int(h[:4], 16) // (65536 // n_buckets)
+            if b < upto:
+                out.append(True)
+            elif bnd is not None and b == bnd and cut_ is not None:
+                out.append((h, k) <= cut_)
+            else:
+                out.append(False)
+        return batch.filter(pa.array(out))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

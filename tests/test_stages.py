@@ -522,3 +522,14 @@ class TestDistributedStages:
             acc += tok
             exp2.append(i)
         assert got2 == sorted(exp2)
+
+    def test_token_budget_sample_edges(self):
+        import ray.data as rd
+
+        from vyntr_ray.stages.sampling import token_budget_sample
+        rows = [{"doc_id": i, "text": "a b c"} for i in range(30)]
+        ds = rd.from_items(rows, override_num_blocks=4)
+        assert token_budget_sample(ds, 0, n_buckets=16).count() == 0
+        assert token_budget_sample(ds, 2, n_buckets=16).count() == 0
+        assert token_budget_sample(ds, 10**9, n_buckets=16).count() == 30
+        assert token_budget_sample(ds, 3 * 7, n_buckets=16).count() == 7

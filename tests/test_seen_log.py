@@ -128,3 +128,32 @@ class TestCrawlResumeViaLog:
         migrated = glob.glob(os.path.join(w, "seen_log", "shard=*",
                                           "gen=000000001.parquet"))
         assert len(migrated) == 4
+
+
+def test_fresh_run_clears_stale_workdir_state(ray_session, small_pages_file,
+                                              small_pages, tmp_path):
+    # run to full budget, then start a FRESH (resume=False) shorter run in
+    # the same workdir: stale higher-wave checkpoints / schedule parts /
+    # seen-log generations must be gone, and a subsequent resume must
+    # reproduce the reference schedule exactly
+    pages_path, seeds = small_pages_file
+    sim = _sim_result(small_pages)
+    w = str(tmp_path / "run")
+    run_crawl(pages_path, seeds, w, max_pages=BUDGET, seed=42, n_shards=4)
+    n_full_waves = len(glob.glob(os.path.join(w, "ckpt", "wave=*")))
+
+    cut = sum(1 for (wv, _p, _u, _s) in sim.schedule if wv < 2)
+    run_crawl(pages_path, seeds, w, max_pages=cut, seed=42, n_shards=4)
+    assert len(glob.glob(os.path.join(w, "ckpt", "wave=*"))) == 2
+    assert len(glob.glob(os.path.join(w, "schedule", "*.parquet"))) == 2
+    gens = glob.glob(os.path.join(w, "seen_log", "shard=*", "gen=*.parquet"))
+    assert len(gens) == 4 * 2 and n_full_waves > 2
+
+    run_crawl(pages_path, seeds, w, max_pages=BUDGET, seed=42, n_shards=4,
+              resume=True)
+    resumed = _read_schedule(w)
+    exp = pd.DataFrame(sim.schedule,
+                       columns=["wave", "position", "url", "status"])
+    exp = exp.sort_values(["wave", "position"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        resumed.astype({"wave": "int64", "position": "int64"}), exp)

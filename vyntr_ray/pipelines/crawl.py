@@ -344,6 +344,13 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
     os.makedirs(workdir, exist_ok=True)
     analyses_dir = os.path.join(workdir, "analyses")
     schedule_dir = os.path.join(workdir, "schedule")
+    if not resume:
+        # a fresh run owns the workdir: stale state from a previous crawl
+        # (higher-wave checkpoints, schedule parts, seen-log generations)
+        # must not leak into this run's outputs or a later resume
+        for sub in ("ckpt", "seen_log", "schedule", "analyses",
+                    "frontier_spill"):
+            shutil.rmtree(os.path.join(workdir, sub), ignore_errors=True)
     ckpt_dir = os.path.join(workdir, "ckpt")
     config = {"max_pages": max_pages, "max_per_domain": max_per_domain,
               "seed": seed, "n_shards": n_shards}

@@ -215,6 +215,14 @@ def _q_token_budget(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def _q_weighted_mix(sf_dir: str):
+    """Corpus mixing: per-source deterministic sampling rates."""
+    from vyntr_ray.stages.sampling import weighted_mix
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return weighted_mix(ds, {"src0": 1_000_000, "src1": 500_000,
+                             "src2": 250_000}, default_ppm=100_000)
+
+
 def _q_index_prep(sf_dir: str):
     from vyntr_ray.stages.index_prep import index_prep
     ds = _read(sf_dir, "documents",
@@ -717,6 +725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_scores": _q_repetition,
         "hash_sample": _q_hash_sample,
         "token_budget_sample": _q_token_budget,
+        "weighted_mix": _q_weighted_mix,
         # embeddings / similarity
         "mean_pool_embeddings": _q_mean_pool,
         "chunk_documents": _q_chunks,
@@ -1176,6 +1185,17 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": """
             SELECT doc_id FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '4ccccccc'
+        """,
+        # per-source thresholds: 1.0 -> 'g' (every hex char < 'g', keeps
+        # all), 0.5 -> '80000000', 0.25 -> '40000000', default 0.1 ->
+        # '19999999'
+        "weighted_mix": """
+            SELECT doc_id, source FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+                  CASE source WHEN 'src0' THEN 'g'
+                              WHEN 'src1' THEN '80000000'
+                              WHEN 'src2' THEN '40000000'
+                              ELSE '19999999' END
         """,
         # docs in md5-hash order while the running ws-token sum stays
         # <= 2000 (same inclusive-cumsum rule as token_budget_sample)

@@ -533,3 +533,19 @@ class TestDistributedStages:
         assert token_budget_sample(ds, 2, n_buckets=16).count() == 0
         assert token_budget_sample(ds, 10**9, n_buckets=16).count() == 30
         assert token_budget_sample(ds, 3 * 7, n_buckets=16).count() == 7
+
+    def test_weighted_mix_rates(self):
+        import ray.data as rd
+
+        from vyntr_ray.stages.sampling import hash_sample, weighted_mix
+        rows = [{"doc_id": i, "source": f"s{i % 2}"} for i in range(300)]
+        ds = rd.from_items(rows, override_num_blocks=6)
+        got = weighted_mix(ds, {"s0": 1_000_000, "s1": 200_000}).take_all()
+        s0 = [r["doc_id"] for r in got if r["source"] == "s0"]
+        s1 = sorted(r["doc_id"] for r in got if r["source"] == "s1")
+        assert len(s0) == 150            # 100% rate keeps every s0 row
+        # s1 must equal a plain hash_sample at the same rate
+        only_s1 = rd.from_items([r for r in rows if r["source"] == "s1"])
+        exp = sorted(r["doc_id"] for r in
+                     hash_sample(only_s1, 200_000).take_all())
+        assert s1 == exp and 0 < len(s1) < 150

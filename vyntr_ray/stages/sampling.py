@@ -30,13 +30,21 @@ import re
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["hash_sample", "token_budget_sample"]
+__all__ = ["hash_sample", "token_budget_sample", "weighted_mix"]
 
 _WS_TOKEN = re.compile(r"\S+")
 
 
 def _md5_hex(vals: list) -> list[str]:
     return [hashlib.md5(str(v).encode("utf-8")).hexdigest() for v in vals]
+
+
+def _ppm_hex(rate_ppm: int) -> str:
+    """Zero-padded 8-hex threshold; 'g' for >= 100% (every hex char < 'g'
+    lexicographically, so the compare keeps everything)."""
+    if rate_ppm >= 1_000_000:
+        return "g"
+    return format(int(rate_ppm / 1_000_000 * (1 << 32)), "08x")
 
 
 def hash_sample(ds, rate_ppm: int, key_col: str = "doc_id"):
@@ -46,7 +54,7 @@ def hash_sample(ds, rate_ppm: int, key_col: str = "doc_id"):
     numeric comparison on lowercase hex), so the DuckDB oracle
     (``substr(md5(key), 1, 8) < '<hex>'``) matches byte-for-byte.
     """
-    thresh = format(int(rate_ppm / 1_000_000 * (1 << 32)), "08x")
+    thresh = _ppm_hex(rate_ppm)
 
     def keep(batch: pa.Table) -> pa.Table:
         hs = _md5_hex(batch[key_col].to_pylist())
@@ -126,5 +134,28 @@ def token_budget_sample(ds, budget: int, key_col: str = "doc_id",
             else:
                 out.append(False)
         return batch.filter(pa.array(out))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def weighted_mix(ds, rate_ppm_by_group: dict, group_col: str = "source",
+                 key_col: str = "doc_id", default_ppm: int = 0):
+    """Per-group deterministic sampling rates — the corpus-mixing knob.
+
+    Each row keeps iff its md5(key) prefix clears ITS group's threshold
+    (``hash_sample`` per source, one pass, no shuffle); groups absent
+    from the dict get ``default_ppm``.  Stateless and
+    parallelism-invariant, so mixing weights are exactly reproducible
+    across runs and cluster sizes.
+    """
+    thresh = {g: _ppm_hex(p) for g, p in rate_ppm_by_group.items()}
+    default_hex = _ppm_hex(default_ppm)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        hs = _md5_hex(batch[key_col].to_pylist())
+        gs = batch[group_col].to_pylist()
+        return batch.filter(pa.array(
+            [h[:8] < thresh.get(g, default_hex)
+             for h, g in zip(hs, gs)]))
 
     return ds.map_batches(keep, batch_format="pyarrow")

@@ -549,3 +549,11 @@ class TestDistributedStages:
         exp = sorted(r["doc_id"] for r in
                      hash_sample(only_s1, 200_000).take_all())
         assert s1 == exp and 0 < len(s1) < 150
+
+    def test_hf_encoder_seam_gated(self):
+        # the real-model drop-in must exist and fail CLEANLY without torch
+        import pytest as _pytest
+
+        from vyntr_ray.stages.embed import HFEncoder
+        with _pytest.raises(ImportError, match="torch"):
+            HFEncoder()

@@ -5,7 +5,9 @@ Rebuild of the embedding toolchain
 `genesis/tools/embedding/merge_embeddings.py`) with the model swapped for a
 **deterministic stub encoder** (the sandbox has no torch/transformers — the
 Ray-side plumbing, actor signatures, batch sizes and output layout are real
-and tested; a MiniLM actor drops in by replacing ``StubEncoder``).
+and tested; ``embed_chunks(model="sentence-transformers/...")`` swaps in
+the import-gated :class:`HFEncoder` real-model actor, optionally with a
+per-actor GPU fraction).
 
 Chunking contract (`generate_embeddings.py:106-165`), tokenizer-agnostic:
 ``effective_max = max_tokens - num_special - safety_buffer``; a text with
@@ -26,7 +28,8 @@ import re
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["chunk_tokens", "Chunker", "StubEncoder", "chunk_documents",
+__all__ = ["chunk_tokens", "Chunker", "StubEncoder", "HFEncoder",
+           "chunk_documents",
            "embed_chunks", "mean_pool", "CHUNK_DEFAULTS"]
 
 _TOKEN_RE = re.compile(r"\S+")
@@ -149,10 +152,80 @@ def chunk_documents(ds, id_col: str = "doc_id", text_col: str = "text",
         batch_format="pyarrow", concurrency=concurrency, num_cpus=0.5)
 
 
+class HFEncoder:
+    """Real-model drop-in for :class:`StubEncoder` (T4's production seam).
+
+    Mirrors the reference's loader (`generate_embeddings.py:236-278`:
+    MiniLM-L6-v2 + fast tokenizer loaded ONCE per process, 8-bit on GPU
+    when available) as an actor-pool callable: tokenizer + model in
+    ``__init__``, attention-masked mean-pool over ``last_hidden_state``
+    per batch.  Import-gated — this sandbox ships no torch/transformers,
+    so construction raises ``ImportError`` with a clear message (tested);
+    the plumbing (``embed_chunks(model=...)``, per-actor GPU fraction) is
+    real either way.
+    """
+
+    def __init__(self,
+                 model_name: str = "sentence-transformers/all-MiniLM-L6-v2",
+                 text_col: str = "chunk_text", device: str | None = None,
+                 max_length: int = 512):
+        try:
+            import torch
+            from transformers import AutoModel, AutoTokenizer
+        except ImportError as e:                      # pragma: no cover
+            raise ImportError(
+                "HFEncoder requires torch + transformers; pass model=None "
+                "to embed_chunks to use the deterministic StubEncoder"
+            ) from e
+        self.text_col = text_col
+        self.max_length = max_length
+        self.torch = torch
+        self.device = device or (
+            "cuda" if torch.cuda.is_available() else "cpu")
+        self.tokenizer = AutoTokenizer.from_pretrained(model_name,
+                                                       use_fast=True)
+        self.model = AutoModel.from_pretrained(model_name).to(self.device)
+        self.model.eval()
+
+    def encode(self, texts: list[str]) -> "np.ndarray":  # pragma: no cover
+        torch = self.torch
+        enc = self.tokenizer(texts, padding=True, truncation=True,
+                             max_length=self.max_length,
+                             return_tensors="pt").to(self.device)
+        with torch.no_grad():
+            hidden = self.model(**enc).last_hidden_state
+        mask = enc["attention_mask"].unsqueeze(-1).float()
+        pooled = (hidden * mask).sum(1) / mask.sum(1).clamp(min=1e-9)
+        return pooled.cpu().numpy().astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # pragma: no cover
+        emb = self.encode(batch[self.text_col].to_pylist())
+        dim = emb.shape[1]
+        return batch.append_column(
+            "embedding", pa.FixedSizeListArray.from_arrays(
+                pa.array(emb.ravel(), pa.float32()), dim).cast(
+                    pa.list_(pa.float32())))
+
+
 def embed_chunks(ds, dim: int = 64, text_col: str = "chunk_text",
-                 concurrency: int = 2, batch_size: int = 1000):
+                 concurrency: int = 2, batch_size: int = 1000,
+                 model: str | None = None, num_gpus: float = 0):
     """T4: actor-pool encode, ``batch_size`` = the reference's model batch
-    (`generate_embeddings.py:37` CHUNK_BATCH_SIZE=1000)."""
+    (`generate_embeddings.py:37` CHUNK_BATCH_SIZE=1000).
+
+    ``model=None`` (default) uses the deterministic :class:`StubEncoder`;
+    pass an HF model name (and optionally ``num_gpus`` per actor) to run
+    :class:`HFEncoder` instead — same schema, same batching, setup once
+    per actor.
+    """
+    if model is not None:
+        return ds.map_batches(
+            HFEncoder,
+            fn_constructor_kwargs={"model_name": model,
+                                   "text_col": text_col},
+            batch_format="pyarrow", concurrency=concurrency,
+            batch_size=batch_size,
+            **({"num_gpus": num_gpus} if num_gpus else {"num_cpus": 0.5}))
     return ds.map_batches(
         StubEncoder, fn_constructor_kwargs={"dim": dim, "text_col": text_col},
         batch_format="pyarrow", concurrency=concurrency,

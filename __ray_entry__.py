@@ -223,6 +223,30 @@ def _q_weighted_mix(sf_dir: str):
                              "src2": 250_000}, default_ppm=100_000)
 
 
+def _q_asof_join(sf_dir: str):
+    """Point-in-time lookup: latest 'view' at or before each 'click'."""
+    import pyarrow.compute as pc
+
+    from vyntr_ray.stages.joins import asof_join
+
+    def only(kind: str):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["event_type"], kind))
+        return f
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    clicks = ev.map_batches(only("click"), batch_format="pyarrow")
+    views = ev.map_batches(only("view"), batch_format="pyarrow")
+    out = asof_join(clicks, views, "user_id", "ts",
+                    ["event_id"], ["event_id"])
+    return out.map_batches(
+        lambda t: pa.table({"event_id": t["event_id"],
+                            "user_id": t["user_id"],
+                            "view_id": t["r_event_id"]}),
+        batch_format="pyarrow")
+
+
 def _q_index_prep(sf_dir: str):
     from vyntr_ray.stages.index_prep import index_prep
     ds = _read(sf_dir, "documents",
@@ -726,6 +750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": _q_hash_sample,
         "token_budget_sample": _q_token_budget,
         "weighted_mix": _q_weighted_mix,
+        "asof_join": _q_asof_join,
         # embeddings / similarity
         "mean_pool_embeddings": _q_mean_pool,
         "chunk_documents": _q_chunks,
@@ -1179,6 +1204,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM s)
             SELECT pred_lang, count(*)::BIGINT AS n
             FROM p GROUP BY pred_lang
+        """,
+        # DuckDB's native ASOF JOIN = the engine's groupby+merge_asof
+        # (inner semantics: clicks with no prior view drop out)
+        "asof_join": """
+            WITH c AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+                 v AS (SELECT event_id AS view_id, user_id, ts FROM events
+                       WHERE event_type = 'view')
+            SELECT c.event_id, c.user_id, v.view_id
+            FROM c ASOF JOIN v
+              ON c.user_id = v.user_id AND v.ts <= c.ts
         """,
         # hash-threshold sampling: 300000 ppm -> int(0.3 * 2^32) = hex
         # 4ccccccc; lowercase-hex string compare == numeric compare

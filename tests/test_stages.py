@@ -557,3 +557,29 @@ class TestDistributedStages:
         from vyntr_ray.stages.embed import HFEncoder
         with _pytest.raises(ImportError, match="torch"):
             HFEncoder()
+
+    def test_asof_join_semantics(self):
+        import datetime as dt
+
+        import ray.data as rd
+
+        from vyntr_ray.stages.joins import asof_join
+        base = dt.datetime(2024, 1, 1)
+        clicks = [{"user_id": u, "ts": base + dt.timedelta(seconds=s),
+                   "event_id": i}
+                  for i, (u, s) in enumerate([(1, 10), (1, 20), (2, 5),
+                                              (3, 7)])]
+        views = [{"user_id": u, "ts": base + dt.timedelta(seconds=s),
+                  "event_id": 100 + i}
+                 for i, (u, s) in enumerate([(1, 8), (1, 15), (2, 50),
+                                             (4, 1)])]
+        out = asof_join(rd.from_items(clicks), rd.from_items(views),
+                        "user_id", "ts", ["event_id"],
+                        ["event_id"]).to_pandas()
+        out = out.sort_values("event_id").reset_index(drop=True)
+        # click 0 (t=10) -> view 100 (t=8); click 1 (t=20) -> view 101
+        # (t=15); user 2's only view is later (inner: dropped); user 3
+        # has no views; user 4 has no clicks
+        assert out["event_id"].tolist() == [0, 1]
+        assert out["r_event_id"].tolist() == [100, 101]
+        assert str(out["event_id"].dtype) == "int64"   # no float upcast

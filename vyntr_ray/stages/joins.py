@@ -1,0 +1,95 @@
+"""Temporal joins Ray Data lacks, composed from groupby + map_groups.
+
+``asof_join``: for every left row, the latest right row of the same key
+with ``right.ts <= left.ts`` (inner semantics: left rows with no prior
+right row are dropped).  The classic point-in-time feature lookup —
+"the last view before this click", "the latest price before this trade".
+
+Ray-Data-first shape: both sides are tagged and aligned to ONE typed
+schema (missing columns become typed nulls, so the union never degrades
+to null/object blocks), unioned, and a single ``groupby(key)`` shuffle
+co-locates each key's rows; ``pandas.merge_asof`` inside ``map_groups``
+does the per-key sweep.  The partitioning assumption (documented per the
+build brief): one key's rows fit in a worker's heap — keys are
+users/instruments, not the corpus.  Ties on ts resolve to the right row
+latest in (ts, payload) sort order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["asof_join"]
+
+
+def asof_join(left_ds, right_ds, key_col: str, ts_col: str,
+              left_payload: list[str], right_payload: list[str],
+              right_prefix: str = "r_"):
+    """Inner as-of join; returns key, ts, left payload, prefixed right
+    payload (incl. ``r_<ts_col>`` of the matched row)."""
+    l_schema = left_ds.schema()
+    r_schema = right_ds.schema()
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    r_out = {right_prefix + c: r_types[c] for c in [ts_col] + right_payload}
+    combined = {key_col: l_types[key_col], ts_col: l_types[ts_col],
+                "side": pa.int8(),
+                **{c: l_types[c] for c in left_payload}, **r_out}
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {}
+            for name, typ in combined.items():
+                if name == "side":
+                    cols[name] = pa.array(np.full(n, side, np.int8))
+                elif side == 1 and name in (key_col, ts_col, *left_payload):
+                    cols[name] = t[name]
+                elif side == 0 and name in (key_col,):
+                    cols[name] = t[name]
+                elif side == 0 and name.startswith(right_prefix) \
+                        and name[len(right_prefix):] in (ts_col,
+                                                         *right_payload):
+                    cols[name] = t[name[len(right_prefix):]]
+                elif side == 0 and name == ts_col:
+                    cols[name] = t[ts_col]   # groupless sort key fallback
+                else:
+                    cols[name] = pa.nulls(n, typ)
+            return pa.table(cols)
+        return f
+
+    l_tag = (left_ds.select_columns([key_col, ts_col] + left_payload)
+             .map_batches(tag(1), batch_format="pyarrow"))
+    r_tag = (right_ds.select_columns([key_col, ts_col] + right_payload)
+             .map_batches(tag(0), batch_format="pyarrow"))
+
+    out_cols = [key_col, ts_col] + left_payload + list(r_out)
+    out_dtypes = {c: combined[c].to_pandas_dtype() for c in out_cols}
+    rsort = list(r_out)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 1]
+        right = g[g["side"] == 0]
+        empty = pd.DataFrame({c: pd.Series(dtype=out_dtypes[c])
+                              for c in out_cols})
+        if left.empty or right.empty:
+            return empty
+        left = left.sort_values([ts_col] + left_payload, kind="mergesort")
+        right = right.sort_values(rsort, kind="mergesort")
+        merged = pd.merge_asof(
+            left[[key_col, ts_col] + left_payload], right[rsort],
+            left_on=ts_col, right_on=right_prefix + ts_col,
+            direction="backward")
+        merged = merged.dropna(subset=[right_prefix + ts_col])
+        if merged.empty:
+            return empty
+        # nulls from the tagged union upcast int columns to float in the
+        # per-group pandas frame — restore the source dtypes exactly
+        for c in out_cols:
+            merged[c] = merged[c].astype(out_dtypes[c])
+        return merged
+
+    both = l_tag.union(r_tag)
+    return both.groupby(key_col).map_groups(merge, batch_format="pandas")

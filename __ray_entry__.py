@@ -247,6 +247,29 @@ def _q_asof_join(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_range_join(sf_dir: str):
+    """Interval join: clicks in the 5 minutes before each purchase."""
+    import pyarrow.compute as pc
+
+    from vyntr_ray.stages.joins import range_count_join
+
+    def only(kind: str):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["event_type"], kind))
+        return f
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    purchases = ev.map_batches(only("purchase"), batch_format="pyarrow")
+    clicks = ev.map_batches(only("click"), batch_format="pyarrow")
+    out = range_count_join(purchases, clicks, "user_id", "ts",
+                           ["event_id"], window_us=5 * 60 * 1_000_000,
+                           count_name="n_clicks")
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "n_clicks"]),
+        batch_format="pyarrow")
+
+
 def _q_index_prep(sf_dir: str):
     from vyntr_ray.stages.index_prep import index_prep
     ds = _read(sf_dir, "documents",
@@ -751,6 +774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_sample": _q_token_budget,
         "weighted_mix": _q_weighted_mix,
         "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
         # embeddings / similarity
         "mean_pool_embeddings": _q_mean_pool,
         "chunk_documents": _q_chunks,
@@ -1215,6 +1239,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.event_id, c.user_id, v.view_id
             FROM c ASOF JOIN v
               ON c.user_id = v.user_id AND v.ts <= c.ts
+        """,
+        # interval join as a correlated range count (inclusive both ends,
+        # same as the engine's two-searchsorted sweep)
+        "range_join": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id, ts FROM events
+                       WHERE event_type = 'click')
+            SELECT p.event_id, p.user_id,
+                   (SELECT count(*) FROM c
+                     WHERE c.user_id = p.user_id
+                       AND c.ts >= p.ts - INTERVAL 5 MINUTE
+                       AND c.ts <= p.ts)::BIGINT AS n_clicks
+            FROM p
         """,
         # hash-threshold sampling: 300000 ppm -> int(0.3 * 2^32) = hex
         # 4ccccccc; lowercase-hex string compare == numeric compare

@@ -583,3 +583,26 @@ class TestDistributedStages:
         assert out["event_id"].tolist() == [0, 1]
         assert out["r_event_id"].tolist() == [100, 101]
         assert str(out["event_id"].dtype) == "int64"   # no float upcast
+
+    def test_range_count_join(self):
+        import datetime as dt
+
+        import ray.data as rd
+
+        from vyntr_ray.stages.joins import range_count_join
+        base = dt.datetime(2024, 1, 1)
+        left = [{"user_id": 1, "ts": base + dt.timedelta(seconds=100),
+                 "event_id": 0},
+                {"user_id": 2, "ts": base + dt.timedelta(seconds=100),
+                 "event_id": 1}]
+        # user 1: clicks at 40 (outside 50s window), 50 (boundary: in),
+        # 100 (boundary: in), 101 (after: out); user 2: none
+        right = [{"user_id": 1, "ts": base + dt.timedelta(seconds=s),
+                  "event_id": 10 + i}
+                 for i, s in enumerate([40, 50, 100, 101])]
+        out = range_count_join(
+            rd.from_items(left), rd.from_items(right), "user_id", "ts",
+            ["event_id"], window_us=50,   # from_items ts unit = seconds
+            count_name="n").to_pandas().sort_values("event_id")
+        assert out["n"].tolist() == [2, 0]
+        assert str(out["n"].dtype) == "int64"

@@ -270,6 +270,13 @@ def _q_range_join(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_value_quantiles(sf_dir: str):
+    """Exact per-event-type value quantiles (quantile_disc convention)."""
+    from vyntr_ray.stages.dataset_tools import group_quantiles
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return group_quantiles(ds, "event_type", "value")
+
+
 def _q_index_prep(sf_dir: str):
     from vyntr_ray.stages.index_prep import index_prep
     ds = _read(sf_dir, "documents",
@@ -775,6 +782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_mix": _q_weighted_mix,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
+        "value_quantiles": _q_value_quantiles,
         # embeddings / similarity
         "mean_pool_embeddings": _q_mean_pool,
         "chunk_documents": _q_chunks,
@@ -1239,6 +1247,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.event_id, c.user_id, v.view_id
             FROM c ASOF JOIN v
               ON c.user_id = v.user_id AND v.ts <= c.ts
+        """,
+        # quantile_disc = exact set-element selection (index ceil(q*n)-1
+        # on both sides), so float equality is exact
+        "value_quantiles": """
+            SELECT event_type,
+                   quantile_disc(value, 0.25) AS q25,
+                   quantile_disc(value, 0.5) AS q50,
+                   quantile_disc(value, 0.95) AS q95
+            FROM events GROUP BY event_type
         """,
         # interval join as a correlated range count (inclusive both ends,
         # same as the engine's two-searchsorted sweep)

@@ -606,3 +606,15 @@ class TestDistributedStages:
             count_name="n").to_pandas().sort_values("event_id")
         assert out["n"].tolist() == [2, 0]
         assert str(out["n"].dtype) == "int64"
+
+    def test_group_quantiles_disc_convention(self):
+        import ray.data as rd
+
+        from vyntr_ray.stages.dataset_tools import group_quantiles
+        rows = [{"g": "a", "v": float(i)} for i in range(1, 11)]  # 1..10
+        rows += [{"g": "b", "v": float(i)} for i in range(1, 5)]  # 1..4
+        out = group_quantiles(rd.from_items(rows, override_num_blocks=3),
+                              "g", "v").to_pandas().set_index("g")
+        # ceil(q*n)-1 selection (DuckDB quantile_disc)
+        assert out.loc["a"].tolist() == [3.0, 5.0, 10.0]
+        assert out.loc["b"].tolist() == [1.0, 2.0, 4.0]

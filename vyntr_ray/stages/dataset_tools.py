@@ -16,7 +16,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["topk_largest", "remove_largest"]
+__all__ = ["topk_largest", "remove_largest", "group_quantiles"]
 
 
 def topk_largest(ds, k: int = 100, length_col: str = "n_chars",
@@ -41,3 +41,32 @@ def remove_largest(ds, k: int = 100, length_col: str = "n_chars",
         return batch.filter(mask)
 
     return ds.map_batches(anti, batch_format="pyarrow")
+
+
+def group_quantiles(ds, group_col: str, value_col: str,
+                    qs: tuple = (0.25, 0.5, 0.95)):
+    """Exact per-group discrete quantiles.
+
+    Matches DuckDB's ``quantile_disc`` convention (verified empirically):
+    the sorted element at index ``ceil(q*n) - 1``.  Pure SELECTION, no
+    interpolation arithmetic — the result is an element of the input set,
+    so even float columns compare exactly against the oracle.  Scale
+    note: ``map_groups`` holds one group's values in a worker; for a
+    group too big for one heap, swap in per-batch partial histograms
+    (the groupby shuffle and output schema stay the same).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g[value_col].to_numpy())
+        n = len(v)
+        row = {group_col: [g[group_col].iloc[0]]}
+        for q in qs:
+            row[f"q{int(round(q * 100))}"] = [
+                v[min(n - 1, max(0, math.ceil(q * n) - 1))]]
+        return pd.DataFrame(row)
+
+    return ds.groupby(group_col).map_groups(agg, batch_format="pandas")

@@ -277,6 +277,14 @@ def _q_value_quantiles(sf_dir: str):
     return group_quantiles(ds, "event_type", "value")
 
 
+def _q_group_topk(sf_dir: str):
+    """Top-3 events by value per event_type (bounded partial top-k)."""
+    from vyntr_ray.stages.dataset_tools import group_topk
+    ds = _read(sf_dir, "events",
+               columns=["event_type", "event_id", "value"])
+    return group_topk(ds, "event_type", "value", "event_id", k=3)
+
+
 def _q_index_prep(sf_dir: str):
     from vyntr_ray.stages.index_prep import index_prep
     ds = _read(sf_dir, "documents",
@@ -783,6 +791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "value_quantiles": _q_value_quantiles,
+        "group_topk": _q_group_topk,
         # embeddings / similarity
         "mean_pool_embeddings": _q_mean_pool,
         "chunk_documents": _q_chunks,
@@ -1247,6 +1256,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.event_id, c.user_id, v.view_id
             FROM c ASOF JOIN v
               ON c.user_id = v.user_id AND v.ts <= c.ts
+        """,
+        # grouped top-k by (value desc, id asc); values are set elements
+        "group_topk": """
+            SELECT event_type, event_id, value FROM (
+                SELECT event_type, event_id, value,
+                       row_number() OVER (PARTITION BY event_type
+                           ORDER BY value DESC, event_id ASC) AS rn
+                FROM events) WHERE rn <= 3
         """,
         # quantile_disc = exact set-element selection (index ceil(q*n)-1
         # on both sides), so float equality is exact

@@ -618,3 +618,18 @@ class TestDistributedStages:
         # ceil(q*n)-1 selection (DuckDB quantile_disc)
         assert out.loc["a"].tolist() == [3.0, 5.0, 10.0]
         assert out.loc["b"].tolist() == [1.0, 2.0, 4.0]
+
+    def test_group_topk_across_blocks(self):
+        import ray.data as rd
+
+        from vyntr_ray.stages.dataset_tools import group_topk
+        rows = [{"g": f"g{i % 3}", "id": i, "v": float((i * 7) % 50)}
+                for i in range(90)]
+        ds = rd.from_items(rows, override_num_blocks=9)
+        got = group_topk(ds, "g", "v", "id", k=2).to_pandas()
+        for g in ("g0", "g1", "g2"):
+            exp = sorted([r for r in rows if r["g"] == g],
+                         key=lambda r: (-r["v"], r["id"]))[:2]
+            sub = got[got.g == g].sort_values(["v", "id"],
+                                             ascending=[False, True])
+            assert sub["id"].tolist() == [r["id"] for r in exp]

@@ -16,7 +16,8 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["topk_largest", "remove_largest", "group_quantiles"]
+__all__ = ["topk_largest", "remove_largest", "group_quantiles",
+           "group_topk"]
 
 
 def topk_largest(ds, k: int = 100, length_col: str = "n_chars",
@@ -70,3 +71,27 @@ def group_quantiles(ds, group_col: str, value_col: str,
         return pd.DataFrame(row)
 
     return ds.groupby(group_col).map_groups(agg, batch_format="pandas")
+
+
+def group_topk(ds, group_col: str, value_col: str, id_col: str, k: int = 3):
+    """Top-k rows per group by (value desc, id asc).
+
+    Distributed in the knn_join shape: each batch emits only ITS top-k
+    per group (shuffle bounded by groups-per-batch x k rows, never the
+    corpus), then one ``groupby(group)`` merge re-selects by the same
+    order — partial + merge = exact because the selection order is total.
+    """
+    import pandas as pd
+
+    def partial(b) -> "pd.DataFrame":
+        df = b.sort_values([group_col, value_col, id_col],
+                           ascending=[True, False, True], kind="mergesort")
+        return df.groupby(group_col, sort=False).head(k)
+
+    def merge(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values([value_col, id_col], ascending=[False, True],
+                          kind="mergesort")
+        return g.head(k)
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby(group_col).map_groups(merge, batch_format="pandas"))

@@ -103,7 +103,8 @@ def bench_queries() -> dict:
              "index_prep", "mean_pool_embeddings", "chunk_documents",
              "ann_topk", "tpch_q1ish", "events_window", "quality_scores",
              "minhash_dups", "bm25_topk", "ivf_ann", "knn_join",
-             "decontaminate", "repetition_scores"]
+             "decontaminate", "repetition_scores", "asof_join",
+             "range_join"]
     qs = em.queries()
     out = {}
     for name in names:

@@ -633,3 +633,22 @@ class TestDistributedStages:
             sub = got[got.g == g].sort_values(["v", "id"],
                                              ascending=[False, True])
             assert sub["id"].tolist() == [r["id"] for r in exp]
+
+    def test_group_quantiles_approx_within_bin_width(self):
+        import ray.data as rd
+
+        from vyntr_ray.stages.dataset_tools import (group_quantiles,
+                                                    group_quantiles_approx)
+        rng = np.random.Generator(np.random.PCG64(5))
+        rows = [{"g": f"g{i % 2}", "v": float(rng.uniform(0, 100))}
+                for i in range(4000)]
+        ds = rd.from_items(rows, override_num_blocks=8)
+        exact = group_quantiles(ds, "g", "v").to_pandas().set_index("g")
+        approx = group_quantiles_approx(
+            rd.from_items(rows, override_num_blocks=8), "g", "v",
+            n_bins=1000).to_pandas().set_index("g")
+        width = 100.0 / 1000
+        for g in ("g0", "g1"):
+            for q in ("q25", "q50", "q95"):
+                assert abs(approx.loc[g, q] - exact.loc[g, q]) <= \
+                    2 * width + 1e-9

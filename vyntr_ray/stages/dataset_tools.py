@@ -17,7 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["topk_largest", "remove_largest", "group_quantiles",
-           "group_topk"]
+           "group_topk", "group_quantiles_approx"]
 
 
 def topk_largest(ds, k: int = 100, length_col: str = "n_chars",
@@ -95,3 +95,64 @@ def group_topk(ds, group_col: str, value_col: str, id_col: str, k: int = 3):
 
     return (ds.map_batches(partial, batch_format="pandas")
             .groupby(group_col).map_groups(merge, batch_format="pandas"))
+
+
+def group_quantiles_approx(ds, group_col: str, value_col: str,
+                           qs: tuple = (0.25, 0.5, 0.95),
+                           n_bins: int = 2048,
+                           lo: float | None = None,
+                           hi: float | None = None):
+    """Scale path for :func:`group_quantiles`: fixed-bin partial
+    histograms.
+
+    Each batch emits one (group, bin, count) partial table (bounded:
+    groups-per-batch x occupied bins, never the rows), a single
+    ``groupby([group, bin]).sum`` merges them, and tiny per-group
+    ``map_groups`` inverts the cumulative histogram.  Error is bounded
+    by the bin width ``(hi - lo) / n_bins``; pass the value range when
+    known, else a driver-side min/max aggregate (two tiny scalars) sizes
+    the bins.  Unlike the exact operator, no group's raw values are ever
+    co-located.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    if lo is None or hi is None:
+        from ray.data.aggregate import Max, Min
+        stats = ds.aggregate(Min(value_col), Max(value_col))
+        lo = float(stats[f"min({value_col})"]) if lo is None else lo
+        hi = float(stats[f"max({value_col})"]) if hi is None else hi
+    width = (hi - lo) / n_bins or 1.0
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({group_col: b[group_col].to_pylist(),
+                           "v": b[value_col].to_pylist()})
+        bins = np.clip(((df["v"] - lo) / width).astype(np.int64),
+                       0, n_bins - 1)
+        agg = (pd.DataFrame({group_col: df[group_col], "bin": bins})
+               .groupby([group_col, "bin"], sort=False)
+               .size().rename("n").reset_index())
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([group_col, "bin"])
+            .aggregate(Sum("n", alias_name="n")))
+
+    def invert(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bin")
+        cum = g["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        row = {group_col: [g[group_col].iloc[0]]}
+        for q in qs:
+            target = max(1, math.ceil(q * total))
+            i = int(np.searchsorted(cum, target, side="left"))
+            b = int(g["bin"].iloc[i])
+            # bin upper edge = conservative estimate of the q-quantile
+            row[f"q{int(round(q * 100))}"] = [lo + (b + 1) * width]
+        return pd.DataFrame(row)
+
+    return hist.groupby(group_col).map_groups(invert, batch_format="pandas")

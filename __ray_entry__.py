@@ -285,6 +285,15 @@ def _q_group_topk(sf_dir: str):
     return group_topk(ds, "event_type", "value", "event_id", k=3)
 
 
+def _q_event_pivot(sf_dir: str):
+    """Pivot: per-user event_type counts, wide (combiner partials)."""
+    from vyntr_ray.stages.dataset_tools import pivot_counts
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return pivot_counts(ds, "user_id", "event_type",
+                        categories=["click", "error", "purchase",
+                                    "signup", "view"])
+
+
 def _q_index_prep(sf_dir: str):
     from vyntr_ray.stages.index_prep import index_prep
     ds = _read(sf_dir, "documents",
@@ -792,6 +801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": _q_range_join,
         "value_quantiles": _q_value_quantiles,
         "group_topk": _q_group_topk,
+        "event_pivot": _q_event_pivot,
         # embeddings / similarity
         "mean_pool_embeddings": _q_mean_pool,
         "chunk_documents": _q_chunks,
@@ -1256,6 +1266,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.event_id, c.user_id, v.view_id
             FROM c ASOF JOIN v
               ON c.user_id = v.user_id AND v.ts <= c.ts
+        """,
+        # pivot = conditional counts per key (fixed category schema)
+        "event_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click')::BIGINT
+                       AS n_click,
+                   count(*) FILTER (event_type = 'error')::BIGINT
+                       AS n_error,
+                   count(*) FILTER (event_type = 'purchase')::BIGINT
+                       AS n_purchase,
+                   count(*) FILTER (event_type = 'signup')::BIGINT
+                       AS n_signup,
+                   count(*) FILTER (event_type = 'view')::BIGINT
+                       AS n_view
+            FROM events GROUP BY user_id
         """,
         # grouped top-k by (value desc, id asc); values are set elements
         "group_topk": """

@@ -652,3 +652,17 @@ class TestDistributedStages:
             for q in ("q25", "q50", "q95"):
                 assert abs(approx.loc[g, q] - exact.loc[g, q]) <= \
                     2 * width + 1e-9
+
+    def test_pivot_counts_discovers_categories(self):
+        import ray.data as rd
+
+        from vyntr_ray.stages.dataset_tools import pivot_counts
+        rows = [{"k": i % 4, "c": ["x", "y", "x", "z"][i % 4]}
+                for i in range(80)]
+        ds = rd.from_items(rows, override_num_blocks=5)
+        out = pivot_counts(ds, "k", "c").to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        assert list(out.columns) == ["k", "n_x", "n_y", "n_z"]
+        assert out["n_x"].tolist() == [20, 0, 20, 0]
+        assert out["n_y"].tolist() == [0, 20, 0, 0]
+        assert out["n_z"].tolist() == [0, 0, 0, 20]

@@ -17,7 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["topk_largest", "remove_largest", "group_quantiles",
-           "group_topk", "group_quantiles_approx"]
+           "group_topk", "group_quantiles_approx", "pivot_counts"]
 
 
 def topk_largest(ds, k: int = 100, length_col: str = "n_chars",
@@ -156,3 +156,38 @@ def group_quantiles_approx(ds, group_col: str, value_col: str,
         return pd.DataFrame(row)
 
     return hist.groupby(group_col).map_groups(invert, batch_format="pandas")
+
+
+def pivot_counts(ds, key_col: str, cat_col: str,
+                 categories: list[str] | None = None):
+    """Wide table of per-key category counts (classic pivot).
+
+    Two stages, both bounded: each batch pre-aggregates into one
+    (key, <cat> columns) partial frame — the combiner pattern, so the
+    shuffle carries at most keys-per-batch rows — then one
+    ``groupby(key).sum`` merges partials.  ``categories`` fixes the
+    output schema; when omitted, a tiny distinct-values pass discovers
+    it (driver holds one row per category, never per key).
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    if categories is None:
+        categories = sorted(ds.select_columns([cat_col]).unique(cat_col))
+    cols = [f"n_{c}" for c in categories]
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({key_col: b[key_col].to_pylist(),
+                           cat_col: b[cat_col].to_pylist()})
+        ct = pd.crosstab(df[key_col], df[cat_col])
+        out = pd.DataFrame({key_col: ct.index})
+        for c, name in zip(categories, cols):
+            out[name] = (ct[c].to_numpy() if c in ct.columns
+                         else 0)
+            out[name] = out[name].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(key_col)
+            .aggregate(*[Sum(name, alias_name=name) for name in cols]))

@@ -294,6 +294,14 @@ def _q_event_pivot(sf_dir: str):
                                     "signup", "view"])
 
 
+def _q_rolling_sum(sf_dir: str):
+    """Per-user moving sum of the last 5 events (exact centi ints)."""
+    from vyntr_ray.stages.windows import rolling_sum
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+    return rolling_sum(ds, k=5)
+
+
 def _q_index_prep(sf_dir: str):
     from vyntr_ray.stages.index_prep import index_prep
     ds = _read(sf_dir, "documents",
@@ -802,6 +810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": _q_value_quantiles,
         "group_topk": _q_group_topk,
         "event_pivot": _q_event_pivot,
+        "rolling_sum": _q_rolling_sum,
         # embeddings / similarity
         "mean_pool_embeddings": _q_mean_pool,
         "chunk_documents": _q_chunks,
@@ -1266,6 +1275,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.event_id, c.user_id, v.view_id
             FROM c ASOF JOIN v
               ON c.user_id = v.user_id AND v.ts <= c.ts
+        """,
+        # ROWS-frame moving sum; per-row centi scaling -> exact int64
+        "rolling_sum": """
+            SELECT event_id, user_id,
+                   sum(round(value * 100)::BIGINT) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+                   )::BIGINT AS roll_centi
+            FROM events
         """,
         # pivot = conditional counts per key (fixed category schema)
         "event_pivot": """

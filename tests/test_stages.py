@@ -666,3 +666,20 @@ class TestDistributedStages:
         assert out["n_x"].tolist() == [20, 0, 20, 0]
         assert out["n_y"].tolist() == [0, 20, 0, 0]
         assert out["n_z"].tolist() == [0, 0, 0, 20]
+
+    def test_rolling_sum_window_frame(self):
+        import datetime as dt
+
+        import ray.data as rd
+
+        from vyntr_ray.stages.windows import rolling_sum
+        base = dt.datetime(2024, 1, 1)
+        rows = [{"event_id": i, "user_id": 1,
+                 "ts": base + dt.timedelta(seconds=i),
+                 "value": float(i + 1)}           # 1.0, 2.0, ...
+                for i in range(6)]
+        out = rolling_sum(rd.from_items(rows, override_num_blocks=3),
+                          k=3).to_pandas().sort_values("event_id")
+        # windows: [1], [1,2], [1,2,3], [2,3,4], [3,4,5], [4,5,6]
+        assert out["roll_centi"].tolist() == [100, 300, 600, 900,
+                                              1200, 1500]

@@ -20,7 +20,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["tumbling", "sliding", "sessionize"]
+__all__ = ["tumbling", "sliding", "sessionize", "rolling_sum"]
 
 _US = 1_000_000
 
@@ -110,5 +110,28 @@ def sessionize(ds, gap_s: int, key_col: str = "user_id", ts_col: str = "ts",
             np.rint(out.pop("sum_value").to_numpy() * scale).astype("int64"))
         out.insert(0, key_col, g[key_col].iloc[0])
         return out
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def rolling_sum(ds, k: int, key_col: str = "user_id", ts_col: str = "ts",
+                id_col: str = "event_id", value_col: str = "value"):
+    """Per-key moving sum over the last ``k`` rows (current row included),
+    rows ordered by (ts, id) — the ROWS BETWEEN k-1 PRECEDING AND CURRENT
+    ROW window frame.  Values are 2-decimal, so the per-row centi scaling
+    makes every running sum exact int64 (the sessionize lesson); one
+    ``groupby(key)`` co-locates each key and the sweep is a vectorized
+    cumsum difference.
+    """
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col], kind="mergesort")
+        v = np.round(g[value_col].to_numpy() * 100).astype(np.int64)
+        c = np.concatenate([[0], np.cumsum(v)])
+        n = len(v)
+        lo = np.maximum(0, np.arange(1, n + 1) - k)
+        roll = c[1:] - c[lo]
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             key_col: g[key_col].to_numpy(),
+                             "roll_centi": roll})
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")

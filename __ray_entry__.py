@@ -302,6 +302,13 @@ def _q_rolling_sum(sf_dir: str):
     return rolling_sum(ds, k=5)
 
 
+def _q_distinct_users(sf_dir: str):
+    """Exact distinct users per event_type (pair-dedup, no value sets)."""
+    from vyntr_ray.stages.sketches import group_count_distinct
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return group_count_distinct(ds, "event_type", "user_id")
+
+
 def _q_index_prep(sf_dir: str):
     from vyntr_ray.stages.index_prep import index_prep
     ds = _read(sf_dir, "documents",
@@ -811,6 +818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_topk": _q_group_topk,
         "event_pivot": _q_event_pivot,
         "rolling_sum": _q_rolling_sum,
+        "distinct_users": _q_distinct_users,
         # embeddings / similarity
         "mean_pool_embeddings": _q_mean_pool,
         "chunk_documents": _q_chunks,
@@ -1275,6 +1283,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.event_id, c.user_id, v.view_id
             FROM c ASOF JOIN v
               ON c.user_id = v.user_id AND v.ts <= c.ts
+        """,
+        "distinct_users": """
+            SELECT event_type,
+                   count(DISTINCT user_id)::BIGINT AS n_distinct
+            FROM events GROUP BY event_type
         """,
         # ROWS-frame moving sum; per-row centi scaling -> exact int64
         "rolling_sum": """

@@ -683,3 +683,26 @@ class TestDistributedStages:
         # windows: [1], [1,2], [1,2,3], [2,3,4], [3,4,5], [4,5,6]
         assert out["roll_centi"].tolist() == [100, 300, 600, 900,
                                               1200, 1500]
+
+    def test_hll_and_exact_distinct(self):
+        import ray.data as rd
+
+        from vyntr_ray.stages.sketches import (group_count_distinct,
+                                               hll_count_distinct)
+        rows = [{"g": f"g{i % 2}", "v": f"u{i % 500}"} for i in range(5000)]
+        ds = rd.from_items(rows, override_num_blocks=8)
+        exact = {r["g"]: r["n_distinct"] for r in
+                 group_count_distinct(ds, "g", "v").take_all()}
+        assert exact == {"g0": 250, "g1": 250}
+        approx = {r["g"]: r["approx_distinct"] for r in
+                  hll_count_distinct(
+                      rd.from_items(rows, override_num_blocks=8),
+                      "g", "v").take_all()}
+        for g in ("g0", "g1"):
+            assert abs(approx[g] - 250) / 250 < 0.05
+        # determinism: same input, different blocking -> same estimate
+        approx2 = {r["g"]: r["approx_distinct"] for r in
+                   hll_count_distinct(
+                       rd.from_items(rows, override_num_blocks=3),
+                       "g", "v").take_all()}
+        assert approx == approx2

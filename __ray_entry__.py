@@ -309,6 +309,25 @@ def _q_distinct_users(sf_dir: str):
     return group_count_distinct(ds, "event_type", "user_id")
 
 
+def _q_scrub_pii(sf_dir: str):
+    """PII redaction over text with deterministically planted PII (the
+    synthetic corpus has none, so both sides append the same suffix)."""
+    from vyntr_ray.stages.clean import scrub_pii_batch
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        planted = [
+            f"{x or ''} contact user{i}@example.com or 10.0.{i % 256}."
+            f"{(i * 7) % 256} tel +1-555-0100"
+            for i, x in zip(ids, t["text"].to_pylist())]
+        return t.set_column(t.schema.get_field_index("text"), "text",
+                            pa.array(planted, pa.string()))
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return (ds.map_batches(plant, batch_format="pyarrow")
+            .map_batches(scrub_pii_batch, batch_format="pyarrow"))
+
+
 def _q_index_prep(sf_dir: str):
     from vyntr_ray.stages.index_prep import index_prep
     ds = _read(sf_dir, "documents",
@@ -819,6 +838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_pivot": _q_event_pivot,
         "rolling_sum": _q_rolling_sum,
         "distinct_users": _q_distinct_users,
+        "scrub_pii": _q_scrub_pii,
         # embeddings / similarity
         "mean_pool_embeddings": _q_mean_pool,
         "chunk_documents": _q_chunks,
@@ -1283,6 +1303,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.event_id, c.user_id, v.view_id
             FROM c ASOF JOIN v
               ON c.user_id = v.user_id AND v.ts <= c.ts
+        """,
+        # same planted suffix, same RE2 patterns applied in the same
+        # order (email -> ip -> phone)
+        "scrub_pii": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       coalesce(text, '') || ' contact user' || doc_id ||
+                       '@example.com or 10.0.' || (doc_id % 256) || '.' ||
+                       ((doc_id * 7) % 256) || ' tel +1-555-0100' AS t
+                FROM documents),
+            s AS (
+                SELECT doc_id, t,
+                       len(regexp_extract_all(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
+                           ))::BIGINT AS n_email,
+                       regexp_replace(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS t1
+                FROM planted),
+            s2 AS (
+                SELECT doc_id, n_email,
+                       len(regexp_extract_all(t1,
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'
+                           ))::BIGINT AS n_ip,
+                       regexp_replace(t1,
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                           '<IP>', 'g') AS t2
+                FROM s),
+            s3 AS (
+                SELECT doc_id, n_email, n_ip,
+                       len(regexp_extract_all(t2,
+                           '\+?\d[\d\- ]{7,}\d'))::BIGINT AS n_phone,
+                       regexp_replace(t2, '\+?\d[\d\- ]{7,}\d',
+                                      '<PHONE>', 'g') AS text
+                FROM s2)
+            SELECT doc_id, text, n_email, n_ip, n_phone FROM s3
         """,
         "distinct_users": """
             SELECT event_type,

@@ -706,3 +706,20 @@ class TestDistributedStages:
                        rd.from_items(rows, override_num_blocks=3),
                        "g", "v").take_all()}
         assert approx == approx2
+
+    def test_scrub_pii(self):
+        from vyntr_ray.stages.clean import scrub_pii_batch
+        t = pa.table({"text": [
+            "mail a.b+c@x-y.co.uk now",
+            "server at 192.168.1.1 and 10.0.0.2",
+            "call +1-555-0100 100 or 555 123 4567",
+            None,
+        ]})
+        out = scrub_pii_batch(t).to_pandas()
+        assert out["text"][0] == "mail <EMAIL> now"
+        assert out["text"][1] == "server at <IP> and <IP>"
+        assert "<PHONE>" in out["text"][2]
+        assert out["text"][3] == ""
+        assert out["n_email"].tolist() == [1, 0, 0, 0]
+        assert out["n_ip"].tolist() == [0, 2, 0, 0]
+        assert out["n_phone"].tolist() == [0, 0, 2, 0]

@@ -15,7 +15,7 @@ import re
 import pyarrow as pa
 
 __all__ = ["PATTERNS", "clean_text", "clean_batch", "clean_documents",
-           "cleaning_stats"]
+           "cleaning_stats", "PII_PATTERNS", "scrub_pii_batch"]
 
 # (name, compiled pattern, replacement) — order matters.
 PATTERNS: list[tuple[str, re.Pattern, str]] = [
@@ -106,3 +106,41 @@ def cleaning_stats(ds, text_col: str = "text"):
         batch_format="pyarrow")
     cols = [f"red_{name}" for name, _, _ in PATTERNS]
     return with_stats.sum(cols)
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing (training-data curation)
+# --------------------------------------------------------------------------
+
+# RE2-safe patterns (no lookaround/backrefs) so the DuckDB oracle can
+# replicate byte-for-byte; applied IN ORDER (email -> ip -> phone, so a
+# redacted ip's digits can't re-match as a phone).
+PII_PATTERNS: list[tuple[str, re.Pattern, str]] = [
+    ("email", re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+     "<EMAIL>"),
+    ("ip", re.compile(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"), "<IP>"),
+    ("phone", re.compile(r"\+?\d[\d\- ]{7,}\d"), "<PHONE>"),
+]
+
+
+def scrub_pii_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Redact emails / IPv4s / phone-like digit runs; per-row hit counts.
+
+    Vectorized enough for the hot path (compiled patterns, one pass per
+    pattern); counts ride as int64 columns so redaction rates aggregate
+    with a plain sum downstream.
+    """
+    texts = batch[text_col].to_pylist()
+    out, counts = [], {name: [] for name, _, _ in PII_PATTERNS}
+    for t in texts:
+        s = t or ""
+        for name, pat, repl in PII_PATTERNS:
+            s, n = pat.subn(repl, s)
+            counts[name].append(n)
+        out.append(s)
+    res = batch.set_column(batch.schema.get_field_index(text_col),
+                           text_col, pa.array(out, pa.string()))
+    for name, _, _ in PII_PATTERNS:
+        res = res.append_column(f"n_{name}",
+                                pa.array(counts[name], pa.int64()))
+    return res

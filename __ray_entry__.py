@@ -794,6 +794,14 @@ def _q_video_frames(_sf_dir: str):
     return sample_frames(_rd().from_items(rows), every=2)
 
 
+def _q_audio_windows(_sf_dir: str):
+    from vyntr_ray.stages.multimodal import chunk_audio, make_fake_audio
+    rows = [{"doc_id": i,
+             "audio": make_fake_audio(16_000 * 3 + i * 100, seed=i)}
+            for i in range(60)]
+    return chunk_audio(_rd().from_items(rows), window_s=1.0)
+
+
 # ---------------------------------------------------------------------------
 # the public contract
 # ---------------------------------------------------------------------------
@@ -869,6 +877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         # multimodal plumbing
         "multimodal_decode": _q_multimodal,
+        "audio_windows": _q_audio_windows,
         "video_frames": _q_video_frames,
     }
 

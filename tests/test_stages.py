@@ -723,3 +723,26 @@ class TestDistributedStages:
         assert out["n_email"].tolist() == [1, 0, 0, 0]
         assert out["n_ip"].tolist() == [0, 2, 0, 0]
         assert out["n_phone"].tolist() == [0, 0, 2, 0]
+
+    def test_audio_chunker(self):
+        import ray.data as rd
+
+        from vyntr_ray.stages.multimodal import (AudioChunker, chunk_audio,
+                                                 make_fake_audio)
+        blob = make_fake_audio(16_000 * 2 + 500, sample_rate=16_000, seed=1)
+        t = pa.table({"doc_id": pa.array([7], pa.int64()),
+                      "audio": pa.array([blob], pa.binary())})
+        out = AudioChunker()(t).to_pandas()
+        assert out["window"].tolist() == [0, 1, 2]       # 2 full + tail
+        assert (out["abs_sum"] > 0).all()
+        # deterministic across instances
+        out2 = AudioChunker()(t).to_pandas()
+        assert out["abs_sum"].tolist() == out2["abs_sum"].tolist()
+        # actor-pool path end-to-end
+        ds = rd.from_items([{"doc_id": 1, "audio": blob}])
+        assert chunk_audio(ds).count() == 3
+        # codec boundary: unknown payloads raise, not silently decode
+        bad = pa.table({"doc_id": pa.array([1], pa.int64()),
+                        "audio": pa.array([b"RIFF1234"], pa.binary())})
+        with pytest.raises(NotImplementedError):
+            AudioChunker()(bad)

@@ -22,8 +22,9 @@ import struct
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["make_fake_image", "make_fake_video", "ImageDecoder",
-           "FrameSampler", "decode_images", "sample_frames"]
+__all__ = ["make_fake_image", "make_fake_video", "make_fake_audio",
+           "ImageDecoder", "FrameSampler", "AudioChunker",
+           "decode_images", "sample_frames", "chunk_audio"]
 
 _MAGIC_IMG = b"VIMG"
 _MAGIC_VID = b"VVID"
@@ -141,5 +142,73 @@ def sample_frames(ds, bytes_col: str = "video", every: int = 2,
     return ds.map_batches(
         FrameSampler,
         fn_constructor_kwargs={"bytes_col": bytes_col, "every": every},
+        batch_format="pyarrow", concurrency=concurrency,
+        batch_size=batch_size, num_cpus=0.5)
+
+
+_MAGIC_AUD = b"VAUD"
+
+
+def make_fake_audio(n_samples: int, sample_rate: int = 16_000,
+                    seed: int = 0) -> bytes:
+    """Deterministic fake audio: 'VAUD' + rate + n + int16 PCM payload."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    pcm = rng.integers(-32768, 32767, size=n_samples, dtype=np.int16)
+    return (_MAGIC_AUD + struct.pack("<II", sample_rate, n_samples)
+            + pcm.tobytes())
+
+
+class AudioChunker:
+    """Actor-pool stage: binary audio column → fixed-length windows with
+    integer features (sum of |pcm| and zero-crossing count per window —
+    int arithmetic, so downstream aggregates stay exact).
+
+    Same codec-boundary contract as :class:`ImageDecoder`: decodes the
+    deterministic ``VAUD`` container; a real deployment swaps in
+    soundfile/librosa inside ``_decode`` (unknown payloads raise
+    ``NotImplementedError`` at decode time, never import time).
+    """
+
+    def __init__(self, bytes_col: str = "audio", window_s: float = 1.0):
+        self.bytes_col = bytes_col
+        self.window_s = window_s
+
+    def _decode(self, blob: bytes) -> tuple[int, np.ndarray]:
+        if blob[:4] == _MAGIC_AUD:
+            rate, n = struct.unpack("<II", blob[4:12])
+            pcm = np.frombuffer(blob[12:12 + 2 * n], np.int16)
+            return rate, pcm
+        raise NotImplementedError(
+            "real audio codecs unavailable in this sandbox; "
+            "payload is not a VAUD container")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, widx, abs_sum, zero_x = [], [], [], []
+        id_col = batch.column_names[0]
+        for rid, blob in zip(batch[id_col].to_pylist(),
+                             batch[self.bytes_col].to_pylist()):
+            rate, pcm = self._decode(blob)
+            win = max(1, int(rate * self.window_s))
+            for w in range(0, len(pcm), win):
+                seg = pcm[w:w + win].astype(np.int64)
+                ids.append(rid)
+                widx.append(w // win)
+                abs_sum.append(int(np.abs(seg).sum()))
+                zero_x.append(int(((seg[:-1] < 0) != (seg[1:] < 0)).sum()))
+        return pa.table({
+            id_col: pa.array(ids),
+            "window": pa.array(widx, pa.int32()),
+            "abs_sum": pa.array(abs_sum, pa.int64()),
+            "zero_crossings": pa.array(zero_x, pa.int64()),
+        })
+
+
+def chunk_audio(ds, bytes_col: str = "audio", window_s: float = 1.0,
+                concurrency: int = 2, batch_size: int = 16):
+    """Blob rows are heavy: small batches, actor pool (SURVEY §7.4.6)."""
+    return ds.map_batches(
+        AudioChunker,
+        fn_constructor_kwargs={"bytes_col": bytes_col,
+                               "window_s": window_s},
         batch_format="pyarrow", concurrency=concurrency,
         batch_size=batch_size, num_cpus=0.5)

@@ -328,6 +328,36 @@ def _q_scrub_pii(sf_dir: str):
             .map_batches(scrub_pii_batch, batch_format="pyarrow"))
 
 
+def _q_components(sf_dir: str):
+    """Dedup-cluster resolution: connected components over a
+    deterministic edge set (doc d linked to 2d and 3d when present)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from vyntr_ray.stages.graph import connected_components
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    ids_ref = ray.put(pa.array(
+        sorted(r["doc_id"] for r in ds.take_all()), pa.int64()))
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy()
+        d = d[d > 0]
+        us, vs = [], []
+        for mult in (2, 3):
+            cand = d * mult
+            ok = pc.is_in(pa.array(cand, pa.int64()),
+                          value_set=ray.get(ids_ref)).to_numpy(
+                              zero_copy_only=False)
+            us.append(d[ok])
+            vs.append(cand[ok])
+        return pa.table({"u": pa.array(np.concatenate(us), pa.int64()),
+                         "v": pa.array(np.concatenate(vs), pa.int64())})
+
+    return connected_components(ds.map_batches(edges,
+                                               batch_format="pyarrow"))
+
+
 def _q_index_prep(sf_dir: str):
     from vyntr_ray.stages.index_prep import index_prep
     ds = _read(sf_dir, "documents",
@@ -847,6 +877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_sum": _q_rolling_sum,
         "distinct_users": _q_distinct_users,
         "scrub_pii": _q_scrub_pii,
+        "components": _q_components,
         # embeddings / similarity
         "mean_pool_embeddings": _q_mean_pool,
         "chunk_documents": _q_chunks,
@@ -1312,6 +1343,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.event_id, c.user_id, v.view_id
             FROM c ASOF JOIN v
               ON c.user_id = v.user_id AND v.ts <= c.ts
+        """,
+        # transitive closure via recursive CTE; component = min reachable
+        # node, matching the engine's min-label propagation fixpoint
+        "components": """
+            WITH RECURSIVE e AS (
+                SELECT a.doc_id AS u, b.doc_id AS v
+                FROM documents a JOIN documents b
+                  ON b.doc_id = a.doc_id * 2 AND a.doc_id > 0
+                UNION ALL
+                SELECT a.doc_id, b.doc_id
+                FROM documents a JOIN documents b
+                  ON b.doc_id = a.doc_id * 3 AND a.doc_id > 0),
+            und AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+            nodes AS (SELECT DISTINCT u AS node FROM und),
+            reach(node, r) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT und.u, reach.r
+                FROM und JOIN reach ON reach.node = und.v)
+            SELECT node, min(r)::BIGINT AS component
+            FROM reach GROUP BY node
         """,
         # same planted suffix, same RE2 patterns applied in the same
         # order (email -> ip -> phone)

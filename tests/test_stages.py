@@ -746,3 +746,25 @@ class TestDistributedStages:
                         "audio": pa.array([b"RIFF1234"], pa.binary())})
         with pytest.raises(NotImplementedError):
             AudioChunker()(bad)
+
+    def test_connected_components_paths_agree(self):
+        import ray.data as rd
+
+        from vyntr_ray.stages.graph import connected_components
+        rng = np.random.Generator(np.random.PCG64(9))
+        # random forest of chains: node i links to i - (1..3) within its
+        # 25-node band -> several nontrivial components
+        edges = [{"u": int(i - rng.integers(1, 4)), "v": i}
+                 for i in range(1, 200) if i % 25 != 0]
+        ds = rd.from_items(edges, override_num_blocks=7)
+        a = connected_components(ds).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        # force multi-level distributed contraction
+        b = connected_components(
+            rd.from_items(edges, override_num_blocks=7),
+            driver_edge_limit=5, max_levels=6).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        # canonical rep is the min node of each component
+        grp = a.groupby("component")["node"].min()
+        assert (grp.index == grp.values).all()

@@ -214,13 +214,31 @@ def write_pages_store(n_pages: int, out_dir: str, n_hosts: int | None = None,
         buckets = [url_bucket(u, n_buckets) for u in t["url"].to_pylist()]
         return t.append_column("bucket", pa.array(buckets, pa.int32()))
 
-    ds = make_pages_dataset(n_pages, n_hosts, seed, rich=rich)
+    import shutil
+    import tempfile
+
     import ray.data as rd
-    ds = ds.union(rd.from_arrow(gen_robots_table(n_pages, n_hosts, seed)))
-    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
-    # co-locate each bucket into its own block → one file per bucket
-    ds = ds.groupby("bucket").map_groups(lambda g: g, batch_format="pandas")
-    ds.write_parquet(out_dir, partition_cols=["bucket"])
+
+    # stage 1: generation is compute-bound — run it as a MAP-ONLY
+    # pipeline (full operator width) into a staging dir; fusing it with
+    # the bucket groupby makes the streaming executor split its CPU
+    # budget with the pending shuffle and the expensive html generation
+    # crawls along at a fraction of the cluster
+    stage_dir = tempfile.mkdtemp(prefix="pages_stage_")
+    try:
+        ds = make_pages_dataset(n_pages, n_hosts, seed, rich=rich)
+        ds = ds.union(rd.from_arrow(gen_robots_table(n_pages, n_hosts,
+                                                     seed)))
+        ds.map_batches(add_bucket,
+                       batch_format="pyarrow").write_parquet(stage_dir)
+        # stage 2: shuffle-only — co-locate each bucket into its own
+        # block → one file per bucket
+        staged = rd.read_parquet(stage_dir)
+        out = staged.groupby("bucket").map_groups(lambda g: g,
+                                                  batch_format="pandas")
+        out.write_parquet(out_dir, partition_cols=["bucket"])
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
     with open(os.path.join(out_dir, "store_meta.json"), "w") as f:
         json.dump({"n_buckets": n_buckets, "n_pages": n_pages,
                    "seed": seed, "rich": rich}, f)

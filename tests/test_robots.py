@@ -113,3 +113,68 @@ def test_sharded_robots_pool_matches_dict(robots_pages_file, tmp_path):
          sorted(glob.glob(os.path.join(w, "schedule", "*.parquet")))]
     ).sort_values(["wave", "position"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(read(w1), read(w2))
+
+
+class TestCrawlDelay:
+    def test_parse_robots_delay(self):
+        from vyntr_ray.functions.robots import parse_robots_delay
+        t = ("User-agent: other\nCrawl-delay: 9\n\n"
+             "User-agent: *\nDisallow: /x\nCrawl-delay: 2.5\n")
+        assert parse_robots_delay(t) == 2.5
+        assert parse_robots_delay("User-agent: *\nDisallow: /") is None
+        assert parse_robots_delay("User-agent: *\nCrawl-delay: soon") is None
+
+    def test_caps_from_delays(self):
+        from vyntr_ray.state.politeness import caps_from_delays
+        caps = caps_from_delays({"a": 5.0, "b": 1.0, "c": 100.0,
+                                 "d": 0.1, "e": 0.0}, capacity=5)
+        assert caps == {"a": 1, "b": 5, "c": 1, "d": 5}   # 0 delay ignored
+
+    def test_select_frame_with_caps(self):
+        import pandas as pd
+
+        from vyntr_ray.state.politeness import PolitenessPolicy
+        rows = [{"seq": i, "url": f"https://{d}/p/{i}", "domain": d}
+                for i, d in enumerate(["a"] * 6 + ["b"] * 6)]
+        f = pd.DataFrame(rows)
+        got, rest, _ = PolitenessPolicy.select_frame(
+            f, capacity=5, refill=5, tokens=None, domain_caps={"a": 2})
+        per = got.groupby("domain").size().to_dict()
+        assert per == {"a": 2, "b": 5}
+        # token mode honors the per-domain cap as the bucket size too
+        got2, _, upd = PolitenessPolicy.select_frame(
+            f, capacity=5, refill=1, tokens={}, domain_caps={"a": 2})
+        assert got2.groupby("domain").size().to_dict() == {"a": 2, "b": 5}
+        assert upd["a"] == 0.0 and upd["b"] == 0.0
+
+    def test_crawl_sim_parity_with_domain_caps(self, ray_session,
+                                               small_pages_file,
+                                               small_pages, tmp_path):
+        import pandas as pd
+
+        from test_crawl import BUDGET, _read_schedule, _sim_result
+        from vyntr_ray.pipelines.crawl import run_crawl
+        from vyntr_ray.sim import CrawlConfig, simulate_crawl
+
+        caps = {"host0.example": 1, "host3.example": 2}
+        pages_path, seeds = small_pages_file
+        tab, _ = small_pages
+        pages = dict(zip(tab["url"].to_pylist(), tab["html"].to_pylist()))
+        sim = simulate_crawl(pages, seeds,
+                             CrawlConfig(max_pages=BUDGET, seed=42,
+                                         domain_caps=caps))
+        base = _sim_result(small_pages)
+        assert sim.schedule != base.schedule   # the caps actually bite
+
+        for dist in (False, True):
+            w = str(tmp_path / f"capped{dist}")
+            run_crawl(pages_path, seeds, w, max_pages=BUDGET, seed=42,
+                      n_shards=4, checkpoint=False, domain_caps=caps,
+                      distributed_select=dist)
+            got = _read_schedule(w)
+            exp = pd.DataFrame(sim.schedule,
+                               columns=["wave", "position", "url", "status"])
+            exp = exp.sort_values(["wave", "position"]) \
+                     .reset_index(drop=True)
+            pd.testing.assert_frame_equal(
+                got.astype({"wave": "int64", "position": "int64"}), exp)

@@ -44,6 +44,33 @@ def parse_robots_txt(text: str) -> list[str]:
     return rules
 
 
+def parse_robots_delay(text: str) -> float | None:
+    """``Crawl-delay`` seconds for ``User-agent: *`` (last one wins)."""
+    delay: float | None = None
+    group_agents: list[str] = []
+    in_rules = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_rules:
+                group_agents = []
+                in_rules = False
+            group_agents.append(val)
+        elif key in ("disallow", "allow", "crawl-delay"):
+            in_rules = True
+            if key == "crawl-delay" and "*" in group_agents:
+                try:
+                    delay = float(val)
+                except ValueError:
+                    pass
+    return delay
+
+
 def load_robots_rules(pages_path: str) -> dict[str, list[str]]:
     """Scan the page store for ``*/robots.txt`` rows → host → prefixes.
 

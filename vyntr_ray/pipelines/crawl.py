@@ -330,6 +330,7 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
               frontier_mem_rows: int = 2_000_000,
               frontier_hot_rows: int = 50_000,
               distributed_select: bool = False,
+              domain_caps: dict | None = None,
               fetch_ladder=None) -> CrawlStats:
     """Crawl ``pages_path`` (parquet file or bucketed store) from ``seeds``.
 
@@ -359,7 +360,8 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
     if robots is not None and not isinstance(robots, dict):
         robots_pool = robots          # ShardedRobots-style actor pool
         robots = None
-    policy = PolitenessPolicy(max_per_domain, refill, robots)
+    policy = PolitenessPolicy(max_per_domain, refill, robots,
+                              domain_caps=domain_caps)
     stats = CrawlStats()
     frontier = BucketedFrontier(
         n_buckets=frontier_buckets,

@@ -47,6 +47,7 @@ __all__ = ["CrawlConfig", "CrawlResult", "simulate_crawl", "wave_permutation",
 class CrawlConfig:
     max_pages: int = 50_000          # genesis/src/main.rs:34
     max_per_domain: int = 5          # genesis/src/main.rs:175
+    domain_caps: dict | None = None  # per-host overrides (Crawl-delay)
     seed: int = 42
     robots: dict | None = None       # host -> list of disallowed path prefixes
     priority_fn: object = None       # url -> float; None = FIFO (reference)
@@ -126,7 +127,9 @@ def simulate_crawl(pages: dict[str, bytes], seeds: list[str],
             q = frontier[domain]
             if config.priority_fn:
                 q = sorted(q, key=lambda t: (-t[2], t[0]))
-            take, rest = q[: config.max_per_domain], q[config.max_per_domain:]
+            cap = (config.domain_caps or {}).get(domain,
+                                                 config.max_per_domain)
+            take, rest = q[:cap], q[cap:]
             collected.extend(take)
             if rest:
                 frontier[domain] = rest

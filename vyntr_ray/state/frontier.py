@@ -277,11 +277,13 @@ class BucketedFrontier:
 
         cap, refill = policy.capacity, policy.refill
         stateless = policy._stateless
+        all_caps = policy.domain_caps
 
         @ray.remote(num_cpus=0.5)
-        def _sel(frame: pd.DataFrame, tokens: dict | None):
+        def _sel(frame: pd.DataFrame, tokens: dict | None,
+                 caps: dict | None):
             got, rest, updated = PolitenessPolicy.select_frame(
-                frame, cap, refill, tokens)
+                frame, cap, refill, tokens, caps)
             return got, rest.reset_index(drop=True), updated
 
         order = []
@@ -292,13 +294,16 @@ class BucketedFrontier:
             if frame is None or len(frame) == 0:
                 continue
             order.append(b)
+            doms = frame["domain"].unique()
             if stateless:
                 toks = None
             else:  # only this bucket's domains' balances travel
-                doms = frame["domain"].unique()
                 toks = {d: policy._tokens[d] for d in doms
                         if d in policy._tokens}
-            futs.append(_sel.remote(frame, toks))
+            # likewise only this bucket's cap overrides
+            caps = ({d: all_caps[d] for d in doms if d in all_caps}
+                    if all_caps else None)
+            futs.append(_sel.remote(frame, toks, caps))
         collected = []
         for b, (got, rest, updated) in zip(order, ray.get(futs)):
             collected.append(got)

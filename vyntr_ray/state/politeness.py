@@ -29,10 +29,14 @@ __all__ = ["PolitenessPolicy"]
 
 class PolitenessPolicy:
     def __init__(self, max_per_domain: int = 5, refill: float | None = None,
-                 robots: dict | None = None):
+                 robots: dict | None = None,
+                 domain_caps: dict[str, int] | None = None):
         self.capacity = max_per_domain
         self.refill = refill if refill is not None else max_per_domain
         self.robots = robots or {}
+        # per-host cap overrides (e.g. robots Crawl-delay -> caps via
+        # caps_from_delays); config-derived like robots, NOT snapshotted
+        self.domain_caps = domain_caps or {}
         self._tokens: dict[str, float] = {}   # only tracked when refill < cap
         self._stateless = self.refill >= self.capacity
 
@@ -42,15 +46,16 @@ class PolitenessPolicy:
 
     # --- selection -------------------------------------------------------
     def budget_of(self, domain: str) -> int:
+        cap = self.domain_caps.get(domain, self.capacity)
         if self._stateless:
-            return self.capacity
-        bal = min(self.capacity,
-                  self._tokens.get(domain, self.capacity) + self.refill)
+            return cap
+        bal = min(cap, self._tokens.get(domain, cap) + self.refill)
         return int(bal)
 
     @staticmethod
     def select_frame(frontier: pd.DataFrame, capacity: int, refill: float,
-                     tokens: dict[str, float] | None
+                     tokens: dict[str, float] | None,
+                     domain_caps: dict[str, int] | None = None
                      ) -> tuple[pd.DataFrame, pd.DataFrame,
                                 dict[str, float] | None]:
         """Pure vectorized politeness selection over one frame.
@@ -69,20 +74,28 @@ class PolitenessPolicy:
                                      ascending=[False, True], kind="stable")
         else:
             f = frontier.sort_values("seq", kind="stable")
+        caps = domain_caps or {}
+
+        def cap_of(d):
+            return caps.get(d, capacity)
+
         rank = f.groupby("domain", sort=False).cumcount()
         if stateless:
-            mask = rank < capacity
+            if caps:
+                mask = rank < f["domain"].map(cap_of)
+            else:
+                mask = rank < capacity
             collected = f[mask]
             return collected, f[~mask], None
         tokens = tokens or {}
-        budgets = {d: int(min(capacity, tokens.get(d, capacity) + refill))
+        budgets = {d: int(min(cap_of(d), tokens.get(d, cap_of(d)) + refill))
                    for d in f["domain"].unique()}
         mask = rank < f["domain"].map(budgets)
         collected = f[mask]
         spent = collected.groupby("domain", sort=False).size()
         updated = {}
         for d in f["domain"].unique():
-            bal = min(capacity, tokens.get(d, capacity) + refill)
+            bal = min(cap_of(d), tokens.get(d, cap_of(d)) + refill)
             updated[d] = bal - float(spent.get(d, 0))
         return collected, f[~mask], updated
 
@@ -99,7 +112,7 @@ class PolitenessPolicy:
         """
         collected, rest, updated = self.select_frame(
             frontier, self.capacity, self.refill,
-            None if self._stateless else self._tokens)
+            None if self._stateless else self._tokens, self.domain_caps)
         if updated:
             self._tokens.update(updated)
         return collected, rest
@@ -114,3 +127,21 @@ class PolitenessPolicy:
         self.refill = snap["refill"]
         self._tokens = dict(snap["tokens"])
         self._stateless = self.refill >= self.capacity
+
+
+def caps_from_delays(delays: dict[str, float], capacity: int,
+                     wave_seconds: float = 1.0) -> dict[str, int]:
+    """Map robots ``Crawl-delay`` seconds to per-wave cap overrides.
+
+    A wave models one politeness tick of ``wave_seconds``; a host asking
+    for delay ``d`` gets ``floor(capacity * wave_seconds / d)`` fetch
+    slots per wave, floored at 1 (never starve a host entirely) and
+    capped at ``capacity`` (a delay shorter than the tick grants nothing
+    extra).
+    """
+    out = {}
+    for host, d in delays.items():
+        if d and d > 0:
+            out[host] = max(1, min(capacity,
+                                   int(capacity * wave_seconds / d)))
+    return out

@@ -50,11 +50,16 @@ def main() -> None:
             kwargs.update(address="local", num_cpus=args.num_cpus)
         ray.init(**kwargs)
 
-    from vyntr_ray.functions.robots import load_robots_rules
+    from vyntr_ray.functions.robots import load_robots
+    from vyntr_ray.state.politeness import caps_from_delays
     from vyntr_ray.pipelines.crawl import run_crawl
     from vyntr_ray.sources.seeds import read_seed_file
 
-    robots = load_robots_rules(args.pages) if args.load_robots else None
+    robots, caps = None, None
+    if args.load_robots:
+        robots, delays = load_robots(args.pages)
+        # Crawl-delay directives become per-wave cap overrides
+        caps = caps_from_delays(delays, args.max_per_domain) or None
     seeds = read_seed_file(args.seeds)
     ladder = None
     if args.flaky_tunnel_rate or args.flaky_proxy_rate:
@@ -65,7 +70,8 @@ def main() -> None:
     stats = run_crawl(
         args.pages, seeds, args.workdir, max_pages=args.max_pages,
         max_per_domain=args.max_per_domain, seed=args.seed,
-        robots=robots, n_shards=args.n_shards, resume=args.resume,
+        robots=robots, domain_caps=caps,
+        n_shards=args.n_shards, resume=args.resume,
         checkpoint=not args.no_checkpoint,
         preload_pages=args.preload_pages, fetch_ladder=ladder)
     print(json.dumps({

@@ -12,7 +12,8 @@ host); a live deployment fetches lazily into the same sharded cache.
 
 from __future__ import annotations
 
-__all__ = ["parse_robots_txt", "load_robots_rules", "RobotsShard",
+__all__ = ["parse_robots_txt", "parse_robots_delay", "load_robots",
+           "load_robots_rules", "RobotsShard",
            "ShardedRobots"]
 
 
@@ -71,8 +72,10 @@ def parse_robots_delay(text: str) -> float | None:
     return delay
 
 
-def load_robots_rules(pages_path: str) -> dict[str, list[str]]:
-    """Scan the page store for ``*/robots.txt`` rows → host → prefixes.
+def load_robots(pages_path: str
+                ) -> tuple[dict[str, list[str]], dict[str, float]]:
+    """Scan the page store for ``*/robots.txt`` rows → (host → disallow
+    prefixes, host → Crawl-delay seconds).
 
     One distributed pass at crawl start (rows with the robots path are rare,
     so the scan is read-bound on the url column plus the few html bodies).
@@ -99,6 +102,7 @@ def load_robots_rules(pages_path: str) -> dict[str, list[str]]:
 
     rows = ds.map_batches(only_robots, batch_format="pyarrow").take_all()
     rules: dict[str, list[str]] = {}
+    delays: dict[str, float] = {}
     for r in rows:
         try:
             host = extract_domain(r["url"])
@@ -110,7 +114,15 @@ def load_robots_rules(pages_path: str) -> dict[str, list[str]]:
         prefixes = parse_robots_txt(body)
         if prefixes:
             rules[host] = prefixes
-    return rules
+        delay = parse_robots_delay(body)
+        if delay is not None:
+            delays[host] = delay
+    return rules, delays
+
+
+def load_robots_rules(pages_path: str) -> dict[str, list[str]]:
+    """Back-compat wrapper: disallow prefixes only."""
+    return load_robots(pages_path)[0]
 
 
 class RobotsShard:

@@ -26,10 +26,12 @@ def _sim_result(small_pages, robots=None):
                           CrawlConfig(max_pages=BUDGET, seed=42, robots=robots))
 
 
-def _read_schedule(workdir):
+def _read_schedule(workdir, lineage=False):
     files = sorted(glob.glob(os.path.join(workdir, "schedule", "*.parquet")))
     df = pd.concat([pq.read_table(f).to_pandas() for f in files],
                    ignore_index=True)
+    if not lineage:  # sim parity compares the reference-visible columns
+        df = df[["wave", "position", "url", "status"]]
     return df.sort_values(["wave", "position"]).reset_index(drop=True)
 
 
@@ -113,6 +115,65 @@ class TestCrawlParity:
         sched["domain"] = sched["url"].str.extract(r"://([^/]+)/")[0]
         per = sched.groupby(["wave", "domain"]).size()
         assert (per <= 5).all()
+
+    def test_checkpoint_lineage_metrics_reconcile(self, crawl_run):
+        # Every wave checkpoint carries METRICS.parquet — per-frontier-
+        # partition lineage (scheduled/fetched/failed/cut/enqueued/backlog).
+        # The invariant _bucket_metrics promises: bucket totals reconcile
+        # EXACTLY with the manifest's per_wave entry, per-bucket counts
+        # reconcile with the schedule log's bucket column, and the flow
+        # equation frontier_after[b,w] = frontier_after[b,w-1]
+        # - scheduled[b,w] + enqueued[b,w] holds for every partition.
+        import json
+        workdir, stats = crawl_run
+        sched = _read_schedule(workdir, lineage=True)
+        wave_dirs = sorted(glob.glob(os.path.join(workdir, "ckpt", "wave=*")))
+        assert len(wave_dirs) == stats.waves
+        prev_after = {}
+        for wdir in wave_dirs:
+            with open(os.path.join(wdir, "MANIFEST.json")) as f:
+                manifest = json.load(f)
+            wave = manifest["wave"]
+            pw = manifest["per_wave"][-1]
+            assert pw["wave"] == wave
+            m = pq.read_table(
+                os.path.join(wdir, "METRICS.parquet")).to_pandas()
+            assert m["bucket"].is_unique
+            # wave totals reconcile with the manifest entry
+            assert int(m["scheduled"].sum()) == pw["scheduled"]
+            assert int(m["fetched"].sum()) == pw["fetched"]
+            assert int(m["failed"].sum()) == pw["failed"]
+            assert int(m["frontier_after"].sum()) == pw["frontier_after"]
+            # per-bucket status split is internally consistent
+            assert (m["scheduled"]
+                    == m["fetched"] + m["failed"] + m["cut"]).all()
+            # per-bucket counts reconcile with the schedule log's lineage
+            ws = sched[sched["wave"] == wave]
+            by_bucket = ws.groupby("bucket")["status"].value_counts()
+            for _, row in m.iterrows():
+                b = row["bucket"]
+                assert row["fetched"] == by_bucket.get((b, "fetched"), 0)
+                assert row["failed"] == by_bucket.get((b, "miss"), 0)
+                assert row["cut"] == by_bucket.get((b, "cut"), 0)
+            # flow conservation per partition (wave 0 starts from seeds,
+            # whose bucket split isn't recorded — check waves >= 1)
+            after = dict(zip(m["bucket"], m["frontier_after"]))
+            if wave >= 1:
+                touched = (set(after) | set(prev_after)
+                           | set(m["bucket"]))
+                mb = m.set_index("bucket")
+                for b in touched:
+                    schd = int(mb["scheduled"].get(b, 0))
+                    enq = int(mb["enqueued"].get(b, 0))
+                    assert after.get(b, 0) == \
+                        prev_after.get(b, 0) - schd + enq, \
+                        f"wave {wave} bucket {b} flow mismatch"
+            prev_after = after
+        # the final wave's seen-shard metrics reconcile with stats
+        last = wave_dirs[-1]
+        filt = pq.read_table(os.path.join(last, "filters.parquet")).to_pandas()
+        assert int(filt["n_urls"].sum()) == stats.seen_total
+        assert (filt["cuckoo_count"] >= 0).all()
 
     def test_no_url_fetched_twice(self, crawl_run, small_pages):
         # Reference nuance (genesis/src/main.rs:216-225): seeds enter the

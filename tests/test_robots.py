@@ -85,7 +85,8 @@ def test_crawl_respects_corpus_robots_and_matches_oracle(
                        columns=["wave", "position", "url", "status"])
     exp = exp.sort_values(["wave", "position"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(
-        sched.astype({"wave": "int64", "position": "int64"}), exp)
+        sched[["wave", "position", "url", "status"]]
+        .astype({"wave": "int64", "position": "int64"}), exp)
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -248,7 +248,8 @@ def _make_seen_filter(shards: list, n_shards: int):
 def _write_checkpoint(ckpt_dir: str, wave: int, frontier: pd.DataFrame,
                       seen: ShardedSeenSet, seen_delta: list[str],
                       policy: PolitenessPolicy, stats: CrawlStats,
-                      next_seq: int, config: dict) -> None:
+                      next_seq: int, config: dict,
+                      bucket_metrics: pd.DataFrame | None = None) -> None:
     wdir = os.path.join(ckpt_dir, f"wave={wave:05d}")
     tmp = wdir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -261,10 +262,22 @@ def _write_checkpoint(ckpt_dir: str, wave: int, frontier: pd.DataFrame,
     pq.write_table(pa.table({"url": pa.array(seen_delta, pa.string())}),
                    os.path.join(tmp, "seen_delta.parquet"))
     blobs = seen.filter_blobs()
+    shard_stats = seen.stats()   # per-partition seen-set metrics
     pq.write_table(pa.table({
         "shard": pa.array(list(range(len(blobs))), pa.int32()),
         "cuckoo": pa.array(blobs, pa.binary()),
+        "n_urls": pa.array([s["n"] for s in shard_stats], pa.int64()),
+        "cuckoo_count": pa.array([s["cuckoo_count"] for s in shard_stats],
+                                 pa.int64()),
     }), os.path.join(tmp, "filters.parquet"))
+    if bucket_metrics is not None:
+        # per-frontier-partition lineage metrics for THIS wave (north-rule:
+        # "per-partition lineage + metrics"): what each bucket scheduled /
+        # fetched / failed / had cut, how many new links it was handed, and
+        # its post-wave backlog (resident + spilled rows)
+        pq.write_table(pa.Table.from_pandas(bucket_metrics,
+                                            preserve_index=False),
+                       os.path.join(tmp, "METRICS.parquet"))
     if seen.log_dir is not None:
         # per-shard append-only seen log flushed BEFORE the manifest
         # rename: a completed manifest therefore implies the log is
@@ -282,6 +295,48 @@ def _write_checkpoint(ckpt_dir: str, wave: int, frontier: pd.DataFrame,
         json.dump(manifest, f)
     shutil.rmtree(wdir, ignore_errors=True)
     os.rename(tmp, wdir)  # atomic completion marker
+
+
+def _bucket_metrics(frontier, wave: int, sched_rows: list,
+                    enqueued: pd.DataFrame | None) -> pd.DataFrame:
+    """Per-frontier-partition metrics for one wave (the METRICS.parquet
+    rows of the wave checkpoint).
+
+    ``sched_rows`` are (wave, position, url, status, bucket) lineage
+    tuples; ``enqueued`` is the frame of links actually added to the
+    frontier this wave.  Totals across buckets reconcile exactly with the
+    manifest's ``per_wave`` entry (invariant-tested)."""
+    sizes = frontier.bucket_sizes()
+    if sched_rows:
+        sdf = pd.DataFrame(sched_rows, columns=[
+            "wave", "position", "url", "status", "bucket"])
+        ct = pd.crosstab(sdf["bucket"], sdf["status"])
+    else:
+        ct = pd.DataFrame()
+    if enqueued is not None and len(enqueued):
+        eq_counts = pd.Series(
+            frontier.bucket_of(enqueued["domain"].tolist())).value_counts()
+    else:
+        eq_counts = pd.Series(dtype="int64")
+    buckets = sorted(set(sizes) | set(ct.index) | set(eq_counts.index))
+
+    def col(name):
+        if name not in ct.columns:
+            return [0] * len(buckets)
+        return [int(ct.at[b, name]) if b in ct.index else 0
+                for b in buckets]
+
+    return pd.DataFrame({
+        "wave": np.full(len(buckets), wave, dtype=np.int64),
+        "bucket": np.asarray(buckets, dtype=np.int64),
+        "scheduled": [int(ct.loc[b].sum()) if len(ct) and b in ct.index
+                      else 0 for b in buckets],
+        "fetched": col("fetched"),
+        "failed": col("miss"),
+        "cut": col("cut"),
+        "enqueued": [int(eq_counts.get(b, 0)) for b in buckets],
+        "frontier_after": [int(sizes.get(b, 0)) for b in buckets],
+    })
 
 
 def _latest_checkpoint(ckpt_dir: str) -> tuple[int, dict] | None:
@@ -514,14 +569,21 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
         if len(collected) == 0:
             break
         batch = collected["url"].tolist()
+        # url -> frontier partition (domain-hash bucket): every scheduled
+        # row is attributed to the bucket it was selected from, giving the
+        # per-partition fetch lineage the checkpoint records
+        dom_of = dict(zip(collected["url"], collected["domain"]))
         perm = wave_permutation(len(batch), seed, wave)
         batch = [batch[i] for i in perm]
         stats.scheduled += len(batch)
         cut_n = max(0, stats.scheduled - max_pages)
         sched_rows = []
         if cut_n:
-            for off, u in enumerate(batch[len(batch) - cut_n:]):
-                sched_rows.append((wave, len(batch) - cut_n + off, u, "cut"))
+            cut_urls = batch[len(batch) - cut_n:]
+            cut_bk = frontier.bucket_of([dom_of[u] for u in cut_urls])
+            for off, u in enumerate(cut_urls):
+                sched_rows.append((wave, len(batch) - cut_n + off, u, "cut",
+                                   int(cut_bk[off])))
             batch = batch[: len(batch) - cut_n]
         pos_of = {u: i for i, u in enumerate(batch)}
 
@@ -638,25 +700,30 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
         if fetch_ladder is not None:   # O(wave) metric, matches sim.retried
             stats.retried += sum(fetch_ladder.outcome(u)[1] - 1
                                  for u in batch)
-        if keep_schedule:
+        if batch:
+            batch_bk = frontier.bucket_of([dom_of[u] for u in batch])
             for p, u in enumerate(batch):
                 sched_rows.append(
-                    (wave, p, u, "fetched" if u in fetched_set else "miss"))
-            if sched_rows:
-                os.makedirs(schedule_dir, exist_ok=True)
-                sched_rows.sort(key=lambda r: r[1])
-                pq.write_table(pa.table({
-                    "wave": pa.array([r[0] for r in sched_rows], pa.int32()),
-                    "position": pa.array([r[1] for r in sched_rows], pa.int32()),
-                    "url": pa.array([r[2] for r in sched_rows], pa.string()),
-                    "status": pa.array([r[3] for r in sched_rows], pa.string()),
-                }), os.path.join(schedule_dir, f"wave={wave:05d}.parquet"))
+                    (wave, p, u, "fetched" if u in fetched_set else "miss",
+                     int(batch_bk[p])))
+        if keep_schedule and sched_rows:
+            os.makedirs(schedule_dir, exist_ok=True)
+            sched_rows.sort(key=lambda r: r[1])
+            pq.write_table(pa.table({
+                "wave": pa.array([r[0] for r in sched_rows], pa.int32()),
+                "position": pa.array([r[1] for r in sched_rows], pa.int32()),
+                "url": pa.array([r[2] for r in sched_rows], pa.string()),
+                "status": pa.array([r[3] for r in sched_rows], pa.string()),
+                "bucket": pa.array([r[4] for r in sched_rows], pa.int32()),
+            }), os.path.join(schedule_dir, f"wave={wave:05d}.parquet"))
 
         # --- deterministic enqueue of the wave's new links
+        enq_frame = None
         if ordered_new:
             stats.discovered += len(ordered_new)
             pending_delta.extend(ordered_new)
-            frontier.add(enqueue(ordered_new, assume_normalized=True))
+            enq_frame = enqueue(ordered_new, assume_normalized=True)
+            frontier.add(enq_frame)
 
         if _timing:
             print(f"[wave {wave}] post={_time.perf_counter() - _t0:.2f} total",
@@ -667,7 +734,9 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
             "frontier_after": int(len(frontier))})
         if checkpoint:
             _write_checkpoint(ckpt_dir, wave, frontier.to_frame(), seen,
-                              pending_delta, policy, stats, next_seq, config)
+                              pending_delta, policy, stats, next_seq, config,
+                              bucket_metrics=_bucket_metrics(
+                                  frontier, wave, sched_rows, enq_frame))
             pending_delta = []
         stats.waves = wave + 1
         wave += 1

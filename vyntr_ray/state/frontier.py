@@ -66,10 +66,21 @@ class BucketedFrontier:
         self._dom_best: dict[tuple[int, str], tuple] = {}
         self._gen_counter = 0
         self.total = 0
+        # exact rows per bucket (resident + spilled) — the per-partition
+        # "frontier cursor" metric that rides into every checkpoint
+        self._rows: dict[int, int] = {}
 
     # -- helpers -----------------------------------------------------------
     def _bucket_of(self, domains: list[str]):
         return (_hash64(domains) % self.n_buckets).astype(int)
+
+    def bucket_of(self, domains: list[str]):
+        """Public partition function: domain -> frontier bucket id."""
+        return self._bucket_of(domains)
+
+    def bucket_sizes(self) -> dict[int, int]:
+        """Rows per bucket (resident + spilled), zero entries omitted."""
+        return {b: n for b, n in sorted(self._rows.items()) if n > 0}
 
     def _cols(self, df: pd.DataFrame) -> list[str]:
         return _COLS + (["priority"] if "priority" in df.columns else [])
@@ -86,6 +97,7 @@ class BucketedFrontier:
             merged = (part if cur is None or len(cur) == 0
                       else pd.concat([cur, part], ignore_index=True))
             self.buckets[b] = merged.reset_index(drop=True)
+            self._rows[b] = self._rows.get(b, 0) + len(part)
             self._maybe_spill(b)
         self.total += len(df)
 
@@ -103,6 +115,7 @@ class BucketedFrontier:
                 continue
             got, rest = policy.select(frame)
             collected.append(got)
+            self._rows[b] = self._rows.get(b, 0) - len(got)
             self.buckets[b] = rest.reset_index(drop=True)
         if not collected:
             return pd.DataFrame(columns=_COLS)
@@ -307,6 +320,7 @@ class BucketedFrontier:
         collected = []
         for b, (got, rest, updated) in zip(order, ray.get(futs)):
             collected.append(got)
+            self._rows[b] = self._rows.get(b, 0) - len(got)
             self.buckets[b] = rest
             if updated:
                 policy._tokens.update(updated)

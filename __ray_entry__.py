@@ -309,6 +309,26 @@ def _q_distinct_users(sf_dir: str):
     return group_count_distinct(ds, "event_type", "user_id")
 
 
+def _q_distinct_users_hll(sf_dir: str):
+    """Approximate distinct users per event_type via mergeable HLL
+    sketches (rows-only check: the estimate is hash-dependent, not
+    SQL-expressible; accuracy vs the exact `distinct_users` companion
+    is pinned by tests/test_stages.py)."""
+    from vyntr_ray.stages.sketches import hll_count_distinct
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return hll_count_distinct(ds, "event_type", "user_id")
+
+
+def _q_value_quantiles_tdigest(sf_dir: str):
+    """Per-event-type approximate quantiles via mergeable t-digests —
+    the no-prior-range, tail-accurate scale path for `value_quantiles`
+    (rows-only check: interpolated estimates are not SQL-expressible;
+    rank error vs exact is pinned by tests/test_stages.py)."""
+    from vyntr_ray.stages.sketches import group_quantiles_tdigest
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return group_quantiles_tdigest(ds, "event_type", "value")
+
+
 def _q_scrub_pii(sf_dir: str):
     """PII redaction over text with deterministically planted PII (the
     synthetic corpus has none, so both sides append the same suffix)."""
@@ -876,6 +896,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_pivot": _q_event_pivot,
         "rolling_sum": _q_rolling_sum,
         "distinct_users": _q_distinct_users,
+        "distinct_users_hll": _q_distinct_users_hll,
+        "value_quantiles_tdigest": _q_value_quantiles_tdigest,
         "scrub_pii": _q_scrub_pii,
         "components": _q_components,
         # embeddings / similarity

@@ -707,6 +707,56 @@ class TestDistributedStages:
                        "g", "v").take_all()}
         assert approx == approx2
 
+    def test_tdigest_rank_error_and_merge_stability(self):
+        # unit level: long-tailed values, digests built per 4k-batch and
+        # merged in two different orders — rank error stays tiny at the
+        # tails and the union is merge-order independent
+        from vyntr_ray.stages.sketches import (tdigest_batch, tdigest_merge,
+                                               tdigest_quantile)
+        rng = np.random.Generator(np.random.PCG64(7))
+        vals = rng.lognormal(3.0, 1.5, 100_000)
+        blobs = [tdigest_batch(vals[i:i + 4096])
+                 for i in range(0, len(vals), 4096)]
+        d1 = tdigest_merge(blobs)
+        d2 = tdigest_merge(list(reversed(blobs)))
+        s = np.sort(vals)
+        for q in (0.01, 0.25, 0.5, 0.95, 0.99, 0.999):
+            e1 = tdigest_quantile(d1, q)
+            assert e1 == tdigest_quantile(d2, q)   # order-independent
+            rank = np.searchsorted(s, e1) / len(s)
+            assert abs(rank - q) < 0.005
+        # a digest is O(delta) bytes regardless of input rows
+        assert len(d1) <= (2 + 2 * 101) * 8
+
+    def test_group_quantiles_tdigest_matches_exact_ranks(self):
+        import ray.data as rd
+
+        from vyntr_ray.stages.dataset_tools import group_quantiles
+        from vyntr_ray.stages.sketches import group_quantiles_tdigest
+        rng = np.random.Generator(np.random.PCG64(11))
+        rows = [{"g": f"g{i % 2}", "v": float(rng.lognormal(2.0, 1.0))}
+                for i in range(6000)]
+        ds = rd.from_items(rows, override_num_blocks=8)
+        exact = group_quantiles(ds, "g", "v").to_pandas().set_index("g")
+        approx = group_quantiles_tdigest(
+            rd.from_items(rows, override_num_blocks=8),
+            "g", "v").to_pandas().set_index("g")
+        assert sorted(approx.index) == ["g0", "g1"]
+        for g in ("g0", "g1"):
+            sv = np.sort([r["v"] for r in rows if r["g"] == g])
+            for qn, q in (("q25", .25), ("q50", .5), ("q95", .95)):
+                rank = np.searchsorted(sv, approx.loc[g, qn]) / len(sv)
+                assert abs(rank - q) < 0.01, (g, qn)
+        # blocking invariance within tolerance of the exact answer
+        approx2 = group_quantiles_tdigest(
+            rd.from_items(rows, override_num_blocks=3),
+            "g", "v").to_pandas().set_index("g")
+        for g in ("g0", "g1"):
+            for qn in ("q25", "q50", "q95"):
+                span = abs(exact.loc[g, qn]) + 1.0
+                assert abs(approx2.loc[g, qn] - approx.loc[g, qn]) \
+                    < 0.05 * span
+
     def test_scrub_pii(self):
         from vyntr_ray.stages.clean import scrub_pii_batch
         t = pa.table({"text": [

@@ -9,6 +9,17 @@ so partial + merge is order-independent and deterministic given the
 hash).  ``group_count_distinct`` is the exact companion (distinct pairs
 via one dedup groupby, then a count), which doubles as the accuracy
 oracle for the sketch.
+
+t-digest quantiles (Dunning & Ertl 2019, public algorithm) follow the
+same partial + merge shape: each batch condenses each group's values to
+one bounded centroid set (≤ ~2·delta centroids regardless of row
+count), the ``groupby(group)`` merge re-compresses concatenated
+centroids, and tiny per-group inversion interpolates the quantiles.
+Unlike the fixed-bin histogram scale path
+(:func:`..dataset_tools.group_quantiles_approx`) it needs NO prior
+value range and keeps *relative rank* error bounded near the tails —
+the sketch of choice for long-tailed distributions (latencies, document
+lengths) at 100 TB.
 """
 
 from __future__ import annotations
@@ -19,7 +30,9 @@ import pyarrow as pa
 
 from ..state.filters import _hash64
 
-__all__ = ["hll_sketch_batch", "hll_count_distinct", "group_count_distinct"]
+__all__ = ["hll_sketch_batch", "hll_count_distinct", "group_count_distinct",
+           "tdigest_batch", "tdigest_merge", "tdigest_quantile",
+           "group_quantiles_tdigest"]
 
 
 def _alpha(m: int) -> float:
@@ -83,6 +96,121 @@ def hll_count_distinct(ds, group_col: str, value_col: str, p: int = 12):
             np.maximum(regs, np.frombuffer(blob, np.uint8), out=regs)
         return pd.DataFrame({group_col: [g[group_col].iloc[0]],
                              "approx_distinct": [_estimate(regs)]})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(group_col).map_groups(merge, batch_format="pandas"))
+
+
+# -- t-digest ---------------------------------------------------------------
+#
+# Representation: a digest is (min, max, means[float64], weights[float64]),
+# serialized as the raw float64 bytes [min, max, m0..mk, w0..wk].  Both the
+# per-batch build and the merge run ONE vectorized k-space clustering pass:
+# sort by value, place each point's weight-midpoint q on [0, 1], bucket by
+# floor(k(q)) where k is the tail-compressing scale function
+# k(q) = (delta / 2π)·asin(2q − 1), then weighted-mean each bucket.  Bucket
+# count is ≤ delta/2 + 1 by construction, so a digest is O(delta) bytes no
+# matter how many rows fed it, and centroid width scales with q(1−q) —
+# tight clusters at the tails, coarse in the middle.
+
+def _k_scale(q: np.ndarray, delta: float) -> np.ndarray:
+    return (delta / (2 * np.pi)) * np.arcsin(np.clip(2 * q - 1, -1.0, 1.0))
+
+
+def _td_cluster(means: np.ndarray, weights: np.ndarray,
+                delta: float) -> tuple[np.ndarray, np.ndarray]:
+    """One vectorized compression pass: sorted (mean, weight) pairs →
+    ≤ delta+1 centroids bucketed by the scale function."""
+    order = np.argsort(means, kind="stable")
+    means, weights = means[order], weights[order]
+    total = weights.sum()
+    qmid = (np.cumsum(weights) - weights / 2) / total
+    bucket = np.floor(_k_scale(qmid, delta) + delta / 4).astype(np.int64)
+    # weighted mean + weight sum per bucket (buckets are already sorted)
+    uniq, inv = np.unique(bucket, return_inverse=True)
+    wsum = np.bincount(inv, weights=weights)
+    msum = np.bincount(inv, weights=means * weights)
+    return msum / wsum, wsum
+
+
+def tdigest_batch(values: np.ndarray, delta: float = 200.0) -> bytes:
+    """Build one serialized digest from a batch of raw values."""
+    v = np.asarray(values, np.float64)
+    v = v[~np.isnan(v)]
+    if len(v) == 0:
+        return b""
+    m, w = _td_cluster(v, np.ones(len(v), np.float64), delta)
+    return np.concatenate(
+        [[v.min(), v.max()], m, w]).astype(np.float64).tobytes()
+
+
+def _td_load(blob: bytes) -> tuple[float, float, np.ndarray, np.ndarray]:
+    a = np.frombuffer(blob, np.float64)
+    k = (len(a) - 2) // 2
+    return float(a[0]), float(a[1]), a[2:2 + k], a[2 + k:]
+
+
+def tdigest_merge(blobs: list[bytes], delta: float = 200.0) -> bytes:
+    """Union of digests: concatenate centroids, one compression pass."""
+    parts = [_td_load(b) for b in blobs if b]
+    if not parts:
+        return b""
+    lo = min(p[0] for p in parts)
+    hi = max(p[1] for p in parts)
+    m, w = _td_cluster(np.concatenate([p[2] for p in parts]),
+                       np.concatenate([p[3] for p in parts]), delta)
+    return np.concatenate([[lo, hi], m, w]).astype(np.float64).tobytes()
+
+
+def tdigest_quantile(blob: bytes, q: float) -> float:
+    """Invert the digest: linear interpolation between centroid
+    weight-midpoints, clamped to the tracked [min, max]."""
+    lo, hi, m, w = _td_load(blob)
+    total = w.sum()
+    mids = np.cumsum(w) - w / 2
+    t = q * total
+    if t <= mids[0]:
+        # interpolate from the true minimum to the first centroid
+        f = t / mids[0] if mids[0] > 0 else 1.0
+        return float(lo + f * (m[0] - lo))
+    if t >= mids[-1]:
+        f = ((t - mids[-1]) / (total - mids[-1])
+             if total > mids[-1] else 0.0)
+        return float(m[-1] + f * (hi - m[-1]))
+    i = int(np.searchsorted(mids, t, side="right"))
+    f = (t - mids[i - 1]) / (mids[i] - mids[i - 1])
+    return float(m[i - 1] + f * (m[i] - m[i - 1]))
+
+
+def group_quantiles_tdigest(ds, group_col: str, value_col: str,
+                            qs: tuple = (0.25, 0.5, 0.95),
+                            delta: float = 200.0):
+    """Per-group approximate quantiles via mergeable t-digests.
+
+    Shape mirrors :func:`hll_count_distinct`: one (group, digest) partial
+    row per batch per group — the shuffle carries O(delta)-byte sketches,
+    never values — a single ``groupby(group)`` merges, and the quantile
+    inversion is per-group O(delta).  No prior value range needed (the
+    histogram scale path requires one), and rank error concentrates at
+    q(1−q) — accurate tails on skewed data.  Output schema matches
+    :func:`..dataset_tools.group_quantiles` (q25/q50/q95 columns).
+    """
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({group_col: b[group_col].to_pylist(),
+                           "v": b[value_col].to_pylist()})
+        rows = [(g, tdigest_batch(sub["v"].to_numpy(), delta))
+                for g, sub in df.groupby(group_col, sort=False)]
+        return pa.table({
+            group_col: pa.array([r[0] for r in rows]),
+            "digest": pa.array([r[1] for r in rows], pa.binary()),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        blob = tdigest_merge(list(g["digest"]), delta)
+        row = {group_col: [g[group_col].iloc[0]]}
+        for q in qs:
+            row[f"q{int(round(q * 100))}"] = [tdigest_quantile(blob, q)]
+        return pd.DataFrame(row)
 
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(group_col).map_groups(merge, batch_format="pandas"))

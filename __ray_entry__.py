@@ -378,6 +378,90 @@ def _q_components(sf_dir: str):
                                                batch_format="pyarrow"))
 
 
+def _q_pagerank(sf_dir: str):
+    """Link-importance over the same deterministic doc graph as
+    `components` (d → 2d, 3d), 10 damped iterations (rows-only: float
+    fixed-point iteration is not SQL-expressible; pinned against a
+    dense numpy reference and the shuffle-aggregate path by tests)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from vyntr_ray.stages.graph import pagerank
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    ids_ref = ray.put(pa.array(
+        sorted(r["doc_id"] for r in ds.take_all()), pa.int64()))
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy()
+        d = d[d > 0]
+        us, vs = [], []
+        for mult in (2, 3):
+            cand = d * mult
+            ok = pc.is_in(pa.array(cand, pa.int64()),
+                          value_set=ray.get(ids_ref)).to_numpy(
+                              zero_copy_only=False)
+            us.append(d[ok])
+            vs.append(cand[ok])
+        return pa.table({"u": pa.array(np.concatenate(us), pa.int64()),
+                         "v": pa.array(np.concatenate(vs), pa.int64())})
+
+    return pagerank(ds.map_batches(edges, batch_format="pyarrow"))
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Exactly 40 events per event_type, deterministic md5-hash order."""
+    from vyntr_ray.stages.sampling import stratified_sample
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type"])
+    return stratified_sample(ds, "event_type", key_col="event_id", k=40)
+
+
+def _q_keep_best_doc(sf_dir: str):
+    """Canonicalization dedup: per (lang, source) keep the single best
+    doc by (n_chars desc, doc_id asc) — group_topk with k=1 over a
+    composite key."""
+    from vyntr_ray.stages.dataset_tools import group_topk
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "lang", "source", "n_chars"])
+
+    def with_key(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        key = pc.binary_join_element_wise(t["lang"], t["source"], "|")
+        return t.append_column("grp", key)
+
+    out = group_topk(ds.map_batches(with_key, batch_format="pyarrow"),
+                     "grp", "n_chars", "doc_id", k=1)
+    return out.map_batches(lambda t: t.drop_columns(["grp"]),
+                           batch_format="pyarrow")
+
+
+def _q_filter_above_median(sf_dir: str):
+    """Quantile-gated filtering: events strictly above their type's
+    exact median (quantile_disc 0.5) — the 'keep the top half by
+    quality' curation step.  The tiny per-group median table broadcasts
+    (`ray.put` once); no shuffle touches the event rows."""
+    import ray
+
+    from vyntr_ray.stages.dataset_tools import group_quantiles
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "value"])
+    med = {r["event_type"]: r["q50"]
+           for r in group_quantiles(ds, "event_type", "value",
+                                    qs=(0.5,)).take_all()}
+    med_ref = ray.put(med)
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        vals = t["value"].to_numpy()
+        gates = np.array([m[g] for g in t["event_type"].to_pylist()])
+        return t.filter(pa.array(vals > gates))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def _q_index_prep(sf_dir: str):
     from vyntr_ray.stages.index_prep import index_prep
     ds = _read(sf_dir, "documents",
@@ -900,6 +984,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_tdigest": _q_value_quantiles_tdigest,
         "scrub_pii": _q_scrub_pii,
         "components": _q_components,
+        "pagerank": _q_pagerank,
+        "stratified_sample": _q_stratified_sample,
+        "keep_best_doc": _q_keep_best_doc,
+        "filter_above_median": _q_filter_above_median,
         # embeddings / similarity
         "mean_pool_embeddings": _q_mean_pool,
         "chunk_documents": _q_chunks,
@@ -1459,6 +1547,30 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY event_type
                            ORDER BY value DESC, event_id ASC) AS rn
                 FROM events) WHERE rn <= 3
+        """,
+        # md5-hex string order on both sides — see hash_sample
+        "stratified_sample": """
+            SELECT event_id, user_id, event_type FROM (
+                SELECT event_id, user_id, event_type,
+                       row_number() OVER (PARTITION BY event_type
+                           ORDER BY md5(event_id::VARCHAR) ASC,
+                                    event_id ASC) AS rn
+                FROM events) WHERE rn <= 40
+        """,
+        "keep_best_doc": """
+            SELECT doc_id, lang, source, n_chars FROM (
+                SELECT doc_id, lang, source, n_chars,
+                       row_number() OVER (PARTITION BY lang, source
+                           ORDER BY n_chars DESC, doc_id ASC) AS rn
+                FROM documents) WHERE rn = 1
+        """,
+        "filter_above_median": """
+            SELECT e.event_id, e.event_type, e.value
+            FROM events e JOIN (
+                SELECT event_type, quantile_disc(value, 0.5) AS m
+                FROM events GROUP BY event_type) q
+              ON e.event_type = q.event_type
+            WHERE e.value > q.m
         """,
         # quantile_disc = exact set-element selection (index ceil(q*n)-1
         # on both sides), so float equality is exact

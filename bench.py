@@ -104,7 +104,8 @@ def bench_queries() -> dict:
              "ann_topk", "tpch_q1ish", "events_window", "quality_scores",
              "minhash_dups", "bm25_topk", "ivf_ann", "knn_join",
              "decontaminate", "repetition_scores", "asof_join",
-             "range_join", "components", "scrub_pii"]
+             "range_join", "components", "scrub_pii", "pagerank",
+             "stratified_sample", "value_quantiles_tdigest"]
     qs = em.queries()
     out = {}
     for name in names:

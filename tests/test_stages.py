@@ -707,6 +707,72 @@ class TestDistributedStages:
                        "g", "v").take_all()}
         assert approx == approx2
 
+    def test_pagerank_matches_dense_reference(self):
+        import ray.data as rd
+
+        from vyntr_ray.stages.graph import pagerank
+        # deterministic sparse digraph incl. a dangling node (7) and a
+        # node with no in-links (1)
+        rng = np.random.Generator(np.random.PCG64(3))
+        n = 60
+        edges = sorted({(int(u), int(v))
+                        for u, v in rng.integers(0, n, (400, 2))
+                        if u != v and u != 7})
+        ds = rd.from_items([{"u": u, "v": v} for u, v in edges],
+                           override_num_blocks=7)
+        got = {r["node"]: r["rank"]
+               for r in pagerank(ds, n_iter=10).take_all()}
+        # dense reference over the same node universe
+        nodes = sorted({x for e in edges for x in e})
+        idx = {x: i for i, x in enumerate(nodes)}
+        m = len(nodes)
+        rank = np.full(m, 1.0 / m)
+        outdeg = np.zeros(m)
+        for u, _ in edges:
+            outdeg[idx[u]] += 1
+        for _ in range(10):
+            contrib = np.zeros(m)
+            for u, v in edges:
+                contrib[idx[v]] += rank[idx[u]] / outdeg[idx[u]]
+            dangling = rank[outdeg == 0].sum()
+            rank = 0.15 / m + 0.85 * (contrib + dangling / m)
+        assert set(got) == set(nodes)
+        for x in nodes:
+            assert abs(got[x] - rank[idx[x]]) < 1e-9, x
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    def test_pagerank_shuffle_path_parity(self):
+        import ray.data as rd
+
+        from vyntr_ray.stages.graph import pagerank
+        edges = [{"u": i, "v": (i * 3) % 40} for i in range(40)
+                 if i != (i * 3) % 40]
+        a = {r["node"]: r["rank"]
+             for r in pagerank(rd.from_items(edges, override_num_blocks=5),
+                               n_iter=6).take_all()}
+        b = {r["node"]: r["rank"]
+             for r in pagerank(rd.from_items(edges, override_num_blocks=3),
+                               n_iter=6,
+                               shuffle_aggregate=True).take_all()}
+        assert set(a) == set(b)
+        for k in a:
+            assert abs(a[k] - b[k]) < 1e-12
+
+    def test_stratified_sample_exact_counts(self):
+        import ray.data as rd
+
+        from vyntr_ray.stages.sampling import stratified_sample
+        rows = [{"g": f"g{i % 3}", "doc_id": i} for i in range(300)]
+        out = stratified_sample(
+            rd.from_items(rows, override_num_blocks=6),
+            "g", key_col="doc_id", k=10).to_pandas()
+        assert out.groupby("g").size().tolist() == [10, 10, 10]
+        # determinism across blocking
+        out2 = stratified_sample(
+            rd.from_items(rows, override_num_blocks=2),
+            "g", key_col="doc_id", k=10).to_pandas()
+        assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
     def test_tdigest_rank_error_and_merge_stability(self):
         # unit level: long-tailed values, digests built per 4k-batch and
         # merged in two different orders — rank error stays tiny at the

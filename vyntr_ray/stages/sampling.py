@@ -30,7 +30,8 @@ import re
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["hash_sample", "token_budget_sample", "weighted_mix"]
+__all__ = ["hash_sample", "token_budget_sample", "weighted_mix",
+           "stratified_sample"]
 
 _WS_TOKEN = re.compile(r"\S+")
 
@@ -136,6 +137,34 @@ def token_budget_sample(ds, budget: int, key_col: str = "doc_id",
         return batch.filter(pa.array(out))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_sample(ds, group_col: str, key_col: str = "doc_id",
+                      k: int = 100):
+    """Exactly k rows per group, deterministically pseudo-random: each
+    group keeps its k smallest rows by (md5(key), key).
+
+    The fixed-count companion to :func:`weighted_mix`'s fixed-rate
+    sampling — "k docs per language/source" quotas with no RNG state.
+    Distributed in the ``group_topk`` shape: each batch emits only ITS
+    k-head per group (shuffle bounded by groups-per-batch × k, never
+    the corpus), one ``groupby(group)`` merge re-selects by the same
+    total order — partial + merge = exact.  md5-hex string order equals
+    the DuckDB oracle's ``ORDER BY md5(key::VARCHAR)`` byte-for-byte.
+    """
+    import pandas as pd
+
+    def partial(b: "pd.DataFrame") -> "pd.DataFrame":
+        b = b.assign(_h=_md5_hex(b[key_col].tolist()))
+        b = b.sort_values([group_col, "_h", key_col], kind="mergesort")
+        return b.groupby(group_col, sort=False).head(k)
+
+    def merge(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["_h", key_col], kind="mergesort").head(k)
+        return g.drop(columns="_h")
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby(group_col).map_groups(merge, batch_format="pandas"))
 
 
 def weighted_mix(ds, rate_ppm_by_group: dict, group_col: str = "source",

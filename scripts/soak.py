@@ -38,6 +38,13 @@ def main() -> None:
     ap.add_argument("--all-features", action="store_true",
                     help="distributed select + checkpoints + low link "
                          "threshold (distributed link dedup)")
+    ap.add_argument("--disk", action="store_true",
+                    help="disk-resident fetch (pruned parquet lookup "
+                         "join) instead of object-store preload — the "
+                         "path a corpus bigger than the object store "
+                         "pays; preload at 4M+ rich pages (~24 GB html) "
+                         "overflows a 37 GiB store and measures spill "
+                         "I/O, not the engine")
     args = ap.parse_args()
     hosts = args.hosts or args.pages // 20
 
@@ -74,7 +81,7 @@ def main() -> None:
     t0 = time.perf_counter()
     stats = run_crawl(store, seeds, workdir, max_pages=args.budget,
                       seed=42, n_shards=args.n_shards,
-                      keep_schedule=False, preload_pages=True,
+                      keep_schedule=False, preload_pages=not args.disk,
                       frontier_buckets=args.buckets,
                       frontier_mem_rows=args.mem_rows,
                       frontier_hot_rows=args.hot_rows, **feat)

@@ -379,6 +379,7 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
               resume: bool = False, checkpoint: bool = True,
               keep_schedule: bool = True,
               parse_concurrency: int | None = None,
+              parse_batch_size: int = 1024,
               distributed_links_threshold: int = 100_000,
               preload_pages: bool = False, priority_fn=None,
               frontier_buckets: int = 16,
@@ -641,17 +642,40 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
 
             partial_ds = ds.map_batches(
                 parse_fn, batch_format="pyarrow",
-                batch_size=None if is_preload else 256,
+                # batch size bounds worker heap (batch × page size) but
+                # also sets the wave's BLOCK COUNT — and every downstream
+                # pass (materialize, link groupby, parquet file count)
+                # pays per-block fixed costs.  256 at a 700k-url wave
+                # meant 2,770 blocks; the link groupby alone went
+                # 304 s → 39 s when blocks dropped ~4× (measured, PERF.md)
+                batch_size=None if is_preload else parse_batch_size,
                 **({"concurrency": parse_concurrency}
                    if parse_concurrency else {}))
             if len(batch) > distributed_links_threshold:
+                _t1 = _time.perf_counter()
                 partial_ds = partial_ds.materialize()  # tiny: no html/text
+                _t2 = _time.perf_counter()
                 import pyarrow.compute as _pc
+
+                def link_partial(t: pa.Table) -> pa.Table:
+                    # per-block combiner: dedup (link → min orderkey)
+                    # BEFORE the shuffle — links repeat across pages, so
+                    # the groupby ships the block's distinct links only
+                    t = (t.filter(_pc.equal(t["kind"], 1))
+                         .select(["key", "val"])
+                         .rename_columns(["link", "orderkey"]))
+                    return (t.group_by("link")
+                            .aggregate([("orderkey", "min")])
+                            .rename_columns(["link", "orderkey"]))
+
+                # coalesce before the sort-shuffle: groupby cost grows
+                # superlinearly with input block count (measured 304 s at
+                # 2,770 blocks vs 39 s at 692 for the same 2M rows)
+                n_link_blocks = max(
+                    32, 2 * int(ray.cluster_resources().get("CPU", 16)))
                 links_ds = (partial_ds.map_batches(
-                    lambda t: (t.filter(_pc.equal(t["kind"], 1))
-                               .select(["key", "val"])
-                               .rename_columns(["link", "orderkey"])),
-                    batch_format="pyarrow")
+                    link_partial, batch_format="pyarrow")
+                    .repartition(n_link_blocks)
                     .groupby("link").min("orderkey"))
                 links_ds = links_ds.map_batches(
                     lambda t: t.rename_columns(["link", "orderkey"]),
@@ -660,6 +684,7 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
                     _make_seen_filter(seen.shards, n_shards),
                     batch_format="pyarrow")
                 newdf = links_ds.to_pandas()
+                _t3 = _time.perf_counter()
                 if "link" in newdf.columns:
                     ordered_new = (newdf.sort_values("orderkey")
                                    ["link"].tolist())
@@ -667,6 +692,12 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
                     lambda t: t.filter(_pc.equal(t["kind"], 0))
                     .select(["key"]),
                     batch_format="pyarrow").to_pandas()["key"].tolist()
+                if _timing:
+                    print(f"[wave {wave}] n={len(batch)} "
+                          f"prep={_t1 - _t0:.2f} job={_t2 - _t1:.2f} "
+                          f"linkjob={_t3 - _t2:.2f} "
+                          f"fetchcol={_time.perf_counter() - _t3:.2f}",
+                          flush=True)
             else:
                 _t1 = _time.perf_counter()
                 partials = partial_ds.to_pandas()

@@ -79,6 +79,17 @@ class SeenShard:
             new[i] = True
         if new.any():
             self.cuckoo.add_hashes(h[new])
+            # auto-grow: past ~85% load a 4-slot cuckoo insert degrades
+            # into the 500-kick eviction loop (and finally FAILS, leaving
+            # the url filter-absent for cold restores).  The exact tier
+            # holds every url this shard has seen, so rebuild at 2×
+            # — amortized-doubling O(n), exactly the restore-path rebuild.
+            # Measured: without this, a 4M-page crawl spent 600-800 s per
+            # wave inside saturated-filter kick loops (PERF.md).
+            cap = self.cuckoo.n_buckets * self.cuckoo.SLOTS
+            if self.cuckoo.count >= int(0.85 * cap):
+                self.cuckoo = CuckooFilter(max(1 << 16, 2 * len(self.exact)))
+                self.cuckoo.add_hashes(_hash64(sorted(self.exact)))
             if self.log_dir is not None:
                 self._pending_log.extend(
                     urls[i] for i in np.nonzero(new)[0])

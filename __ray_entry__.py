@@ -102,6 +102,53 @@ def _jaccard_pairs_sql(thr_ppm: int) -> str:
     """
 
 
+def _pagerank_sql(n_iter: int = 10, damping: float = 0.85) -> str:
+    """Unrolled PageRank oracle: one CTE pair (dangling mass, next rank)
+    per iteration, mirroring ``stages/graph.pagerank``'s float recurrence
+    term-for-term.  All literals cast ::DOUBLE so DuckDB's decimal
+    arithmetic never enters (1 - 0.85 must be the IEEE 0.15000000000000002,
+    not decimal 0.15)."""
+    d = f"{damping!r}::DOUBLE"
+    parts = ["""
+        WITH e AS MATERIALIZED (
+            SELECT a.doc_id AS u, b.doc_id AS v
+            FROM documents a JOIN documents b
+              ON b.doc_id = a.doc_id * 2 AND a.doc_id > 0
+            UNION ALL
+            SELECT a.doc_id, b.doc_id
+            FROM documents a JOIN documents b
+              ON b.doc_id = a.doc_id * 3 AND a.doc_id > 0),
+        deg AS MATERIALIZED (
+            SELECT u AS node, count(*) AS outdeg FROM e GROUP BY u),
+        nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+            (SELECT u AS node FROM e UNION ALL SELECT v FROM e)),
+        nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
+        pr0 AS MATERIALIZED (
+            SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS rank
+            FROM nodes)"""]
+    for k in range(n_iter):
+        parts.append(f""",
+        dang{k} AS MATERIALIZED (
+                    SELECT coalesce(sum(rank), 0.0::DOUBLE) AS dm
+                    FROM pr{k}
+                    WHERE node NOT IN (SELECT node FROM deg)),
+        pr{k + 1} AS MATERIALIZED (
+            SELECT nd.node,
+                   (1.0::DOUBLE - {d}) / (SELECT n FROM nn)
+                   + {d} * (coalesce(c.contrib, 0.0::DOUBLE)
+                            + (SELECT dm FROM dang{k}) / (SELECT n FROM nn))
+                       AS rank
+            FROM nodes nd LEFT JOIN (
+                SELECT e.v AS node, sum(p.rank / deg.outdeg) AS contrib
+                FROM e JOIN pr{k} p ON e.u = p.node
+                       JOIN deg ON deg.node = e.u
+                GROUP BY e.v) c ON nd.node = c.node)""")
+    parts.append(f"""
+        SELECT node, CAST(round(rank * 1000000) AS BIGINT) AS rank_micro
+        FROM pr{n_iter}""")
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # query implementations
 # ---------------------------------------------------------------------------
@@ -221,6 +268,37 @@ def _q_weighted_mix(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
     return weighted_mix(ds, {"src0": 1_000_000, "src1": 500_000,
                              "src2": 250_000}, default_ppm=100_000)
+
+
+def _q_pack_sequences(sf_dir: str):
+    """LM sequence packing: concatenate-and-chunk manifest at 2048
+    tokens/sequence over the hash-ordered corpus (distributed
+    prefix-sum; metadata-only shuffle)."""
+    from vyntr_ray.stages.sampling import pack_sequences
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return pack_sequences(ds, seq_len=2048, n_buckets=16)
+
+
+def _q_unigram_logprob(sf_dir: str):
+    """CCNet-style quality signal: per-doc log-likelihood under a
+    unigram LM fit on the corpus itself (top-4096 vocab)."""
+    from vyntr_ray.stages.text_analysis import unigram_logprob
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return unigram_logprob(ds, vocab_size=4096)
+
+
+def _q_normalize_text(sf_dir: str):
+    """Unicode NFC + whitespace-run collapse + edge trim per doc."""
+    from vyntr_ray.stages.text_analysis import normalize_text
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return normalize_text(ds)
+
+
+def _q_dup_clusters(sf_dir: str):
+    """End-to-end near-dedup: LSH pairs -> verified Jaccard >= 0.6 ->
+    connected components -> min-id canonical per cluster (keep=1)."""
+    from vyntr_ray.stages.dedup import dup_clusters
+    return dup_clusters(_planted_dup_docs(sf_dir), threshold=0.6)
 
 
 def _q_asof_join(sf_dir: str):
@@ -380,9 +458,10 @@ def _q_components(sf_dir: str):
 
 def _q_pagerank(sf_dir: str):
     """Link-importance over the same deterministic doc graph as
-    `components` (d → 2d, 3d), 10 damped iterations (rows-only: float
-    fixed-point iteration is not SQL-expressible; pinned against a
-    dense numpy reference and the shuffle-aggregate path by tests)."""
+    `components` (d → 2d, 3d), 10 damped iterations.  Oracled against
+    an UNROLLED 10-iteration DuckDB CTE chain mirroring the exact float
+    recurrence; ranks micro-scaled to int64 on both sides (per-step
+    float drift is ~1e-15, nine orders below the rounding boundary)."""
     import pyarrow.compute as pc
     import ray
 
@@ -406,7 +485,14 @@ def _q_pagerank(sf_dir: str):
         return pa.table({"u": pa.array(np.concatenate(us), pa.int64()),
                          "v": pa.array(np.concatenate(vs), pa.int64())})
 
-    return pagerank(ds.map_batches(edges, batch_format="pyarrow"))
+    out = pagerank(ds.map_batches(edges, batch_format="pyarrow"))
+
+    def micro(t: pa.Table) -> pa.Table:
+        r = np.round(t["rank"].to_numpy() * 1_000_000).astype(np.int64)
+        return pa.table({"node": t["node"],
+                         "rank_micro": pa.array(r, pa.int64())})
+
+    return out.map_batches(micro, batch_format="pyarrow")
 
 
 def _q_stratified_sample(sf_dir: str):
@@ -973,6 +1059,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": _q_hash_sample,
         "token_budget_sample": _q_token_budget,
         "weighted_mix": _q_weighted_mix,
+        "pack_sequences": _q_pack_sequences,
+        "unigram_logprob": _q_unigram_logprob,
+        "normalize_text": _q_normalize_text,
+        "dup_clusters": _q_dup_clusters,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "value_quantiles": _q_value_quantiles,
@@ -1475,6 +1565,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, min(r)::BIGINT AS component
             FROM reach GROUP BY node
         """,
+        "pagerank": _pagerank_sql(),
         # same planted suffix, same RE2 patterns applied in the same
         # order (email -> ip -> phone)
         "scrub_pii": r"""
@@ -1627,6 +1718,77 @@ def oracle_sql() -> dict[str, str]:
                     AS cum
                 FROM m)
             SELECT doc_id, tok::BIGINT AS tok FROM c WHERE cum <= 2000
+        """,
+        # same hash order / ws-token count as token_budget_sample; the
+        # engine's bucketed prefix-sum must equal the flat window scan
+        "pack_sequences": r"""
+            WITH m AS (
+                SELECT doc_id,
+                       md5(CAST(doc_id AS VARCHAR)) AS h,
+                       len(regexp_extract_all(coalesce(text, ''), '\S+'))
+                           AS tok
+                FROM documents),
+            o AS (
+                SELECT doc_id, tok,
+                       coalesce(sum(tok) OVER (ORDER BY h, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS off
+                FROM m)
+            SELECT doc_id, tok::BIGINT AS tok, off::BIGINT AS "offset",
+                   (off // 2048)::BIGINT AS seq_id
+            FROM o
+        """,
+        # unigram LM fit on the corpus itself: same [a-z0-9]+ tokens,
+        # top-4096 vocab by (count desc, token asc), ln(count/total)
+        # summed over in-vocab tokens, milli-scaled on both sides
+        "unigram_logprob": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                           AS t
+                FROM documents),
+            cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+            tot AS (SELECT sum(c)::DOUBLE AS n FROM cnt),
+            vocab AS (SELECT t, c FROM cnt ORDER BY c DESC, t LIMIT 4096)
+            SELECT tok.doc_id,
+                   count(*)::BIGINT AS n_tok,
+                   (count(*) FILTER (WHERE v.t IS NULL))::BIGINT AS n_oov,
+                   CAST(round(coalesce(
+                       sum(ln(v.c / (SELECT n FROM tot)))
+                           FILTER (WHERE v.t IS NOT NULL), 0) * 1000)
+                       AS BIGINT) AS logprob_milli
+            FROM tok LEFT JOIN vocab v ON tok.t = v.t
+            GROUP BY tok.doc_id
+        """,
+        # explicit ASCII whitespace class (Python re and RE2 disagree on
+        # unicode \s); trim strips the single residual edge space
+        "normalize_text": """
+            SELECT doc_id,
+                   trim(regexp_replace(nfc_normalize(coalesce(text, '')),
+                        '[ \t\n\r\f\v]+', ' ', 'g')) AS norm_text
+            FROM documents
+        """,
+        # exact-Jaccard pairs >= 0.6 on the planted-dup corpus ->
+        # transitive closure -> min-id canonical per cluster
+        "dup_clusters": f"""
+            WITH RECURSIVE {_DUP_CORPUS_SQL}, {_SHINGLE_SQL},
+            p AS (
+                SELECT i.a AS u, i.b AS v
+                FROM ipair i
+                JOIN sz sa ON i.a = sa.doc_id
+                JOIN sz sb ON i.b = sb.doc_id
+                WHERE (i.inter * 1000000) // (sa.n + sb.n - i.inter)
+                      >= 600000),
+            und AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+            nodes AS (SELECT doc_id AS node FROM dup_corpus),
+            reach(node, r) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT und.u, reach.r
+                FROM und JOIN reach ON reach.node = und.v)
+            SELECT node AS doc_id, min(r)::BIGINT AS cluster,
+                   (node = min(r))::BIGINT AS keep
+            FROM reach GROUP BY node
         """,
         # Gopher-style repetition signals; same line/gram definitions as
         # repetition_batch (non-empty newline-split lines; [a-z0-9]+ word

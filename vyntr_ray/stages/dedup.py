@@ -34,7 +34,7 @@ import pyarrow as pa
 __all__ = ["add_md5", "dedup_exact", "dedup_by_key", "minhash_signatures",
            "minhash_lsh_pairs", "ngram_jaccard_pairs", "simhash_batch",
            "simhash_pairs", "embedding_dup_pairs", "word_shingles",
-           "jaccard", "shingle_table"]
+           "jaccard", "shingle_table", "dup_clusters"]
 
 _P = (1 << 61) - 1  # Mersenne prime for universal hashing
 
@@ -540,3 +540,48 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, block_col: str = "label",
         df = pd.DataFrame({"a": pd.Series(dtype="int64"),
                            "b": pd.Series(dtype="int64")})
     return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def dup_clusters(ds, id_col: str = "doc_id", text_col: str = "text",
+                 **minhash_kwargs):
+    """End-to-end near-duplicate resolution — the full curation chain a
+    training-data pipeline runs nightly: LSH candidate pairs with exact
+    Jaccard verification (:func:`minhash_lsh_pairs`) -> undirected
+    connected components over the verified pairs -> min-id canonical
+    document per cluster.
+
+    Every stage is the already-distributed building block: the pair table
+    is the banded-groupby output (never materialized on the driver),
+    components run the contraction path from ``stages/graph.py``, and
+    singleton docs enter via self-edges so EVERY corpus id gets a row.
+    Output: ``(id, cluster, keep)`` with ``keep = 1`` iff the doc is its
+    cluster's canonical (the survivor set of the dedup).
+    """
+    import pyarrow.compute as pc
+
+    from .graph import connected_components
+
+    pairs = minhash_lsh_pairs(ds, id_col=id_col, text_col=text_col,
+                              **minhash_kwargs)
+
+    def pair_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"u": t["a"].cast(pa.int64()),
+                         "v": t["b"].cast(pa.int64())})
+
+    def self_edges(t: pa.Table) -> pa.Table:
+        ids = t[id_col].cast(pa.int64())
+        return pa.table({"u": ids, "v": ids})
+
+    edges = pairs.map_batches(pair_edges, batch_format="pyarrow").union(
+        ds.select_columns([id_col]).map_batches(
+            self_edges, batch_format="pyarrow"))
+    comp = connected_components(edges)
+
+    def out(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t["node"],
+            "cluster": t["component"],
+            "keep": pc.cast(pc.equal(t["node"], t["component"]), pa.int64()),
+        })
+
+    return comp.map_batches(out, batch_format="pyarrow")

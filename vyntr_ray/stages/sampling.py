@@ -31,7 +31,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["hash_sample", "token_budget_sample", "weighted_mix",
-           "stratified_sample"]
+           "stratified_sample", "pack_sequences"]
 
 _WS_TOKEN = re.compile(r"\S+")
 
@@ -137,6 +137,71 @@ def token_budget_sample(ds, budget: int, key_col: str = "doc_id",
         return batch.filter(pa.array(out))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def pack_sequences(ds, seq_len: int = 2048, key_col: str = "doc_id",
+                   text_col: str = "text", n_buckets: int = 256):
+    """Concatenate-and-chunk sequence-packing manifest for LM training.
+
+    Documents are laid out in md5(key) hash order (the same seeded stable
+    order as :func:`token_budget_sample`), token counts prefix-summed
+    globally, and each document assigned the training sequence that
+    contains its first token: ``seq_id = offset // seq_len``.  Returns
+    the packing MANIFEST ``(key, tok, offset, seq_id)`` — downstream
+    sequence assembly joins text back per ``seq_id`` range, so the wide
+    step here never carries payload bytes.
+
+    Distributed prefix-sum, same shape as :func:`token_budget_sample`:
+    bucket = high bits of the hash (a true prefix, so bucket order IS
+    hash order); pass 1 collects ``n_buckets`` per-bucket sums on the
+    driver and exclusive-scans them into bucket base offsets; pass 2 is
+    one ``groupby(bucket)`` over METADATA ONLY (key, hash, token count —
+    never the text) where each group sorts by (hash, key) and cumsums
+    from its broadcast base.  At 10^10 docs raise ``n_buckets`` so a
+    bucket's metadata fits a worker heap; the driver state stays
+    O(n_buckets) rows either way.
+    """
+    import pandas as pd
+    import ray
+
+    assert 65536 % n_buckets == 0, "n_buckets must divide 65536"
+
+    def meta(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        hs = _md5_hex(keys)
+        toks = [len(_WS_TOKEN.findall(t or ""))
+                for t in batch[text_col].to_pylist()]
+        buckets = [int(h[:4], 16) // (65536 // n_buckets) for h in hs]
+        return pa.table({
+            key_col: batch[key_col],
+            "h": pa.array(hs, pa.string()),
+            "tok": pa.array(toks, pa.int64()),
+            "bucket": pa.array(buckets, pa.int32()),
+        })
+
+    meta_ds = ds.map_batches(meta, batch_format="pyarrow")
+
+    sums = {int(r["bucket"]): int(r["sum(tok)"])
+            for r in meta_ds.groupby("bucket").sum("tok").take_all()}
+    base, acc = {}, 0
+    for b in range(n_buckets):
+        base[b] = acc
+        acc += sums.get(b, 0)
+    base_ref = ray.put(base)
+
+    def pack(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["h", key_col], kind="mergesort")
+        start = int(ray.get(base_ref)[int(g["bucket"].iloc[0])])
+        off = (start + g["tok"].cumsum().shift(fill_value=0)).to_numpy(
+            dtype="int64")
+        return pd.DataFrame({
+            key_col: g[key_col].to_numpy(),
+            "tok": g["tok"].to_numpy(),
+            "offset": off,
+            "seq_id": off // seq_len,
+        })
+
+    return meta_ds.groupby("bucket").map_groups(pack, batch_format="pandas")
 
 
 def stratified_sample(ds, group_col: str, key_col: str = "doc_id",

@@ -21,7 +21,8 @@ import pyarrow as pa
 __all__ = ["token_stats_batch", "token_totals", "quality_batch",
            "fingerprint_batch", "LangId", "lang_id",
            "benchmark_ngrams", "contamination_report", "decontaminate",
-           "repetition_batch"]
+           "repetition_batch", "unigram_fit", "unigram_logprob",
+           "normalize_batch", "normalize_text"]
 
 _WS_TOKEN = re.compile(r"\S+")
 # BPE-ish word/number/symbol splitter (public GPT-2-style pattern, simplified)
@@ -272,3 +273,114 @@ def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             .append_column("dup_line_char_ppm",
                            pa.array(dup_char_o, pa.int64()))
             .append_column("top2gram_ppm", pa.array(top2_o, pa.int64())))
+
+
+# --------------------------------------------------------------------------
+# Corpus-fit unigram LM quality score (CCNet-style, Wenzek et al. 2020)
+# --------------------------------------------------------------------------
+
+def unigram_fit(ds, text_col: str = "text", vocab_size: int = 65536):
+    """Fit a unigram LM on the corpus itself: top-``vocab_size`` tokens
+    by (count desc, token asc) plus the grand token total.
+
+    One pass of per-block Counter partials (each block ships its
+    DISTINCT tokens, not its token stream) -> ``groupby(token).sum`` ->
+    distributed ``sort().limit(vocab_size)``; only the final vocab (a
+    bounded ``vocab_size`` rows) ever reaches the driver.  ``vocab_size``
+    is the broadcast-size knob: at 100 TB the distinct-token tail is
+    unbounded but the model stays ``O(vocab_size)`` by construction.
+    Returns ``(vocab: dict[token, count], total: int)``.
+    """
+    from collections import Counter
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = Counter()
+        for t in b[text_col].to_pylist():
+            c.update(_GRAM_TOKEN.findall((t or "").lower()))
+        return pa.table({"t": pa.array(list(c.keys()), pa.string()),
+                         "c": pa.array(list(c.values()), pa.int64())})
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("t").sum("c")
+    total = int(counts.sum("sum(c)"))
+    vocab_rows = (counts.sort(["sum(c)", "t"], descending=[True, False])
+                  .limit(vocab_size).take_all())
+    return {r["t"]: int(r["sum(c)"]) for r in vocab_rows}, total
+
+
+def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
+                    vocab_size: int = 65536):
+    """Per-document unigram log-likelihood — the CCNet perplexity-bucket
+    quality signal, with the LM fit on the corpus itself (no external
+    model).  Output per doc with >=1 token: ``(id, n_tok, n_oov,
+    logprob_milli)`` where ``logprob_milli = round(sum ln(count/total)
+    over in-vocab tokens * 1000)`` as int64 — integer-scaled so the
+    DuckDB oracle (same ln over the same exact counts) hash-compares;
+    OOV tokens are counted, not scored (no smoothing constant to drift).
+
+    The fitted model broadcasts once (``ray.put``); scoring is a
+    stateless ``map_batches`` with a vectorized sorted-array lookup.
+    """
+    import ray
+
+    vocab, total = unigram_fit(ds, text_col, vocab_size)
+    toks = np.array(sorted(vocab)) if vocab else np.array([], dtype=str)
+    lps = np.array([np.log(vocab[t] / total) for t in toks], np.float64)
+    model_ref = ray.put((toks, lps))
+
+    def score(b: pa.Table) -> pa.Table:
+        tk, lp = ray.get(model_ref)
+        ids, ntok, noov, milli = [], [], [], []
+        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            ws = _GRAM_TOKEN.findall((t or "").lower())
+            if not ws:
+                continue
+            wa = np.array(ws)
+            idx = np.searchsorted(tk, wa)
+            idx_c = np.minimum(idx, max(len(tk) - 1, 0))
+            hit = (tk[idx_c] == wa) if len(tk) else np.zeros(len(wa), bool)
+            ids.append(i)
+            ntok.append(len(ws))
+            noov.append(int((~hit).sum()))
+            milli.append(int(round(float(lp[idx_c[hit]].sum()) * 1000)))
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "n_tok": pa.array(ntok, pa.int64()),
+            "n_oov": pa.array(noov, pa.int64()),
+            "logprob_milli": pa.array(milli, pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Unicode text normalization
+# --------------------------------------------------------------------------
+
+_WS_RUN = re.compile(r"[ \t\n\r\f\v]+")
+
+
+def normalize_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Unicode NFC + ASCII-whitespace-run collapse + edge trim.
+
+    The canonical pre-dedup normalization pass (near-dup recall improves
+    when byte-level variance is composed away).  The whitespace class is
+    the explicit ASCII set — NOT ``\\s`` — because Python ``re`` and
+    RE2/DuckDB disagree on Unicode whitespace, and the DuckDB oracle
+    (``trim(regexp_replace(nfc_normalize(text), ...))``) must match
+    byte-for-byte.  Stateless, no shuffle.
+    """
+    import unicodedata
+
+    out = [
+        _WS_RUN.sub(" ", unicodedata.normalize("NFC", t or "")).strip(" ")
+        for t in batch[text_col].to_pylist()
+    ]
+    return batch.set_column(
+        batch.schema.get_field_index(text_col), "norm_text",
+        pa.array(out, pa.string()))
+
+
+def normalize_text(ds, text_col: str = "text"):
+    return ds.map_batches(
+        lambda b: normalize_batch(b, text_col), batch_format="pyarrow")

@@ -389,9 +389,12 @@ def _q_distinct_users(sf_dir: str):
 
 def _q_distinct_users_hll(sf_dir: str):
     """Approximate distinct users per event_type via mergeable HLL
-    sketches (rows-only check: the estimate is hash-dependent, not
-    SQL-expressible; accuracy vs the exact `distinct_users` companion
-    is pinned by tests/test_stages.py)."""
+    sketches.  Oracled EXACTLY: the md5-derived hash is DuckDB's
+    ``md5_number_upper``, so the oracle rebuilds the same p=12
+    registers in SQL (index = top 12 bits, rank = leading zeros of the
+    low 52 via integer bit tests) and applies the same estimator +
+    small-range correction — sketch-for-sketch equivalence, not a
+    tolerance check."""
     from vyntr_ray.stages.sketches import hll_count_distinct
     ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
     return hll_count_distinct(ds, "event_type", "user_id")
@@ -1606,6 +1609,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    count(DISTINCT user_id)::BIGINT AS n_distinct
             FROM events GROUP BY event_type
+        """,
+        # exact SQL replica of the p=12 HLL sketch: md5_number_upper ==
+        # int.from_bytes(md5[:8],'little') (the engine's _hash64);
+        # register index = top 12 bits, rank = leading zeros of the low
+        # 52 bits + 1 (pure integer bit tests, no float log); then the
+        # same alpha_m estimator and small-range correction
+        "distinct_users_hll": """
+            WITH h AS (
+                SELECT DISTINCT event_type,
+                       md5_number_upper(user_id::VARCHAR) AS hv
+                FROM events),
+            r AS (
+                SELECT event_type,
+                       (hv >> 52)::BIGINT AS idx,
+                       CASE WHEN (hv & ((1::UBIGINT << 52) - 1)) = 0 THEN 53
+                            ELSE 52 - (SELECT max(b.b)
+                                       FROM (SELECT unnest(
+                                            generate_series(0, 51)) AS b) b
+                                       WHERE ((hv & ((1::UBIGINT << 52) - 1))
+                                              >> b.b) & 1 = 1)
+                       END AS rank
+                FROM h),
+            regs AS (SELECT event_type, idx, max(rank) AS reg
+                     FROM r GROUP BY event_type, idx),
+            den AS (SELECT event_type,
+                           sum(power(2.0::DOUBLE, -reg))
+                               + (4096 - count(*))::DOUBLE AS denom,
+                           (4096 - count(*))::BIGINT AS zeros
+                    FROM regs GROUP BY event_type),
+            est AS (SELECT event_type,
+                           (0.7213::DOUBLE / (1.0::DOUBLE
+                                + 1.079::DOUBLE / 4096.0::DOUBLE))
+                               * 4096.0::DOUBLE * 4096.0::DOUBLE / denom
+                               AS raw,
+                           zeros
+                    FROM den)
+            SELECT event_type,
+                   CAST(round(CASE WHEN raw <= 2.5::DOUBLE * 4096.0::DOUBLE
+                                        AND zeros > 0
+                                   THEN 4096.0::DOUBLE
+                                        * ln(4096.0::DOUBLE / zeros)
+                                   ELSE raw END) AS BIGINT)
+                       AS approx_distinct
+            FROM est
         """,
         # ROWS-frame moving sum; per-row centi scaling -> exact int64
         "rolling_sum": """

@@ -294,6 +294,14 @@ def _q_normalize_text(sf_dir: str):
     return normalize_text(ds)
 
 
+def _q_dup_substrings(sf_dir: str):
+    """Exact-substring duplication counts (Lee et al. ExactSubstr
+    criterion): 64-char windows at stride 16 over the planted-dup
+    corpus; a window is duplicated iff it appears in >= 2 docs."""
+    from vyntr_ray.stages.dedup import substring_dup_counts
+    return substring_dup_counts(_planted_dup_docs(sf_dir))
+
+
 def _q_dup_clusters(sf_dir: str):
     """End-to-end near-dedup: LSH pairs -> verified Jaccard >= 0.6 ->
     connected components -> min-id canonical per cluster (keep=1)."""
@@ -1065,6 +1073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "unigram_logprob": _q_unigram_logprob,
         "normalize_text": _q_normalize_text,
+        "dup_substrings": _q_dup_substrings,
         "dup_clusters": _q_dup_clusters,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
@@ -1814,6 +1823,26 @@ def oracle_sql() -> dict[str, str]:
                    trim(regexp_replace(nfc_normalize(coalesce(text, '')),
                         '[ \t\n\r\f\v]+', ' ', 'g')) AS norm_text
             FROM documents
+        """,
+        # 64-char windows at stride 16 (1-based generate_series mirrors
+        # the engine's 0-based range; substr/length are char-based on
+        # both sides); duplicated = same string in >= 2 distinct docs
+        "dup_substrings": f"""
+            WITH {_DUP_CORPUS_SQL},
+            d AS (SELECT doc_id, coalesce(text, '') AS t FROM dup_corpus
+                  WHERE length(coalesce(text, '')) >= 64),
+            w AS (SELECT doc_id, substr(t, i, 64) AS w
+                  FROM d, LATERAL (SELECT unnest(generate_series(
+                       1, length(t) - 63, 16)) AS i) g),
+            dw AS (SELECT DISTINCT doc_id, w FROM w),
+            gc AS (SELECT w, count(DISTINCT doc_id) AS nd
+                   FROM dw GROUP BY w)
+            SELECT dw.doc_id,
+                   count(*)::BIGINT AS n_windows,
+                   sum(CASE WHEN gc.nd >= 2 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_dup_windows
+            FROM dw JOIN gc USING (w)
+            GROUP BY dw.doc_id
         """,
         # exact-Jaccard pairs >= 0.6 on the planted-dup corpus ->
         # transitive closure -> min-id canonical per cluster

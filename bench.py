@@ -105,7 +105,9 @@ def bench_queries() -> dict:
              "minhash_dups", "bm25_topk", "ivf_ann", "knn_join",
              "decontaminate", "repetition_scores", "asof_join",
              "range_join", "components", "scrub_pii", "pagerank",
-             "stratified_sample", "value_quantiles_tdigest"]
+             "stratified_sample", "value_quantiles_tdigest",
+             "pack_sequences", "unigram_logprob", "dup_substrings",
+             "dup_clusters"]
     qs = em.queries()
     out = {}
     for name in names:

@@ -34,7 +34,8 @@ import pyarrow as pa
 __all__ = ["add_md5", "dedup_exact", "dedup_by_key", "minhash_signatures",
            "minhash_lsh_pairs", "ngram_jaccard_pairs", "simhash_batch",
            "simhash_pairs", "embedding_dup_pairs", "word_shingles",
-           "jaccard", "shingle_table", "dup_clusters"]
+           "jaccard", "shingle_table", "dup_clusters",
+           "substring_dup_counts"]
 
 _P = (1 << 61) - 1  # Mersenne prime for universal hashing
 
@@ -585,3 +586,68 @@ def dup_clusters(ds, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return comp.map_batches(out, batch_format="pyarrow")
+
+
+def substring_dup_counts(ds, window: int = 64, stride: int = 16,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         n_parts: int = 64):
+    """Exact-substring duplication signal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the ExactSubstr
+    criterion, public): slide a ``window``-char window at ``stride`` over
+    each document; a window is DUPLICATED if the identical string occurs
+    in >= 2 distinct documents.  Output per doc with >= 1 window:
+    ``(id, n_windows, n_dup_windows)`` over the doc's DISTINCT windows —
+    the ratio is the doc's copied-content fraction.
+
+    Shape: ONE window-hash-partitioned shuffle + one tiny sum.  Window
+    rows (16-byte md5 + id, deduped per doc at emit) carry a hash
+    partition key; every window's rows land in the same partition, so a
+    ``groupby(part)`` over ``n_parts`` groups — NOT a group per window,
+    which at web scale is billions of sub-ms ``map_groups`` calls — does
+    the duplicate counting fully vectorized (one pandas ``transform``
+    per partition).  Per-doc partials then sum in one ``groupby(id)``
+    aggregate.  ``n_parts`` scales with the cluster; ``stride`` is the
+    cost knob (windows per doc = len/stride).
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def windows(b: pa.Table) -> pa.Table:
+        ids, whs = [], []
+        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            t = t or ""
+            seen = set()
+            for s in range(0, len(t) - window + 1, stride):
+                seen.add(t[s:s + window])
+            for w in seen:
+                ids.append(i)
+                whs.append(hashlib.md5(w.encode("utf-8")).hexdigest())
+        parts = [int(h[:4], 16) % n_parts for h in whs]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "w": pa.array(whs, pa.string()),
+                         "part": pa.array(parts, pa.int32())})
+
+    def part_tally(g: "pd.DataFrame") -> "pd.DataFrame":
+        # rows are (doc, window) DISTINCT per doc, so group size IS the
+        # distinct-doc count of that window
+        dup = (g.groupby("w")["w"].transform("size") >= 2).astype("int64")
+        agg = (pd.DataFrame({id_col: g[id_col].to_numpy(), "dup": dup})
+               .groupby(id_col, sort=False)["dup"]
+               .agg(n_windows="count", n_dup_windows="sum").reset_index())
+        agg["dpart"] = (agg[id_col] % n_parts).astype("int32")
+        return agg
+
+    partials = (ds.map_batches(windows, batch_format="pyarrow")
+                .groupby("part").map_groups(part_tally,
+                                            batch_format="pandas"))
+
+    # final per-doc sum as ONE vectorized pandas groupby per doc-hash
+    # partition — Ray's generic Aggregate walks groups row-by-row and
+    # measured 23 s on 65k partial rows / 5k groups; this is 0.2 s
+    def merge(g: "pd.DataFrame") -> "pd.DataFrame":
+        return (g.groupby(id_col, sort=False)
+                [["n_windows", "n_dup_windows"]].sum().reset_index())
+
+    return partials.groupby("dpart").map_groups(merge,
+                                                batch_format="pandas")

@@ -181,8 +181,21 @@ def pack_sequences(ds, seq_len: int = 2048, key_col: str = "doc_id",
 
     meta_ds = ds.map_batches(meta, batch_format="pyarrow")
 
-    sums = {int(r["bucket"]): int(r["sum(tok)"])
-            for r in meta_ds.groupby("bucket").sum("tok").take_all()}
+    # per-bucket sums from per-BLOCK partials (<= n_buckets tiny rows per
+    # block) — no sort-based groupby needed for a driver-side scan
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+        b = t["bucket"].to_numpy()
+        tok = t["tok"].to_numpy()
+        ub, inv = np.unique(b, return_inverse=True)
+        return pa.table({"bucket": pa.array(ub, pa.int32()),
+                         "tok": pa.array(np.bincount(inv, weights=tok)
+                                         .astype("int64"), pa.int64())})
+
+    sums: dict[int, int] = {}
+    for r in meta_ds.map_batches(bucket_partial,
+                                 batch_format="pyarrow").take_all():
+        sums[int(r["bucket"])] = sums.get(int(r["bucket"]), 0) + int(r["tok"])
     base, acc = {}, 0
     for b in range(n_buckets):
         base[b] = acc

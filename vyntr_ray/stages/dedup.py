@@ -362,7 +362,10 @@ def minhash_lsh_pairs(ds, n_perm: int = 128, n_bands: int = 32,
     pairs = band_ds.groupby("pbucket").map_groups(
         lambda g: _expand_bucket_pairs(g, id_col, ["band", "band_hash"]),
         batch_format="pandas")
-    # the same pair surfaces from several bands/partitions — dedup by key
+    # the same pair surfaces from several bands/partitions — dedup by key.
+    # Arrow-convert first: Aggregate over PANDAS blocks costs ~7 ms/group
+    # (measured, PERF.md) vs vectorized on Arrow blocks.
+    pairs = pairs.map_batches(lambda t: t, batch_format="pyarrow")
     cand = pairs.groupby(["a", "b"]).count().map_batches(
         lambda t: _norm_schema(t, {"a": pa.int64(), "b": pa.int64()}),
         batch_format="pyarrow")
@@ -482,7 +485,10 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text",
     pairs = (sh.map_batches(band_rows, batch_format="pyarrow")
              .groupby("pbucket")
              .map_groups(emit, batch_format="pandas"))
-    # a pair can surface from up to 4 bands/partitions; hamming identical
+    # a pair can surface from up to 4 bands/partitions; hamming identical.
+    # Arrow-convert before the Aggregate (pandas-block path is per-group
+    # Python — PERF.md)
+    pairs = pairs.map_batches(lambda t: t, batch_format="pyarrow")
     out = pairs.groupby(["a", "b"]).min("hamming")
     return (out.map_batches(
         lambda t: _norm_schema(

@@ -9,6 +9,8 @@ here calls ``ray.init``/``ray.shutdown``.
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 from typing import Any
 
@@ -889,6 +891,45 @@ def _q_nation_agg(sf_dir: str):
 _BM25_TERMS = ["data", "scan", "merge"]
 
 
+def _q_chunk_upsert(sf_dir: str):
+    """S9/S10 upsert-sink semantics end-to-end: seed the keyed store
+    with (doc_id, chunk_id) rows, then upsert a conflicting second
+    batch (ON CONFLICT DO UPDATE — incoming wins) and read the store
+    back.  The merge is per-hash-partition with atomic renames."""
+    import shutil
+
+    from vyntr_ray.sources.upsert import read_store, upsert_parquet
+
+    store = os.path.join("/tmp/vyntr_ray_cache",
+                         f"upsert_demo_{os.path.basename(sf_dir)}")
+    shutil.rmtree(store, ignore_errors=True)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def batch1(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy()
+        d = d[d % 2 == 0]
+        ids = np.repeat(d, 2)
+        cks = np.tile(np.array([0, 1], np.int64), len(d))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "chunk_id": pa.array(cks, pa.int64()),
+                         "val": pa.array(ids * 100 + cks, pa.int64())})
+
+    def batch2(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy()
+        d = d[d % 3 == 0]
+        return pa.table({"doc_id": pa.array(d, pa.int64()),
+                         "chunk_id": pa.array(np.zeros(len(d), np.int64)),
+                         "val": pa.array(d * 1000 + 7, pa.int64())})
+
+    keys = ["doc_id", "chunk_id"]
+    upsert_parquet(ds.map_batches(batch1, batch_format="pyarrow"),
+                   store, keys, n_parts=8).materialize()
+    upsert_parquet(ds.map_batches(batch2, batch_format="pyarrow"),
+                   store, keys, n_parts=8).materialize()
+    return read_store(store).select_columns(["doc_id", "chunk_id", "val"])
+
+
 def _q_inverted_index(sf_dir: str):
     """Inverted-index build (Pulse analog): (term, df, total_tf) summary."""
     from vyntr_ray.stages.search_index import build_text_index, index_summary
@@ -1116,6 +1157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inactive_customers": _q_inactive_customers,
         "nation_customers_agg": _q_nation_agg,
         "search_topk": _q_search_topk,
+        "chunk_upsert": _q_chunk_upsert,
         "inverted_index": _q_inverted_index,
         "bm25_topk": _q_bm25_topk,
         # multimodal plumbing
@@ -1939,6 +1981,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.doc_id, count(*)::BIGINT AS n_matched
             FROM c JOIN b USING (gram)
             GROUP BY c.doc_id
+        """,
+        # ON CONFLICT (doc_id, chunk_id) DO UPDATE: batch2 wins on
+        # collisions, batch1 survivors pass through
+        "chunk_upsert": """
+            WITH b1 AS (
+                SELECT doc_id, unnest([0, 1]) AS chunk_id
+                FROM documents WHERE doc_id % 2 = 0),
+            b1v AS (SELECT doc_id, chunk_id,
+                           doc_id * 100 + chunk_id AS val FROM b1),
+            b2 AS (SELECT doc_id, 0 AS chunk_id, doc_id * 1000 + 7 AS val
+                   FROM documents WHERE doc_id % 3 = 0)
+            SELECT doc_id, chunk_id::BIGINT AS chunk_id, val::BIGINT AS val
+            FROM b1v
+            WHERE (doc_id, chunk_id) NOT IN
+                  (SELECT (doc_id, chunk_id) FROM b2)
+            UNION ALL
+            SELECT doc_id, chunk_id::BIGINT, val::BIGINT FROM b2
         """,
         "inverted_index": r"""
             WITH tok AS (SELECT doc_id,

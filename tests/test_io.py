@@ -68,3 +68,56 @@ def test_jsonl_sink_reader_roundtrip(tmp_path):
     back = read_jsonl_tolerant(out).to_pandas()
     assert len(back) == 50                       # bad line skipped
     assert set(back["url"]) == {r["url"] for r in rows}
+
+
+def test_upsert_parquet_merge_semantics(ray_session, tmp_path):
+    """S9/S10 keyed upsert: incoming wins on conflict, untouched
+    partitions keep their bytes, re-running the same upsert is
+    idempotent."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vyntr_ray.sources.upsert import read_store, upsert_parquet
+
+    store = str(tmp_path / "store")
+    b1 = rd.from_arrow(pa.table({
+        "url": [f"u{i}" for i in range(40)],
+        "chunk_id": [i % 3 for i in range(40)],
+        "val": list(range(40)),
+    }))
+    stats1 = upsert_parquet(b1, store, ["url", "chunk_id"],
+                            n_parts=8).to_pandas()
+    assert stats1["n_incoming"].sum() == 40
+    assert stats1["n_replaced"].sum() == 0
+
+    import glob
+    import os
+    mtimes = {f: os.path.getmtime(f)
+              for f in glob.glob(f"{store}/part=*/data.parquet")}
+
+    # conflicting update for half the keys + 5 brand-new keys
+    b2 = rd.from_arrow(pa.table({
+        "url": [f"u{i}" for i in range(20)] + [f"v{i}" for i in range(5)],
+        "chunk_id": [i % 3 for i in range(20)] + [0] * 5,
+        "val": [1000 + i for i in range(25)],
+    }))
+    stats2 = upsert_parquet(b2, store, ["url", "chunk_id"],
+                            n_parts=8).to_pandas()
+    assert stats2["n_replaced"].sum() == 20      # DO UPDATE hits
+    back = read_store(store).to_pandas()
+    assert len(back) == 45
+    lookup = back.set_index(["url", "chunk_id"])["val"]
+    assert lookup[("u5", 2)] == 1005             # incoming won
+    assert lookup[("u25", 1)] == 25              # untouched key kept
+    # partitions that received no incoming rows were not rewritten
+    touched = {f"{store}/part={p}/data.parquet"
+               for p in stats2["part"]}
+    for f, m in mtimes.items():
+        if f not in touched:
+            assert os.path.getmtime(f) == m
+
+    # idempotency: replaying the same upsert leaves the store identical
+    upsert_parquet(b2, store, ["url", "chunk_id"], n_parts=8).to_pandas()
+    again = read_store(store).to_pandas()
+    pd_sort = lambda d: d.sort_values(["url", "chunk_id"]).reset_index(drop=True)
+    assert pd_sort(again).equals(pd_sort(back))

@@ -884,3 +884,60 @@ class TestDistributedStages:
         # canonical rep is the min node of each component
         grp = a.groupby("component")["node"].min()
         assert (grp.index == grp.values).all()
+
+
+class TestLmDataOps:
+    """Parallelism-invariance + invariants for the LM-curation ops."""
+
+    def _docs(self, n=120, blocks=1):
+        import ray.data as rd
+        rng = np.random.Generator(np.random.PCG64(5))
+        words = ["alpha", "beta", "gamma", "delta", "eps"]
+        rows = [{"doc_id": i,
+                 "text": " ".join(rng.choice(words, rng.integers(1, 40)))}
+                for i in range(n)]
+        return rd.from_items(rows, override_num_blocks=blocks)
+
+    def test_pack_sequences_invariants_and_parallelism(self, ray_session):
+        from vyntr_ray.stages.sampling import pack_sequences
+        a = (pack_sequences(self._docs(blocks=1), seq_len=64, n_buckets=16)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        b = (pack_sequences(self._docs(blocks=9), seq_len=64, n_buckets=16)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)     # block-count invariant
+        # offsets are a permutation-free exclusive prefix sum: sorted by
+        # offset, each row starts where the previous ended
+        s = a.sort_values("offset").reset_index(drop=True)
+        assert s["offset"].iloc[0] == 0
+        assert (s["offset"].iloc[1:].to_numpy()
+                == (s["offset"] + s["tok"]).iloc[:-1].to_numpy()).all()
+        assert (s["seq_id"] == s["offset"] // 64).all()
+
+    def test_unigram_logprob_parallelism_invariant(self, ray_session):
+        from vyntr_ray.stages.text_analysis import unigram_logprob
+        a = (unigram_logprob(self._docs(blocks=1), vocab_size=3)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        b = (unigram_logprob(self._docs(blocks=7), vocab_size=3)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+        # vocab_size=3 of 5 words -> OOV tokens exist and are unscored
+        assert (a["n_oov"] > 0).any()
+        assert (a["n_oov"] <= a["n_tok"]).all()
+
+    def test_substring_dup_counts_planted(self, ray_session):
+        import ray.data as rd
+
+        from vyntr_ray.stages.dedup import substring_dup_counts
+        base = "x" * 0  # readability
+        uniq = [{"doc_id": i, "text": f"doc {i} " + f"unique{i} " * 40}
+                for i in range(10)]
+        shared = "the exact same long paragraph repeated verbatim " * 6
+        dups = [{"doc_id": 100 + i, "text": shared} for i in range(3)]
+        out = substring_dup_counts(
+            rd.from_items(uniq + dups, override_num_blocks=5),
+            window=64, stride=16).to_pandas()
+        dup_rows = out[out["doc_id"] >= 100]
+        assert len(dup_rows) == 3
+        # every window of the identical docs is duplicated
+        assert (dup_rows["n_dup_windows"] == dup_rows["n_windows"]).all()
+        assert (out[out["doc_id"] < 10]["n_dup_windows"] == 0).all()

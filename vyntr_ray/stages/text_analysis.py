@@ -330,24 +330,37 @@ def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
 
     def score(b: pa.Table) -> pa.Table:
         tk, lp = ray.get(model_ref)
-        ids, ntok, noov, milli = [], [], [], []
-        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
-            ws = _GRAM_TOKEN.findall((t or "").lower())
-            if not ws:
-                continue
-            wa = np.array(ws)
-            idx = np.searchsorted(tk, wa)
-            idx_c = np.minimum(idx, max(len(tk) - 1, 0))
-            hit = (tk[idx_c] == wa) if len(tk) else np.zeros(len(wa), bool)
-            ids.append(i)
-            ntok.append(len(ws))
-            noov.append(int((~hit).sum()))
-            milli.append(int(round(float(lp[idx_c[hit]].sum()) * 1000)))
+        # regex extraction is per string; everything after is ONE
+        # vectorized lookup + segmented reduce over the whole batch
+        ids0 = b[id_col].to_pylist()
+        toks = [_GRAM_TOKEN.findall((t or "").lower())
+                for t in b[text_col].to_pylist()]
+        lens = np.array([len(w) for w in toks], np.int64)
+        keep = lens > 0
+        if not keep.any():
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_tok": pa.array([], pa.int64()),
+                             "n_oov": pa.array([], pa.int64()),
+                             "logprob_milli": pa.array([], pa.int64())})
+        flat = np.concatenate([np.array(w) for w, k in zip(toks, keep)
+                               if k])
+        seg = np.repeat(np.arange(int(keep.sum())), lens[keep])
+        if len(tk):
+            idx = np.minimum(np.searchsorted(tk, flat), len(tk) - 1)
+            hit = tk[idx] == flat
+            contrib = np.where(hit, lp[idx], 0.0)
+        else:
+            hit = np.zeros(len(flat), bool)
+            contrib = np.zeros(len(flat), np.float64)
+        n_docs = int(keep.sum())
+        sums = np.bincount(seg, weights=contrib, minlength=n_docs)
+        oov = np.bincount(seg, weights=~hit, minlength=n_docs)
         return pa.table({
-            id_col: pa.array(ids, pa.int64()),
-            "n_tok": pa.array(ntok, pa.int64()),
-            "n_oov": pa.array(noov, pa.int64()),
-            "logprob_milli": pa.array(milli, pa.int64()),
+            id_col: pa.array(np.array(ids0, np.int64)[keep], pa.int64()),
+            "n_tok": pa.array(lens[keep], pa.int64()),
+            "n_oov": pa.array(oov.astype(np.int64), pa.int64()),
+            "logprob_milli": pa.array(
+                np.round(sums * 1000).astype(np.int64), pa.int64()),
         })
 
     return ds.map_batches(score, batch_format="pyarrow")

@@ -289,6 +289,14 @@ def _q_unigram_logprob(sf_dir: str):
     return unigram_logprob(ds, vocab_size=4096)
 
 
+def _q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (hashed unigram+bigram models, target =
+    doc_id %% 97 == 0 — the decontaminate held-out convention)."""
+    from vyntr_ray.stages.text_analysis import dsir_weights
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dsir_weights(ds, n_buckets=8192)
+
+
 def _q_normalize_text(sf_dir: str):
     """Unicode NFC + whitespace-run collapse + edge trim per doc."""
     from vyntr_ray.stages.text_analysis import normalize_text
@@ -1114,6 +1122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "unigram_logprob": _q_unigram_logprob,
         "normalize_text": _q_normalize_text,
+        "dsir_weights": _q_dsir_weights,
         "dup_substrings": _q_dup_substrings,
         "dup_clusters": _q_dup_clusters,
         "asof_join": _q_asof_join,
@@ -1857,6 +1866,42 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS logprob_milli
             FROM tok LEFT JOIN vocab v ON tok.t = v.t
             GROUP BY tok.doc_id
+        """,
+        # hashed unigram+bigram buckets via md5_number_upper %% 8192 (==
+        # the engine's md5[:8]-little-endian hash); add-one smoothed
+        # ln-ratio of target (doc_id%97=0) vs raw models, milli-scaled
+        "dsir_weights": r"""
+            WITH w AS (SELECT doc_id,
+                              regexp_extract_all(lower(text), '[a-z0-9]+')
+                                  AS ws
+                       FROM documents),
+            uni AS (SELECT doc_id, unnest(ws) AS f FROM w),
+            bi AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS f
+                   FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                         FROM w)),
+            feats AS (SELECT doc_id, f FROM uni
+                      UNION ALL SELECT doc_id, f FROM bi),
+            fb AS (SELECT doc_id,
+                          (md5_number_upper(f) % 8192)::BIGINT AS bucket
+                   FROM feats),
+            cnt AS (SELECT bucket,
+                           count(*) FILTER (WHERE doc_id % 97 = 0) AS tc,
+                           count(*) FILTER (WHERE doc_id % 97 <> 0) AS rc
+                    FROM fb GROUP BY bucket),
+            tot AS (SELECT sum(tc) AS tt, sum(rc) AS rr FROM cnt),
+            sc AS (SELECT fb.doc_id,
+                          count(*) AS n_feat,
+                          sum(ln((cnt.tc + 1.0)
+                                 / ((SELECT tt FROM tot) + 8192))
+                              - ln((cnt.rc + 1.0)
+                                   / ((SELECT rr FROM tot) + 8192)))
+                              AS wsum
+                   FROM fb JOIN cnt USING (bucket)
+                   WHERE fb.doc_id % 97 <> 0
+                   GROUP BY fb.doc_id)
+            SELECT doc_id, n_feat::BIGINT AS n_feat,
+                   CAST(round(wsum * 1000) AS BIGINT) AS weight_milli
+            FROM sc
         """,
         # explicit ASCII whitespace class (Python re and RE2 disagree on
         # unicode \s); trim strips the single residual edge space

@@ -22,7 +22,7 @@ __all__ = ["token_stats_batch", "token_totals", "quality_batch",
            "fingerprint_batch", "LangId", "lang_id",
            "benchmark_ngrams", "contamination_report", "decontaminate",
            "repetition_batch", "unigram_fit", "unigram_logprob",
-           "normalize_batch", "normalize_text"]
+           "normalize_batch", "normalize_text", "dsir_weights"]
 
 _WS_TOKEN = re.compile(r"\S+")
 # BPE-ish word/number/symbol splitter (public GPT-2-style pattern, simplified)
@@ -397,3 +397,92 @@ def normalize_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def normalize_text(ds, text_col: str = "text"):
     return ds.map_batches(
         lambda b: normalize_batch(b, text_col), batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, public: "Data Selection for
+# Language Models via Importance Resampling")
+# --------------------------------------------------------------------------
+
+def _dsir_features(text: str) -> list:
+    """Hashable feature stream: unigrams + space-joined bigrams of the
+    [a-z0-9]+ tokens (the paper's hashed-ngram featurization)."""
+    ws = _GRAM_TOKEN.findall((text or "").lower())
+    return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+
+def _dsir_bucket(feats: list, n_buckets: int) -> np.ndarray:
+    out = np.empty(len(feats), np.int64)
+    for i, f in enumerate(feats):
+        out[i] = int.from_bytes(
+            hashlib.md5(f.encode("utf-8")).digest()[:8],
+            "little") % n_buckets
+    return out
+
+
+def dsir_weights(ds, text_col: str = "text", id_col: str = "doc_id",
+                 target_mod: int = 97, n_buckets: int = 8192):
+    """Per-document importance weight ln p_target / p_raw under hashed
+    n-gram unigram models — the DSIR data-selection score.  Docs with
+    ``id % target_mod == 0`` form the target distribution (the same
+    held-out convention as `decontaminate`); every other doc is scored.
+
+    Both models are one map_batches pass of per-block bucket-count
+    partials (each block ships <= 2 x n_buckets rows) merged on the
+    driver into two length-``n_buckets`` vectors — the broadcast is
+    O(n_buckets) ints no matter the corpus size, the DSIR design point.
+    Add-one smoothing on both models keeps every bucket finite.  Output
+    per raw doc with >= 1 feature: ``(id, n_feat, weight_milli)`` where
+    ``weight_milli = round(sum ln((t_f+1)/(T+B) / ((r_f+1)/(R+B))) *
+    1000)`` — integer-scaled for exact oracle comparison.
+    """
+    import ray
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        tgt = np.zeros(n_buckets, np.int64)
+        raw = np.zeros(n_buckets, np.int64)
+        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            feats = _dsir_features(t)
+            if not feats:
+                continue
+            binc = np.bincount(_dsir_bucket(feats, n_buckets),
+                               minlength=n_buckets)
+            if i % target_mod == 0:
+                tgt += binc
+            else:
+                raw += binc
+        nz = np.flatnonzero(tgt + raw)
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "t": pa.array(tgt[nz], pa.int64()),
+                         "r": pa.array(raw[nz], pa.int64())})
+
+    tgt = np.zeros(n_buckets, np.int64)
+    raw = np.zeros(n_buckets, np.int64)
+    for row in ds.map_batches(count_partial,
+                              batch_format="pyarrow").take_all():
+        tgt[row["bucket"]] += row["t"]
+        raw[row["bucket"]] += row["r"]
+    T, R = int(tgt.sum()), int(raw.sum())
+    # ln of the smoothed ratio, precomputed per bucket
+    lr = (np.log((tgt + 1.0) / (T + n_buckets))
+          - np.log((raw + 1.0) / (R + n_buckets)))
+    lr_ref = ray.put(lr)
+
+    def score(b: pa.Table) -> pa.Table:
+        lrv = ray.get(lr_ref)
+        ids, nf, wm = [], [], []
+        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            if i % target_mod == 0:
+                continue
+            feats = _dsir_features(t)
+            if not feats:
+                continue
+            bk = _dsir_bucket(feats, n_buckets)
+            ids.append(i)
+            nf.append(len(feats))
+            wm.append(int(round(float(lrv[bk].sum()) * 1000)))
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "n_feat": pa.array(nf, pa.int64()),
+                         "weight_milli": pa.array(wm, pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -289,6 +289,14 @@ def _q_unigram_logprob(sf_dir: str):
     return unigram_logprob(ds, vocab_size=4096)
 
 
+def _q_curate(sf_dir: str):
+    """Composed curation flagship: normalize -> quality gate -> exact
+    dedup (min-id per fingerprint) -> token-budget sample."""
+    from vyntr_ray.pipelines.curate import curate
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return curate(ds)
+
+
 def _q_dsir_weights(sf_dir: str):
     """DSIR importance weights (hashed unigram+bigram models, target =
     doc_id %% 97 == 0 — the decontaminate held-out convention)."""
@@ -1123,6 +1131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": _q_unigram_logprob,
         "normalize_text": _q_normalize_text,
         "dsir_weights": _q_dsir_weights,
+        "curate": _q_curate,
         "dup_substrings": _q_dup_substrings,
         "dup_clusters": _q_dup_clusters,
         "asof_join": _q_asof_join,
@@ -1866,6 +1875,32 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS logprob_milli
             FROM tok LEFT JOIN vocab v ON tok.t = v.t
             GROUP BY tok.doc_id
+        """,
+        # the four curation stages chained as SQL CTEs, each mirroring
+        # its operator exactly (NFC+collapse, ppm gates, min-id-per-
+        # fingerprint window, hash-order prefix-sum cut)
+        "curate": r"""
+            WITH n AS (
+                SELECT doc_id,
+                       trim(regexp_replace(nfc_normalize(coalesce(text,
+                            '')), '[ \t\n\r\f\v]+', ' ', 'g')) AS nt
+                FROM documents),
+            q AS (SELECT doc_id, nt FROM n
+                  WHERE len(regexp_extract_all(nt, '\S+')) >= 5
+                    AND len(regexp_extract_all(nt, '[.,;:!?]')) * 1000000
+                        // greatest(length(nt), 1) <= 200000),
+            d AS (SELECT doc_id, nt FROM (
+                    SELECT doc_id, nt,
+                           min(doc_id) OVER (PARTITION BY md5(lower(nt)))
+                               AS keeper
+                    FROM q) WHERE doc_id = keeper),
+            m AS (SELECT doc_id, md5(doc_id::VARCHAR) AS h,
+                         len(regexp_extract_all(nt, '\S+')) AS tok
+                  FROM d),
+            c AS (SELECT *, sum(tok) OVER (ORDER BY h, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS cum FROM m)
+            SELECT doc_id, tok::BIGINT AS tok FROM c WHERE cum <= 5000
         """,
         # hashed unigram+bigram buckets via md5_number_upper %% 8192 (==
         # the engine's md5[:8]-little-endian hash); add-one smoothed

@@ -107,7 +107,7 @@ def bench_queries() -> dict:
              "range_join", "components", "scrub_pii", "pagerank",
              "stratified_sample", "value_quantiles_tdigest",
              "pack_sequences", "unigram_logprob", "dup_substrings",
-             "dup_clusters"]
+             "dup_clusters", "dsir_weights", "chunk_upsert"]
     qs = em.queries()
     out = {}
     for name in names:

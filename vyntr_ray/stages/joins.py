@@ -7,15 +7,20 @@ right row are dropped).  The classic point-in-time feature lookup —
 
 Ray-Data-first shape: both sides are tagged and aligned to ONE typed
 schema (missing columns become typed nulls, so the union never degrades
-to null/object blocks), unioned, and a single ``groupby(key)`` shuffle
-co-locates each key's rows; ``pandas.merge_asof`` inside ``map_groups``
-does the per-key sweep.  The partitioning assumption (documented per the
-build brief): one key's rows fit in a worker's heap — keys are
-users/instruments, not the corpus.  Ties on ts resolve to the right row
-latest in (ts, payload) sort order.
+to null/object blocks), unioned, and a single ``groupby(part)`` shuffle
+— ``part = hash(key) % n_parts`` — co-locates each key's rows.  The
+per-key sweep is NOT one ``map_groups`` call per key (Ray pays ~ms per
+group — the PERF.md many-groups rule); each partition group runs ONE
+vectorized ``pandas.merge_asof(by=key)`` over all of its keys.  The
+partitioning assumption (documented per the build brief): a hash
+partition's rows fit in a worker's heap — ``n_parts`` scales with the
+cluster, keys are users/instruments, not the corpus.  Ties on ts
+resolve to the right row latest in (ts, payload) sort order.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 import numpy as np
 import pandas as pd
@@ -24,9 +29,16 @@ import pyarrow as pa
 __all__ = ["asof_join", "range_count_join"]
 
 
+def _part_col(keys: pa.ChunkedArray, n_parts: int) -> pa.Array:
+    vals = keys.to_pylist()
+    return pa.array(
+        [int(hashlib.md5(str(v).encode("utf-8")).hexdigest()[:8], 16)
+         % n_parts for v in vals], pa.int32())
+
+
 def asof_join(left_ds, right_ds, key_col: str, ts_col: str,
               left_payload: list[str], right_payload: list[str],
-              right_prefix: str = "r_"):
+              right_prefix: str = "r_", n_parts: int = 64):
     """Inner as-of join; returns key, ts, left payload, prefixed right
     payload (incl. ``r_<ts_col>`` of the matched row)."""
     l_schema = left_ds.schema()
@@ -57,7 +69,9 @@ def asof_join(left_ds, right_ds, key_col: str, ts_col: str,
                     cols[name] = t[ts_col]   # groupless sort key fallback
                 else:
                     cols[name] = pa.nulls(n, typ)
-            return pa.table(cols)
+            out = pa.table(cols)
+            return out.append_column(
+                "part", _part_col(out[key_col], n_parts))
         return f
 
     l_tag = (left_ds.select_columns([key_col, ts_col] + left_payload)
@@ -70,42 +84,50 @@ def asof_join(left_ds, right_ds, key_col: str, ts_col: str,
     rsort = list(r_out)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
+        # one partition = many keys; ONE merge_asof(by=key) does every
+        # key's backward sweep vectorized
         left = g[g["side"] == 1]
         right = g[g["side"] == 0]
         empty = pd.DataFrame({c: pd.Series(dtype=out_dtypes[c])
                               for c in out_cols})
         if left.empty or right.empty:
             return empty
+        # stable sort by (ts, payload): within each key this is exactly
+        # the per-key order, and merge_asof only requires the on-column
+        # to be globally sorted
         left = left.sort_values([ts_col] + left_payload, kind="mergesort")
         right = right.sort_values(rsort, kind="mergesort")
         merged = pd.merge_asof(
-            left[[key_col, ts_col] + left_payload], right[rsort],
+            left[[key_col, ts_col] + left_payload],
+            right[[key_col] + rsort],
             left_on=ts_col, right_on=right_prefix + ts_col,
-            direction="backward")
+            by=key_col, direction="backward")
         merged = merged.dropna(subset=[right_prefix + ts_col])
         if merged.empty:
             return empty
         # nulls from the tagged union upcast int columns to float in the
         # per-group pandas frame — restore the source dtypes exactly
+        merged = merged[out_cols]
         for c in out_cols:
             merged[c] = merged[c].astype(out_dtypes[c])
         return merged
 
     both = l_tag.union(r_tag)
-    return both.groupby(key_col).map_groups(merge, batch_format="pandas")
+    return both.groupby("part").map_groups(merge, batch_format="pandas")
 
 
 def range_count_join(left_ds, right_ds, key_col: str, ts_col: str,
                      left_payload: list[str], window_us: int,
-                     count_name: str = "n_in_window"):
+                     count_name: str = "n_in_window", n_parts: int = 64):
     """Interval join reduced to a count: for each left row, how many right
     rows of the same key fall in ``[left.ts - window, left.ts]``
     (inclusive both ends; ``window_us`` is expressed in the ts column's
     storage unit — µs for parquet timestamp[us]).  Same tagged-union +
-    one-``groupby(key)``
-    shape as :func:`asof_join`; per group the sweep is two vectorized
-    ``searchsorted`` calls over the sorted right timestamps, so a key
-    with R right rows and L left rows costs O((L+R) log R), not O(L*R).
+    one-``groupby(part)`` shape as :func:`asof_join`; per partition the
+    count is the RANK DIFFERENCE of two vectorized
+    ``merge_asof(by=key)`` sweeps — ``#(r_ts <= ts) - #(r_ts < ts-w)``
+    — so a partition with R right and L left rows costs
+    O((L+R) log(L+R)) in sorts, with no per-key Python at all.
     Every left row survives (count 0 when nothing matched).
     """
     l_schema = left_ds.schema()
@@ -125,7 +147,9 @@ def range_count_join(left_ds, right_ds, key_col: str, ts_col: str,
                     cols[name] = pa.nulls(n, typ)
                 else:
                     cols[name] = t[name]
-            return pa.table(cols)
+            out = pa.table(cols)
+            return out.append_column(
+                "part", _part_col(out[key_col], n_parts))
         return f
 
     l_tag = (left_ds.select_columns([key_col, ts_col] + left_payload)
@@ -143,11 +167,37 @@ def range_count_join(left_ds, right_ds, key_col: str, ts_col: str,
                               for c in out_cols})
             e[count_name] = pd.Series(dtype="int64")
             return e
-        right_ts = np.sort(
-            g.loc[g["side"] == 0, ts_col].to_numpy(np.int64))
-        lts = left[ts_col].to_numpy(np.int64)
-        hi = np.searchsorted(right_ts, lts, side="right")
-        lo = np.searchsorted(right_ts, lts - window_us, side="left")
+        def as_i64(s: "pd.Series") -> np.ndarray:
+            # int view in the column's NATIVE unit — window_us is
+            # expressed in the storage unit by contract
+            return s.to_numpy().astype(np.int64)
+
+        right0 = (g.loc[g["side"] == 0, [key_col, ts_col]]
+                  .sort_values([key_col, ts_col], kind="mergesort"))
+        left = left.sort_values(ts_col, kind="mergesort")
+        lts = as_i64(left[ts_col])
+        lf = pd.DataFrame({key_col: left[key_col].to_numpy(),
+                           "_ts": lts, "_lo_ts": lts - window_us})
+        if right0.empty:
+            hi = np.zeros(len(lf), np.int64)
+            lo = np.zeros(len(lf), np.int64)
+        else:
+            right = pd.DataFrame({
+                key_col: right0[key_col].to_numpy(),
+                "_rts": as_i64(right0[ts_col]),
+                "_rank": right0.groupby(key_col, sort=False)
+                .cumcount().to_numpy() + 1,
+            }).sort_values("_rts", kind="mergesort")
+            hi = pd.merge_asof(
+                lf, right, left_on="_ts", right_on="_rts", by=key_col,
+                direction="backward")["_rank"] \
+                .fillna(0).to_numpy(np.int64)
+            # _lo_ts = _ts - w is order-isomorphic to _ts, so lf stays
+            # sorted for the lo sweep and row orders line up
+            lo = pd.merge_asof(
+                lf, right, left_on="_lo_ts", right_on="_rts", by=key_col,
+                direction="backward", allow_exact_matches=False)["_rank"] \
+                .fillna(0).to_numpy(np.int64)
         out = left[out_cols].copy()
         for c in out_cols:
             out[c] = out[c].astype(out_dtypes[c])
@@ -155,4 +205,4 @@ def range_count_join(left_ds, right_ds, key_col: str, ts_col: str,
         return out
 
     both = l_tag.union(r_tag)
-    return both.groupby(key_col).map_groups(sweep, batch_format="pandas")
+    return both.groupby("part").map_groups(sweep, batch_format="pandas")

@@ -1,10 +1,12 @@
 """Event-time windowing over a partitioned log (streaming-shaped operators).
 
 Ray Data has no native event-time windows; per the standard pattern the
-input is treated as a keyed, ts-sortable log and windows are computed with
-``groupby(key).map_groups`` over each key's sorted events (ordering
-assumption: per-key processing sorts by ``ts`` inside the group, so global
-arrival order is irrelevant).  The reference has no windowing at all
+input is treated as a keyed, ts-sortable log.  Keyed sweeps
+(sessionize/rolling) shuffle once on a HASH PARTITION of the key —
+bounded group count, one vectorized pandas sweep per partition covering
+all of its keys — never one Ray group per key (PERF.md many-groups
+rule).  Ordering assumption: each partition sorts by (key, ts) inside
+the group, so global arrival order is irrelevant.  The reference has no windowing at all
 (SURVEY §2.9) — these are the training-pipeline additions:
 
 - ``tumbling``  — fixed-size buckets (also SQL: GROUP BY ts_div)
@@ -23,6 +25,20 @@ import pyarrow.compute as pc
 __all__ = ["tumbling", "sliding", "sessionize", "rolling_sum"]
 
 _US = 1_000_000
+
+
+def _by_part(ds, key_col: str, n_parts: int = 64):
+    """Attach a stable md5 hash-partition column — per-key operators
+    group on this (bounded group count, vectorized per-partition pandas)
+    instead of one Ray group per key (PERF.md many-groups rule)."""
+    import hashlib
+
+    def add(t: pa.Table) -> pa.Table:
+        parts = [int(hashlib.md5(str(v).encode("utf-8")).hexdigest()[:8],
+                     16) % n_parts for v in t[key_col].to_pylist()]
+        return t.append_column("_part", pa.array(parts, pa.int32()))
+
+    return ds.map_batches(add, batch_format="pyarrow")
 
 
 def tumbling(ds, size_s: int, key_col: str = "user_id", ts_col: str = "ts",
@@ -94,24 +110,36 @@ def sessionize(ds, gap_s: int, key_col: str = "user_id", ts_col: str = "ts",
     """
     gap_us = gap_s * _US
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="stable")
-        us = g[ts_col].astype("int64")
-        d = us.diff()
-        new = d.isna() | (d > gap_us)
-        sid = new.cumsum().astype("int64") - 1
-        out = (pd.DataFrame({
-            "session_id": sid, "us": us, "v": g[value_col].to_numpy()})
-            .groupby("session_id")
-            .agg(n=("us", "size"), start_us=("us", "min"),
-                 end_us=("us", "max"), sum_value=("v", "sum"))
-            .reset_index())
-        out["sum_value_centi"] = (
-            np.rint(out.pop("sum_value").to_numpy() * scale).astype("int64"))
-        out.insert(0, key_col, g[key_col].iloc[0])
-        return out
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        # one partition = many keys (PERF.md many-groups rule): sort by
+        # (key, ts), break sessions at key changes OR gaps, then ONE
+        # vectorized pandas groupby over global session ids
+        g = g.sort_values([key_col, ts_col], kind="mergesort")
+        key = g[key_col].to_numpy()
+        us = g[ts_col].astype("int64").to_numpy()
+        newkey = np.r_[True, key[1:] != key[:-1]]
+        gap = np.r_[True, (us[1:] - us[:-1]) > gap_us]
+        gsid = np.cumsum(newkey | gap) - 1
+        sess = (pd.DataFrame({key_col: key, "_g": gsid, "us": us,
+                              "v": g[value_col].to_numpy()})
+                .groupby("_g", sort=True)
+                .agg(**{key_col: (key_col, "first"), "n": ("us", "size"),
+                        "start_us": ("us", "min"), "end_us": ("us", "max"),
+                        "sum_value": ("v", "sum")})
+                .reset_index(drop=True))
+        # sessions are ts-ordered within a key, so the per-key rank is
+        # the original per-key session_id
+        sess.insert(1, "session_id",
+                    sess.groupby(key_col, sort=False).cumcount()
+                    .astype("int64"))
+        sess["sum_value_centi"] = (
+            np.rint(sess.pop("sum_value").to_numpy() * scale)
+            .astype("int64"))
+        return sess
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return _by_part(ds, key_col).groupby("_part").map_groups(
+        lambda g: per_part(g.drop(columns="_part")),
+        batch_format="pandas")
 
 
 def rolling_sum(ds, k: int, key_col: str = "user_id", ts_col: str = "ts",
@@ -123,15 +151,23 @@ def rolling_sum(ds, k: int, key_col: str = "user_id", ts_col: str = "ts",
     ``groupby(key)`` co-locates each key and the sweep is a vectorized
     cumsum difference.
     """
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, id_col], kind="mergesort")
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        # partition-level sweep: the global cumsum difference stays
+        # inside one key because lo is clamped to the key's start index
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        key = g[key_col].to_numpy()
         v = np.round(g[value_col].to_numpy() * 100).astype(np.int64)
-        c = np.concatenate([[0], np.cumsum(v)])
         n = len(v)
-        lo = np.maximum(0, np.arange(1, n + 1) - k)
+        newkey = np.r_[True, key[1:] != key[:-1]]
+        key_start = np.maximum.accumulate(
+            np.where(newkey, np.arange(n), 0))
+        c = np.concatenate([[0], np.cumsum(v)])
+        lo = np.maximum(key_start, np.arange(1, n + 1) - k)
         roll = c[1:] - c[lo]
         return pd.DataFrame({id_col: g[id_col].to_numpy(),
-                             key_col: g[key_col].to_numpy(),
+                             key_col: key,
                              "roll_centi": roll})
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return _by_part(ds, key_col).groupby("_part").map_groups(
+        lambda g: per_part(g.drop(columns="_part")),
+        batch_format="pandas")

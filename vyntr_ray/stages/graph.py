@@ -145,9 +145,22 @@ def connected_components(edges_ds, u_col: str = "u", v_col: str = "v",
     return comp_ds
 
 
+def _pr_contrib(block: pa.Table, nd: np.ndarray,
+                sh: np.ndarray) -> tuple:
+    """One block's per-destination partial sums of share[u] — the same
+    kernel for every pagerank execution path."""
+    if block.num_rows == 0 or "u" not in block.column_names:
+        # materialized datasets can carry empty schema-less blocks
+        return np.array([], np.int64), np.array([], np.float64)
+    ui = np.searchsorted(nd, block["u"].to_numpy())
+    vi = np.searchsorted(nd, block["v"].to_numpy())
+    uniq_v, inv = np.unique(vi, return_inverse=True)
+    return uniq_v, np.bincount(inv, weights=sh[ui])
+
+
 def pagerank(edges_ds, u_col: str = "u", v_col: str = "v",
              damping: float = 0.85, n_iter: int = 10,
-             shuffle_aggregate: bool = False):
+             shuffle_aggregate: bool = False, block_tasks: bool = True):
     """PageRank over a directed edge Dataset (Page et al. 1999, public
     algorithm) — the canonical link-importance score for a crawled web
     graph (the reference crawls BFS-with-priority; rank-weighted
@@ -162,11 +175,17 @@ def pagerank(edges_ds, u_col: str = "u", v_col: str = "v",
     ``searchsorted`` against a broadcast sorted-node array.  Dangling
     mass (out-degree-0 nodes) is redistributed uniformly each iteration.
 
-    Partial merging is dual-path, identical results (parity-tested):
+    Partial merging is tri-path, identical results (parity-tested):
 
-    - default: block partials return to the driver and merge with one
-      ``np.add.at`` — O(distinct destinations) rows, no shuffle, the
-      fast path while the rank vector fits one heap;
+    - default (``block_tasks=True``): the materialized edge blocks are
+      pinned once via ``to_arrow_refs()`` and each iteration submits one
+      raw ``@ray.remote`` task per block — the justified drop below the
+      Dataset API for a FIXED-POINT ITERATION, where 10 sequential
+      Dataset jobs would pay ~0.4 s launch overhead each (measured;
+      PERF.md "rounds are the enemy").  Same kernel, same broadcast
+      refs, ~10x less per-iteration overhead;
+    - ``block_tasks=False``: per-iteration ``map_batches`` jobs — the
+      pure-Dataset expression, kept parity-tested;
     - ``shuffle_aggregate=True``: partials merge with a distributed
       ``groupby(v).sum`` — the expression that survives when per-block
       partial sets are too large to collect.
@@ -209,28 +228,38 @@ def pagerank(edges_ds, u_col: str = "u", v_col: str = "v",
 
     rank = np.full(n, 1.0 / n)
     safe_deg = np.where(outdeg > 0, outdeg, 1.0)
+
+    block_refs = edges.to_arrow_refs() if (block_tasks
+                                           and not shuffle_aggregate) else None
+    contrib_task = ray.remote(num_returns=1)(_pr_contrib) \
+        if block_refs is not None else None
+
     for _ in range(n_iter):
         share = np.where(outdeg > 0, rank / safe_deg, 0.0)
         share_ref = ray.put(share)
-
-        def contrib_partial(t: pa.Table) -> pa.Table:
-            nd, sh = ray.get(nodes_ref), ray.get(share_ref)
-            ui = np.searchsorted(nd, t["u"].to_numpy())
-            vi = np.searchsorted(nd, t["v"].to_numpy())
-            uniq_v, inv = np.unique(vi, return_inverse=True)
-            sums = np.bincount(inv, weights=sh[ui])
-            return pa.table({"vi": pa.array(uniq_v, pa.int64()),
-                             "c": pa.array(sums, pa.float64())})
-
-        partials = edges.map_batches(contrib_partial,
-                                     batch_format="pyarrow")
         contribs = np.zeros(n, np.float64)
-        if shuffle_aggregate:
-            for r in partials.groupby("vi").sum("c").take_all():
-                contribs[r["vi"]] = r["sum(c)"]
+
+        if block_refs is not None:
+            # one raw task per pinned edge block; refs auto-dereference
+            for uniq_v, sums in ray.get(
+                    [contrib_task.remote(b, nodes_ref, share_ref)
+                     for b in block_refs]):
+                contribs[uniq_v] += sums
         else:
-            for r in partials.take_all():
-                contribs[r["vi"]] += r["c"]
+            def contrib_partial(t: pa.Table) -> pa.Table:
+                nd, sh = ray.get(nodes_ref), ray.get(share_ref)
+                uniq_v, sums = _pr_contrib(t, nd, sh)
+                return pa.table({"vi": pa.array(uniq_v, pa.int64()),
+                                 "c": pa.array(sums, pa.float64())})
+
+            partials = edges.map_batches(contrib_partial,
+                                         batch_format="pyarrow")
+            if shuffle_aggregate:
+                for r in partials.groupby("vi").sum("c").take_all():
+                    contribs[r["vi"]] = r["sum(c)"]
+            else:
+                for r in partials.take_all():
+                    contribs[r["vi"]] += r["c"]
         dangling = rank[outdeg == 0].sum()
         rank = (1 - damping) / n + damping * (contribs + dangling / n)
 

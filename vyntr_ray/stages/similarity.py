@@ -70,18 +70,41 @@ def cosine_topk(ds, q: np.ndarray, k: int = 10, id_col: str = "vec_id",
 # IVF: learned cells, partitioned layout, pruned probe
 # --------------------------------------------------------------------------
 
+def _km_partial(block: pa.Table, cen: np.ndarray, vec_col: str) -> tuple:
+    """One block's per-cell (sum, count) partials for Lloyd k-means."""
+    if block.num_rows == 0 or vec_col not in block.column_names:
+        return (np.array([], np.int64),
+                np.zeros((0, cen.shape[1])), np.array([], np.int64))
+    mat = np.stack(block[vec_col].to_pylist()).astype(np.float64)
+    d = ((mat[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+    cell = d.argmin(axis=1)
+    cells = np.unique(cell)
+    sums = np.stack([mat[cell == ci].sum(axis=0) for ci in cells])
+    counts = np.array([(cell == ci).sum() for ci in cells], np.int64)
+    return cells.astype(np.int64), sums, counts
+
+
 def kmeans_cells(ds, n_cells: int = 8, iters: int = 10, sample: int = 2048,
                  vec_col: str = "embedding") -> np.ndarray:
     """Distributed Lloyd k-means: returns (n_cells, dim) centroids.
 
     Each iteration is one pass of per-batch assign + partial (sum, count)
     — only k×dim floats per batch reach the driver, never the vectors.
-    Init is deterministic: the first ``sample`` rows, evenly strided.
+    The vector column is materialized ONCE and its blocks pinned via
+    ``to_arrow_refs()``; iterations submit one raw task per block
+    (fixed-point iterations pay the Dataset job-launch constant per
+    round otherwise — the pagerank lesson, PERF.md), with the centroid
+    matrix as the per-round broadcast.  Init is deterministic:
+    farthest-point over the first ``sample`` rows.
     """
     import ray
 
+    vecs = ds.select_columns([vec_col]).materialize()
+    block_refs = vecs.to_arrow_refs()
+    km_task = ray.remote(_km_partial)
+
     init = np.stack([np.asarray(r[vec_col], np.float64)
-                     for r in ds.limit(sample).take_all()])
+                     for r in vecs.limit(sample).take_all()])
     # deterministic farthest-point init (kmeans++-style, no RNG): spreads
     # seeds across the sample's clusters instead of strided picks
     chosen = [0]
@@ -94,29 +117,13 @@ def kmeans_cells(ds, n_cells: int = 8, iters: int = 10, sample: int = 2048,
 
     for _ in range(iters):
         cen_ref = ray.put(cen)
-
-        def partial(batch: pa.Table) -> pa.Table:
-            c = ray.get(cen_ref)
-            mat = np.stack(batch[vec_col].to_pylist()).astype(np.float64)
-            d = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-            cell = d.argmin(axis=1)
-            rows = []
-            for ci in np.unique(cell):
-                sel = mat[cell == ci]
-                rows.append((int(ci), sel.sum(axis=0).tolist(), len(sel)))
-            return pa.table({
-                "cell": pa.array([r[0] for r in rows], pa.int32()),
-                "vsum": pa.array([r[1] for r in rows],
-                                 pa.list_(pa.float64())),
-                "n": pa.array([r[2] for r in rows], pa.int64()),
-            })
-
-        parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
         sums = np.zeros_like(cen)
         counts = np.zeros(len(cen))
-        for r in parts:
-            sums[r["cell"]] += np.asarray(r["vsum"])
-            counts[r["cell"]] += r["n"]
+        for cells, vsums, ns in ray.get(
+                [km_task.remote(b, cen_ref, vec_col)
+                 for b in block_refs]):
+            sums[cells] += vsums
+            counts[cells] += ns
         nonzero = counts > 0
         cen[nonzero] = sums[nonzero] / counts[nonzero, None]
     return cen

@@ -35,6 +35,19 @@ import pyarrow as pa
 __all__ = ["connected_components", "pagerank"]
 
 
+def _hash_part(ds, key_col: str, n_parts: int = 64):
+    """Attach a vectorized multiplicative-hash partition of an int64 key
+    (bounded group count for per-key sweeps — the PERF.md rule)."""
+    def add(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((k * np.uint64(2654435761)) >> np.uint64(16)) \
+            % np.uint64(n_parts)
+        return t.append_column("_part",
+                               pa.array(part.astype(np.int32), pa.int32()))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
 def _local_union_find(us: np.ndarray, vs: np.ndarray) -> dict:
     """Min-id-rooted union-find over one block's edges → {node: root}."""
     parent: dict = {}
@@ -86,16 +99,21 @@ def connected_components(edges_ds, u_col: str = "u", v_col: str = "v",
                                     batch_format="pyarrow").materialize()
         mappings.append(mapping)
 
-        def stitch(g: pd.DataFrame) -> pd.DataFrame:
-            rs = np.unique(g["root"].to_numpy())
-            if len(rs) < 2:
-                return pd.DataFrame({"u": pd.Series(dtype="int64"),
-                                     "v": pd.Series(dtype="int64")})
-            return pd.DataFrame({"u": np.full(len(rs) - 1, rs[0]),
-                                 "v": rs[1:]})
+        def stitch_part(g: pd.DataFrame) -> pd.DataFrame:
+            # all of one node's rows land in its hash partition; star
+            # edges (min root -> other roots) come out of one vectorized
+            # groupby-transform, not a map_groups call per node
+            g = g.drop_duplicates(["node", "root"])
+            first = g.groupby("node")["root"].transform("min")
+            rest = g[g["root"] != first]
+            return pd.DataFrame({
+                "u": first[g["root"] != first].to_numpy(np.int64),
+                "v": rest["root"].to_numpy(np.int64)})
 
-        edges = (mapping.groupby("node")
-                 .map_groups(stitch, batch_format="pandas")
+        edges = (_hash_part(mapping, "node")
+                 .groupby("_part")
+                 .map_groups(lambda g: stitch_part(g.drop(columns="_part")),
+                             batch_format="pandas")
                  .map_batches(lambda t: t, batch_format="pyarrow")
                  .materialize())
 
@@ -120,21 +138,26 @@ def connected_components(edges_ds, u_col: str = "u", v_col: str = "v",
             return pa.table({"key": t["root"], "node": t["node"],
                              "component": pa.nulls(t.num_rows, pa.int64())})
 
-        def resolve(g: pd.DataFrame) -> pd.DataFrame:
-            cvals = g.loc[g["node"].isna(), "component"]
-            c = int(cvals.min()) if len(cvals) else int(g["key"].iloc[0])
-            nodes = g.loc[g["node"].notna(), "node"].astype("int64")
-            return pd.DataFrame({"node": nodes,
-                                 "component": np.full(len(nodes), c,
-                                                      np.int64)})
+        def resolve_part(g: pd.DataFrame) -> pd.DataFrame:
+            # per hash partition: min settled component per key, mapped
+            # onto that key's mapping rows (key itself when unsettled)
+            cmin = (g.loc[g["node"].isna()]
+                    .groupby("key")["component"].min())
+            maps = g[g["node"].notna()]
+            comp = maps["key"].map(cmin).fillna(maps["key"])
+            return pd.DataFrame({
+                "node": maps["node"].to_numpy(np.int64),
+                "component": comp.to_numpy(np.int64)})
 
-        comp_ds = (comp_ds.map_batches(tag_comp, batch_format="pyarrow")
-                   .union(mapping.map_batches(tag_map,
-                                              batch_format="pyarrow"))
-                   .groupby("key")
-                   .map_groups(resolve, batch_format="pandas")
-                   .map_batches(lambda t: t, batch_format="pyarrow")
-                   .materialize())
+        comp_ds = (_hash_part(
+            comp_ds.map_batches(tag_comp, batch_format="pyarrow")
+            .union(mapping.map_batches(tag_map, batch_format="pyarrow")),
+            "key")
+            .groupby("_part")
+            .map_groups(lambda g: resolve_part(g.drop(columns="_part")),
+                        batch_format="pandas")
+            .map_batches(lambda t: t, batch_format="pyarrow")
+            .materialize())
 
     if mappings:
         # a node seen in several blocks has one mapping row per block —

@@ -272,6 +272,24 @@ def _q_weighted_mix(sf_dir: str):
                              "src2": 250_000}, default_ppm=100_000)
 
 
+def _q_token_budget_by_group(sf_dir: str):
+    """Per-language token budgets — "N tokens of each language" (the
+    corpus-mixing companion to the global token budget)."""
+    from vyntr_ray.stages.sampling import _WS_TOKEN, token_budget_by_group
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    out = token_budget_by_group(
+        ds, {"en": 3000, "de": 1000}, group_col="lang",
+        n_buckets=16, default_budget=500)
+
+    def project(t: pa.Table) -> pa.Table:
+        toks = [len(_WS_TOKEN.findall(x or ""))
+                for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                         "tok": pa.array(toks, pa.int64())})
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def _q_pack_sequences(sf_dir: str):
     """LM sequence packing: concatenate-and-chunk manifest at 2048
     tokens/sequence over the hash-ordered corpus (distributed
@@ -1127,6 +1145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": _q_hash_sample,
         "token_budget_sample": _q_token_budget,
         "weighted_mix": _q_weighted_mix,
+        "token_budget_by_group": _q_token_budget_by_group,
         "pack_sequences": _q_pack_sequences,
         "unigram_logprob": _q_unigram_logprob,
         "normalize_text": _q_normalize_text,
@@ -1834,6 +1853,24 @@ def oracle_sql() -> dict[str, str]:
                     AS cum
                 FROM m)
             SELECT doc_id, tok::BIGINT AS tok FROM c WHERE cum <= 2000
+        """,
+        # per-group budgets: same hash order, window partitioned by lang
+        "token_budget_by_group": r"""
+            WITH m AS (
+                SELECT doc_id, lang,
+                       md5(CAST(doc_id AS VARCHAR)) AS h,
+                       len(regexp_extract_all(coalesce(text, ''), '\S+'))
+                           AS tok
+                FROM documents),
+            c AS (
+                SELECT *, sum(tok) OVER (PARTITION BY lang
+                    ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum
+                FROM m)
+            SELECT doc_id, lang, tok::BIGINT AS tok FROM c
+            WHERE cum <= CASE lang WHEN 'en' THEN 3000
+                                   WHEN 'de' THEN 1000 ELSE 500 END
         """,
         # same hash order / ws-token count as token_budget_sample; the
         # engine's bucketed prefix-sum must equal the flat window scan

@@ -31,7 +31,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["hash_sample", "token_budget_sample", "weighted_mix",
-           "stratified_sample", "pack_sequences"]
+           "stratified_sample", "pack_sequences", "token_budget_by_group"]
 
 _WS_TOKEN = re.compile(r"\S+")
 
@@ -264,5 +264,96 @@ def weighted_mix(ds, rate_ppm_by_group: dict, group_col: str = "source",
         return batch.filter(pa.array(
             [h[:8] < thresh.get(g, default_hex)
              for h, g in zip(hs, gs)]))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def token_budget_by_group(ds, budgets: dict, group_col: str = "lang",
+                          key_col: str = "doc_id", text_col: str = "text",
+                          n_buckets: int = 256, default_budget: int = 0):
+    """Per-group token budgets — "N tokens of each language/source", the
+    corpus-mixing companion to :func:`token_budget_sample`.
+
+    Same distributed prefix-sum, run for every group in ONE pass: the
+    metadata pass emits (group, bucket, token) rows; per-(group, bucket)
+    sums (<= groups x n_buckets tiny rows) reach the driver, which walks
+    each group's buckets in hash order and picks that group's boundary
+    bucket + exact cut row; the final filter broadcasts the per-group
+    cuts and keeps a row iff it clears ITS group's cut.  Groups absent
+    from ``budgets`` get ``default_budget``.
+    """
+    import ray
+
+    assert 65536 % n_buckets == 0, "n_buckets must divide 65536"
+
+    def meta(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        hs = _md5_hex(keys)
+        toks = [len(_WS_TOKEN.findall(t or ""))
+                for t in batch[text_col].to_pylist()]
+        buckets = [int(h[:4], 16) // (65536 // n_buckets) for h in hs]
+        return pa.table({
+            key_col: batch[key_col],
+            group_col: batch[group_col],
+            "h": pa.array(hs, pa.string()),
+            "tok": pa.array(toks, pa.int64()),
+            "bucket": pa.array(buckets, pa.int32()),
+        })
+
+    meta_ds = ds.map_batches(meta, batch_format="pyarrow")
+    sums: dict = {}
+    for r in meta_ds.groupby([group_col, "bucket"]).sum("tok").take_all():
+        sums[(r[group_col], int(r["bucket"]))] = int(r["sum(tok)"])
+
+    groups = {g for g, _ in sums}
+    cuts: dict = {}
+    for g in groups:
+        remaining = budgets.get(g, default_budget)
+        boundary = None
+        for b in range(n_buckets):
+            s = sums.get((g, b), 0)
+            if s <= remaining:
+                remaining -= s
+            else:
+                boundary = b
+                break
+        full_upto = boundary if boundary is not None else n_buckets
+        cut = None
+        if boundary is not None:
+            rows = meta_ds.map_batches(
+                lambda t, g=g, b=boundary: t.filter(
+                    pc.and_(pc.equal(t[group_col], g),
+                            pc.equal(t["bucket"], b))),
+                batch_format="pyarrow").take_all()
+            rows.sort(key=lambda r: (r["h"], r[key_col]))
+            acc = 0
+            for r in rows:
+                if acc + r["tok"] > remaining:
+                    break
+                acc += r["tok"]
+                cut = (r["h"], r[key_col])
+        cuts[g] = (full_upto, boundary, cut)
+    cuts_ref = ray.put(cuts)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        cut_by_g = ray.get(cuts_ref)
+        keys = batch[key_col].to_pylist()
+        gs = batch[group_col].to_pylist()
+        hs = _md5_hex(keys)
+        out = []
+        for h, k, g in zip(hs, keys, gs):
+            spec = cut_by_g.get(g)
+            if spec is None:
+                out.append(False)
+                continue
+            upto, bnd, cut_ = spec
+            b = int(h[:4], 16) // (65536 // n_buckets)
+            if b < upto:
+                out.append(True)
+            elif bnd is not None and b == bnd and cut_ is not None:
+                out.append((h, k) <= cut_)
+            else:
+                out.append(False)
+        return batch.filter(pa.array(out))
 
     return ds.map_batches(keep, batch_format="pyarrow")

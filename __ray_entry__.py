@@ -272,6 +272,20 @@ def _q_weighted_mix(sf_dir: str):
                              "src2": 250_000}, default_ppm=100_000)
 
 
+def _q_point_lookup(sf_dir: str):
+    """J6 serving-path point lookups: fetch a fixed id set with the
+    filter pushed INTO the parquet scan (row-group pruning — only
+    matching row groups are decoded), the Ray analog of the website's
+    keyed SELECT."""
+    import pyarrow.compute as pc
+    ids = [3, 17, 42, 97, 123, 250, 444]
+    ds = _rd().read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"],
+        filter=pc.field("doc_id").isin(ids))
+    return ds
+
+
 def _q_token_budget_by_group(sf_dir: str):
     """Per-language token budgets — "N tokens of each language" (the
     corpus-mixing companion to the global token budget)."""
@@ -1145,6 +1159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": _q_hash_sample,
         "token_budget_sample": _q_token_budget,
         "weighted_mix": _q_weighted_mix,
+        "point_lookup": _q_point_lookup,
         "token_budget_by_group": _q_token_budget_by_group,
         "pack_sequences": _q_pack_sequences,
         "unigram_logprob": _q_unigram_logprob,
@@ -1853,6 +1868,10 @@ def oracle_sql() -> dict[str, str]:
                     AS cum
                 FROM m)
             SELECT doc_id, tok::BIGINT AS tok FROM c WHERE cum <= 2000
+        """,
+        "point_lookup": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id IN (3, 17, 42, 97, 123, 250, 444)
         """,
         # per-group budgets: same hash order, window partitioned by lang
         "token_budget_by_group": r"""

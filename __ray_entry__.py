@@ -272,6 +272,32 @@ def _q_weighted_mix(sf_dir: str):
                              "src2": 250_000}, default_ppm=100_000)
 
 
+def _q_ngram_counts(sf_dir: str):
+    """Corpus-wide word-trigram count table, top 100 by (count desc,
+    gram asc) — the n-gram-LM / infini-gram building block.  Per-block
+    Counter partials (distinct grams per block cross the shuffle, not
+    the gram stream) -> one groupby -> distributed sort.limit."""
+    from collections import Counter
+
+    from vyntr_ray.stages.text_analysis import _GRAM_TOKEN
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = Counter()
+        for t in b["text"].to_pylist():
+            ws = _GRAM_TOKEN.findall((t or "").lower())
+            c.update(" ".join(ws[i:i + 3]) for i in range(len(ws) - 2))
+        return pa.table({"gram": pa.array(list(c.keys()), pa.string()),
+                         "cnt": pa.array(list(c.values()), pa.int64())})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("gram").sum("cnt")
+           .map_batches(lambda t: t.rename_columns(["gram", "cnt"]),
+                        batch_format="pyarrow"))
+    return out.sort(["cnt", "gram"], descending=[True, False]).limit(100)
+
+
 def _q_point_lookup(sf_dir: str):
     """J6 serving-path point lookups: fetch a fixed id set with the
     filter pushed INTO the parquet scan (row-group pruning — only
@@ -1159,6 +1185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": _q_hash_sample,
         "token_budget_sample": _q_token_budget,
         "weighted_mix": _q_weighted_mix,
+        "ngram_counts": _q_ngram_counts,
         "point_lookup": _q_point_lookup,
         "token_budget_by_group": _q_token_budget_by_group,
         "pack_sequences": _q_pack_sequences,
@@ -1868,6 +1895,17 @@ def oracle_sql() -> dict[str, str]:
                     AS cum
                 FROM m)
             SELECT doc_id, tok::BIGINT AS tok FROM c WHERE cum <= 2000
+        """,
+        "ngram_counts": r"""
+            WITH w AS (SELECT regexp_extract_all(lower(text),
+                              '[a-z0-9]+') AS ws
+                       FROM documents),
+            g AS (SELECT array_to_string(ws[i:i+2], ' ') AS gram
+                  FROM (SELECT ws, unnest(range(1, len(ws) - 1)) AS i
+                        FROM w)),
+            c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram)
+            SELECT gram, cnt::BIGINT AS cnt FROM c
+            ORDER BY cnt DESC, gram LIMIT 100
         """,
         "point_lookup": """
             SELECT doc_id, lang, n_chars FROM documents

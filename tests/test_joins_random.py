@@ -1,0 +1,135 @@
+"""Randomized (seeded) brute-force parity for the temporal joins.
+
+The hash-partition rewrites must equal a row-at-a-time reference on
+adversarial shapes: duplicate timestamps on both sides, keys missing a
+side entirely, and single-row keys.  Complements the DuckDB oracle
+tests, which only see the events-table distribution.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _mkdata(seed: int, n_left: int = 400, n_right: int = 500,
+            n_keys: int = 23, ts_range: int = 40):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    left = pd.DataFrame({
+        "k": rng.integers(0, n_keys, n_left),
+        "ts": rng.integers(0, ts_range, n_left),   # dense -> many ties
+        "lid": np.arange(n_left, dtype="int64"),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, n_keys + 4, n_right),  # some right-only keys
+        "ts": rng.integers(0, ts_range, n_right),
+        "rid": np.arange(n_right, dtype="int64") + 10_000,
+    })
+    # drop a few keys from the right side entirely (left-only keys)
+    right = right[right["k"] % 7 != 3].reset_index(drop=True)
+    return left, right
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_asof_join_matches_bruteforce(seed):
+    import ray.data as rd
+
+    from vyntr_ray.stages.joins import asof_join
+
+    left, right = _mkdata(seed)
+    got = asof_join(
+        rd.from_pandas(left.copy()), rd.from_pandas(right.copy()),
+        key_col="k", ts_col="ts", left_payload=["lid"],
+        right_payload=["rid"], n_parts=5,
+    ).to_pandas().sort_values(["k", "ts", "lid"]).reset_index(drop=True)
+
+    rows = []
+    for _, lr in left.iterrows():
+        cand = right[(right["k"] == lr["k"]) & (right["ts"] <= lr["ts"])]
+        if cand.empty:
+            continue
+        # documented tie rule: the right row latest in (ts, payload) order
+        pick = cand.sort_values(["ts", "rid"], kind="mergesort").iloc[-1]
+        rows.append({"k": lr["k"], "ts": lr["ts"], "lid": lr["lid"],
+                     "r_ts": pick["ts"], "r_rid": pick["rid"]})
+    exp = (pd.DataFrame(rows).astype("int64")
+           .sort_values(["k", "ts", "lid"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype("int64"), exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [4, 5])
+def test_range_count_matches_bruteforce(seed):
+    import ray.data as rd
+
+    from vyntr_ray.stages.joins import range_count_join
+
+    left, right = _mkdata(seed)
+    w = 6
+    got = range_count_join(
+        rd.from_pandas(left.copy()), rd.from_pandas(right.copy()),
+        key_col="k", ts_col="ts", left_payload=["lid"], window_us=w,
+        count_name="n", n_parts=5,
+    ).to_pandas().sort_values("lid").reset_index(drop=True)
+
+    exp_n = []
+    for _, lr in left.sort_values("lid").iterrows():
+        exp_n.append(int(((right["k"] == lr["k"])
+                          & (right["ts"] >= lr["ts"] - w)
+                          & (right["ts"] <= lr["ts"])).sum()))
+    assert got["n"].tolist() == exp_n
+    assert len(got) == len(left)          # every left row survives
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [6, 7])
+def test_sessionize_and_rolling_match_bruteforce(seed):
+    import ray.data as rd
+
+    from vyntr_ray.stages.windows import rolling_sum, sessionize
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n = 500
+    ev = pd.DataFrame({
+        "user_id": rng.integers(0, 17, n),
+        "ts": pd.to_datetime(
+            rng.integers(0, 3600, n), unit="s", utc=False),
+        "event_id": np.arange(n, dtype="int64"),
+        "value": np.round(rng.uniform(0, 9, n), 2),
+    })
+
+    got = (sessionize(rd.from_pandas(ev.copy()), gap_s=120)
+           .to_pandas().sort_values(["user_id", "session_id"])
+           .reset_index(drop=True))
+    rows = []
+    for k, g in ev.groupby("user_id"):
+        g = g.sort_values("ts", kind="mergesort")
+        us = g["ts"].astype("int64").to_numpy()
+        new = np.r_[True, (us[1:] - us[:-1]) > 120 * 1_000_000]
+        sid = np.cumsum(new) - 1
+        for s in np.unique(sid):
+            sel = sid == s
+            rows.append({
+                "user_id": k, "session_id": int(s),
+                "n": int(sel.sum()),
+                "start_us": int(us[sel].min()),
+                "end_us": int(us[sel].max()),
+                "sum_value_centi": int(round(
+                    float(g["value"].to_numpy()[sel].sum()) * 100)),
+            })
+    exp = (pd.DataFrame(rows).sort_values(["user_id", "session_id"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[exp.columns].astype("int64"),
+                                  exp.astype("int64"))
+
+    got_r = (rolling_sum(rd.from_pandas(ev.copy()), k=3)
+             .to_pandas().sort_values("event_id").reset_index(drop=True))
+    exp_r = []
+    for _, r in ev.sort_values("event_id").iterrows():
+        g = ev[ev["user_id"] == r["user_id"]].sort_values(
+            ["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        i = g.index[g["event_id"] == r["event_id"]][0]
+        window = g.iloc[max(0, i - 2):i + 1]
+        exp_r.append(int(np.round(window["value"].to_numpy() * 100)
+                         .astype("int64").sum()))
+    assert got_r["roll_centi"].tolist() == exp_r

@@ -97,6 +97,13 @@ def asof_join(left_ds, right_ds, key_col: str, ts_col: str,
         # to be globally sorted
         left = left.sort_values([ts_col] + left_payload, kind="mergesort")
         right = right.sort_values(rsort, kind="mergesort")
+        # the union's nulls upcast r_<ts> to float when ts is integer
+        # (datetime ts stays datetime64/NaT); merge keys must match, and
+        # the right rows' r_<ts> values are all non-null, so the cast
+        # back to the left ts dtype is exact
+        right = right.assign(**{
+            right_prefix + ts_col:
+                right[right_prefix + ts_col].astype(left[ts_col].dtype)})
         merged = pd.merge_asof(
             left[[key_col, ts_col] + left_payload],
             right[[key_col] + rsort],

@@ -1,6 +1,8 @@
 """Deterministic corpus sampling / mixing for training-data pipelines.
 
-Two operators a 100 TB curation pipeline needs constantly:
+The operators a 100 TB curation pipeline needs constantly — all
+RNG-free (md5-hash order is the seeded randomness), all
+parallelism-invariant, all exactly DuckDB-oracled.  The founding two:
 
 - ``hash_sample``: keep a deterministic pseudo-random fraction of rows by
   comparing an md5 prefix of the key against a threshold.  Stateless,

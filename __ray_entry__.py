@@ -409,6 +409,36 @@ def _q_asof_join(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_asof_join_left(sf_dir: str):
+    """LEFT as-of variant: every click kept, view_id = -1 when no prior
+    view exists (sentinel instead of NULL so the value hash is
+    engine-neutral)."""
+    import pyarrow.compute as pc
+
+    from vyntr_ray.stages.joins import asof_join
+
+    def only(kind: str):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["event_type"], kind))
+        return f
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    clicks = ev.map_batches(only("click"), batch_format="pyarrow")
+    views = ev.map_batches(only("view"), batch_format="pyarrow")
+    out = asof_join(clicks, views, "user_id", "ts",
+                    ["event_id"], ["event_id"], how="left")
+
+    def project(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        vid = t["r_event_id"].to_pandas().fillna(-1).astype("int64")
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "view_id": pa.array(vid, pa.int64())})
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def _q_range_join(sf_dir: str):
     """Interval join: clicks in the 5 minutes before each purchase."""
     import pyarrow.compute as pc
@@ -1196,6 +1226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_substrings": _q_dup_substrings,
         "dup_clusters": _q_dup_clusters,
         "asof_join": _q_asof_join,
+        "asof_join_left": _q_asof_join_left,
         "range_join": _q_range_join,
         "value_quantiles": _q_value_quantiles,
         "group_topk": _q_group_topk,
@@ -1675,6 +1706,16 @@ def oracle_sql() -> dict[str, str]:
                        WHERE event_type = 'view')
             SELECT c.event_id, c.user_id, v.view_id
             FROM c ASOF JOIN v
+              ON c.user_id = v.user_id AND v.ts <= c.ts
+        """,
+        "asof_join_left": """
+            WITH c AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+                 v AS (SELECT event_id AS view_id, user_id, ts FROM events
+                       WHERE event_type = 'view')
+            SELECT c.event_id, c.user_id,
+                   coalesce(v.view_id, -1)::BIGINT AS view_id
+            FROM c ASOF LEFT JOIN v
               ON c.user_id = v.user_id AND v.ts <= c.ts
         """,
         # transitive closure via recursive CTE; component = min reachable

@@ -38,9 +38,14 @@ def _part_col(keys: pa.ChunkedArray, n_parts: int) -> pa.Array:
 
 def asof_join(left_ds, right_ds, key_col: str, ts_col: str,
               left_payload: list[str], right_payload: list[str],
-              right_prefix: str = "r_", n_parts: int = 64):
-    """Inner as-of join; returns key, ts, left payload, prefixed right
-    payload (incl. ``r_<ts_col>`` of the matched row)."""
+              right_prefix: str = "r_", n_parts: int = 64,
+              how: str = "inner"):
+    """As-of join; returns key, ts, left payload, prefixed right
+    payload (incl. ``r_<ts_col>`` of the matched row).  ``how="inner"``
+    drops left rows with no prior right row; ``how="left"`` keeps them
+    with null ``r_*`` columns (nullable dtypes in the output — callers
+    that need exact int columns coalesce to a sentinel)."""
+    assert how in ("inner", "left")
     l_schema = left_ds.schema()
     r_schema = right_ds.schema()
     l_types = dict(zip(l_schema.names, l_schema.types))
@@ -90,8 +95,15 @@ def asof_join(left_ds, right_ds, key_col: str, ts_col: str,
         right = g[g["side"] == 0]
         empty = pd.DataFrame({c: pd.Series(dtype=out_dtypes[c])
                               for c in out_cols})
-        if left.empty or right.empty:
+        if left.empty or (right.empty and how == "inner"):
             return empty
+        if right.empty:                       # how == "left": null r_*
+            out = left[[key_col, ts_col] + left_payload].copy()
+            for c in r_out:
+                out[c] = np.nan
+            for c in [key_col, ts_col] + left_payload:
+                out[c] = out[c].astype(out_dtypes[c])
+            return out[out_cols]
         # stable sort by (ts, payload): within each key this is exactly
         # the per-key order, and merge_asof only requires the on-column
         # to be globally sorted
@@ -109,14 +121,17 @@ def asof_join(left_ds, right_ds, key_col: str, ts_col: str,
             right[[key_col] + rsort],
             left_on=ts_col, right_on=right_prefix + ts_col,
             by=key_col, direction="backward")
-        merged = merged.dropna(subset=[right_prefix + ts_col])
+        if how == "inner":
+            merged = merged.dropna(subset=[right_prefix + ts_col])
         if merged.empty:
             return empty
         # nulls from the tagged union upcast int columns to float in the
         # per-group pandas frame — restore the source dtypes exactly
+        # (r_* columns stay nullable under how="left" when NaN survive)
         merged = merged[out_cols]
         for c in out_cols:
-            merged[c] = merged[c].astype(out_dtypes[c])
+            if merged[c].notna().all():
+                merged[c] = merged[c].astype(out_dtypes[c])
         return merged
 
     both = l_tag.union(r_tag)

@@ -494,6 +494,15 @@ def _q_rolling_sum(sf_dir: str):
     return rolling_sum(ds, k=5)
 
 
+def _q_group_zscores(sf_dir: str):
+    """Per-event-type z-score normalization of event values (broadcast
+    moments, no per-row shuffle)."""
+    from vyntr_ray.stages.text_analysis import group_zscores
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "value"])
+    return group_zscores(ds, "event_type", "value", "event_id")
+
+
 def _q_distinct_users(sf_dir: str):
     """Exact distinct users per event_type (pair-dedup, no value sets)."""
     from vyntr_ray.stages.sketches import group_count_distinct
@@ -1232,6 +1241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_topk": _q_group_topk,
         "event_pivot": _q_event_pivot,
         "rolling_sum": _q_rolling_sum,
+        "group_zscores": _q_group_zscores,
         "distinct_users": _q_distinct_users,
         "distinct_users_hll": _q_distinct_users_hll,
         "value_quantiles_tdigest": _q_value_quantiles_tdigest,
@@ -1775,6 +1785,28 @@ def oracle_sql() -> dict[str, str]:
                                       '<PHONE>', 'g') AS text
                 FROM s2)
             SELECT doc_id, text, n_email, n_ip, n_phone FROM s3
+        """,
+        # same explicit sample-variance formula as the engine (NOT the
+        # builtin stddev kernel, whose Welford path drifts differently)
+        "group_zscores": """
+            WITH m AS (
+                SELECT event_type,
+                       count(*)::DOUBLE AS n,
+                       sum(value)::DOUBLE AS s,
+                       sum(value * value)::DOUBLE AS s2
+                FROM events GROUP BY event_type),
+            mm AS (
+                SELECT event_type, s / n AS mean,
+                       CASE WHEN n > 1 AND (s2 - s * s / n) / (n - 1) > 0
+                            THEN sqrt((s2 - s * s / n) / (n - 1))
+                            ELSE 0.0 END AS std
+                FROM m)
+            SELECT e.event_id, e.event_type,
+                   CAST(round(CASE WHEN mm.std > 0
+                                   THEN (e.value - mm.mean) / mm.std
+                                   ELSE 0.0 END * 1000) AS BIGINT)
+                       AS z_milli
+            FROM events e JOIN mm USING (event_type)
         """,
         "distinct_users": """
             SELECT event_type,

@@ -22,7 +22,8 @@ __all__ = ["token_stats_batch", "token_totals", "quality_batch",
            "fingerprint_batch", "LangId", "lang_id",
            "benchmark_ngrams", "contamination_report", "decontaminate",
            "repetition_batch", "unigram_fit", "unigram_logprob",
-           "normalize_batch", "normalize_text", "dsir_weights"]
+           "normalize_batch", "normalize_text", "dsir_weights",
+           "group_zscores"]
 
 _WS_TOKEN = re.compile(r"\S+")
 # BPE-ish word/number/symbol splitter (public GPT-2-style pattern, simplified)
@@ -486,3 +487,56 @@ def dsir_weights(ds, text_col: str = "text", id_col: str = "doc_id",
                          "weight_milli": pa.array(wm, pa.int64())})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def group_zscores(ds, group_col: str, value_col: str, id_col: str,
+                  scale: int = 1000):
+    """Per-group z-score feature normalization: one pass of per-block
+    (n, sum, sumsq) partials -> tiny driver merge -> broadcast moments
+    -> stateless standardize pass.  No per-row shuffle at any size; the
+    driver holds O(groups) floats.  Output ``z_milli = round((v - mean)
+    / std * scale)`` as int64 (groups with fewer than 2 rows or zero
+    variance emit 0) — the milli scaling absorbs summation-order drift
+    against the oracle, which spells out the same sample-variance
+    formula rather than relying on the engine's stddev kernel.
+    """
+    import ray
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({"g": b[group_col].to_pylist(),
+                           "v": np.asarray(b[value_col].to_pylist(),
+                                           np.float64)})
+        df["v2"] = df["v"] * df["v"]
+        agg = df.groupby("g", sort=False).agg(
+            n=("v", "size"), s=("v", "sum"), s2=("v2", "sum")).reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    stats: dict = {}
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        n, s, s2 = stats.get(r["g"], (0, 0.0, 0.0))
+        stats[r["g"]] = (n + int(r["n"]), s + float(r["s"]),
+                         s2 + float(r["s2"]))
+    moments = {}
+    for g, (n, s, s2) in stats.items():
+        mean = s / n
+        var = (s2 - s * s / n) / (n - 1) if n > 1 else 0.0
+        moments[g] = (mean, var ** 0.5 if var > 0 else 0.0)
+    mom_ref = ray.put(moments)
+
+    def standardize(b: pa.Table) -> pa.Table:
+        mom = ray.get(mom_ref)
+        gs = b[group_col].to_pylist()
+        vs = np.asarray(b[value_col].to_pylist(), np.float64)
+        means = np.array([mom[g][0] for g in gs])
+        stds = np.array([mom[g][1] for g in gs])
+        z = np.where(stds > 0, (vs - means) / np.where(stds > 0, stds, 1.0),
+                     0.0)
+        return pa.table({
+            id_col: b[id_col],
+            group_col: b[group_col],
+            "z_milli": pa.array(np.round(z * scale).astype(np.int64),
+                                pa.int64()),
+        })
+
+    return ds.map_batches(standardize, batch_format="pyarrow")

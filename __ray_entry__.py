@@ -1059,6 +1059,14 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(idx, _BM25_TERMS, k=10)
 
 
+def _q_tfidf_keywords(sf_dir: str):
+    """Per-doc keyword extraction: top-5 terms by tf-idf (integer
+    score surrogate -> exact top-k on both engines)."""
+    from vyntr_ray.stages.search_index import tfidf_keywords
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_keywords(ds, k=5)
+
+
 def _q_search_topk(sf_dir: str):
     """K5: term-frequency scored top-10 (Pulse search analog)."""
     import re
@@ -1276,6 +1284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "relevant_text": _q_relevant_text,
         "inactive_customers": _q_inactive_customers,
         "nation_customers_agg": _q_nation_agg,
+        "tfidf_keywords": _q_tfidf_keywords,
         "search_topk": _q_search_topk,
         "chunk_upsert": _q_chunk_upsert,
         "inverted_index": _q_inverted_index,
@@ -2245,6 +2254,26 @@ def oracle_sql() -> dict[str, str]:
                   (SELECT (doc_id, chunk_id) FROM b2)
             UNION ALL
             SELECT doc_id, chunk_id::BIGINT, val::BIGINT FROM b2
+        """,
+        "tfidf_keywords": r"""
+            WITH tok AS (SELECT doc_id,
+                                unnest(regexp_extract_all(lower(text),
+                                    '[a-z0-9]+')) AS term
+                         FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM tok GROUP BY doc_id, term),
+            dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+                          tf.tf * CAST(round(ln((SELECT n FROM nd)
+                                               / dfx.df) * 1000000)
+                                       AS BIGINT) AS score_micro
+                   FROM tf JOIN dfx USING (term)),
+            rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score_micro DESC, term) AS rn
+                   FROM sc)
+            SELECT doc_id, term, tf::BIGINT AS tf, score_micro
+            FROM rk WHERE rn <= 5
         """,
         "inverted_index": r"""
             WITH tok AS (SELECT doc_id,

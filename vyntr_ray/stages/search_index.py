@@ -40,7 +40,7 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["build_text_index", "bm25_topk", "index_summary",
-           "term_rows_batch", "TEXT_TOKEN"]
+           "term_rows_batch", "TEXT_TOKEN", "tfidf_keywords"]
 
 TEXT_TOKEN = re.compile(r"[a-z0-9]+")
 
@@ -242,3 +242,58 @@ def index_summary(index_dir: str):
     return (ds.groupby("term")
             .aggregate(Sum("df", alias_name="df"),
                        Sum("total_tf", alias_name="total_tf")))
+
+
+def tfidf_keywords(ds, k: int = 5, id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """Per-document keyword extraction: top-``k`` terms by tf-idf.
+
+    Ranking uses an INTEGER surrogate — ``score_micro = tf *
+    round(ln(n_docs / df) * 1e6)`` — so the top-k selection is exact on
+    both the engine and the DuckDB oracle side (ranking raw float
+    products risks near-tie rank flips between engines; exact ties break
+    on term asc).  The (term, df) table reaches the driver as one
+    aggregate — O(vocab) rows, the same broadcast-size envelope as the
+    unigram model (cap the vocab the same way past ~10^7 distinct
+    terms).  Top-k per doc happens inside the scoring batch — no per-doc
+    shuffle at all.  Output: (id, term, tf, score_micro).
+    """
+    import math
+
+    import ray
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        from collections import Counter
+        c = Counter()
+        for t in b[text_col].to_pylist():
+            c.update(set(TEXT_TOKEN.findall((t or "").lower())))
+        return pa.table({"term": pa.array(list(c.keys()), pa.string()),
+                         "df": pa.array(list(c.values()), pa.int64())})
+
+    df_rows = (ds.map_batches(df_partial, batch_format="pyarrow")
+               .groupby("term").sum("df").take_all())
+    n_docs = ds.count()
+    idf_micro = {r["term"]: int(round(math.log(n_docs / r["sum(df)"])
+                                      * 1_000_000)) for r in df_rows}
+    idf_ref = ray.put(idf_micro)
+
+    def score(b: pa.Table) -> pa.Table:
+        from collections import Counter
+        idf = ray.get(idf_ref)
+        ids, terms, tfs, scores = [], [], [], []
+        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            tf = Counter(TEXT_TOKEN.findall((t or "").lower()))
+            ranked = sorted(
+                ((tf_v * idf[w], w, tf_v) for w, tf_v in tf.items()),
+                key=lambda x: (-x[0], x[1]))[:k]
+            for s, w, tf_v in ranked:
+                ids.append(i)
+                terms.append(w)
+                tfs.append(tf_v)
+                scores.append(s)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "term": pa.array(terms, pa.string()),
+                         "tf": pa.array(tfs, pa.int64()),
+                         "score_micro": pa.array(scores, pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")

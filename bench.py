@@ -107,7 +107,8 @@ def bench_queries() -> dict:
              "range_join", "components", "scrub_pii", "pagerank",
              "stratified_sample", "value_quantiles_tdigest",
              "pack_sequences", "unigram_logprob", "dup_substrings",
-             "dup_clusters", "dsir_weights", "chunk_upsert"]
+             "dup_clusters", "dsir_weights", "chunk_upsert",
+             "curate", "ngram_counts", "group_zscores", "tfidf_keywords"]
     qs = em.queries()
     out = {}
     for name in names:

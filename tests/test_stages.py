@@ -941,3 +941,90 @@ class TestLmDataOps:
         # every window of the identical docs is duplicated
         assert (dup_rows["n_dup_windows"] == dup_rows["n_windows"]).all()
         assert (out[out["doc_id"] < 10]["n_dup_windows"] == 0).all()
+
+
+class TestEmbeddingDupsDistributed:
+    """r3: embedding_dup_pairs is hash-partitioned + chunk-split (verdict
+    weak spot #1) — a skewed block (one label = 50% of rows) must split
+    into chunk-pair cells and still find EXACTLY the brute-force pairs."""
+
+    def _brute(self, rows, threshold):
+        ids = np.array([r["vec_id"] for r in rows])
+        labs = np.array([r["label"] for r in rows])
+        mat = np.stack([r["embedding"] for r in rows]).astype(np.float64)
+        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        out = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if labs[i] == labs[j] and unit[i] @ unit[j] >= threshold:
+                    a, b = sorted((int(ids[i]), int(ids[j])))
+                    out.append((a, b))
+        return sorted(out)
+
+    def test_skewed_block_chunk_split(self, ray_session):
+        import ray.data as rd
+
+        from vyntr_ray.stages.dedup import embedding_dup_pairs
+        rng = np.random.Generator(np.random.PCG64(11))
+        rows = []
+        # hot label 0: 200 rows (50%) drawn near 3 cluster centers so
+        # plenty of cross-chunk pairs exist; labels 1..4: 50 rows each
+        centers = rng.standard_normal((3, 8))
+        for i in range(200):
+            c = centers[i % 3]
+            rows.append({"vec_id": i, "label": 0,
+                         "embedding": (c + 0.05 * rng.standard_normal(8)
+                                       ).tolist()})
+        for i in range(200, 400):
+            rows.append({"vec_id": i, "label": 1 + (i % 4),
+                         "embedding": rng.standard_normal(8).tolist()})
+        ds = rd.from_items(rows, override_num_blocks=8)
+        # max_block=64 forces the hot label into ceil(200/64)=4 chunks
+        out = embedding_dup_pairs(ds, threshold=0.9, block_col="label",
+                                  max_block=64, n_parts=16)
+        # stays a Dataset end-to-end (no driver materialization)
+        import ray.data
+        assert isinstance(out, ray.data.Dataset)
+        got = [(r["a"], r["b"]) for r in out.take_all()]
+        want = self._brute(rows, 0.9)
+        assert len(want) > 50          # the skew actually produced pairs
+        assert got == want
+
+    def test_no_chunking_fast_path(self, ray_session):
+        import ray.data as rd
+
+        from vyntr_ray.stages.dedup import embedding_dup_pairs
+        rng = np.random.Generator(np.random.PCG64(5))
+        rows = [{"vec_id": i, "label": i % 3,
+                 "embedding": rng.standard_normal(6).tolist()}
+                for i in range(60)]
+        out = embedding_dup_pairs(rd.from_items(rows, override_num_blocks=4),
+                                  threshold=0.5)
+        got = [(r["a"], r["b"]) for r in out.take_all()]
+        assert got == self._brute(rows, 0.5)
+
+
+class TestMeanPoolPartitioned:
+    def test_matches_per_key_means_and_int_string_keys(self, ray_session):
+        import ray.data as rd
+
+        from vyntr_ray.stages.embed import mean_pool
+        rng = np.random.Generator(np.random.PCG64(3))
+        rows = [{"label": i % 7, "key_s": f"u{i % 7}",
+                 "embedding": rng.standard_normal(4).tolist()}
+                for i in range(210)]
+        out = mean_pool(rd.from_items(rows, override_num_blocks=6),
+                        key_col="label", round_to=6).to_pandas()
+        # exact per-key means
+        for lab in range(7):
+            mat = np.stack([r["embedding"] for r in rows
+                            if r["label"] == lab])
+            want = np.round(mat.mean(axis=0), 6)
+            got = (out[out["label"] == lab].sort_values("pos")
+                   ["mean_val"].to_numpy())
+            np.testing.assert_allclose(got, want, atol=1e-9)
+        # string keys route through the md5 fallback
+        out_s = mean_pool(rd.from_items(rows, override_num_blocks=6),
+                          key_col="key_s", round_to=6).to_pandas()
+        assert set(out_s["key_s"]) == {f"u{i}" for i in range(7)}
+        assert len(out_s) == 7 * 4

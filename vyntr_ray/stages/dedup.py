@@ -518,35 +518,119 @@ def ngram_jaccard_pairs(ds, shingle_k: int = 3, threshold: float = 0.5,
 # --------------------------------------------------------------------------
 
 def embedding_dup_pairs(ds, threshold: float = 0.95, block_col: str = "label",
-                        id_col: str = "vec_id", vec_col: str = "embedding"):
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        n_parts: int = 32, max_block: int = 4096):
     """Cosine-similar pairs (a<b) within blocking groups (IVF-style).
 
-    Dense matmul per group; only pair ids are returned (no float columns),
-    so the DuckDB oracle compares exactly.
+    Fully distributed — nothing reaches the driver but a tiny per-label
+    count table; the result is a Dataset (sorted (a, b)).  Shape:
+
+    1. one cheap pass collects per-label row counts (O(labels) driver rows);
+       labels larger than ``max_block`` are split into ``s = ceil(n /
+       max_block)`` deterministic id-hash chunks — the hot-block salting
+       the frontier's hot-host split uses, applied to all-pairs blocking;
+    2. each row is routed to every (label, ci, cj) chunk-pair cell it
+       participates in (``s`` cells per row; exactly one cell owns any
+       given row pair, so no pair dedup pass is needed) and cells are
+       hash-partitioned (``n_parts`` Ray groups TOTAL — the PERF.md
+       many-groups rule, never one Python call per label);
+    3. per partition, each cell computes one dense unit-matmul:
+       ``ci == cj`` cells take the upper triangle, cross cells the full
+       A×B rectangle.  Only int64 pair ids come out, so the DuckDB oracle
+       compares exactly.
     """
+    import ray
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_col].to_numpy()
-        mat = np.stack(g[vec_col].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0] = 1.0
-        unit = mat / norms[:, None]
-        sim = unit @ unit.T
-        iu = np.triu_indices(len(ids), k=1)
-        mask = sim[iu] >= threshold
-        a, b = ids[iu[0][mask]], ids[iu[1][mask]]
-        swap = a > b
-        a2 = np.where(swap, b, a)
-        b2 = np.where(swap, a, b)
-        return pd.DataFrame({"a": a2.astype("int64"),
-                             "b": b2.astype("int64")})
+    def count_partial(t: pa.Table) -> pa.Table:
+        labs, cnts = np.unique(
+            t[block_col].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({block_col: pa.array(labs),
+                         "n": pa.array(cnts.astype(np.int64), pa.int64())})
 
-    out = ds.groupby(block_col).map_groups(pairs, batch_format="pandas")
-    df = out.to_pandas()
-    if "a" not in df.columns:  # every group empty → schema-less result
-        df = pd.DataFrame({"a": pd.Series(dtype="int64"),
-                           "b": pd.Series(dtype="int64")})
-    return df.sort_values(["a", "b"]).reset_index(drop=True)
+    totals: dict = {}
+    for r in (ds.select_columns([block_col])
+              .map_batches(count_partial, batch_format="pyarrow").take_all()):
+        totals[r[block_col]] = totals.get(r[block_col], 0) + r["n"]
+    chunks = {lab: int(np.ceil(n / max_block))
+              for lab, n in totals.items() if n > max_block}
+    # int surrogate per label for vectorized cell hashing (labels are few)
+    lab_codes = {lab: i for i, lab in enumerate(sorted(totals, key=str))}
+    route_ref = ray.put((chunks, lab_codes))
+
+    K = np.uint64(2654435761)
+
+    def route(t: pa.Table) -> pa.Table:
+        ch, codes = ray.get(route_ref)
+        labs = t[block_col].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        code = np.array([codes[lab] for lab in labs], np.uint64)
+        if not ch:
+            my = np.zeros(len(ids), np.int32)
+            part = ((code * K) >> np.uint64(16)) % np.uint64(n_parts)
+            return (t.append_column("_ci", pa.array(my, pa.int32()))
+                     .append_column("_cj", pa.array(my, pa.int32()))
+                     .append_column("_my", pa.array(my, pa.int32()))
+                     .append_column("_part", pa.array(
+                         part.astype(np.int32), pa.int32())))
+        s = np.array([ch.get(lab, 1) for lab in labs], np.int64)
+        my = ((ids.astype(np.uint64) * K) >> np.uint64(16)) % s.astype(
+            np.uint64)
+        idx_l, ci_l, cj_l = [], [], []
+        for j in range(int(s.max())):  # ≤ max chunk count, not rows
+            live = np.nonzero(j < s)[0]
+            c = my[live]
+            ci_l.append(np.minimum(c, j))
+            cj_l.append(np.maximum(c, j))
+            idx_l.append(live)
+        idx = np.concatenate(idx_l)
+        ci = np.concatenate(ci_l).astype(np.int64)
+        cj = np.concatenate(cj_l).astype(np.int64)
+        cell = (code[idx] * np.uint64(1000003)
+                + ci.astype(np.uint64) * np.uint64(8191)
+                + cj.astype(np.uint64))
+        part = ((cell * K) >> np.uint64(16)) % np.uint64(n_parts)
+        return (t.take(pa.array(idx, pa.int64()))
+                 .append_column("_ci", pa.array(ci.astype(np.int32),
+                                                pa.int32()))
+                 .append_column("_cj", pa.array(cj.astype(np.int32),
+                                                pa.int32()))
+                 .append_column("_my", pa.array(
+                     my[idx].astype(np.int32), pa.int32()))
+                 .append_column("_part", pa.array(
+                     part.astype(np.int32), pa.int32())))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, cg in g.groupby([block_col, "_ci", "_cj"], sort=False):
+            ids = cg[id_col].to_numpy().astype(np.int64)
+            mat = np.stack(cg[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            unit = mat / norms[:, None]
+            ci = int(cg["_ci"].iloc[0])
+            cj = int(cg["_cj"].iloc[0])
+            if ci == cj:
+                sim = unit @ unit.T
+                iu = np.triu_indices(len(ids), k=1)
+                mask = sim[iu] >= threshold
+                a, b = ids[iu[0][mask]], ids[iu[1][mask]]
+            else:
+                am = cg["_my"].to_numpy() == ci
+                bm = ~am
+                sim = unit[am] @ unit[bm].T
+                ai, bi = np.nonzero(sim >= threshold)
+                a, b = ids[am][ai], ids[bm][bi]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+        a = np.concatenate(out_a) if out_a else np.array([], np.int64)
+        b = np.concatenate(out_b) if out_b else np.array([], np.int64)
+        return pd.DataFrame({"a": a.astype("int64"),
+                             "b": b.astype("int64")})
+
+    cells = ds.map_batches(route, batch_format="pyarrow")
+    pairs = cells.groupby("_part").map_groups(
+        per_part, batch_format="pandas")
+    return pairs.sort(["a", "b"])
 
 
 def dup_clusters(ds, id_col: str = "doc_id", text_col: str = "text",

@@ -233,24 +233,58 @@ def embed_chunks(ds, dim: int = 64, text_col: str = "chunk_text",
 
 
 def mean_pool(ds, key_col: str = "label", vec_col: str = "embedding",
-              round_to: int | None = 6, explode: bool = True):
+              round_to: int | None = 6, explode: bool = True,
+              n_parts: int = 64):
     """A1: element-wise mean of vectors per key (merge_embeddings.py:92-105).
 
     With ``explode=True`` returns (key, pos, mean_val) rows — a layout the
     DuckDB oracle can reproduce with parallel unnest.
-    """
-    import pandas as pd
 
-    def pool(g: pd.DataFrame) -> pd.DataFrame:
+    Hash-partitioned: ``n_parts`` Ray groups total, ONE vectorized pandas
+    pass per partition (factorize + ``np.add.at`` scatter-sum), never a
+    Python call per key — at corpus scale (millions of urls) the per-key
+    ``map_groups`` shape is the many-groups trap PERF.md measured at
+    ~ms/group.
+    """
+    import hashlib
+
+    import pandas as pd
+    import pyarrow.types as pat
+
+    def add_part(t: pa.Table) -> pa.Table:
+        col = t[key_col]
+        if pat.is_integer(col.type):
+            k = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+            part = ((k * np.uint64(2654435761)) >> np.uint64(16)) \
+                % np.uint64(n_parts)
+            part = part.astype(np.int32)
+        else:
+            part = np.array(
+                [int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+                 % n_parts for v in col.to_pylist()], np.int32)
+        return t.append_column("_part", pa.array(part, pa.int32()))
+
+    def pool_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(key_col, kind="mergesort")
+        codes, uniq = pd.factorize(g[key_col], sort=True)
         mat = np.stack(g[vec_col].to_numpy()).astype(np.float64)
-        m = mat.mean(axis=0)
+        dim = mat.shape[1]
+        sums = np.zeros((len(uniq), dim))
+        np.add.at(sums, codes, mat)
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.float64)
+        m = sums / cnt[:, None]
         if round_to is not None:
             m = np.round(m, round_to)
-        key = g[key_col].iloc[0]
         if explode:
-            return pd.DataFrame({key_col: key,
-                                 "pos": np.arange(1, len(m) + 1),
-                                 "mean_val": m})
-        return pd.DataFrame({key_col: [key], "embedding": [list(m)]})
+            return pd.DataFrame({
+                key_col: np.repeat(np.asarray(uniq), dim),
+                "pos": np.tile(np.arange(1, dim + 1), len(uniq)),
+                "mean_val": m.ravel(),
+            })
+        return pd.DataFrame({key_col: np.asarray(uniq),
+                             "embedding": [list(r) for r in m]})
 
-    return ds.groupby(key_col).map_groups(pool, batch_format="pandas")
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(lambda g: pool_part(g.drop(columns="_part")),
+                        batch_format="pandas"))

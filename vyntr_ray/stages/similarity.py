@@ -145,34 +145,9 @@ def assign_cells(ds, centroids: np.ndarray, vec_col: str = "embedding",
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
-def build_ivf_layout(ds, cache_key: str, cell_col: str = "label",
-                     id_col: str = "vec_id", vec_col: str = "embedding",
-                     cache_root: str = CACHE_DIR) -> str:
-    """One-time IVF index build: write (id, vec, cell) partitioned by cell.
-
-    The layout is the on-disk analog of IVF posting lists — hive dirs
-    ``cell=X/`` that later probes read *selectively*.  Idempotent via a
-    _SUCCESS marker (a failed build is rebuilt from scratch; a finished one
-    is reused across runs — the resumable-output contract).
-    """
-    out = os.path.join(cache_root, cache_key)
-    marker = os.path.join(out, "_SUCCESS")
-    if os.path.exists(marker):
-        return out
-    shutil.rmtree(out, ignore_errors=True)
-    os.makedirs(out, exist_ok=True)
-    # sort by cell so each hive dir holds O(1) files, not one per input
-    # block — read_parquet plan time is per-file (the index-build shuffle)
-    (ds.select_columns([id_col, vec_col, cell_col])
-       .sort(cell_col)
-       .write_parquet(out, partition_cols=[cell_col]))
-    with open(marker, "w", encoding="utf-8"):
-        pass
-    return out
-
-
-def _rank_cells(ds, q: np.ndarray, cell_col: str, vec_col: str):
-    """Per-cell mean centroid (distributed partials) ranked by cosine(q)."""
+def _compute_cell_centroids(ds, cell_col: str, vec_col: str) -> dict:
+    """Per-cell mean centroids via distributed partials — ONE corpus pass,
+    only (cells × dim) floats reach the driver."""
 
     def partial_centroid(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame({
@@ -200,11 +175,58 @@ def _rank_cells(ds, q: np.ndarray, cell_col: str, vec_col: str):
             agg[c] = [np.zeros(len(r["vsum"])), 0]
         agg[c][0] += np.asarray(r["vsum"])
         agg[c][1] += r["n"]
+    return {c: vsum / n for c, (vsum, n) in agg.items()}
+
+
+def build_ivf_layout(ds, cache_key: str, cell_col: str = "label",
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     cache_root: str = CACHE_DIR) -> str:
+    """One-time IVF index build: write (id, vec, cell) partitioned by cell
+    PLUS the per-cell centroid matrix (``_centroids.json``).
+
+    The layout is the on-disk analog of IVF posting lists — hive dirs
+    ``cell=X/`` that later probes read *selectively* — and the persisted
+    centroids make per-query cell ranking O(cells × dim), NOT a corpus
+    pass per query (the r2 verdict's weak spot #3).  Idempotent via a
+    _SUCCESS marker (a failed or pre-centroid build is rebuilt from
+    scratch; a finished one is reused across runs — the resumable-output
+    contract).
+    """
+    import json
+
+    out = os.path.join(cache_root, cache_key)
+    marker = os.path.join(out, "_SUCCESS")
+    cen_path = os.path.join(out, "_centroids.json")
+    if os.path.exists(marker) and os.path.exists(cen_path):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    # sort by cell so each hive dir holds O(1) files, not one per input
+    # block — read_parquet plan time is per-file (the index-build shuffle)
+    (ds.select_columns([id_col, vec_col, cell_col])
+       .sort(cell_col)
+       .write_parquet(out, partition_cols=[cell_col]))
+    cents = _compute_cell_centroids(ds, cell_col, vec_col)
+    with open(cen_path, "w", encoding="utf-8") as f:
+        json.dump([[c, cen.tolist()] for c, cen in cents.items()], f)
+    with open(marker, "w", encoding="utf-8"):
+        pass
+    return out
+
+
+def _rank_cells(layout: str, q: np.ndarray):
+    """Rank the layout's stored centroids by cosine(q) — O(cells × dim),
+    independent of corpus size (no dataset pass)."""
+    import json
+
+    with open(os.path.join(layout, "_centroids.json"),
+              encoding="utf-8") as f:
+        stored = json.load(f)
     qn = np.asarray(q, dtype=np.float64)
     qn = qn / np.linalg.norm(qn)
     cells = []
-    for c, (vsum, n) in agg.items():
-        cen = vsum / n
+    for c, cen_list in stored:
+        cen = np.asarray(cen_list, np.float64)
         nrm = np.linalg.norm(cen)
         cells.append((float(cen @ qn / (nrm or 1.0)), c))
     return sorted(cells, reverse=True), qn
@@ -224,13 +246,14 @@ def ivf_topk(ds, q: np.ndarray, k: int = 10, nprobe: int = 2,
     import ray
     import ray.data as rd
 
-    ranked, qn = _rank_cells(ds, q, cell_col, vec_col)
-    probe = [c for _, c in ranked[:nprobe]]
-
     if cache_key is None:
         cache_key = f"adhoc_{os.getpid()}_{next(_ADHOC_SEQ)}"
     layout = build_ivf_layout(ds, cache_key, cell_col, id_col, vec_col,
                               cache_root)
+    # per-query cost: O(cells × dim) rank from the stored matrix + pruned
+    # probe read — NO corpus pass (the index, not the data, answers)
+    ranked, qn = _rank_cells(layout, q)
+    probe = [c for _, c in ranked[:nprobe]]
     # pruned read: only the probed cell=X/ dirs (list-of-paths reads want
     # concrete files, so glob each probed dir)
     paths = []

@@ -491,3 +491,103 @@ def test_robots_rules_respected(ray_session, small_pages_file, small_pages,
     exp = exp.sort_values(["wave", "position"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(
         sched.astype({"wave": "int64", "position": "int64"}), exp)
+
+
+def test_actor_frontier_crawl_parity(ray_session, small_pages_file,
+                                     small_pages, tmp_path):
+    """r3: bucket-owning frontier actors + fully distributed link feedback
+    (enqueue_distributed) must reproduce the oracle schedule exactly —
+    including the checkpointed seen set (delta parts written by tasks)."""
+    from vyntr_ray.pipelines.crawl import read_seen_from_checkpoints
+
+    pages_path, seeds = small_pages_file
+    w = str(tmp_path / "actorfr")
+    run_crawl(pages_path, seeds, w, max_pages=BUDGET, seed=42, n_shards=4,
+              distributed_links_threshold=0, frontier_actors=3)
+    sim = _sim_result(small_pages)
+    got = _read_schedule(w)
+    exp = pd.DataFrame(sim.schedule,
+                       columns=["wave", "position", "url", "status"])
+    exp = exp.sort_values(["wave", "position"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"wave": "int64", "position": "int64"}), exp)
+    urls = set(read_seen_from_checkpoints(os.path.join(w, "ckpt"), 10**9))
+    assert urls == sim.seen
+
+
+def test_actor_frontier_resume_parity(ray_session, small_pages_file,
+                                      small_pages, tmp_path):
+    """Resume from an actor-frontier checkpoint (per-worker frontier parts
+    + task-written delta parts) reproduces the identical remainder."""
+    pages_path, seeds = small_pages_file
+    sim = _sim_result(small_pages)
+    cut_budget = sum(1 for (w_, _p, _u, _s) in sim.schedule if w_ < 2)
+    assert 0 < cut_budget < sim.scheduled
+    w1 = str(tmp_path / "actor_interrupted")
+    run_crawl(pages_path, seeds, w1, max_pages=cut_budget, seed=42,
+              n_shards=4, distributed_links_threshold=0, frontier_actors=3)
+    run_crawl(pages_path, seeds, w1, max_pages=BUDGET, seed=42, n_shards=4,
+              distributed_links_threshold=0, frontier_actors=3, resume=True)
+    resumed = _read_schedule(w1)
+    exp = pd.DataFrame(sim.schedule,
+                       columns=["wave", "position", "url", "status"])
+    exp = exp.sort_values(["wave", "position"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        resumed.astype({"wave": "int64", "position": "int64"}), exp)
+
+
+def test_actor_frontier_stateful_and_priority_parity(ray_session,
+                                                     small_pages_file,
+                                                     small_pages, tmp_path):
+    """Worker-resident token buckets and in-dataflow priority_fn both
+    match their driver-path equivalents."""
+    pages_path, seeds = small_pages_file
+    tab, _ = small_pages
+    pages = dict(zip(tab["url"].to_pylist(), tab["html"].to_pylist()))
+    # stateful refill
+    w1 = str(tmp_path / "actor_tok")
+    run_crawl(pages_path, seeds, w1, max_pages=BUDGET, seed=42, n_shards=4,
+              checkpoint=False, refill=2.0, distributed_links_threshold=0,
+              frontier_actors=3)
+    w2 = str(tmp_path / "driver_tok")
+    run_crawl(pages_path, seeds, w2, max_pages=BUDGET, seed=42, n_shards=4,
+              checkpoint=False, refill=2.0)
+    pd.testing.assert_frame_equal(_read_schedule(w1), _read_schedule(w2))
+    # priority mode through the distributed filter tasks
+    def prio(url: str) -> float:
+        return float(int(url.rsplit("/", 1)[-1]) % 97)
+
+    w3 = str(tmp_path / "actor_prio")
+    run_crawl(pages_path, seeds, w3, max_pages=BUDGET, seed=42, n_shards=4,
+              checkpoint=False, priority_fn=prio,
+              distributed_links_threshold=0, frontier_actors=3)
+    simp = simulate_crawl(pages, seeds,
+                          CrawlConfig(max_pages=BUDGET, seed=42,
+                                      priority_fn=prio))
+    got = _read_schedule(w3)
+    exp = pd.DataFrame(simp.schedule,
+                       columns=["wave", "position", "url", "status"])
+    exp = exp.sort_values(["wave", "position"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"wave": "int64", "position": "int64"}), exp)
+
+
+def test_actor_frontier_robots_parity(ray_session, small_pages_file,
+                                      small_pages, tmp_path):
+    """Robots rules applied inside the distributed filter tasks match the
+    oracle (dict-rule path)."""
+    pages_path, seeds = small_pages_file
+    host = "host0.example"
+    robots = {host: ["/p/"]}
+    w = str(tmp_path / "actor_robots")
+    run_crawl(pages_path, seeds, w, max_pages=BUDGET, seed=42, n_shards=4,
+              robots=robots, checkpoint=False,
+              distributed_links_threshold=0, frontier_actors=3)
+    sched = _read_schedule(w)
+    assert not sched["url"].str.contains(f"https://{host}/p/").any()
+    sim = _sim_result(small_pages, robots=robots)
+    exp = pd.DataFrame(sim.schedule,
+                       columns=["wave", "position", "url", "status"])
+    exp = exp.sort_values(["wave", "position"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        sched.astype({"wave": "int64", "position": "int64"}), exp)

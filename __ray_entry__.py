@@ -1059,6 +1059,46 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(idx, _BM25_TERMS, k=10)
 
 
+def _q_bm25_fielded(sf_dir: str):
+    """Multi-field BM25 with filters — the Pulse QueryParser surface
+    (`pulse/src/bin/server.rs:165-173`: fields [title, content, meta,
+    language]; `website/src/lib/server/search.ts:102-124`: NOT nsfw).
+    Fields derived deterministically from documents: title = first 8
+    tokens, content = text, meta = source; language filter 'en', nsfw =
+    the index_prep blocklist sources.  Boosts title 2.0 / meta 1.5 /
+    content 1.0."""
+    from vyntr_ray.stages.search_index import (TEXT_TOKEN,
+                                               bm25_fielded_topk,
+                                               build_fielded_index)
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "lang", "source"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        srcs = t["source"].to_pylist()
+        titles = [" ".join(TEXT_TOKEN.findall((x or "").lower())[:8])
+                  for x in texts]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "title": pa.array(titles, pa.string()),
+            "content": t["text"],
+            "meta": t["source"],
+            "lang": t["lang"],
+            "nsfw": pa.array([s in _BLOCKLIST for s in srcs], pa.bool_()),
+        })
+
+    fds = ds.map_batches(derive, batch_format="pyarrow")
+    idx = build_fielded_index(
+        fds, _cache_key(sf_dir, "fieldedidx"),
+        fields=[("title", "title"), ("content", "content"),
+                ("meta", "meta")],
+        attr_cols=["lang", "nsfw"])
+    return bm25_fielded_topk(
+        idx, _BM25_TERMS, k=10,
+        boosts={"title": 2.0, "content": 1.0, "meta": 1.5},
+        language="en", exclude_attr="nsfw")
+
+
 def _q_tfidf_keywords(sf_dir: str):
     """Per-doc keyword extraction: top-5 terms by tf-idf (integer
     score surrogate -> exact top-k on both engines)."""
@@ -1086,9 +1126,22 @@ def _q_search_topk(sf_dir: str):
 
 # --- non-SQL (rows-only) ----------------------------------------------------
 
+_FLAGSHIP_ORACLE_WD = "/tmp/vyntr_ray_cache/flagship_oracle_wd"
+
+
 def _q_crawl_flagship(_sf_dir: str):
+    """Flagship crawl, returned as the (url, partition, wave, pos)
+    projection of the analyses so it can be HASH-oracled (r2 verdict
+    item 10): the schedule log is an independently-written artifact of
+    the same run, and DuckDB recomputes partition = md5(url)[0:2]
+    (`genesis/src/db.rs:110-114` semantics) from its fetched rows — any
+    parse-stage drift in url/partition/wave/pos breaks the match.
+    Full-text byte parity stays pinned in tests/test_crawl.py."""
     from vyntr_ray.pipelines.flagship import run_flagship
-    return run_flagship(n_pages=1500, budget=300)
+    df = run_flagship(n_pages=1500, budget=300,
+                      workdir=_FLAGSHIP_ORACLE_WD)
+    return (df[["url", "partition", "wave", "pos"]]
+            .sort_values(["wave", "pos"]).reset_index(drop=True))
 
 
 def _q_extract_text(_sf_dir: str):
@@ -1289,6 +1342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_upsert": _q_chunk_upsert,
         "inverted_index": _q_inverted_index,
         "bm25_topk": _q_bm25_topk,
+        "bm25_fielded": _q_bm25_fielded,
         # multimodal plumbing
         "multimodal_decode": _q_multimodal,
         "audio_windows": _q_audio_windows,
@@ -1320,6 +1374,21 @@ def oracle_sql() -> dict[str, str]:
     trim = lambda e: f"regexp_replace({e}, '^\\s+|\\s+$', '', 'g')"  # noqa: E731
     cleaned = trim(clean_sql)
     return {
+        # cross-artifact consistency oracle: the schedule log (written by
+        # the driver loop) must reproduce the parse stage's analyses
+        # projection, with partition recomputed from scratch as
+        # md5(url)[0:2] — the query ran first and left both artifacts in
+        # its fixed workdir
+        "crawl_flagship": f"""
+            SELECT url,
+                   substring(md5(url), 1, 2) AS partition,
+                   wave::INT AS wave,
+                   position::INT AS pos
+            FROM read_parquet(
+                '{_FLAGSHIP_ORACLE_WD}/schedule/*.parquet',
+                hive_partitioning = false)
+            WHERE status = 'fetched'
+        """,
         "clean_content": f"""
             SELECT doc_id, {cleaned} AS text
             FROM documents WHERE {cleaned} <> ''
@@ -2311,6 +2380,79 @@ def oracle_sql() -> dict[str, str]:
                    GROUP BY tf.doc_id)
             SELECT doc_id, round(s, 4) AS score
             FROM sc ORDER BY score DESC, doc_id LIMIT 10
+        """,
+        # per-field BM25 (own df/dl/avgdl per field), boosted sum, doc
+        # filters lang='en' AND NOT nsfw — mirrors bm25_fielded_topk
+        "bm25_fielded": r"""
+            WITH tokc AS (SELECT doc_id,
+                                 unnest(regexp_extract_all(lower(text),
+                                     '[a-z0-9]+')) AS term
+                          FROM documents),
+            tokt AS (SELECT doc_id,
+                            unnest(list_slice(regexp_extract_all(
+                                lower(text), '[a-z0-9]+'), 1, 8)) AS term
+                     FROM documents),
+            tokm AS (SELECT doc_id,
+                            unnest(regexp_extract_all(lower(source),
+                                '[a-z0-9]+')) AS term
+                     FROM documents),
+            dlc AS (SELECT doc_id, count(*) AS dl FROM tokc GROUP BY doc_id),
+            dlt AS (SELECT doc_id, count(*) AS dl FROM tokt GROUP BY doc_id),
+            dlm AS (SELECT doc_id, count(*) AS dl FROM tokm GROUP BY doc_id),
+            stc AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl
+                    FROM dlc),
+            stt AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl
+                    FROM dlt),
+            stm AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl
+                    FROM dlm),
+            tfc AS (SELECT doc_id, term, count(*) AS tf FROM tokc
+                    WHERE term IN ('data', 'scan', 'merge')
+                    GROUP BY doc_id, term),
+            tft AS (SELECT doc_id, term, count(*) AS tf FROM tokt
+                    WHERE term IN ('data', 'scan', 'merge')
+                    GROUP BY doc_id, term),
+            tfm AS (SELECT doc_id, term, count(*) AS tf FROM tokm
+                    WHERE term IN ('data', 'scan', 'merge')
+                    GROUP BY doc_id, term),
+            dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+            dft AS (SELECT term, count(*) AS df FROM tft GROUP BY term),
+            dfm AS (SELECT term, count(*) AS df FROM tfm GROUP BY term),
+            scc AS (SELECT tfc.doc_id,
+                           sum(1.0 * ln((stc.n - dfc.df + 0.5)
+                                        / (dfc.df + 0.5) + 1.0)
+                               * tfc.tf * 2.2
+                               / (tfc.tf + 1.2 * (0.25 + 0.75 * dlc.dl
+                                                  / stc.avgdl))) AS partial
+                    FROM tfc JOIN dfc USING (term)
+                    JOIN dlc ON tfc.doc_id = dlc.doc_id
+                    CROSS JOIN stc GROUP BY tfc.doc_id),
+            sct AS (SELECT tft.doc_id,
+                           sum(2.0 * ln((stt.n - dft.df + 0.5)
+                                        / (dft.df + 0.5) + 1.0)
+                               * tft.tf * 2.2
+                               / (tft.tf + 1.2 * (0.25 + 0.75 * dlt.dl
+                                                  / stt.avgdl))) AS partial
+                    FROM tft JOIN dft USING (term)
+                    JOIN dlt ON tft.doc_id = dlt.doc_id
+                    CROSS JOIN stt GROUP BY tft.doc_id),
+            scm AS (SELECT tfm.doc_id,
+                           sum(1.5 * ln((stm.n - dfm.df + 0.5)
+                                        / (dfm.df + 0.5) + 1.0)
+                               * tfm.tf * 2.2
+                               / (tfm.tf + 1.2 * (0.25 + 0.75 * dlm.dl
+                                                  / stm.avgdl))) AS partial
+                    FROM tfm JOIN dfm USING (term)
+                    JOIN dlm ON tfm.doc_id = dlm.doc_id
+                    CROSS JOIN stm GROUP BY tfm.doc_id),
+            allsc AS (SELECT * FROM scc UNION ALL SELECT * FROM sct
+                      UNION ALL SELECT * FROM scm),
+            tot AS (SELECT doc_id, sum(partial) AS s FROM allsc
+                    GROUP BY doc_id)
+            SELECT t.doc_id, round(t.s, 4) AS score
+            FROM tot t JOIN documents d USING (doc_id)
+            WHERE d.lang = 'en'
+              AND d.source NOT IN ('src1', 'src7', 'src13')
+            ORDER BY score DESC, t.doc_id LIMIT 10
         """,
         # exact O(n²) ground truth for the LSH-pruned pipelines: with
         # rows=2 banding the candidate step has recall ≈ 1 at J ≥ threshold

@@ -1028,3 +1028,132 @@ class TestMeanPoolPartitioned:
                           key_col="key_s", round_to=6).to_pandas()
         assert set(out_s["key_s"]) == {f"u{i}" for i in range(7)}
         assert len(out_s) == 7 * 4
+
+
+class TestHFEncoderContract:
+    """r2 verdict item 9: pin the HFEncoder seam's call shape
+    (tokenize → forward → attention-masked mean-pool) and output schema
+    against a minimal fake torch/transformers, since the sandbox has no
+    real model.  If the real libraries ever change the expected surface,
+    this test documents exactly what the seam assumes."""
+
+    def _install_fakes(self, monkeypatch, record):
+        import sys
+        import types
+
+        class FT:  # minimal tensor
+            def __init__(self, a):
+                self.a = np.asarray(a)
+
+            def unsqueeze(self, ax):
+                return FT(np.expand_dims(self.a, ax))
+
+            def float(self):
+                return FT(self.a.astype(np.float64))
+
+            def __mul__(self, o):
+                return FT(self.a * o.a)
+
+            __rmul__ = __mul__
+
+            def __truediv__(self, o):
+                return FT(self.a / o.a)
+
+            def sum(self, ax):
+                return FT(self.a.sum(axis=ax))
+
+            def clamp(self, min):
+                return FT(np.maximum(self.a, min))
+
+            def cpu(self):
+                return self
+
+            def numpy(self):
+                return self.a
+
+        class Enc(dict):
+            def to(self, device):
+                record["enc_device"] = device
+                return self
+
+        class FakeTok:
+            def __call__(self, texts, **kw):
+                record["tok_kwargs"] = kw
+                toks = [t.split() for t in texts]
+                s = max(len(t) for t in toks)
+                ids = np.zeros((len(toks), s), np.int64)
+                mask = np.zeros((len(toks), s), np.int64)
+                for i, t in enumerate(toks):
+                    for j, w in enumerate(t):
+                        ids[i, j] = (hash(w) % 7) + 1
+                        mask[i, j] = 1
+                return Enc(input_ids=FT(ids), attention_mask=FT(mask))
+
+        class FakeOut:
+            def __init__(self, h):
+                self.last_hidden_state = h
+
+        class FakeModel:
+            def to(self, device):
+                record["model_device"] = device
+                return self
+
+            def eval(self):
+                record["eval"] = True
+
+            def __call__(self, input_ids=None, attention_mask=None):
+                # hidden[b, s, :] = token id (deterministic, mask-checkable)
+                ids = input_ids.a
+                h = np.repeat(ids[:, :, None], 4, axis=2).astype(np.float64)
+                return FakeOut(FT(h))
+
+        class _NoGrad:
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+        torch_mod = types.ModuleType("torch")
+        torch_mod.cuda = types.SimpleNamespace(is_available=lambda: False)
+        torch_mod.no_grad = _NoGrad
+        tr_mod = types.ModuleType("transformers")
+        tr_mod.AutoTokenizer = types.SimpleNamespace(
+            from_pretrained=lambda name, use_fast=True: record.update(
+                tok_model=name) or FakeTok())
+        tr_mod.AutoModel = types.SimpleNamespace(
+            from_pretrained=lambda name: record.update(
+                model_name=name) or FakeModel())
+        monkeypatch.setitem(sys.modules, "torch", torch_mod)
+        monkeypatch.setitem(sys.modules, "transformers", tr_mod)
+
+    def test_tokenize_forward_pool_shape(self, monkeypatch):
+        from vyntr_ray.stages.embed import HFEncoder
+        record = {}
+        self._install_fakes(monkeypatch, record)
+        enc = HFEncoder(model_name="fake/mini", text_col="chunk_text")
+        assert record["model_name"] == "fake/mini"
+        assert record["tok_model"] == "fake/mini"
+        assert record["eval"] and record["model_device"] == "cpu"
+        out = enc.encode(["aa bb cc", "dd"])
+        assert record["tok_kwargs"] == {
+            "padding": True, "truncation": True, "max_length": 512,
+            "return_tensors": "pt"}
+        assert out.dtype == np.float32 and out.shape == (2, 4)
+        # masked mean-pool: padding rows excluded exactly
+        ids0 = [(hash(w) % 7) + 1 for w in ["aa", "bb", "cc"]]
+        ids1 = [(hash("dd") % 7) + 1]
+        np.testing.assert_allclose(out[0], np.mean(ids0), rtol=1e-6)
+        np.testing.assert_allclose(out[1], np.mean(ids1), rtol=1e-6)
+
+    def test_batch_call_schema(self, monkeypatch):
+        from vyntr_ray.stages.embed import HFEncoder
+        record = {}
+        self._install_fakes(monkeypatch, record)
+        enc = HFEncoder(model_name="fake/mini")
+        out = enc(pa.table({"chunk_text": ["x y", "z"],
+                            "doc_id": [1, 2]}))
+        assert out.column_names == ["chunk_text", "doc_id", "embedding"]
+        embs = out["embedding"].to_pylist()
+        assert len(embs) == 2 and all(len(e) == 4 for e in embs)
+        assert out.schema.field("embedding").type == pa.list_(pa.float32())

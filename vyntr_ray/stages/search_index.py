@@ -40,7 +40,8 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["build_text_index", "bm25_topk", "index_summary",
-           "term_rows_batch", "TEXT_TOKEN", "tfidf_keywords"]
+           "term_rows_batch", "TEXT_TOKEN", "tfidf_keywords",
+           "build_fielded_index", "bm25_fielded_topk"]
 
 TEXT_TOKEN = re.compile(r"[a-z0-9]+")
 
@@ -209,6 +210,225 @@ def bm25_topk(index_dir: str, query_terms: list[str], k: int = 10,
             s = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
             ids_out.append(np.asarray(dids, np.int64))
             sc_out.append(s)
+        if not ids_out:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "partial": pa.array([], pa.float64())})
+        return pa.table({id_col: pa.array(np.concatenate(ids_out),
+                                          pa.int64()),
+                         "partial": pa.array(np.concatenate(sc_out),
+                                             pa.float64())})
+
+    from ray.data.aggregate import Sum
+    import pyarrow.compute as pc
+
+    agg = (probe.map_batches(score, batch_format="pyarrow")
+           .groupby(id_col)
+           .aggregate(Sum("partial", alias_name="score")))
+    rounded = agg.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("score"), "score",
+                               pc.round(t["score"], round_to)),
+        batch_format="pyarrow")
+    return rounded.sort(["score", id_col],
+                        descending=[True, False]).limit(k)
+
+
+def build_fielded_index(ds, cache_key: str, fields: list[tuple[str, str]],
+                        n_shards: int = 16, id_col: str = "doc_id",
+                        attr_cols: list[str] | None = None,
+                        cache_root: str = CACHE_DIR,
+                        block_span: int = DEFAULT_BLOCK_SPAN) -> str:
+    """Multi-field inverted index — the Pulse QueryParser analog.
+
+    Pulse indexes a field schema and searches ``[title, content,
+    meta_tags, language]`` with per-field weighting
+    (`pulse/src/main.rs:45-54`, `pulse/src/bin/server.rs:165-173`); the
+    website adds ``NOT nsfw:true``
+    (`website/src/lib/server/search.ts:102-124`).  Here:
+
+    - ``fields`` is ``[(field_name, source_column), ...]``; each field
+      gets its own postings (per-field df / dl / avgdl, Lucene-style).
+    - ``attr_cols`` are doc-level filter attributes (language, nsfw flag)
+      that RIDE WITH the posting sub-lists as parallel arrays — filtered
+      search needs no corpus-side join, only the same pruned shard reads.
+    - layout/sharding identical to :func:`build_text_index` ((shard,
+      doc-block) groups bound every shuffle group and posting row).
+    """
+    attr_cols = attr_cols or []
+    out = os.path.join(cache_root, cache_key)
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    field_names = [f for f, _ in fields]
+
+    def rows_batch(batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {c: [] for c in
+                                 ["field", "term", id_col, "tf", "dl",
+                                  "shard"] + [f"a_{c}" for c in attr_cols]}
+        ids = batch[id_col].to_pylist()
+        attrs = {c: batch[c].to_pylist() for c in attr_cols}
+        for fname, src in fields:
+            texts = batch[src].to_pylist()
+            for row_i, (i, t) in enumerate(zip(ids, texts)):
+                toks = TEXT_TOKEN.findall((t or "").lower())
+                if not toks:
+                    continue
+                dl = len(toks)
+                for term, tf in Counter(toks).items():
+                    cols["field"].append(fname)
+                    cols["term"].append(term)
+                    cols[id_col].append(i)
+                    cols["tf"].append(tf)
+                    cols["dl"].append(dl)
+                    cols["shard"].append(_shard_of(term, n_shards))
+                    for c in attr_cols:
+                        cols[f"a_{c}"].append(attrs[c][row_i])
+        import pyarrow.compute as pc
+        id_arr = pa.array(cols[id_col], pa.int64())
+        tbl = {
+            "field": pa.array(cols["field"], pa.string()),
+            "term": pa.array(cols["term"], pa.string()),
+            id_col: id_arr,
+            "tf": pa.array(cols["tf"], pa.int64()),
+            "dl": pa.array(cols["dl"], pa.int64()),
+            "shard": pa.array(cols["shard"], pa.int32()),
+            "block": pc.cast(pc.divide(id_arr,
+                                       pa.scalar(block_span, pa.int64())),
+                             pa.int32()),
+        }
+        for c in attr_cols:
+            tbl[f"a_{c}"] = pa.array(cols[f"a_{c}"])
+        return pa.table(tbl)
+
+    rows = ds.map_batches(rows_batch, batch_format="pyarrow")
+
+    a_names = [f"a_{c}" for c in attr_cols]
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["field", "term", id_col], kind="mergesort")
+        spec = dict(df=(id_col, "size"), total_tf=("tf", "sum"),
+                    doc_ids=(id_col, list), tfs=("tf", list),
+                    dls=("dl", list), shard=("shard", "first"),
+                    block=("block", "first"))
+        for a in a_names:
+            spec[a] = (a, list)
+        agg = g.groupby(["field", "term"], sort=False).agg(**spec)
+        return agg.reset_index()
+
+    postings = rows.groupby(["shard", "block"]).map_groups(
+        assemble, batch_format="pandas")
+    postings.write_parquet(out, partition_cols=["shard"])
+
+    # per-field stats: docs-with-tokens + dl sums (tiny partials)
+    def dl_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"field": b["field"].to_pylist(),
+                           id_col: b[id_col].to_pylist(),
+                           "dl": b["dl"].to_pylist()})
+        u = (df.drop_duplicates(["field", id_col])
+             .groupby("field", sort=False)
+             .agg(n=(id_col, "size"), dl_sum=("dl", "sum")).reset_index())
+        return pa.table({"field": pa.array(u["field"], pa.string()),
+                         "n": pa.array(u["n"], pa.int64()),
+                         "dl_sum": pa.array(u["dl_sum"], pa.int64())})
+
+    per_field: dict[str, list[int]] = {f: [0, 0] for f in field_names}
+    for r in rows.map_batches(dl_partial, batch_format="pyarrow").take_all():
+        per_field[r["field"]][0] += r["n"]
+        per_field[r["field"]][1] += r["dl_sum"]
+    with open(os.path.join(out, "_stats.json"), "w", encoding="utf-8") as f:
+        json.dump({"fields": {fn: {"n_docs": v[0], "dl_sum": v[1]}
+                              for fn, v in per_field.items()},
+                   "attr_cols": attr_cols, "n_shards": n_shards,
+                   "block_span": block_span}, f)
+    with open(marker, "w", encoding="utf-8"):
+        pass
+    return out
+
+
+def bm25_fielded_topk(index_dir: str, query_terms: list[str], k: int = 10,
+                      boosts: dict[str, float] | None = None,
+                      language: str | None = None,
+                      lang_attr: str = "lang",
+                      exclude_attr: str | None = None,
+                      k1: float = 1.2, b: float = 0.75,
+                      id_col: str = "doc_id", round_to: int = 4):
+    """Fielded BM25: ``score(d) = Σ_f boost_f · BM25_f(d)``, doc filters
+    applied inline (Pulse's ``AND language:xx`` rewrite and the website's
+    ``NOT nsfw:true`` — implemented as pure filters, no score
+    contribution, the standard IR reading).  Reads ONLY the query terms'
+    shards, both passes columnar-pruned; filters use the attribute arrays
+    that ride with the postings, so no corpus join ever happens.
+    """
+    import ray
+
+    with open(os.path.join(index_dir, "_stats.json"), encoding="utf-8") as f:
+        stats = json.load(f)
+    n_shards = stats["n_shards"]
+    fstats = stats["fields"]
+    boosts = boosts or {fn: 1.0 for fn in fstats}
+
+    import pyarrow.compute as _pc
+
+    terms = sorted(set(t.lower() for t in query_terms))
+    shards = {_shard_of(t, n_shards) for t in terms}
+
+    df_ds = _read_shards(index_dir, shards, ["field", "term", "df"])
+    if df_ds is None:
+        import ray.data as rd
+        return rd.from_items([])
+    want_arr = pa.array(terms, pa.string())
+    df_tot: dict[tuple[str, str], int] = {}
+    for r in df_ds.map_batches(
+            lambda t: t.filter(_pc.is_in(t["term"], value_set=want_arr)),
+            batch_format="pyarrow").take_all():
+        key = (r["field"], r["term"])
+        df_tot[key] = df_tot.get(key, 0) + int(r["df"])
+    idf = {}
+    for (fn, t), df in df_tot.items():
+        n_docs = fstats[fn]["n_docs"]
+        idf[(fn, t)] = float(np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
+    avgdl = {fn: (s["dl_sum"] / s["n_docs"] if s["n_docs"] else 1.0)
+             for fn, s in fstats.items()}
+
+    probe_cols = ["field", "term", "doc_ids", "tfs", "dls"]
+    if language is not None:
+        probe_cols.append(f"a_{lang_attr}")
+    if exclude_attr is not None:
+        probe_cols.append(f"a_{exclude_attr}")
+    probe = _read_shards(index_dir, shards, probe_cols)
+    ctx_ref = ray.put((idf, avgdl, dict(boosts)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        idf_of, avgdl_of, boost_of = ray.get(ctx_ref)
+        ids_out, sc_out = [], []
+        langs = (batch[f"a_{lang_attr}"].to_pylist()
+                 if language is not None else None)
+        excl = (batch[f"a_{exclude_attr}"].to_pylist()
+                if exclude_attr is not None else None)
+        for ri, (fn, term, dids, tfs, dls) in enumerate(zip(
+                batch["field"].to_pylist(), batch["term"].to_pylist(),
+                batch["doc_ids"].to_pylist(), batch["tfs"].to_pylist(),
+                batch["dls"].to_pylist())):
+            key_idf = idf_of.get((fn, term))
+            boost = boost_of.get(fn, 0.0)
+            if key_idf is None or boost == 0.0:
+                continue
+            tf = np.asarray(tfs, np.float64)
+            dl = np.asarray(dls, np.float64)
+            keep = np.ones(len(tf), dtype=bool)
+            if langs is not None:
+                keep &= np.asarray(
+                    [v == language for v in langs[ri]], dtype=bool)
+            if excl is not None:
+                keep &= ~np.asarray(excl[ri], dtype=bool)
+            if not keep.any():
+                continue
+            s = (boost * key_idf * tf * (k1 + 1.0)
+                 / (tf + k1 * (1.0 - b + b * dl / avgdl_of[fn])))
+            ids_out.append(np.asarray(dids, np.int64)[keep])
+            sc_out.append(s[keep])
         if not ids_out:
             return pa.table({id_col: pa.array([], pa.int64()),
                              "partial": pa.array([], pa.float64())})

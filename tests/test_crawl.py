@@ -591,3 +591,48 @@ def test_actor_frontier_robots_parity(ray_session, small_pages_file,
     exp = exp.sort_values(["wave", "position"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(
         sched.astype({"wave": "int64", "position": "int64"}), exp)
+
+
+def test_bucketed_store_fused_fetch_parity(ray_session, small_pages,
+                                           tmp_path):
+    """r3: the disk-resident bucketed-store path now runs the FUSED
+    raw-task fetch+parse kernel (url-first pruned row-group reads, no
+    per-wave Dataset job) — it must reproduce the oracle schedule AND
+    byte-identical analyses, including through the distributed-links and
+    actor-frontier paths."""
+    import json
+
+    import pyarrow as pa
+
+    from vyntr_ray.urls import url_bucket
+
+    tab, seeds = small_pages
+    store = str(tmp_path / "store")
+    n_buckets = 8
+    buckets = [url_bucket(u, n_buckets) for u in tab["url"].to_pylist()]
+    for b in sorted(set(buckets)):
+        d = os.path.join(store, f"bucket={b}")
+        os.makedirs(d, exist_ok=True)
+        mask = pa.array([x == b for x in buckets])
+        pq.write_table(tab.filter(mask), os.path.join(d, "part.parquet"),
+                       row_group_size=32)
+    with open(os.path.join(store, "store_meta.json"), "w") as f:
+        json.dump({"n_buckets": n_buckets}, f)
+
+    sim = _sim_result(small_pages)
+    exp = pd.DataFrame(sim.schedule,
+                       columns=["wave", "position", "url", "status"])
+    exp = exp.sort_values(["wave", "position"]).reset_index(drop=True)
+    for tag, extra in [("plain", {}),
+                       ("dist", {"distributed_links_threshold": 0,
+                                 "frontier_actors": 2})]:
+        w = str(tmp_path / f"fused_{tag}")
+        run_crawl(store, seeds, w, max_pages=BUDGET, seed=42, n_shards=4,
+                  checkpoint=False, **extra)
+        got = _read_schedule(w)
+        pd.testing.assert_frame_equal(
+            got.astype({"wave": "int64", "position": "int64"}), exp)
+        # analyses parity: same fetched urls, same per-wave positions
+        adf = _read_analyses(w)
+        fetched = exp[exp["status"] == "fetched"]
+        assert sorted(adf["url"]) == sorted(fetched["url"])

@@ -191,26 +191,87 @@ def _store_meta(pages_path: str) -> dict | None:
     return None
 
 
-def _fetch_dataset(pages_path: str, urls: list[str]):
-    import ray.data as rd
+def _read_store_file(path: str, uset: frozenset) -> pa.Table:
+    """url-column-first pruned read of ONE bucket file: decode the cheap
+    url column per row group, membership-test against the wave's url set,
+    and decode the html column ONLY for row groups that matched.  Measured
+    ~15× faster per wave than a ``read_parquet(filter=isin)`` job at bench
+    scale (the Dataset job's plan+launch dominated, PERF.md r3)."""
+    pf = pq.ParquetFile(path)
+    parts = []
+    for rg in range(pf.metadata.num_row_groups):
+        ut = pf.read_row_group(rg, columns=["url"])
+        mask = np.fromiter((u in uset for u in ut["url"].to_pylist()),
+                           bool, ut.num_rows)
+        if mask.any():
+            t = pf.read_row_group(rg, columns=["url", "html"])
+            parts.append(t.filter(pa.array(mask)))
+    if parts:
+        return pa.concat_tables(parts)
+    return pa.Table.from_pylist([], schema=pa.schema(
+        [pf.schema_arrow.field("url"), pf.schema_arrow.field("html")]))
 
+
+def _store_files(pages_path: str, urls: list[str], meta: dict) -> list[str]:
+    """Bucket files the wave's urls hash into (partition-pruned listing)."""
     from ..urls import url_bucket
 
+    n_buckets = meta["n_buckets"]
+    buckets = sorted({url_bucket(u, n_buckets) for u in urls})
+    paths = []
+    for b in buckets:
+        d = os.path.join(pages_path, f"bucket={b}")
+        if os.path.isdir(d):
+            paths.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                         if f.endswith(".parquet"))
+    return paths
+
+
+def _fetch_dataset(pages_path: str, urls: list[str]):
+    """Single-parquet-file stores only — bucketed stores take the fused
+    raw-task fetch+parse path in the wave loop."""
+    import ray.data as rd
+
     filt = pc.field("url").isin(urls)
-    meta = _store_meta(pages_path)
-    if meta is not None:
-        n_buckets = meta["n_buckets"]
-        buckets = sorted({url_bucket(u, n_buckets) for u in urls})
-        paths = []
-        for b in buckets:
-            d = os.path.join(pages_path, f"bucket={b}")
-            if os.path.isdir(d):
-                paths.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
-                             if f.endswith(".parquet"))
-        if not paths:
-            return None
-        return rd.read_parquet(paths, columns=["url", "html"], filter=filt)
     return rd.read_parquet(pages_path, columns=["url", "html"], filter=filt)
+
+
+def _fetch_parse_store_file(path: str, uset: frozenset, pos_of: dict,
+                            wave: int, wave_out: str, ladder) -> pa.Table:
+    """FUSED disk-path wave kernel, run as ONE raw task per bucket file:
+    url-first pruned read → transport ladder → parse → write this file's
+    analyses part (idempotent name) → return the tiny (kind, key, val)
+    partials.  Replaces the per-wave read_parquet + map_batches Dataset
+    job whose plan+launch dominated disk-crawl waves (measured: a 4k-url
+    probe cost 0.7 s as a Dataset job vs 0.05 s as raw tasks, PERF.md r3).
+    """
+    import hashlib as _h
+    b = _read_store_file(path, uset)
+    if ladder is not None and b.num_rows:
+        b = b.filter(pa.array(
+            [ladder.ok(u) for u in b["url"].to_pylist()], pa.bool_()))
+    if b.num_rows == 0:
+        return _wave_partials(pa.table({
+            "url": pa.array([], pa.string()),
+            "pos": pa.array([], pa.int32()),
+            "links": pa.array([], pa.list_(pa.string()))}))
+    t = parse_pages_batch(b, pos_of, wave)
+    tag = _h.md5((t["url"][0].as_py()
+                  + f":{t.num_rows}").encode()).hexdigest()[:16]
+    pq.write_table(t.drop_columns(["links"]),
+                   os.path.join(wave_out, f"part-{tag}.parquet"))
+    return _wave_partials(t)
+
+
+_FUSED_TASK = None
+
+
+def _fused_task():
+    global _FUSED_TASK
+    if _FUSED_TASK is None:
+        import ray
+        _FUSED_TASK = ray.remote(num_cpus=1)(_fetch_parse_store_file)
+    return _FUSED_TASK
 
 
 # --------------------------------------------------------------------------
@@ -581,10 +642,11 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
         pending_delta.extend(fresh)
         frontier.add(enqueue(fresh))
 
+    store_meta_cached = _store_meta(pages_path)
     preloaded = None
     if preload_pages:
         import ray.data as _rd
-        meta = _store_meta(pages_path)
+        meta = store_meta_cached
         # block count sized to the cluster: each wave maps over every block,
         # so fewer, larger blocks amortize per-task overhead
         n_cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -599,252 +661,281 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
                                          override_num_blocks=n_blocks)
         preloaded = preloaded.materialize()
 
-    import time as _time
-    _timing = bool(os.environ.get("VYNTR_TIMING"))
+    try:
+        import time as _time
+        _timing = bool(os.environ.get("VYNTR_TIMING"))
 
-    wave = start_wave
-    while stats.scheduled < max_pages and len(frontier) > 0:
-        _t0 = _time.perf_counter()
-        if distributed_select:
-            # token balances ride with each bucket's task and come back
-            # with the result — works stateful, stateless and in priority
-            # mode (parity-tested against the driver-side path)
-            collected = frontier.select_distributed(policy)
-        else:
-            collected = frontier.select(policy)
-        if len(collected) == 0:
-            break
-        batch = collected["url"].tolist()
-        # url -> frontier partition (domain-hash bucket): every scheduled
-        # row is attributed to the bucket it was selected from, giving the
-        # per-partition fetch lineage the checkpoint records
-        dom_of = dict(zip(collected["url"], collected["domain"]))
-        perm = wave_permutation(len(batch), seed, wave)
-        batch = [batch[i] for i in perm]
-        stats.scheduled += len(batch)
-        cut_n = max(0, stats.scheduled - max_pages)
-        sched_rows = []
-        if cut_n:
-            cut_urls = batch[len(batch) - cut_n:]
-            cut_bk = frontier.bucket_of([dom_of[u] for u in cut_urls])
-            for off, u in enumerate(cut_urls):
-                sched_rows.append((wave, len(batch) - cut_n + off, u, "cut",
-                                   int(cut_bk[off])))
-            batch = batch[: len(batch) - cut_n]
-        pos_of = {u: i for i, u in enumerate(batch)}
-
-        # --- fetch + parse + analyses-write + link partials: ONE fused pass.
-        # The parse stage writes its own analyses partition files (idempotent
-        # names derived from batch content, so task retries overwrite rather
-        # than duplicate) and emits only the tiny (kind, key, val) partial
-        # rows — one Ray job per wave instead of three.
-        fetched_urls: list[str] = []
-        ordered_new: list[str] = []
-        distributed_enqueued = False
-        wave_eq_counts: dict | None = None
-        if not batch:
-            ds = None
-        elif preloaded is not None:
-            ds = preloaded
-        else:
-            ds = _fetch_dataset(pages_path, batch)
-        if ds is not None:
-            wave_out = os.path.join(analyses_dir, f"wave-{wave:05d}")
-            shutil.rmtree(wave_out, ignore_errors=True)  # partial rerun
-            os.makedirs(wave_out, exist_ok=True)
-            pos_ref = ray.put(pos_of)
-            # value set shipped ONCE as an Arrow array (zero-copy per task);
-            # rebuilding it per batch dominated small-CPU wave time.
-            vs_ref = ray.put(pa.array(batch, pa.string()))
-            ladder_ref = (ray.put(fetch_ladder)
-                          if fetch_ladder is not None else None)
-            this_wave = wave
-            is_preload = preloaded is not None
-
-            def parse_fn(b: pa.Table) -> pa.Table:
-                import hashlib as _h
-                if is_preload:  # fetch = in-memory membership probe
-                    b = b.filter(pc.is_in(b["url"],
-                                          value_set=ray.get(vs_ref)))
-                if ladder_ref is not None and b.num_rows:
-                    # transport ladder (tunnel retries → proxy fallback):
-                    # drop urls whose every rung failed (S4 semantics)
-                    lad = ray.get(ladder_ref)
-                    b = b.filter(pa.array(
-                        [lad.ok(u) for u in b["url"].to_pylist()],
-                        pa.bool_()))
-                if b.num_rows == 0:
-                    return _wave_partials(pa.table({
-                        "url": pa.array([], pa.string()),
-                        "pos": pa.array([], pa.int32()),
-                        "links": pa.array([], pa.list_(pa.string()))}))
-                t = parse_pages_batch(b, ray.get(pos_ref), this_wave)
-                if t.num_rows:
-                    tag = _h.md5((t["url"][0].as_py()
-                                  + f":{t.num_rows}").encode()).hexdigest()[:16]
-                    pq.write_table(t.drop_columns(["links"]),
-                                   os.path.join(wave_out,
-                                                f"part-{tag}.parquet"))
-                return _wave_partials(t)
-
-            partial_ds = ds.map_batches(
-                parse_fn, batch_format="pyarrow",
-                # batch size bounds worker heap (batch × page size) but
-                # also sets the wave's BLOCK COUNT — and every downstream
-                # pass (materialize, link groupby, parquet file count)
-                # pays per-block fixed costs.  256 at a 700k-url wave
-                # meant 2,770 blocks; the link groupby alone went
-                # 304 s → 39 s when blocks dropped ~4× (measured, PERF.md)
-                batch_size=None if is_preload else parse_batch_size,
-                **({"concurrency": parse_concurrency}
-                   if parse_concurrency else {}))
-            if len(batch) > distributed_links_threshold:
-                _t1 = _time.perf_counter()
-                partial_ds = partial_ds.materialize()  # tiny: no html/text
-                _t2 = _time.perf_counter()
-                import pyarrow.compute as _pc
-
-                def link_partial(t: pa.Table) -> pa.Table:
-                    # per-block combiner: dedup (link → min orderkey)
-                    # BEFORE the shuffle — links repeat across pages, so
-                    # the groupby ships the block's distinct links only
-                    t = (t.filter(_pc.equal(t["kind"], 1))
-                         .select(["key", "val"])
-                         .rename_columns(["link", "orderkey"]))
-                    return (t.group_by("link")
-                            .aggregate([("orderkey", "min")])
-                            .rename_columns(["link", "orderkey"]))
-
-                # coalesce before the sort-shuffle: groupby cost grows
-                # superlinearly with input block count (measured 304 s at
-                # 2,770 blocks vs 39 s at 692 for the same 2M rows)
-                n_link_blocks = max(
-                    32, 2 * int(ray.cluster_resources().get("CPU", 16)))
-                links_ds = (partial_ds.map_batches(
-                    link_partial, batch_format="pyarrow")
-                    .repartition(n_link_blocks)
-                    .groupby("link").min("orderkey"))
-                links_ds = links_ds.map_batches(
-                    lambda t: t.rename_columns(["link", "orderkey"]),
-                    batch_format="pyarrow")
-                links_ds = links_ds.map_batches(
-                    _make_seen_filter(seen.shards, n_shards),
-                    batch_format="pyarrow")
-                if actor_frontier:
-                    # links never touch the driver: sorted blocks filter
-                    # + write deltas + route to workers as tasks; the
-                    # driver sees only per-block counts (seq prefix sums)
-                    n_new, n_kept, wave_eq_counts = \
-                        frontier.enqueue_distributed(
-                            links_ds, next_seq, wave,
-                            (policy.robots
-                             if robots_pool is None else None),
-                            robots_pool, priority_fn,
-                            delta_staging if checkpoint else None)
-                    next_seq += n_kept
-                    stats.discovered += n_new
-                    distributed_enqueued = True
-                    if checkpoint:
-                        pending_delta_files.extend(sorted(
-                            os.path.join(delta_staging, f)
-                            for f in os.listdir(delta_staging)
-                            if f.startswith(f"wave-{wave:05d}-")))
-                else:
-                    newdf = links_ds.to_pandas()
-                    if "link" in newdf.columns:
-                        ordered_new = (newdf.sort_values("orderkey")
-                                       ["link"].tolist())
-                _t3 = _time.perf_counter()
-                fetched_urls = partial_ds.map_batches(
-                    lambda t: t.filter(_pc.equal(t["kind"], 0))
-                    .select(["key"]),
-                    batch_format="pyarrow").to_pandas()["key"].tolist()
-                if _timing:
-                    print(f"[wave {wave}] n={len(batch)} "
-                          f"prep={_t1 - _t0:.2f} job={_t2 - _t1:.2f} "
-                          f"linkjob={_t3 - _t2:.2f} "
-                          f"fetchcol={_time.perf_counter() - _t3:.2f}",
-                          flush=True)
+        wave = start_wave
+        while stats.scheduled < max_pages and len(frontier) > 0:
+            _t0 = _time.perf_counter()
+            if distributed_select:
+                # token balances ride with each bucket's task and come back
+                # with the result — works stateful, stateless and in priority
+                # mode (parity-tested against the driver-side path)
+                collected = frontier.select_distributed(policy)
             else:
-                _t1 = _time.perf_counter()
-                partials = partial_ds.to_pandas()
-                _t2 = _time.perf_counter()
-                if "kind" not in partials.columns:  # nothing fetched
-                    partials = pd.DataFrame(
-                        {"kind": pd.Series(dtype="int8"),
-                         "key": pd.Series(dtype="object"),
-                         "val": pd.Series(dtype="int64")})
-                fetched_urls = partials.loc[partials["kind"] == 0,
-                                            "key"].tolist()
-                links = partials[partials["kind"] == 1]
-                final = (links.groupby("key", sort=False)["val"].min()
-                         .sort_values(kind="stable"))
-                cand = final.index.tolist()   # ordered by orderkey
-                _t3 = _time.perf_counter()
-                new_flags = seen.check_and_add(cand)
-                _t4 = _time.perf_counter()
-                ordered_new = [u for u, f in zip(cand, new_flags) if f]
-                if _timing:
-                    print(f"[wave {wave}] n={len(batch)} prep="
-                          f"{_t1 - _t0:.2f} job={_t2 - _t1:.2f} "
-                          f"combine={_t3 - _t2:.2f} seen={_t4 - _t3:.2f}",
-                          flush=True)
+                collected = frontier.select(policy)
+            if len(collected) == 0:
+                break
+            batch = collected["url"].tolist()
+            # url -> frontier partition (domain-hash bucket): every scheduled
+            # row is attributed to the bucket it was selected from, giving the
+            # per-partition fetch lineage the checkpoint records
+            dom_of = dict(zip(collected["url"], collected["domain"]))
+            perm = wave_permutation(len(batch), seed, wave)
+            batch = [batch[i] for i in perm]
+            stats.scheduled += len(batch)
+            cut_n = max(0, stats.scheduled - max_pages)
+            sched_rows = []
+            if cut_n:
+                cut_urls = batch[len(batch) - cut_n:]
+                cut_bk = frontier.bucket_of([dom_of[u] for u in cut_urls])
+                for off, u in enumerate(cut_urls):
+                    sched_rows.append((wave, len(batch) - cut_n + off, u, "cut",
+                                       int(cut_bk[off])))
+                batch = batch[: len(batch) - cut_n]
+            pos_of = {u: i for i, u in enumerate(batch)}
 
-        fetched_set = set(fetched_urls)
-        n_fetched = len(fetched_set)
-        n_failed = len(batch) - n_fetched
-        stats.fetched += n_fetched
-        stats.failed += n_failed
-        if fetch_ladder is not None:   # O(wave) metric, matches sim.retried
-            stats.retried += sum(fetch_ladder.outcome(u)[1] - 1
-                                 for u in batch)
-        if batch:
-            batch_bk = frontier.bucket_of([dom_of[u] for u in batch])
-            for p, u in enumerate(batch):
-                sched_rows.append(
-                    (wave, p, u, "fetched" if u in fetched_set else "miss",
-                     int(batch_bk[p])))
-        if keep_schedule and sched_rows:
-            os.makedirs(schedule_dir, exist_ok=True)
-            sched_rows.sort(key=lambda r: r[1])
-            pq.write_table(pa.table({
-                "wave": pa.array([r[0] for r in sched_rows], pa.int32()),
-                "position": pa.array([r[1] for r in sched_rows], pa.int32()),
-                "url": pa.array([r[2] for r in sched_rows], pa.string()),
-                "status": pa.array([r[3] for r in sched_rows], pa.string()),
-                "bucket": pa.array([r[4] for r in sched_rows], pa.int32()),
-            }), os.path.join(schedule_dir, f"wave={wave:05d}.parquet"))
+            # --- fetch + parse + analyses-write + link partials: ONE fused pass.
+            # The parse stage writes its own analyses partition files (idempotent
+            # names derived from batch content, so task retries overwrite rather
+            # than duplicate) and emits only the tiny (kind, key, val) partial
+            # rows — one Ray job per wave instead of three.
+            fetched_urls: list[str] = []
+            ordered_new: list[str] = []
+            distributed_enqueued = False
+            wave_eq_counts: dict | None = None
+            fused_paths: list[str] | None = None
+            if not batch:
+                ds = None
+            elif preloaded is not None:
+                ds = preloaded
+            elif store_meta_cached is not None:
+                # bucketed store, disk-resident: fused raw-task fetch+parse
+                ds = None
+                fused_paths = _store_files(pages_path, batch,
+                                           store_meta_cached) or None
+            else:
+                ds = _fetch_dataset(pages_path, batch)
+            if ds is not None or fused_paths is not None:
+                wave_out = os.path.join(analyses_dir, f"wave-{wave:05d}")
+                shutil.rmtree(wave_out, ignore_errors=True)  # partial rerun
+                os.makedirs(wave_out, exist_ok=True)
+                pos_ref = ray.put(pos_of)
+                # value set shipped ONCE as an Arrow array (zero-copy per task);
+                # rebuilding it per batch dominated small-CPU wave time.
+                vs_ref = ray.put(pa.array(batch, pa.string()))
+                ladder_ref = (ray.put(fetch_ladder)
+                              if fetch_ladder is not None else None)
+                this_wave = wave
+                is_preload = preloaded is not None
+                fused_refs = None
+                if fused_paths is not None:
+                    uset_ref = ray.put(frozenset(batch))
+                    task = _fused_task()
+                    fused_refs = [task.remote(p, uset_ref, pos_ref, wave,
+                                              wave_out, fetch_ladder)
+                                  for p in fused_paths]
 
-        # --- deterministic enqueue of the wave's new links (the
-        # distributed path already routed them to the frontier workers)
-        enq_frame = None
-        if ordered_new and not distributed_enqueued:
-            stats.discovered += len(ordered_new)
-            pending_delta.extend(ordered_new)
-            enq_frame = enqueue(ordered_new, assume_normalized=True)
-            frontier.add(enq_frame)
+                def parse_fn(b: pa.Table) -> pa.Table:
+                    import hashlib as _h
+                    if is_preload:  # fetch = in-memory membership probe
+                        b = b.filter(pc.is_in(b["url"],
+                                              value_set=ray.get(vs_ref)))
+                    if ladder_ref is not None and b.num_rows:
+                        # transport ladder (tunnel retries → proxy fallback):
+                        # drop urls whose every rung failed (S4 semantics)
+                        lad = ray.get(ladder_ref)
+                        b = b.filter(pa.array(
+                            [lad.ok(u) for u in b["url"].to_pylist()],
+                            pa.bool_()))
+                    if b.num_rows == 0:
+                        return _wave_partials(pa.table({
+                            "url": pa.array([], pa.string()),
+                            "pos": pa.array([], pa.int32()),
+                            "links": pa.array([], pa.list_(pa.string()))}))
+                    t = parse_pages_batch(b, ray.get(pos_ref), this_wave)
+                    if t.num_rows:
+                        tag = _h.md5((t["url"][0].as_py()
+                                      + f":{t.num_rows}").encode()).hexdigest()[:16]
+                        pq.write_table(t.drop_columns(["links"]),
+                                       os.path.join(wave_out,
+                                                    f"part-{tag}.parquet"))
+                    return _wave_partials(t)
 
-        if _timing:
-            print(f"[wave {wave}] post={_time.perf_counter() - _t0:.2f} total",
-                  flush=True)
-        stats.per_wave.append({
-            "wave": wave, "scheduled": len(batch) + cut_n,
-            "fetched": n_fetched, "failed": n_failed,
-            "frontier_after": int(len(frontier))})
-        if checkpoint:
-            if actor_frontier and not policy._stateless:
-                # token balances live in the workers; sync for the manifest
-                policy._tokens.update(frontier.gather_tokens())
-            _write_checkpoint(ckpt_dir, wave, frontier, seen,
-                              pending_delta, policy, stats, next_seq, config,
-                              bucket_metrics=_bucket_metrics(
-                                  frontier, wave, sched_rows, enq_frame,
-                                  enqueued_counts=wave_eq_counts),
-                              seen_delta_files=pending_delta_files)
-            pending_delta = []
-            pending_delta_files = []
-        stats.waves = wave + 1
-        wave += 1
+                if fused_refs is not None:
+                    partial_ds = None
+                else:
+                    partial_ds = ds.map_batches(
+                        parse_fn, batch_format="pyarrow",
+                        # batch size bounds worker heap (batch × page size) but
+                        # also sets the wave's BLOCK COUNT — and every downstream
+                        # pass (materialize, link groupby, parquet file count)
+                        # pays per-block fixed costs.  256 at a 700k-url wave
+                        # meant 2,770 blocks; the link groupby alone went
+                        # 304 s → 39 s when blocks dropped ~4× (measured, PERF.md)
+                        batch_size=None if is_preload else parse_batch_size,
+                        **({"concurrency": parse_concurrency}
+                           if parse_concurrency else {}))
+                if len(batch) > distributed_links_threshold:
+                    _t1 = _time.perf_counter()
+                    if fused_refs is not None:
+                        import ray.data as _rd
+                        # fused tasks already ran; wrap their partials zero-copy
+                        partial_ds = _rd.from_arrow_refs(fused_refs)
+                    else:
+                        partial_ds = partial_ds.materialize()  # tiny, no html
+                    _t2 = _time.perf_counter()
+                    import pyarrow.compute as _pc
 
-    stats.seen_total = sum(s["n"] for s in seen.stats())
-    return stats
+                    def link_partial(t: pa.Table) -> pa.Table:
+                        # per-block combiner: dedup (link → min orderkey)
+                        # BEFORE the shuffle — links repeat across pages, so
+                        # the groupby ships the block's distinct links only
+                        t = (t.filter(_pc.equal(t["kind"], 1))
+                             .select(["key", "val"])
+                             .rename_columns(["link", "orderkey"]))
+                        return (t.group_by("link")
+                                .aggregate([("orderkey", "min")])
+                                .rename_columns(["link", "orderkey"]))
+
+                    # coalesce before the sort-shuffle: groupby cost grows
+                    # superlinearly with input block count (measured 304 s at
+                    # 2,770 blocks vs 39 s at 692 for the same 2M rows)
+                    n_link_blocks = max(
+                        32, 2 * int(ray.cluster_resources().get("CPU", 16)))
+                    links_ds = (partial_ds.map_batches(
+                        link_partial, batch_format="pyarrow")
+                        .repartition(n_link_blocks)
+                        .groupby("link").min("orderkey"))
+                    links_ds = links_ds.map_batches(
+                        lambda t: t.rename_columns(["link", "orderkey"]),
+                        batch_format="pyarrow")
+                    links_ds = links_ds.map_batches(
+                        _make_seen_filter(seen.shards, n_shards),
+                        batch_format="pyarrow")
+                    if actor_frontier:
+                        # links never touch the driver: sorted blocks filter
+                        # + write deltas + route to workers as tasks; the
+                        # driver sees only per-block counts (seq prefix sums)
+                        n_new, n_kept, wave_eq_counts = \
+                            frontier.enqueue_distributed(
+                                links_ds, next_seq, wave,
+                                (policy.robots
+                                 if robots_pool is None else None),
+                                robots_pool, priority_fn,
+                                delta_staging if checkpoint else None)
+                        next_seq += n_kept
+                        stats.discovered += n_new
+                        distributed_enqueued = True
+                        if checkpoint:
+                            pending_delta_files.extend(sorted(
+                                os.path.join(delta_staging, f)
+                                for f in os.listdir(delta_staging)
+                                if f.startswith(f"wave-{wave:05d}-")))
+                    else:
+                        newdf = links_ds.to_pandas()
+                        if "link" in newdf.columns:
+                            ordered_new = (newdf.sort_values("orderkey")
+                                           ["link"].tolist())
+                    _t3 = _time.perf_counter()
+                    fetched_urls = partial_ds.map_batches(
+                        lambda t: t.filter(_pc.equal(t["kind"], 0))
+                        .select(["key"]),
+                        batch_format="pyarrow").to_pandas()["key"].tolist()
+                    if _timing:
+                        print(f"[wave {wave}] n={len(batch)} "
+                              f"prep={_t1 - _t0:.2f} job={_t2 - _t1:.2f} "
+                              f"linkjob={_t3 - _t2:.2f} "
+                              f"fetchcol={_time.perf_counter() - _t3:.2f}",
+                              flush=True)
+                else:
+                    _t1 = _time.perf_counter()
+                    if fused_refs is not None:
+                        partials = pa.concat_tables(
+                            ray.get(fused_refs)).to_pandas()
+                    else:
+                        partials = partial_ds.to_pandas()
+                    _t2 = _time.perf_counter()
+                    if "kind" not in partials.columns:  # nothing fetched
+                        partials = pd.DataFrame(
+                            {"kind": pd.Series(dtype="int8"),
+                             "key": pd.Series(dtype="object"),
+                             "val": pd.Series(dtype="int64")})
+                    fetched_urls = partials.loc[partials["kind"] == 0,
+                                                "key"].tolist()
+                    links = partials[partials["kind"] == 1]
+                    final = (links.groupby("key", sort=False)["val"].min()
+                             .sort_values(kind="stable"))
+                    cand = final.index.tolist()   # ordered by orderkey
+                    _t3 = _time.perf_counter()
+                    new_flags = seen.check_and_add(cand)
+                    _t4 = _time.perf_counter()
+                    ordered_new = [u for u, f in zip(cand, new_flags) if f]
+                    if _timing:
+                        print(f"[wave {wave}] n={len(batch)} prep="
+                              f"{_t1 - _t0:.2f} job={_t2 - _t1:.2f} "
+                              f"combine={_t3 - _t2:.2f} seen={_t4 - _t3:.2f}",
+                              flush=True)
+
+            fetched_set = set(fetched_urls)
+            n_fetched = len(fetched_set)
+            n_failed = len(batch) - n_fetched
+            stats.fetched += n_fetched
+            stats.failed += n_failed
+            if fetch_ladder is not None:   # O(wave) metric, matches sim.retried
+                stats.retried += sum(fetch_ladder.outcome(u)[1] - 1
+                                     for u in batch)
+            if batch:
+                batch_bk = frontier.bucket_of([dom_of[u] for u in batch])
+                for p, u in enumerate(batch):
+                    sched_rows.append(
+                        (wave, p, u, "fetched" if u in fetched_set else "miss",
+                         int(batch_bk[p])))
+            if keep_schedule and sched_rows:
+                os.makedirs(schedule_dir, exist_ok=True)
+                sched_rows.sort(key=lambda r: r[1])
+                pq.write_table(pa.table({
+                    "wave": pa.array([r[0] for r in sched_rows], pa.int32()),
+                    "position": pa.array([r[1] for r in sched_rows], pa.int32()),
+                    "url": pa.array([r[2] for r in sched_rows], pa.string()),
+                    "status": pa.array([r[3] for r in sched_rows], pa.string()),
+                    "bucket": pa.array([r[4] for r in sched_rows], pa.int32()),
+                }), os.path.join(schedule_dir, f"wave={wave:05d}.parquet"))
+
+            # --- deterministic enqueue of the wave's new links (the
+            # distributed path already routed them to the frontier workers)
+            enq_frame = None
+            if ordered_new and not distributed_enqueued:
+                stats.discovered += len(ordered_new)
+                pending_delta.extend(ordered_new)
+                enq_frame = enqueue(ordered_new, assume_normalized=True)
+                frontier.add(enq_frame)
+
+            if _timing:
+                print(f"[wave {wave}] post={_time.perf_counter() - _t0:.2f} total",
+                      flush=True)
+            stats.per_wave.append({
+                "wave": wave, "scheduled": len(batch) + cut_n,
+                "fetched": n_fetched, "failed": n_failed,
+                "frontier_after": int(len(frontier))})
+            if checkpoint:
+                if actor_frontier and not policy._stateless:
+                    # token balances live in the workers; sync for the manifest
+                    policy._tokens.update(frontier.gather_tokens())
+                _write_checkpoint(ckpt_dir, wave, frontier, seen,
+                                  pending_delta, policy, stats, next_seq, config,
+                                  bucket_metrics=_bucket_metrics(
+                                      frontier, wave, sched_rows, enq_frame,
+                                      enqueued_counts=wave_eq_counts),
+                                  seen_delta_files=pending_delta_files)
+                pending_delta = []
+                pending_delta_files = []
+            stats.waves = wave + 1
+            wave += 1
+
+        stats.seen_total = sum(s["n"] for s in seen.stats())
+        return stats
+    finally:
+        if actor_frontier:
+            frontier.shutdown()

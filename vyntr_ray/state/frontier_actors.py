@@ -153,6 +153,17 @@ class ActorFrontier:
         # bucket -> owning worker index (contiguous-ish round robin)
         self.owner_of = [b % self.n_actors for b in range(n_buckets)]
 
+    def shutdown(self) -> None:
+        """Kill the workers (run_crawl calls this in a finally — leaked
+        actors reserve CPU and starve later jobs in long sessions)."""
+        import ray
+        for w in self.workers:
+            try:
+                ray.kill(w)
+            except Exception:
+                pass
+        self.workers = []
+
     # -- partition fn (same hash as BucketedFrontier) -----------------------
     def bucket_of(self, domains: list[str]):
         return (_hash64(domains) % self.n_buckets).astype(int)

@@ -35,6 +35,10 @@ def main() -> None:
     ap.add_argument("--mem-rows", type=int, default=200_000)
     ap.add_argument("--hot-rows", type=int, default=50_000)
     ap.add_argument("--seeds", type=int, default=50)
+    ap.add_argument("--frontier-actors", type=int, default=None,
+                    help="bucket-owning frontier worker actors (r3): link "
+                         "feedback, frontier state and checkpoints never "
+                         "pass through the driver")
     ap.add_argument("--all-features", action="store_true",
                     help="distributed select + checkpoints + low link "
                          "threshold (distributed link dedup)")
@@ -78,14 +82,22 @@ def main() -> None:
                     distributed_links_threshold=50_000)
     else:
         feat = dict(checkpoint=False)
+    import resource
+    rss_before_mb = (resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+                     / 1024)
     t0 = time.perf_counter()
     stats = run_crawl(store, seeds, workdir, max_pages=args.budget,
                       seed=42, n_shards=args.n_shards,
                       keep_schedule=False, preload_pages=not args.disk,
                       frontier_buckets=args.buckets,
                       frontier_mem_rows=args.mem_rows,
-                      frontier_hot_rows=args.hot_rows, **feat)
+                      frontier_hot_rows=args.hot_rows,
+                      frontier_actors=args.frontier_actors, **feat)
     dt = time.perf_counter() - t0
+    # driver-process PEAK RSS over the whole crawl — the flat-driver-RSS
+    # evidence for the actor-frontier tier (link feedback + frontier state
+    # off the driver); compare with/without --frontier-actors
+    rss_peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
     import glob
     spill_dirs = glob.glob(os.path.join(workdir, "frontier_spill",
                                         "bucket=*"))
@@ -101,6 +113,9 @@ def main() -> None:
         "urls_per_sec": round(stats.scheduled / dt, 1),
         "spill_buckets": len(spill_dirs),
         "hot_host_splits": len(host_splits),
+        "frontier_actors": args.frontier_actors,
+        "driver_rss_before_mb": round(rss_before_mb, 1),
+        "driver_rss_peak_mb": round(rss_peak_mb, 1),
     }))
     import shutil
     shutil.rmtree(workdir, ignore_errors=True)

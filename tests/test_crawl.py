@@ -636,3 +636,22 @@ def test_bucketed_store_fused_fetch_parity(ray_session, small_pages,
         adf = _read_analyses(w)
         fetched = exp[exp["status"] == "fetched"]
         assert sorted(adf["url"]) == sorted(fetched["url"])
+
+
+def test_actor_frontier_forced_spill_parity(ray_session, small_pages_file,
+                                            small_pages, tmp_path):
+    """Worker-resident BucketedFrontier spill (mem_rows forced tiny) under
+    the actor tier + distributed link feedback must not change crawl
+    order."""
+    pages_path, seeds = small_pages_file
+    w = str(tmp_path / "actor_spill")
+    run_crawl(pages_path, seeds, w, max_pages=BUDGET, seed=42, n_shards=4,
+              checkpoint=False, frontier_buckets=3, frontier_mem_rows=40,
+              distributed_links_threshold=0, frontier_actors=2)
+    sim = _sim_result(small_pages)
+    got = _read_schedule(w)
+    exp = pd.DataFrame(sim.schedule,
+                       columns=["wave", "position", "url", "status"])
+    exp = exp.sort_values(["wave", "position"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"wave": "int64", "position": "int64"}), exp)

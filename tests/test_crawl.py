@@ -655,3 +655,24 @@ def test_actor_frontier_forced_spill_parity(ray_session, small_pages_file,
     exp = exp.sort_values(["wave", "position"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(
         got.astype({"wave": "int64", "position": "int64"}), exp)
+
+
+def test_actor_frontier_all_miss_and_garbage_seeds(ray_session,
+                                                   small_pages_file,
+                                                   tmp_path):
+    """Actor mode + forced distributed links on degenerate inputs: seeds
+    that all miss the page table (empty fetch wave, no links → the
+    delta-staging dir is never created) and garbage seed lines must
+    complete, not crash (r3 regression: FileNotFoundError / KeyError)."""
+    pages_path, seeds = small_pages_file
+    w = str(tmp_path / "allmiss")
+    s = run_crawl(pages_path, ["https://nosuch.example/a"], w,
+                  max_pages=50, seed=1, n_shards=2,
+                  distributed_links_threshold=0, frontier_actors=2)
+    assert (s.waves, s.fetched, s.failed) == (1, 0, 1)
+    real = pq.read_table(pages_path, columns=["url"])["url"].to_pylist()[0]
+    w2 = str(tmp_path / "garb")
+    s2 = run_crawl(pages_path, ["   ", ":::", real], w2, max_pages=40,
+                   seed=1, n_shards=2, distributed_links_threshold=0,
+                   frontier_actors=2)
+    assert s2.fetched > 0 and s2.waves >= 1

@@ -828,7 +828,7 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
                         next_seq += n_kept
                         stats.discovered += n_new
                         distributed_enqueued = True
-                        if checkpoint:
+                        if checkpoint and os.path.isdir(delta_staging):
                             pending_delta_files.extend(sorted(
                                 os.path.join(delta_staging, f)
                                 for f in os.listdir(delta_staging)
@@ -839,10 +839,13 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
                             ordered_new = (newdf.sort_values("orderkey")
                                            ["link"].tolist())
                     _t3 = _time.perf_counter()
-                    fetched_urls = partial_ds.map_batches(
+                    fdf = partial_ds.map_batches(
                         lambda t: t.filter(_pc.equal(t["kind"], 0))
                         .select(["key"]),
-                        batch_format="pyarrow").to_pandas()["key"].tolist()
+                        batch_format="pyarrow").to_pandas()
+                    # an all-miss wave yields zero blocks → schema-less frame
+                    fetched_urls = (fdf["key"].tolist()
+                                    if "key" in fdf.columns else [])
                     if _timing:
                         print(f"[wave {wave}] n={len(batch)} "
                               f"prep={_t1 - _t0:.2f} job={_t2 - _t1:.2f} "

@@ -298,6 +298,94 @@ def _q_ngram_counts(sf_dir: str):
     return out.sort(["cnt", "gram"], descending=[True, False]).limit(100)
 
 
+def _q_blob_stats(sf_dir: str):
+    """Binary-column processing with an EXACT oracle — the hash-checked
+    counterpart of the rows-only multimodal pipelines: documents.text is
+    re-materialized as an opaque binary payload column (the image/audio
+    layout), then per-blob byte length + md5 digest are computed over
+    the raw bytes in a batch stage (the digest doubles as the content
+    fingerprint a dedup-by-checksum pass would key on)."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_blob(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "payload": t["text"].cast(pa.binary())})
+
+    def stats(t: pa.Table) -> pa.Table:
+        pl = t["payload"].to_pylist()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_bytes": pa.array([len(b) for b in pl], pa.int64()),
+            "digest": pa.array([hashlib.md5(b).hexdigest() for b in pl],
+                               pa.string()),
+        })
+
+    return (ds.map_batches(to_blob, batch_format="pyarrow")
+            .map_batches(stats, batch_format="pyarrow"))
+
+
+def _q_lag_diff(sf_dir: str):
+    """Per-key LAG window: value - lag(value) OVER (PARTITION BY user
+    ORDER BY ts, id), centi-scaled exact int64, first row per key = 0."""
+    from vyntr_ray.stages.windows import lag_diff
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+    return lag_diff(ds)
+
+
+def _q_tpch_q3ish(sf_dir: str):
+    """TPC-H Q3 analog: segment-filtered customers (broadcast semi-join,
+    the small side ships once) -> date-filtered orders -> large-large
+    hash join with shipdate-filtered lineitem revenue -> top-10 orders
+    by exact integer dmilli revenue."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    cutoff = datetime.datetime(1998, 1, 1)
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    ck = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+        .select(["c_custkey"]), batch_format="pyarrow").take_all()
+    key_ref = ray.put(frozenset(r["c_custkey"] for r in ck))
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ofilt(t: pa.Table) -> pa.Table:
+        keys = ray.get(key_ref)
+        keep = pc.and_(
+            pc.less(t["o_orderdate"], pa.scalar(cutoff)),
+            pa.array([k in keys for k in t["o_custkey"].to_pylist()]))
+        return t.filter(keep).select(["o_orderkey"])
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff)))
+        r = pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "rev_dmilli": pc.cast(pc.round(
+                pc.multiply(r, pa.scalar(10_000.0))), pa.int64())})
+
+    o = orders.map_batches(ofilt, batch_format="pyarrow")
+    r = li.map_batches(rev, batch_format="pyarrow")
+    joined = r.join(o, join_type="inner", num_partitions=8,
+                    on=("l_orderkey",), right_on=("o_orderkey",))
+    agg = joined.groupby("l_orderkey").aggregate(
+        Sum("rev_dmilli", alias_name="revenue_dmilli"))
+    return agg.sort(["revenue_dmilli", "l_orderkey"],
+                    descending=[True, False]).limit(10)
+
+
 def _q_point_lookup(sf_dir: str):
     """J6 serving-path point lookups: fetch a fixed id set with the
     filter pushed INTO the parquet scan (row-group pruning — only
@@ -1302,6 +1390,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_topk": _q_group_topk,
         "event_pivot": _q_event_pivot,
         "rolling_sum": _q_rolling_sum,
+        "lag_diff": _q_lag_diff,
+        "blob_stats": _q_blob_stats,
+        "tpch_q3ish": _q_tpch_q3ish,
         "group_zscores": _q_group_zscores,
         "distinct_users": _q_distinct_users,
         "distinct_users_hll": _q_distinct_users_hll,
@@ -1943,6 +2034,38 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
                    )::BIGINT AS roll_centi
             FROM events
+        """,
+        # LAG window; sentinel 0 on each key's first row (no NULLs in
+        # the value hash), per-row centi scaling -> exact int64
+        "lag_diff": """
+            SELECT event_id, user_id,
+                   coalesce(round(value * 100)::BIGINT
+                            - lag(round(value * 100)::BIGINT) OVER (
+                                PARTITION BY user_id
+                                ORDER BY ts, event_id),
+                            0)::BIGINT AS diff_centi
+            FROM events
+        """,
+        # binary payload column: md5(VARCHAR) hashes the UTF-8 bytes,
+        # which are exactly the engine's payload bytes
+        "blob_stats": """
+            SELECT doc_id,
+                   octet_length(encode(text))::BIGINT AS n_bytes,
+                   md5(text) AS digest
+            FROM documents
+        """,
+        "tpch_q3ish": """
+            SELECT l_orderkey,
+                   sum(round(l_extendedprice * (1 - l_discount)
+                             * 10000)::BIGINT)::BIGINT AS revenue_dmilli
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey
+            ORDER BY revenue_dmilli DESC, l_orderkey LIMIT 10
         """,
         # pivot = conditional counts per key (fixed category schema)
         "event_pivot": """

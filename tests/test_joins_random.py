@@ -133,3 +133,32 @@ def test_sessionize_and_rolling_match_bruteforce(seed):
         exp_r.append(int(np.round(window["value"].to_numpy() * 100)
                          .astype("int64").sum()))
     assert got_r["roll_centi"].tolist() == exp_r
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_lag_diff_matches_bruteforce(seed, ray_session):
+    import ray.data as rd
+
+    from vyntr_ray.stages.windows import lag_diff
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n = 400
+    ev = pd.DataFrame({
+        "user_id": rng.integers(0, 13, n),
+        "ts": pd.to_datetime(rng.integers(0, 3600, n), unit="s", utc=False),
+        "event_id": np.arange(n, dtype="int64"),
+        "value": np.round(rng.uniform(0, 9, n), 2),
+    })
+    got = (lag_diff(rd.from_pandas(ev.copy()))
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    exp = []
+    for _, r in ev.sort_values("event_id").iterrows():
+        g = ev[ev["user_id"] == r["user_id"]].sort_values(
+            ["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        i = g.index[g["event_id"] == r["event_id"]][0]
+        if i == 0:
+            exp.append(0)
+        else:
+            vc = np.round(g["value"].to_numpy() * 100).astype("int64")
+            exp.append(int(vc[i] - vc[i - 1]))
+    assert got["diff_centi"].tolist() == exp

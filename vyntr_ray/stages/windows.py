@@ -22,7 +22,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["tumbling", "sliding", "sessionize", "rolling_sum"]
+__all__ = ["tumbling", "sliding", "sessionize", "rolling_sum", "lag_diff"]
 
 _US = 1_000_000
 
@@ -167,6 +167,31 @@ def rolling_sum(ds, k: int, key_col: str = "user_id", ts_col: str = "ts",
         return pd.DataFrame({id_col: g[id_col].to_numpy(),
                              key_col: key,
                              "roll_centi": roll})
+
+    return _by_part(ds, key_col).groupby("_part").map_groups(
+        lambda g: per_part(g.drop(columns="_part")),
+        batch_format="pandas")
+
+
+def lag_diff(ds, key_col: str = "user_id", ts_col: str = "ts",
+             id_col: str = "event_id", value_col: str = "value"):
+    """Per-key LAG difference: ``value - lag(value) OVER (PARTITION BY key
+    ORDER BY ts, id)``, first row of each key = 0 (sentinel, so no NULL
+    ever enters the value hash).  Same hash-partition shape as
+    :func:`rolling_sum` — one vectorized pandas pass per partition, the
+    key boundary detected by a shifted comparison; values are 2-decimal
+    so the per-row centi scaling makes every diff exact int64.
+    """
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        key = g[key_col].to_numpy()
+        v = np.round(g[value_col].to_numpy() * 100).astype(np.int64)
+        diff = np.r_[np.int64(0), v[1:] - v[:-1]]
+        newkey = np.r_[True, key[1:] != key[:-1]]
+        diff[newkey] = 0
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             key_col: key,
+                             "diff_centi": diff})
 
     return _by_part(ds, key_col).groupby("_part").map_groups(
         lambda g: per_part(g.drop(columns="_part")),

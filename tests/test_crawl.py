@@ -624,6 +624,7 @@ def test_bucketed_store_fused_fetch_parity(ray_session, small_pages,
                        columns=["wave", "position", "url", "status"])
     exp = exp.sort_values(["wave", "position"]).reset_index(drop=True)
     for tag, extra in [("plain", {}),
+                       ("preload", {"preload_pages": True}),
                        ("dist", {"distributed_links_threshold": 0,
                                  "frontier_actors": 2})]:
         w = str(tmp_path / f"fused_{tag}")

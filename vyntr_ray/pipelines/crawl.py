@@ -236,17 +236,12 @@ def _fetch_dataset(pages_path: str, urls: list[str]):
     return rd.read_parquet(pages_path, columns=["url", "html"], filter=filt)
 
 
-def _fetch_parse_store_file(path: str, uset: frozenset, pos_of: dict,
-                            wave: int, wave_out: str, ladder) -> pa.Table:
-    """FUSED disk-path wave kernel, run as ONE raw task per bucket file:
-    url-first pruned read → transport ladder → parse → write this file's
-    analyses part (idempotent name) → return the tiny (kind, key, val)
-    partials.  Replaces the per-wave read_parquet + map_batches Dataset
-    job whose plan+launch dominated disk-crawl waves (measured: a 4k-url
-    probe cost 0.7 s as a Dataset job vs 0.05 s as raw tasks, PERF.md r3).
-    """
+def _parse_fetched_table(b: pa.Table, pos_of: dict, wave: int,
+                         wave_out: str, ladder) -> pa.Table:
+    """Shared fused-wave tail: transport ladder → parse → write this
+    task's analyses part (idempotent name) → tiny (kind, key, val)
+    partials."""
     import hashlib as _h
-    b = _read_store_file(path, uset)
     if ladder is not None and b.num_rows:
         b = b.filter(pa.array(
             [ladder.ok(u) for u in b["url"].to_pylist()], pa.bool_()))
@@ -261,6 +256,17 @@ def _fetch_parse_store_file(path: str, uset: frozenset, pos_of: dict,
     pq.write_table(t.drop_columns(["links"]),
                    os.path.join(wave_out, f"part-{tag}.parquet"))
     return _wave_partials(t)
+
+
+def _fetch_parse_store_file(path: str, uset: frozenset, pos_of: dict,
+                            wave: int, wave_out: str, ladder) -> pa.Table:
+    """FUSED disk-path wave kernel, run as ONE raw task per bucket file:
+    url-first pruned read → parse tail.  Replaces the per-wave
+    read_parquet + map_batches Dataset job whose plan+launch dominated
+    disk-crawl waves (measured: a 4k-url probe cost 0.7 s as a Dataset
+    job vs 0.04 s as raw tasks, PERF.md r3)."""
+    return _parse_fetched_table(_read_store_file(path, uset), pos_of,
+                                wave, wave_out, ladder)
 
 
 _FUSED_TASK = None
@@ -646,12 +652,16 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
     preloaded = None
     if preload_pages:
         import ray.data as _rd
-        meta = store_meta_cached
-        # block count sized to the cluster: each wave maps over every block,
-        # so fewer, larger blocks amortize per-task overhead
+        # block count sized to the cluster: each wave maps over every
+        # block, so fewer, larger blocks amortize per-task overhead.
+        # (A fused-raw-task preload variant — per-bucket pinned tables,
+        # waves touching only matched buckets — was built and MEASURED
+        # SLOWER: politeness waves touch nearly every bucket, so the
+        # "pruning" prunes nothing and full-bucket is_in scans lose to
+        # the streaming executor pipelining 2×CPU blocks; see PERF.md r3.)
         n_cpus = int(ray.cluster_resources().get("CPU", 8))
         n_blocks = max(8, 2 * n_cpus)
-        if meta is not None:
+        if store_meta_cached is not None:
             files = sorted(_glob.glob(
                 os.path.join(pages_path, "bucket=*", "*.parquet")))
             preloaded = _rd.read_parquet(files, columns=["url", "html"],

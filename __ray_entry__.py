@@ -386,6 +386,100 @@ def _q_tpch_q3ish(sf_dir: str):
                     descending=[True, False]).limit(10)
 
 
+def _q_event_transitions(sf_dir: str):
+    """Per-user behavior bigrams: counts of consecutive (event_type →
+    next event_type) transitions ordered by (ts, id) — the Markov-chain
+    table a session-model fit starts from.  Hash-partitioned, one
+    vectorized shift per partition (never a Ray group per user)."""
+    import hashlib
+
+    import pandas as pd
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        parts = [int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % 32
+                 for v in t["user_id"].to_pylist()]
+        return t.append_column("_part", pa.array(parts, pa.int32()))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        key = g["user_id"].to_numpy()
+        ev = g["event_type"].to_numpy()
+        same = key[1:] == key[:-1]
+        src, dst = ev[:-1][same], ev[1:][same]
+        if len(src) == 0:
+            return pd.DataFrame({"src": pd.Series(dtype="object"),
+                                 "dst": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        out = (pd.DataFrame({"src": src, "dst": dst})
+               .groupby(["src", "dst"], sort=False).size()
+               .reset_index(name="n"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    part = (ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(lambda g: per_part(g.drop(columns="_part")),
+                        batch_format="pandas"))
+    # partition partials → one tiny final combine (bigram vocab is small)
+    part = part.map_batches(lambda t: t, batch_format="pyarrow")
+    out = part.groupby(["src", "dst"]).sum("n")
+    return out.map_batches(
+        lambda t: t.rename_columns(["src", "dst", "n"]),
+        batch_format="pyarrow")
+
+
+def _q_ntile_buckets(sf_dir: str):
+    """NTILE(4) per event_type over (value, id) order — the quantile-
+    bucket label a stratified curriculum sampler keys on.  One pass per
+    hash partition: each event_type is wholly inside one partition, rank
+    via lexsort, tile = floor(rank * 4 / n) with the SQL NTILE remainder
+    rule (first n%4 tiles get the extra row)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "value"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        parts = [int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % 8
+                 for v in t["event_type"].to_pylist()]
+        return t.append_column("_part", pa.array(parts, pa.int32()))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, kg in g.groupby("event_type", sort=False):
+            n = len(kg)
+            order = np.lexsort((kg["event_id"].to_numpy(),
+                                np.round(kg["value"].to_numpy() * 100)
+                                .astype(np.int64)))
+            rank = np.empty(n, np.int64)
+            rank[order] = np.arange(n)
+            # SQL NTILE: sizes ceil then floor — first (n % 4) tiles are
+            # one longer
+            q, r = divmod(n, 4)
+            bounds = np.cumsum([q + 1] * r + [q] * (4 - r))
+            tile = np.searchsorted(bounds, rank, side="right") + 1
+            outs.append(pd.DataFrame({
+                "event_id": kg["event_id"].to_numpy(),
+                "event_type": kg["event_type"].to_numpy(),
+                "tile": tile.astype("int64")}))
+        return pd.concat(outs, ignore_index=True) if outs else \
+            pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                          "event_type": pd.Series(dtype="object"),
+                          "tile": pd.Series(dtype="int64")})
+
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(lambda g: per_part(g.drop(columns="_part")),
+                        batch_format="pandas"))
+
+
 def _q_point_lookup(sf_dir: str):
     """J6 serving-path point lookups: fetch a fixed id set with the
     filter pushed INTO the parquet scan (row-group pruning — only
@@ -1393,6 +1487,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_diff": _q_lag_diff,
         "blob_stats": _q_blob_stats,
         "tpch_q3ish": _q_tpch_q3ish,
+        "event_transitions": _q_event_transitions,
+        "ntile_buckets": _q_ntile_buckets,
         "group_zscores": _q_group_zscores,
         "distinct_users": _q_distinct_users,
         "distinct_users_hll": _q_distinct_users_hll,
@@ -2066,6 +2162,24 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > TIMESTAMP '1998-01-01'
             GROUP BY l_orderkey
             ORDER BY revenue_dmilli DESC, l_orderkey LIMIT 10
+        """,
+        # consecutive-event bigrams per user (ts, id order)
+        "event_transitions": """
+            WITH o AS (
+                SELECT user_id, event_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS nxt
+                FROM events)
+            SELECT event_type AS src, nxt AS dst, count(*)::BIGINT AS n
+            FROM o WHERE nxt IS NOT NULL
+            GROUP BY src, dst
+        """,
+        "ntile_buckets": """
+            SELECT event_id, event_type,
+                   ntile(4) OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id)::BIGINT AS tile
+            FROM events
         """,
         # pivot = conditional counts per key (fixed category schema)
         "event_pivot": """

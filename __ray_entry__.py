@@ -386,6 +386,161 @@ def _q_tpch_q3ish(sf_dir: str):
                     descending=[True, False]).limit(10)
 
 
+def _q_tpch_q5ish(sf_dir: str):
+    """TPC-H Q5 analog: local-supplier revenue per ASIA nation in one
+    order-year.  Shape: tiny dims (region x nation, 25 rows) resolved on
+    the driver; customer filtered by the broadcast nation set; orders
+    date-filtered then LARGE-LARGE hash-joined to customers; supplier
+    (the medium side) broadcast as a suppkey->nationkey array; lineitem
+    carries exact integer dmilli revenue + supplier nation through a
+    second large-large join; the local-supplier predicate
+    (s_nation == c_nation) filters post-join, then a 5-group sum."""
+    import datetime
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1997, 1, 1)
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    asia = {r["r_regionkey"] for r in reg.to_pylist()
+            if r["r_name"] == "ASIA"}
+    name_of = {r["n_nationkey"]: r["n_name"] for r in nat.to_pylist()
+               if r["n_regionkey"] in asia}
+    nk_ref = ray.put(frozenset(name_of))
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def cfilt(t: pa.Table) -> pa.Table:
+        keys = pa.array(sorted(ray.get(nk_ref)), pa.int64())
+        return t.filter(pc.is_in(pc.cast(t["c_nationkey"], pa.int64()),
+                                 value_set=keys))
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ofilt(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                       pc.less(t["o_orderdate"], pa.scalar(hi)))
+        return t.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    oc = (orders.map_batches(ofilt, batch_format="pyarrow")
+          .join(cust.map_batches(cfilt, batch_format="pyarrow"),
+                join_type="inner", num_partitions=8,
+                on=("o_custkey",), right_on=("c_custkey",))
+          .select_columns(["o_orderkey", "c_nationkey"]))
+
+    # supplier: dense suppkey -> nationkey int array, ray.put ONCE
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_nationkey"])
+    smax = int(pc.max(sup["s_suppkey"]).as_py())
+    snat = np.full(smax + 1, -1, dtype=np.int64)
+    snat[sup["s_suppkey"].to_numpy()] = sup["s_nationkey"].to_numpy()
+    snat_ref = ray.put(snat)
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"])
+
+    def lrev(t: pa.Table) -> pa.Table:
+        lut = ray.get(snat_ref)
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "s_nat": pa.array(lut[t["l_suppkey"].to_numpy()], pa.int64()),
+            "rev_dmilli": pc.cast(pc.round(
+                pc.multiply(rev, pa.scalar(10_000.0))), pa.int64())})
+
+    joined = (li.map_batches(lrev, batch_format="pyarrow")
+              .join(oc, join_type="inner", num_partitions=8,
+                    on=("l_orderkey",), right_on=("o_orderkey",)))
+    local = joined.map_batches(
+        lambda t: t.filter(pc.equal(
+            t["s_nat"], pc.cast(t["c_nationkey"], pa.int64()))),
+        batch_format="pyarrow")
+    agg = local.groupby("s_nat").aggregate(
+        Sum("rev_dmilli", alias_name="revenue_dmilli"))
+    names_ref = ray.put(name_of)
+
+    def add_name(t: pa.Table) -> pa.Table:
+        names = ray.get(names_ref)
+        return pa.table({
+            "n_name": pa.array([names[int(k)] for k in
+                                t["s_nat"].to_pylist()], pa.string()),
+            "revenue_dmilli": t["revenue_dmilli"]})
+
+    return (agg.map_batches(add_name, batch_format="pyarrow")
+            .sort(["revenue_dmilli", "n_name"], descending=[True, False]))
+
+
+def _q_qty_discount_corr(sf_dir: str):
+    """Pearson correlation of (quantity, discount) per returnflag from
+    EXACT integer sufficient statistics: each batch emits per-group
+    (n, sx, sy, sxx, syy, sxy) int64 partials, a 3-group sum merges them,
+    and the final double-precision formula runs once per group — the
+    one-pass mergeable shape any 100-TB moment/corr/variance reduction
+    uses (no row ever crosses the shuffle, only 6 ints per group/batch).
+    Both engine and oracle compute the SAME IEEE-double expression from
+    the SAME exact integer sums, so round(..., 6) matches bit-for-bit."""
+    import math
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        y = pc.cast(pc.round(pc.multiply(t["l_discount"],
+                                         pa.scalar(100.0))), pa.int64())
+        b = pa.table({
+            "l_returnflag": t["l_returnflag"], "one": pa.array(
+                np.ones(t.num_rows, dtype=np.int64)),
+            "x": x, "y": y,
+            "xx": pc.multiply(x, x), "yy": pc.multiply(y, y),
+            "xy": pc.multiply(x, y)})
+        g = b.group_by("l_returnflag").aggregate(
+            [("one", "sum"), ("x", "sum"), ("y", "sum"),
+             ("xx", "sum"), ("yy", "sum"), ("xy", "sum")])
+        return g.rename_columns(
+            ["l_returnflag", "n", "sx", "sy", "sxx", "syy", "sxy"])
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("l_returnflag")
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("sx", alias_name="sx"),
+                         Sum("sy", alias_name="sy"),
+                         Sum("sxx", alias_name="sxx"),
+                         Sum("syy", alias_name="syy"),
+                         Sum("sxy", alias_name="sxy")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        rows = t.to_pylist()
+        corrs = []
+        for r in rows:
+            n, sx, sy = float(r["n"]), float(r["sx"]), float(r["sy"])
+            sxx, syy, sxy = (float(r["sxx"]), float(r["syy"]),
+                             float(r["sxy"]))
+            num = n * sxy - sx * sy
+            den = math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+            corrs.append(round(num / den, 6))
+        return pa.table({
+            "l_returnflag": pa.array([r["l_returnflag"] for r in rows],
+                                     pa.string()),
+            "n": pa.array([r["n"] for r in rows], pa.int64()),
+            "corr_qd": pa.array(corrs, pa.float64())})
+
+    return (merged.map_batches(finalize, batch_format="pyarrow")
+            .sort("l_returnflag"))
+
+
 def _q_event_transitions(sf_dir: str):
     """Per-user behavior bigrams: counts of consecutive (event_type →
     next event_type) transitions ordered by (ts, id) — the Markov-chain
@@ -1487,6 +1642,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_diff": _q_lag_diff,
         "blob_stats": _q_blob_stats,
         "tpch_q3ish": _q_tpch_q3ish,
+        "tpch_q5ish": _q_tpch_q5ish,
+        "qty_discount_corr": _q_qty_discount_corr,
         "event_transitions": _q_event_transitions,
         "ntile_buckets": _q_ntile_buckets,
         "group_zscores": _q_group_zscores,
@@ -2162,6 +2319,51 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > TIMESTAMP '1998-01-01'
             GROUP BY l_orderkey
             ORDER BY revenue_dmilli DESC, l_orderkey LIMIT 10
+        """,
+        # Q5 analog: local-supplier revenue per ASIA nation, one year
+        "tpch_q5ish": """
+            SELECT n_name,
+                   sum(round(l_extendedprice * (1 - l_discount)
+                             * 10000)::BIGINT)::BIGINT AS revenue_dmilli
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND s_nationkey = c_nationkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+            ORDER BY revenue_dmilli DESC, n_name
+        """,
+        # Pearson corr from exact int sufficient stats; the final double
+        # expression mirrors the engine's formula term-for-term so the
+        # IEEE result (and its round to 6) is bit-identical
+        "qty_discount_corr": """
+            WITH s AS (
+                SELECT l_returnflag,
+                       count(*)::BIGINT AS n,
+                       sum(round(l_quantity)::BIGINT)::BIGINT AS sx,
+                       sum(round(l_discount * 100)::BIGINT)::BIGINT AS sy,
+                       sum(round(l_quantity)::BIGINT
+                           * round(l_quantity)::BIGINT)::BIGINT AS sxx,
+                       sum(round(l_discount * 100)::BIGINT
+                           * round(l_discount * 100)::BIGINT)::BIGINT
+                           AS syy,
+                       sum(round(l_quantity)::BIGINT
+                           * round(l_discount * 100)::BIGINT)::BIGINT
+                           AS sxy
+                FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag, n,
+                   round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                         / sqrt((n::DOUBLE * sxx::DOUBLE
+                                 - sx::DOUBLE * sx::DOUBLE)
+                                * (n::DOUBLE * syy::DOUBLE
+                                   - sy::DOUBLE * sy::DOUBLE)),
+                         6) AS corr_qd
+            FROM s ORDER BY l_returnflag
         """,
         # consecutive-event bigrams per user (ts, id order)
         "event_transitions": """

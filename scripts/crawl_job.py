@@ -39,6 +39,15 @@ def main() -> None:
                     help="inject per-attempt tunnel failures (retry-ladder"
                          " exercise; 2 tunnel tries then proxy rotation)")
     ap.add_argument("--flaky-proxy-rate", type=float, default=0.0)
+    ap.add_argument("--frontier-actors", type=int, default=None,
+                    help="bucket-owning frontier worker actors (link "
+                         "feedback, checkpoints and resume restore all "
+                         "run as tasks — nothing O(frontier) on the "
+                         "driver); omit for the driver-held frontier")
+    ap.add_argument("--distributed-links-threshold", type=int,
+                    default=100_000,
+                    help="waves discovering more links than this run the "
+                         "distributed link-feedback path")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="local mode only; on a cluster omit and connect")
     args = ap.parse_args()
@@ -73,7 +82,9 @@ def main() -> None:
         robots=robots, domain_caps=caps,
         n_shards=args.n_shards, resume=args.resume,
         checkpoint=not args.no_checkpoint,
-        preload_pages=args.preload_pages, fetch_ladder=ladder)
+        preload_pages=args.preload_pages, fetch_ladder=ladder,
+        frontier_actors=args.frontier_actors,
+        distributed_links_threshold=args.distributed_links_threshold)
     print(json.dumps({
         "waves": stats.waves, "scheduled": stats.scheduled,
         "fetched": stats.fetched, "failed": stats.failed,

@@ -536,6 +536,43 @@ def test_actor_frontier_resume_parity(ray_session, small_pages_file,
         resumed.astype({"wave": "int64", "position": "int64"}), exp)
 
 
+def test_actor_frontier_resume_across_topologies(ray_session,
+                                                 small_pages_file,
+                                                 small_pages, tmp_path):
+    """r3 late: `restore_parts` re-derives bucket ownership from the domain
+    hash, so a resume is correct when n_actors CHANGES between runs and
+    when adopting a legacy driver-frontier (single-file) checkpoint into
+    actor mode.  Both remainders must match the oracle schedule."""
+    pages_path, seeds = small_pages_file
+    sim = _sim_result(small_pages)
+    cut_budget = sum(1 for (w_, _p, _u, _s) in sim.schedule if w_ < 2)
+    assert 0 < cut_budget < sim.scheduled
+    exp = pd.DataFrame(sim.schedule,
+                       columns=["wave", "position", "url", "status"])
+    exp = exp.sort_values(["wave", "position"]).reset_index(drop=True)
+
+    # interrupted with 3 workers, resumed with 2
+    w1 = str(tmp_path / "actor_retopo")
+    run_crawl(pages_path, seeds, w1, max_pages=cut_budget, seed=42,
+              n_shards=4, distributed_links_threshold=0, frontier_actors=3)
+    run_crawl(pages_path, seeds, w1, max_pages=BUDGET, seed=42, n_shards=4,
+              distributed_links_threshold=0, frontier_actors=2, resume=True)
+    pd.testing.assert_frame_equal(
+        _read_schedule(w1).astype({"wave": "int64", "position": "int64"}),
+        exp)
+
+    # interrupted on the driver-frontier path (frontier.parquet), resumed
+    # under the actor tier (restore_parts on the legacy single file)
+    w2 = str(tmp_path / "actor_adopt")
+    run_crawl(pages_path, seeds, w2, max_pages=cut_budget, seed=42,
+              n_shards=4, distributed_links_threshold=0)
+    run_crawl(pages_path, seeds, w2, max_pages=BUDGET, seed=42, n_shards=4,
+              distributed_links_threshold=0, frontier_actors=3, resume=True)
+    pd.testing.assert_frame_equal(
+        _read_schedule(w2).astype({"wave": "int64", "position": "int64"}),
+        exp)
+
+
 def test_actor_frontier_stateful_and_priority_parity(ray_session,
                                                      small_pages_file,
                                                      small_pages, tmp_path):

@@ -378,20 +378,20 @@ def _write_checkpoint(ckpt_dir: str, wave: int, frontier_obj,
     os.rename(tmp, wdir)  # atomic completion marker
 
 
-def _bucket_metrics(frontier, wave: int, sched_rows: list,
+def _bucket_metrics(frontier, wave: int, sched_tbl,
                     enqueued: pd.DataFrame | None,
                     enqueued_counts: dict | None = None) -> pd.DataFrame:
     """Per-frontier-partition metrics for one wave (the METRICS.parquet
     rows of the wave checkpoint).
 
-    ``sched_rows`` are (wave, position, url, status, bucket) lineage
-    tuples; ``enqueued`` is the frame of links actually added to the
-    frontier this wave.  Totals across buckets reconcile exactly with the
-    manifest's ``per_wave`` entry (invariant-tested)."""
+    ``sched_tbl`` is the wave's (wave, position, url, status, bucket)
+    lineage table (arrow, columnar — never per-url Python rows);
+    ``enqueued`` is the frame of links actually added to the frontier this
+    wave.  Totals across buckets reconcile exactly with the manifest's
+    ``per_wave`` entry (invariant-tested)."""
     sizes = frontier.bucket_sizes()
-    if sched_rows:
-        sdf = pd.DataFrame(sched_rows, columns=[
-            "wave", "position", "url", "status", "bucket"])
+    if sched_tbl is not None and sched_tbl.num_rows:
+        sdf = sched_tbl.select(["bucket", "status"]).to_pandas()
         ct = pd.crosstab(sdf["bucket"], sdf["status"])
     else:
         ct = pd.DataFrame()
@@ -606,8 +606,18 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
         shutil.rmtree(delta_staging, ignore_errors=True)  # stale wave parts
         fr_file = os.path.join(wdir, "frontier.parquet")
         fr_dir = os.path.join(wdir, "frontier")
-        frontier.add(pq.read_table(
-            fr_file if os.path.exists(fr_file) else fr_dir).to_pandas())
+        if actor_frontier:
+            # distributed restore: each checkpoint part is read + bucket-
+            # routed to its owning worker AS A TASK; the driver never holds
+            # the frontier (works for per-worker part dirs AND legacy
+            # single-file checkpoints — ownership re-derives from the hash)
+            part_paths = (sorted(_glob.glob(
+                os.path.join(fr_dir, "*.parquet")))
+                if os.path.isdir(fr_dir) else [fr_file])
+            frontier.restore_parts(part_paths)
+        else:
+            frontier.add(pq.read_table(
+                fr_file if os.path.exists(fr_file) else fr_dir).to_pandas())
         assert manifest["n_shards"] == n_shards, \
             "n_shards must match the checkpoint manifest"
         if checkpoint and _glob.glob(os.path.join(
@@ -696,13 +706,11 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
             batch = [batch[i] for i in perm]
             stats.scheduled += len(batch)
             cut_n = max(0, stats.scheduled - max_pages)
-            sched_rows = []
+            cut_urls: list[str] = []
+            cut_bk = None
             if cut_n:
                 cut_urls = batch[len(batch) - cut_n:]
                 cut_bk = frontier.bucket_of([dom_of[u] for u in cut_urls])
-                for off, u in enumerate(cut_urls):
-                    sched_rows.append((wave, len(batch) - cut_n + off, u, "cut",
-                                       int(cut_bk[off])))
                 batch = batch[: len(batch) - cut_n]
             pos_of = {u: i for i, u in enumerate(batch)}
 
@@ -711,7 +719,9 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
             # names derived from batch content, so task retries overwrite rather
             # than duplicate) and emits only the tiny (kind, key, val) partial
             # rows — one Ray job per wave instead of three.
-            fetched_urls: list[str] = []
+            # fetched urls stay an Arrow array end-to-end (zero-copy block
+            # concat off the object store) — never a Python string list
+            fetched_arr = pa.array([], pa.string())
             ordered_new: list[str] = []
             distributed_enqueued = False
             wave_eq_counts: dict | None = None
@@ -849,13 +859,16 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
                             ordered_new = (newdf.sort_values("orderkey")
                                            ["link"].tolist())
                     _t3 = _time.perf_counter()
-                    fdf = partial_ds.map_batches(
+                    ftabs = ray.get(partial_ds.map_batches(
                         lambda t: t.filter(_pc.equal(t["kind"], 0))
                         .select(["key"]),
-                        batch_format="pyarrow").to_pandas()
-                    # an all-miss wave yields zero blocks → schema-less frame
-                    fetched_urls = (fdf["key"].tolist()
-                                    if "key" in fdf.columns else [])
+                        batch_format="pyarrow").to_arrow_refs())
+                    # an all-miss wave yields blocks without the key column
+                    ftabs = [t for t in ftabs
+                             if "key" in t.column_names and t.num_rows]
+                    if ftabs:
+                        fetched_arr = pa.concat_tables(ftabs)[
+                            "key"].combine_chunks()
                     if _timing:
                         print(f"[wave {wave}] n={len(batch)} "
                               f"prep={_t1 - _t0:.2f} job={_t2 - _t1:.2f} "
@@ -875,8 +888,9 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
                             {"kind": pd.Series(dtype="int8"),
                              "key": pd.Series(dtype="object"),
                              "val": pd.Series(dtype="int64")})
-                    fetched_urls = partials.loc[partials["kind"] == 0,
-                                                "key"].tolist()
+                    fetched_arr = pa.Array.from_pandas(
+                        partials.loc[partials["kind"] == 0, "key"],
+                        type=pa.string())
                     links = partials[partials["kind"] == 1]
                     final = (links.groupby("key", sort=False)["val"].min()
                              .sort_values(kind="stable"))
@@ -891,30 +905,51 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
                               f"combine={_t3 - _t2:.2f} seen={_t4 - _t3:.2f}",
                               flush=True)
 
-            fetched_set = set(fetched_urls)
-            n_fetched = len(fetched_set)
+            # fused/preload tasks emit each url at most once per wave (a url
+            # lives in exactly one bucket/block), so len() == distinct count
+            n_fetched = len(fetched_arr)
             n_failed = len(batch) - n_fetched
             stats.fetched += n_fetched
             stats.failed += n_failed
             if fetch_ladder is not None:   # O(wave) metric, matches sim.retried
                 stats.retried += sum(fetch_ladder.outcome(u)[1] - 1
                                      for u in batch)
-            if batch:
-                batch_bk = frontier.bucket_of([dom_of[u] for u in batch])
-                for p, u in enumerate(batch):
-                    sched_rows.append(
-                        (wave, p, u, "fetched" if u in fetched_set else "miss",
-                         int(batch_bk[p])))
-            if keep_schedule and sched_rows:
+            # wave schedule lineage, built as flat arrays (no per-url Python
+            # tuples/loops on the driver): scheduled rows are already in
+            # position order and cut rows occupy the tail positions
+            sched_tbl = None
+            n_b = len(batch)
+            if n_b or cut_n:
+                bks = []
+                if n_b:
+                    batch_bk = frontier.bucket_of([dom_of[u] for u in batch])
+                    bks.append(np.asarray(batch_bk))
+                if cut_n:
+                    bks.append(np.asarray(cut_bk))
+                if n_b:
+                    ok = pc.is_in(pa.array(batch, pa.string()),
+                                  value_set=fetched_arr)
+                    status = pc.if_else(ok, pa.scalar("fetched"),
+                                        pa.scalar("miss"))
+                    if cut_n:
+                        status = pa.concat_arrays(
+                            [status, pa.array(["cut"] * cut_n, pa.string())])
+                else:
+                    status = pa.array(["cut"] * cut_n, pa.string())
+                sched_tbl = pa.table({
+                    "wave": pa.array(
+                        np.full(n_b + cut_n, wave, np.int32)),
+                    "position": pa.array(
+                        np.arange(n_b + cut_n, dtype=np.int32)),
+                    "url": pa.array(batch + cut_urls, pa.string()),
+                    "status": status,
+                    "bucket": pa.array(
+                        np.concatenate(bks).astype(np.int32)),
+                })
+            if keep_schedule and sched_tbl is not None:
                 os.makedirs(schedule_dir, exist_ok=True)
-                sched_rows.sort(key=lambda r: r[1])
-                pq.write_table(pa.table({
-                    "wave": pa.array([r[0] for r in sched_rows], pa.int32()),
-                    "position": pa.array([r[1] for r in sched_rows], pa.int32()),
-                    "url": pa.array([r[2] for r in sched_rows], pa.string()),
-                    "status": pa.array([r[3] for r in sched_rows], pa.string()),
-                    "bucket": pa.array([r[4] for r in sched_rows], pa.int32()),
-                }), os.path.join(schedule_dir, f"wave={wave:05d}.parquet"))
+                pq.write_table(sched_tbl, os.path.join(
+                    schedule_dir, f"wave={wave:05d}.parquet"))
 
             # --- deterministic enqueue of the wave's new links (the
             # distributed path already routed them to the frontier workers)
@@ -939,7 +974,7 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
                 _write_checkpoint(ckpt_dir, wave, frontier, seen,
                                   pending_delta, policy, stats, next_seq, config,
                                   bucket_metrics=_bucket_metrics(
-                                      frontier, wave, sched_rows, enq_frame,
+                                      frontier, wave, sched_tbl, enq_frame,
                                       enqueued_counts=wave_eq_counts),
                                   seen_delta_files=pending_delta_files)
                 pending_delta = []

@@ -258,6 +258,48 @@ class ActorFrontier:
             for i, w in enumerate(self.workers)])
         return int(sum(ns))
 
+    def restore_parts(self, paths: list[str]) -> int:
+        """Distributed resume: one task per checkpoint part reads the file,
+        re-derives bucket ownership from the domain hash, and pushes slices
+        straight to the owning workers — the driver sees only per-part row
+        counts.  The serial alternative (``pq.read_table(...).to_pandas()``
+        → ``ActorFrontier.add``) put the ENTIRE frontier through the driver
+        on every resume, the last O(frontier) driver tier of the crawl.
+
+        Re-deriving ownership per row (instead of mapping part files to
+        workers 1:1) makes the restore correct across ``n_actors`` changes
+        between runs and for legacy single-file ``frontier.parquet``
+        checkpoints.  Arrival order across parts is irrelevant: bucket
+        spill orders the frame by key before splitting, and selection sorts
+        by (priority, seq) — the spill-forced parity suite pins this.
+        """
+        import ray
+
+        if not paths:
+            return 0
+        workers = self.workers
+        owner_of = self.owner_of
+        n_buckets = self.n_buckets
+
+        @ray.remote(num_cpus=0.25)
+        def _restore_part(path: str):
+            df = pq.read_table(path).to_pandas()
+            if len(df) == 0:
+                return 0, False
+            has_prio = "priority" in df.columns
+            b_of = (_hash64(df["domain"].tolist()) % n_buckets).astype(int)
+            owners = np.asarray([owner_of[b] for b in b_of])
+            futs = [workers[o].add.remote(df[owners == o])
+                    for o in sorted(set(owners.tolist()))]
+            ray.get(futs)
+            return len(df), has_prio
+
+        results = ray.get([_restore_part.remote(p) for p in paths])
+        n = int(sum(r[0] for r in results))
+        self.has_priority = self.has_priority or any(r[1] for r in results)
+        self.total += n
+        return n
+
     # -- the distributed link feedback path -----------------------------------
     def enqueue_distributed(self, links_ds, next_seq: int, wave: int,
                             robots_rules: dict | None, robots_pool,

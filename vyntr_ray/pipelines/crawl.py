@@ -98,19 +98,26 @@ class CrawlStats:
 # --------------------------------------------------------------------------
 
 def parse_pages_batch(batch: pa.Table, pos_of: dict[str, int] | None = None,
-                      wave: int = 0) -> pa.Table:
+                      wave: int = 0, pos: list[int] | None = None
+                      ) -> pa.Table:
     """html → analysis row + links over one Arrow batch.
 
     Per-document work is inherently a Python parse (as in the reference's
     per-page rewriter); columns round-trip as Arrow so the object store
-    never sees Python rows.
+    never sees Python rows.  Wave positions come either precomputed
+    (``pos``, the vectorized ``index_in`` path the wave loop uses — no
+    O(wave) dict ships to tasks) or from a ``pos_of`` dict (small/offline
+    callers).
     """
     urls = batch["url"].to_pylist()
     htmls = batch["html"].to_pylist()
+    if pos is None:
+        pos = ([pos_of.get(u, -1) for u in urls] if pos_of
+               else [-1] * len(urls))
     out = {k: [] for k in ("url", "language", "title", "meta_tags",
                            "canonical_url", "content_text", "partition",
                            "wave", "pos", "links")}
-    for url, html in zip(urls, htmls):
+    for url, html, pp in zip(urls, htmls, pos):
         p = parse_html(html, url)
         out["url"].append(sanitize_text(url))
         out["language"].append(sanitize_text(p.language))
@@ -123,7 +130,7 @@ def parse_pages_batch(batch: pa.Table, pos_of: dict[str, int] | None = None,
         out["content_text"].append(sanitize_text(p.content_text))
         out["partition"].append(md5_partition(url))
         out["wave"].append(wave)
-        out["pos"].append(pos_of.get(url, -1) if pos_of else -1)
+        out["pos"].append(pp)
         out["links"].append(p.links)
     return pa.table({
         "url": pa.array(out["url"], pa.string()),
@@ -191,21 +198,22 @@ def _store_meta(pages_path: str) -> dict | None:
     return None
 
 
-def _read_store_file(path: str, uset: frozenset) -> pa.Table:
+def _read_store_file(path: str, wave_urls: pa.Array) -> pa.Table:
     """url-column-first pruned read of ONE bucket file: decode the cheap
-    url column per row group, membership-test against the wave's url set,
-    and decode the html column ONLY for row groups that matched.  Measured
-    ~15× faster per wave than a ``read_parquet(filter=isin)`` job at bench
-    scale (the Dataset job's plan+launch dominated, PERF.md r3)."""
+    url column per row group, membership-test against the wave's url
+    array (vectorized ``is_in`` — the wave set ships once as a zero-copy
+    Arrow array, never a pickled Python set), and decode the html column
+    ONLY for row groups that matched.  Measured ~15× faster per wave than
+    a ``read_parquet(filter=isin)`` job at bench scale (the Dataset job's
+    plan+launch dominated, PERF.md r3)."""
     pf = pq.ParquetFile(path)
     parts = []
     for rg in range(pf.metadata.num_row_groups):
         ut = pf.read_row_group(rg, columns=["url"])
-        mask = np.fromiter((u in uset for u in ut["url"].to_pylist()),
-                           bool, ut.num_rows)
-        if mask.any():
+        mask = pc.is_in(ut["url"], value_set=wave_urls)
+        if pc.any(mask).as_py():
             t = pf.read_row_group(rg, columns=["url", "html"])
-            parts.append(t.filter(pa.array(mask)))
+            parts.append(t.filter(mask))
     if parts:
         return pa.concat_tables(parts)
     return pa.Table.from_pylist([], schema=pa.schema(
@@ -213,11 +221,20 @@ def _read_store_file(path: str, uset: frozenset) -> pa.Table:
 
 
 def _store_files(pages_path: str, urls: list[str], meta: dict) -> list[str]:
-    """Bucket files the wave's urls hash into (partition-pruned listing)."""
+    """Bucket files the wave's urls hash into (partition-pruned listing).
+
+    Early-exits once every bucket is seen: a politeness wave's urls hash
+    uniformly, so a big wave stops after ~n_buckets·H(n_buckets) urls
+    (coupon collector) instead of md5-ing all O(wave) of them."""
     from ..urls import url_bucket
 
     n_buckets = meta["n_buckets"]
-    buckets = sorted({url_bucket(u, n_buckets) for u in urls})
+    seen_b: set[int] = set()
+    for u in urls:
+        seen_b.add(url_bucket(u, n_buckets))
+        if len(seen_b) == n_buckets:
+            break
+    buckets = sorted(seen_b)
     paths = []
     for b in buckets:
         d = os.path.join(pages_path, f"bucket={b}")
@@ -236,11 +253,13 @@ def _fetch_dataset(pages_path: str, urls: list[str]):
     return rd.read_parquet(pages_path, columns=["url", "html"], filter=filt)
 
 
-def _parse_fetched_table(b: pa.Table, pos_of: dict, wave: int,
+def _parse_fetched_table(b: pa.Table, wave_urls: pa.Array, wave: int,
                          wave_out: str, ladder) -> pa.Table:
     """Shared fused-wave tail: transport ladder → parse → write this
     task's analyses part (idempotent name) → tiny (kind, key, val)
-    partials."""
+    partials.  Positions come from ``index_in`` against the wave's
+    permuted url array (``wave_urls`` is the ONLY per-wave object shipped
+    to tasks — arrow, zero-copy)."""
     import hashlib as _h
     if ladder is not None and b.num_rows:
         b = b.filter(pa.array(
@@ -250,7 +269,9 @@ def _parse_fetched_table(b: pa.Table, pos_of: dict, wave: int,
             "url": pa.array([], pa.string()),
             "pos": pa.array([], pa.int32()),
             "links": pa.array([], pa.list_(pa.string()))}))
-    t = parse_pages_batch(b, pos_of, wave)
+    pos = pc.fill_null(pc.index_in(b["url"], value_set=wave_urls),
+                       -1).to_pylist()
+    t = parse_pages_batch(b, None, wave, pos=pos)
     tag = _h.md5((t["url"][0].as_py()
                   + f":{t.num_rows}").encode()).hexdigest()[:16]
     pq.write_table(t.drop_columns(["links"]),
@@ -258,15 +279,15 @@ def _parse_fetched_table(b: pa.Table, pos_of: dict, wave: int,
     return _wave_partials(t)
 
 
-def _fetch_parse_store_file(path: str, uset: frozenset, pos_of: dict,
+def _fetch_parse_store_file(path: str, wave_urls: pa.Array,
                             wave: int, wave_out: str, ladder) -> pa.Table:
     """FUSED disk-path wave kernel, run as ONE raw task per bucket file:
     url-first pruned read → parse tail.  Replaces the per-wave
     read_parquet + map_batches Dataset job whose plan+launch dominated
     disk-crawl waves (measured: a 4k-url probe cost 0.7 s as a Dataset
     job vs 0.04 s as raw tasks, PERF.md r3)."""
-    return _parse_fetched_table(_read_store_file(path, uset), pos_of,
-                                wave, wave_out, ladder)
+    return _parse_fetched_table(_read_store_file(path, wave_urls),
+                                wave_urls, wave, wave_out, ladder)
 
 
 _FUSED_TASK = None
@@ -712,7 +733,6 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
                 cut_urls = batch[len(batch) - cut_n:]
                 cut_bk = frontier.bucket_of([dom_of[u] for u in cut_urls])
                 batch = batch[: len(batch) - cut_n]
-            pos_of = {u: i for i, u in enumerate(batch)}
 
             # --- fetch + parse + analyses-write + link partials: ONE fused pass.
             # The parse stage writes its own analyses partition files (idempotent
@@ -741,9 +761,11 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
                 wave_out = os.path.join(analyses_dir, f"wave-{wave:05d}")
                 shutil.rmtree(wave_out, ignore_errors=True)  # partial rerun
                 os.makedirs(wave_out, exist_ok=True)
-                pos_ref = ray.put(pos_of)
-                # value set shipped ONCE as an Arrow array (zero-copy per task);
-                # rebuilding it per batch dominated small-CPU wave time.
+                # the wave's permuted url array is the ONLY per-wave object
+                # shipped to tasks (zero-copy Arrow): membership probes use
+                # is_in against it and positions come from index_in — no
+                # pickled dict/set is rebuilt per task (at a 10M-url wave
+                # the old pos_of dict cost O(wave) unpickle PER TASK).
                 vs_ref = ray.put(pa.array(batch, pa.string()))
                 ladder_ref = (ray.put(fetch_ladder)
                               if fetch_ladder is not None else None)
@@ -751,9 +773,8 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
                 is_preload = preloaded is not None
                 fused_refs = None
                 if fused_paths is not None:
-                    uset_ref = ray.put(frozenset(batch))
                     task = _fused_task()
-                    fused_refs = [task.remote(p, uset_ref, pos_ref, wave,
+                    fused_refs = [task.remote(p, vs_ref, wave,
                                               wave_out, fetch_ladder)
                                   for p in fused_paths]
 
@@ -774,7 +795,10 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
                             "url": pa.array([], pa.string()),
                             "pos": pa.array([], pa.int32()),
                             "links": pa.array([], pa.list_(pa.string()))}))
-                    t = parse_pages_batch(b, ray.get(pos_ref), this_wave)
+                    pos = pc.fill_null(
+                        pc.index_in(b["url"], value_set=ray.get(vs_ref)),
+                        -1).to_pylist()
+                    t = parse_pages_batch(b, None, this_wave, pos=pos)
                     if t.num_rows:
                         tag = _h.md5((t["url"][0].as_py()
                                       + f":{t.num_rows}").encode()).hexdigest()[:16]

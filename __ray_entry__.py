@@ -541,6 +541,18 @@ def _q_qty_discount_corr(sf_dir: str):
             .sort("l_returnflag"))
 
 
+def _q_frequent_tokens(sf_dir: str):
+    """Exact heavy hitters over document tokens (support n/50): bounded
+    per-block partials (< r rows survive per block by pigeonhole) →
+    candidate merge → exact recount of the broadcast candidates — the
+    frequent-items member of the mergeable-sketch family.  Integer
+    predicate cnt·50 > n on both sides; no float enters the result."""
+    from vyntr_ray.stages.sketches import frequent_tokens
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return frequent_tokens(ds, text_col="text", r=50)
+
+
 def _q_event_transitions(sf_dir: str):
     """Per-user behavior bigrams: counts of consecutive (event_type →
     next event_type) transitions ordered by (ts, id) — the Markov-chain
@@ -1644,6 +1656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3ish": _q_tpch_q3ish,
         "tpch_q5ish": _q_tpch_q5ish,
         "qty_discount_corr": _q_qty_discount_corr,
+        "frequent_tokens": _q_frequent_tokens,
         "event_transitions": _q_event_transitions,
         "ntile_buckets": _q_ntile_buckets,
         "group_zscores": _q_group_zscores,
@@ -2364,6 +2377,18 @@ def oracle_sql() -> dict[str, str]:
                                    - sy::DOUBLE * sy::DOUBLE)),
                          6) AS corr_qd
             FROM s ORDER BY l_returnflag
+        """,
+        # exact heavy hitters: integer support predicate on both sides
+        "frequent_tokens": """
+            WITH toks AS (
+                SELECT unnest(string_split_regex(text, '\\s+')) AS token
+                FROM documents),
+            t AS (
+                SELECT token, count(*)::BIGINT AS cnt FROM toks
+                WHERE token <> '' GROUP BY token),
+            tot AS (SELECT sum(cnt)::BIGINT AS n FROM t)
+            SELECT token, cnt FROM t, tot WHERE cnt * 50 > n
+            ORDER BY cnt DESC, token
         """,
         # consecutive-event bigrams per user (ts, id order)
         "event_transitions": """

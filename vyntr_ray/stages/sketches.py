@@ -27,12 +27,13 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..state.filters import _hash64
 
 __all__ = ["hll_sketch_batch", "hll_count_distinct", "group_count_distinct",
            "tdigest_batch", "tdigest_merge", "tdigest_quantile",
-           "group_quantiles_tdigest"]
+           "group_quantiles_tdigest", "frequent_tokens"]
 
 
 def _alpha(m: int) -> float:
@@ -232,3 +233,77 @@ def group_count_distinct(ds, group_col: str, value_col: str):
              .groupby([group_col, value_col]).count())
     return (pairs.groupby(group_col)
             .aggregate(Count(alias_name="n_distinct")))
+
+
+def frequent_tokens(ds, text_col: str = "text", r: int = 50):
+    """EXACT heavy hitters (frequent items) over whitespace tokens.
+
+    Two streaming passes, the classic sketch-then-verify shape:
+
+    1. Per-block bounded partials: count the block's tokens and keep only
+       those with block count > n_b/r (< r rows per block by pigeonhole).
+       Any token with GLOBAL count c > n/r must survive in at least one
+       block (if it were ≤ n_b/r in every block, summing gives c ≤ n/r),
+       so the merged candidate set contains every true hitter while only
+       O(blocks·r) rows ever cross the shuffle — never the token stream.
+    2. Exact recount of the (broadcast) candidate set, filtered by the
+       exact integer predicate ``cnt·r > n``.
+
+    Returns (token, cnt) for tokens with cnt·r > n, cnt exact — which is
+    why a DuckDB GROUP BY/HAVING oracle can match it value-for-value.
+    The reference has no counterpart; this is the frequent-items member
+    of the mergeable-sketch family (HLL `hll_count_distinct`, t-digest
+    `group_quantiles_tdigest`).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def _tokens(t: pa.Table) -> pa.Array:
+        toks = pc.list_flatten(pc.utf8_split_whitespace(t[text_col]))
+        return toks.filter(pc.not_equal(toks, "")).combine_chunks()
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = _tokens(t)
+        n_b = len(toks)
+        counts = (pa.table({"token": toks}).group_by("token")
+                  .aggregate([("token", "count")]))
+        keep = counts.filter(pc.greater(
+            pc.multiply(pc.cast(counts["token_count"], pa.int64()),
+                        pa.scalar(r, pa.int64())),
+            pa.scalar(n_b, pa.int64())))
+        k = keep.num_rows
+        return pa.table({
+            "kind": pa.array([0] + [1] * k, pa.int8()),
+            "token": pa.concat_arrays(
+                [pa.array([""], pa.string()),
+                 keep["token"].combine_chunks().cast(pa.string())]),
+            "cnt": pa.concat_arrays(
+                [pa.array([n_b], pa.int64()),
+                 keep["token_count"].combine_chunks().cast(pa.int64())]),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    agg = (parts.groupby(["kind", "token"])
+           .aggregate(Sum("cnt", alias_name="cnt")).take_all())
+    n = sum(row["cnt"] for row in agg if row["kind"] == 0)
+    cand = pa.array(sorted({row["token"] for row in agg
+                            if row["kind"] == 1}), pa.string())
+    cand_ref = ray.put(cand)
+
+    def recount(t: pa.Table) -> pa.Table:
+        toks = _tokens(t)
+        toks = toks.filter(pc.is_in(toks, value_set=ray.get(cand_ref)))
+        g = (pa.table({"token": toks}).group_by("token")
+             .aggregate([("token", "count")]))
+        return pa.table({
+            "token": g["token"].combine_chunks().cast(pa.string()),
+            "cnt": g["token_count"].combine_chunks().cast(pa.int64())})
+
+    exact = (ds.map_batches(recount, batch_format="pyarrow")
+             .groupby("token").aggregate(Sum("cnt", alias_name="cnt")))
+    out = exact.map_batches(
+        lambda t: t.filter(pc.greater(
+            pc.multiply(t["cnt"], pa.scalar(r, pa.int64())),
+            pa.scalar(n, pa.int64()))),
+        batch_format="pyarrow")
+    return out.sort(["cnt", "token"], descending=[True, False])

@@ -111,7 +111,8 @@ def bench_queries(repeats: int = 2) -> dict:
              "stratified_sample", "value_quantiles_tdigest",
              "pack_sequences", "unigram_logprob", "dup_substrings",
              "dup_clusters", "dsir_weights", "chunk_upsert",
-             "curate", "ngram_counts", "group_zscores", "tfidf_keywords"]
+             "curate", "ngram_counts", "group_zscores", "tfidf_keywords",
+             "tpch_q5ish", "qty_discount_corr", "frequent_tokens"]
     qs = em.queries()
     out = {}
     for _ in range(max(1, repeats)):

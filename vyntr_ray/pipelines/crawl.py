@@ -329,6 +329,39 @@ def _make_seen_filter(shards: list, n_shards: int):
     return seen_filter
 
 
+def _make_seen_prefilter(shards: list, n_shards: int):
+    """READ-ONLY seen probe applied BEFORE the link dedup shuffle: in late
+    waves most discovered links are already-crawled duplicates, so
+    dropping definitely-seen links first shrinks the repartition +
+    groupby + orderkey-sort input several-fold.  Deterministic: the probe
+    mutates nothing, a link's occurrences all probe identically (whole
+    links drop, never individual occurrences), and the groupby barrier
+    means every probe completes before the wave's first ``check_and_add``
+    — so the surviving set and its min-orderkeys are exactly what the
+    unprefixed pipeline computes (parity-tested)."""
+    from ..state.seen import route_shards
+
+    def seen_prefilter(batch: pa.Table) -> pa.Table:
+        import ray
+        urls = batch["link"].to_pylist()
+        if not urls:
+            return batch
+        shard_of = route_shards(urls, n_shards)
+        seen_flags = np.zeros(len(urls), dtype=bool)
+        futs, idxs = [], []
+        for s in range(n_shards):
+            idx = np.nonzero(shard_of == s)[0]
+            if len(idx):
+                futs.append(shards[s].probe.remote(
+                    [urls[i] for i in idx]))
+                idxs.append(idx)
+        for idx, res in zip(idxs, ray.get(futs)):
+            seen_flags[idx] = res
+        return batch.filter(pa.array(~seen_flags))
+
+    return seen_prefilter
+
+
 # --------------------------------------------------------------------------
 # checkpointing (per-wave deltas + filter blobs)
 # --------------------------------------------------------------------------
@@ -850,6 +883,12 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
                         32, 2 * int(ray.cluster_resources().get("CPU", 16)))
                     links_ds = (partial_ds.map_batches(
                         link_partial, batch_format="pyarrow")
+                        # read-only seen probe BEFORE the dedup shuffle:
+                        # late waves are mostly already-seen links; this
+                        # drops them ahead of repartition+groupby+sort
+                        .map_batches(
+                            _make_seen_prefilter(seen.shards, n_shards),
+                            batch_format="pyarrow")
                         .repartition(n_link_blocks)
                         .groupby("link").min("orderkey"))
                     links_ds = links_ds.map_batches(

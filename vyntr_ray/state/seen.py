@@ -98,6 +98,23 @@ class SeenShard:
     def contains(self, urls: list[str]) -> np.ndarray:
         return np.fromiter((u in self.exact for u in urls), bool, len(urls))
 
+    def probe(self, urls: list[str]) -> np.ndarray:
+        """READ-ONLY definitely-seen test (True ⇒ ``check_and_add`` would
+        report not-new).  Warm shard: exact-tier membership (cuckoo FPs
+        are NOT reported seen, so a new url is never falsely dropped).
+        Cold shard: filter-positive ⇒ seen, mirroring ``check_and_add``'s
+        cold rule exactly.  Used by the link pre-filter to shrink the
+        wave's dedup shuffle without touching state — deterministic
+        because the groupby barrier downstream guarantees every probe
+        sees only pre-wave state."""
+        seen = np.fromiter((u in self.exact for u in urls), bool, len(urls))
+        if self.bloom_fallback is not None:   # cold: no exact tier yet
+            h = _hash64(urls)
+            maybe = self.cuckoo.contains_hashes(h) \
+                | self.bloom_fallback.contains_hashes(h)
+            seen = seen | maybe
+        return seen
+
     def add(self, urls: list[str]) -> int:
         return int(self.check_and_add(urls).sum())
 

@@ -85,6 +85,42 @@ class TestSeenShard:
         assert fresh.shard_id == 3
 
 
+class TestSeenProbe:
+    def test_probe_agrees_with_check_and_add_and_is_readonly(self):
+        """probe must equal 'check_and_add would say not-new' — with NO
+        false drops of new urls (warm cuckoo FPs must NOT read as seen)
+        and no mutation."""
+        shard = SeenShard(0, capacity=1 << 12)
+        urls = _urls(500)
+        shard.check_and_add(urls)
+        n_before = len(shard.exact)
+        # all crawled urls are definitely-seen
+        assert shard.probe(urls).all()
+        # fresh urls never read seen on a warm shard, even if the cuckoo
+        # happens to false-positive (probe consults the exact tier only)
+        fresh = [f"http://probe{i}.example/x" for i in range(2000)]
+        assert not shard.probe(fresh).any()
+        assert len(shard.exact) == n_before          # read-only
+        assert shard.check_and_add(fresh).all()      # still all-new after
+
+    def test_probe_cold_mirrors_check_and_add(self):
+        from vyntr_ray.state.filters import BloomFilter
+        warm = SeenShard(0, capacity=1 << 12)
+        urls = _urls(500)
+        warm.check_and_add(urls)
+        bloom = BloomFilter(capacity=1000)
+        bloom.add(urls)
+        cold = SeenShard(0, capacity=1 << 12)
+        cold.restore_cold(warm.cuckoo.to_bytes(), bloom.to_bytes())
+        # cold rule: filter-positive => seen (exactly-once enqueue)
+        assert cold.probe(urls).all()
+        fresh = [f"http://coldprobe{i}.example/x" for i in range(500)]
+        probe_seen = cold.probe(fresh)
+        added_new = cold.check_and_add(fresh)
+        # the probe's verdict must match what check_and_add then decides
+        assert (~probe_seen == added_new).all()
+
+
 class TestColdRestore:
     def test_filters_only_restore_no_false_negatives(self):
         # scale path: a shard restored from cuckoo blob + bloom fallback

@@ -599,6 +599,140 @@ def _q_event_transitions(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_bigram_pmi(sf_dir: str):
+    """Collocation mining: PMI-ranked adjacent word pairs (the phrase-
+    detection pass a tokenizer-training pipeline runs before BPE).
+    Tagged per-block Counter partials (unigram + bigram in one pass over
+    the text) -> ONE groupby -> support filter bounds the candidate set
+    (top-2000 by count) -> unigram counts for candidate tokens only are
+    broadcast back (O(candidates), never the full vocab) -> PMI.  The
+    score is ln((cxy/nb)/((cx/nu)(cy/nu))) computed TERM-FOR-TERM
+    identically to the SQL oracle and floored to micro units (floor has
+    no tie mode, unlike round-half-even vs half-away)."""
+    import math
+    from collections import Counter
+
+    import pyarrow.compute as pc
+
+    from vyntr_ray.stages.text_analysis import _GRAM_TOKEN
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cu: Counter = Counter()
+        cb: Counter = Counter()
+        for t in b["text"].to_pylist():
+            ws = _GRAM_TOKEN.findall((t or "").lower())
+            cu.update(ws)
+            cb.update(ws[i] + " " + ws[i + 1] for i in range(len(ws) - 1))
+        return pa.table({
+            "kind": pa.array([0] * len(cu) + [1] * len(cb), pa.int8()),
+            "gram": pa.array(list(cu.keys()) + list(cb.keys()), pa.string()),
+            "cnt": pa.array(list(cu.values()) + list(cb.values()),
+                            pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["kind", "gram"]).sum("cnt")
+           .map_batches(lambda t: t.rename_columns(["kind", "gram", "cnt"]),
+                        batch_format="pyarrow")
+           .materialize())  # distinct grams only; reused by 4 consumers
+    uni = agg.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 0)).drop_columns(["kind"]),
+        batch_format="pyarrow")
+    bi = agg.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 1)).drop_columns(["kind"]),
+        batch_format="pyarrow")
+    nu, nb = uni.sum("cnt"), bi.sum("cnt")
+    cand = (bi.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["cnt"], pa.scalar(5))),
+        batch_format="pyarrow")
+        .sort(["cnt", "gram"], descending=[True, False])
+        .limit(2000).take_all())
+    toks = {w for r in cand for w in r["gram"].split(" ")}
+    toks_arr = pa.array(sorted(toks), pa.string())
+    urows = uni.map_batches(
+        lambda t: t.filter(pc.is_in(t["gram"], value_set=toks_arr)),
+        batch_format="pyarrow").take_all()
+    ucnt = {r["gram"]: r["cnt"] for r in urows}
+    grams, cnts, micro = [], [], []
+    for r in cand:
+        x, y = r["gram"].split(" ")
+        pmi = (math.log(r["cnt"]) - math.log(nb) - math.log(ucnt[x])
+               + math.log(nu) - math.log(ucnt[y]) + math.log(nu))
+        grams.append(r["gram"])
+        cnts.append(r["cnt"])
+        micro.append(int(math.floor(pmi * 1000000)))
+    out = pa.table({"gram": pa.array(grams, pa.string()),
+                    "cnt": pa.array(cnts, pa.int64()),
+                    "pmi_micro": pa.array(micro, pa.int64())})
+    idx = pc.sort_indices(out, sort_keys=[("pmi_micro", "descending"),
+                                          ("gram", "ascending")])
+    return out.take(idx[:100])
+
+
+def _q_funnel(sf_dir: str):
+    """Conversion funnel view -> signup -> purchase: users reaching each
+    ordered step (each step strictly after the earliest completion of
+    the previous).  Hash-partitioned per-key sweep, O(steps) driver rows."""
+    from vyntr_ray.stages.windows import funnel
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    return funnel(ds, ["view", "signup", "purchase"])
+
+
+def _q_tpch_q18ish(sf_dir: str):
+    """TPC-H Q18 analog (large-volume customers): distributed
+    groupby(l_orderkey).sum(qty) -> HAVING > 150 makes the qualifying
+    set small -> broadcast it into a pruned orders scan -> distributed
+    hash join with customer for the name -> top-100.  Quantities are
+    integral doubles; per-row centi scaling keeps every sum exact int64."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def centi(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "qty_centi": pc.cast(pc.round(pc.multiply(
+                t["l_quantity"], pa.scalar(100.0))), pa.int64())})
+
+    agg = (li.map_batches(centi, batch_format="pyarrow")
+           .groupby("l_orderkey")
+           .aggregate(Sum("qty_centi", alias_name="sum_qty_centi")))
+    qual = agg.map_batches(
+        lambda t: t.filter(pc.greater(t["sum_qty_centi"],
+                                      pa.scalar(15_000, pa.int64()))),
+        batch_format="pyarrow")
+    # qualifying orders are a tiny fraction by construction (HAVING);
+    # broadcast the orderkey->sum map once
+    qrows = qual.take_all()
+    qmap_ref = ray.put({r["l_orderkey"]: r["sum_qty_centi"] for r in qrows})
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ofilt(t: pa.Table) -> pa.Table:
+        qmap = ray.get(qmap_ref)
+        keys = t["o_orderkey"].to_pylist()
+        keep = pa.array([k in qmap for k in keys])
+        t = t.filter(keep)
+        return t.append_column(
+            "sum_qty_centi",
+            pa.array([qmap[k] for k in t["o_orderkey"].to_pylist()],
+                     pa.int64()))
+
+    o = orders.map_batches(ofilt, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    joined = o.join(cust, join_type="inner", num_partitions=8,
+                    on=("o_custkey",), right_on=("c_custkey",))
+    out = joined.select_columns(["c_name", "o_custkey", "o_orderkey",
+                                 "o_orderdate", "sum_qty_centi"])
+    return out.sort(["sum_qty_centi", "o_orderkey"],
+                    descending=[True, False]).limit(100)
+
+
 def _q_ntile_buckets(sf_dir: str):
     """NTILE(4) per event_type over (value, id) order — the quantile-
     bucket label a stratified curriculum sampler keys on.  One pass per
@@ -1658,6 +1792,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_discount_corr": _q_qty_discount_corr,
         "frequent_tokens": _q_frequent_tokens,
         "event_transitions": _q_event_transitions,
+        "funnel": _q_funnel,
+        "tpch_q18ish": _q_tpch_q18ish,
+        "bigram_pmi": _q_bigram_pmi,
         "ntile_buckets": _q_ntile_buckets,
         "group_zscores": _q_group_zscores,
         "distinct_users": _q_distinct_users,
@@ -2408,6 +2545,42 @@ def oracle_sql() -> dict[str, str]:
                                   ORDER BY value, event_id)::BIGINT AS tile
             FROM events
         """,
+        # funnel: step i = earliest event strictly after step i-1's time
+        "funnel": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+                 s2 AS (SELECT e.user_id, min(e.ts) AS t
+                        FROM events e JOIN s1 ON e.user_id = s1.user_id
+                        WHERE e.event_type = 'signup' AND e.ts > s1.t
+                        GROUP BY e.user_id),
+                 s3 AS (SELECT e.user_id, min(e.ts) AS t
+                        FROM events e JOIN s2 ON e.user_id = s2.user_id
+                        WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                        GROUP BY e.user_id)
+            SELECT * FROM (
+                SELECT 1::BIGINT AS step, 'view' AS event_type,
+                       count(*)::BIGINT AS users FROM s1
+                UNION ALL
+                SELECT 2::BIGINT, 'signup', count(*)::BIGINT FROM s2
+                UNION ALL
+                SELECT 3::BIGINT, 'purchase', count(*)::BIGINT FROM s3)
+            ORDER BY step
+        """,
+        "tpch_q18ish": """
+            WITH q AS (
+                SELECT l_orderkey,
+                       sum(CAST(round(l_quantity * 100) AS BIGINT))
+                           AS sum_qty_centi
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum_qty_centi > 15000)
+            SELECT c_name, o_custkey, o_orderkey, o_orderdate,
+                   sum_qty_centi
+            FROM q
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            ORDER BY sum_qty_centi DESC, o_orderkey
+            LIMIT 100
+        """,
         # pivot = conditional counts per key (fixed category schema)
         "event_pivot": """
             SELECT user_id,
@@ -2510,6 +2683,34 @@ def oracle_sql() -> dict[str, str]:
                     AS cum
                 FROM m)
             SELECT doc_id, tok::BIGINT AS tok FROM c WHERE cum <= 2000
+        """,
+        # PMI formula written TERM-FOR-TERM as the engine computes it
+        # (left-to-right adds of ln terms, floor to micro units) so the
+        # IEEE doubles match bit-for-bit — the qty_discount_corr precedent
+        "bigram_pmi": r"""
+            WITH w AS (SELECT regexp_extract_all(lower(text),
+                              '[a-z0-9]+') AS ws
+                       FROM documents),
+            uc AS (SELECT tok, count(*)::BIGINT AS c
+                   FROM (SELECT unnest(ws) AS tok FROM w) GROUP BY tok),
+            nu AS (SELECT sum(c)::BIGINT AS n FROM uc),
+            bc AS (SELECT x, y, count(*)::BIGINT AS c
+                   FROM (SELECT ws[i] AS x, ws[i+1] AS y
+                         FROM (SELECT ws, unnest(range(1, len(ws))) AS i
+                               FROM w))
+                   GROUP BY x, y),
+            nb AS (SELECT sum(c)::BIGINT AS n FROM bc),
+            cand AS (SELECT x, y, c FROM bc WHERE c >= 5
+                     QUALIFY row_number()
+                         OVER (ORDER BY c DESC, x || ' ' || y) <= 2000)
+            SELECT cand.x || ' ' || cand.y AS gram, cand.c AS cnt,
+                   CAST(floor((ln(cand.c) - ln(nb.n) - ln(ux.c) + ln(nu.n)
+                               - ln(uy.c) + ln(nu.n)) * 1000000) AS BIGINT)
+                       AS pmi_micro
+            FROM cand, nb, nu
+            JOIN uc ux ON ux.tok = cand.x
+            JOIN uc uy ON uy.tok = cand.y
+            ORDER BY pmi_micro DESC, gram LIMIT 100
         """,
         "ngram_counts": r"""
             WITH w AS (SELECT regexp_extract_all(lower(text),

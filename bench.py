@@ -34,6 +34,10 @@ SCALE_LEVELS = [int(x) for x in os.environ.get(
 # (see PERF.md; the 200k/400k/800k ladder is reported in BASELINE.md)
 SCALE_PAGES = os.environ.get("GRAFT_SCALE_PAGES", "800000")
 SCALE_BUDGET = os.environ.get("GRAFT_SCALE_BUDGET", "640000")
+# bucket-owning frontier actors (the multi-node design: link feedback,
+# frontier state and selection never pass through the driver); 0 = the
+# driver-resident BucketedFrontier
+BENCH_ACTORS = int(os.environ.get("GRAFT_BENCH_ACTORS", "0")) or None
 
 
 def _init_ray():
@@ -87,7 +91,8 @@ def bench_crawl(preload: bool = True) -> dict:
     t0 = time.perf_counter()
     stats = run_crawl(store, seeds, workdir, max_pages=BENCH_BUDGET,
                       seed=42, n_shards=8, checkpoint=False,
-                      keep_schedule=False, preload_pages=preload)
+                      keep_schedule=False, preload_pages=preload,
+                      frontier_actors=BENCH_ACTORS)
     dt = time.perf_counter() - t0
     shutil.rmtree(workdir, ignore_errors=True)
     return {"sec": dt, "scheduled": stats.scheduled,

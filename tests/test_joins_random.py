@@ -162,3 +162,37 @@ def test_lag_diff_matches_bruteforce(seed, ray_session):
             vc = np.round(g["value"].to_numpy() * 100).astype("int64")
             exp.append(int(vc[i] - vc[i - 1]))
     assert got["diff_centi"].tolist() == exp
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_funnel_matches_bruteforce(seed, ray_session):
+    import ray.data as rd
+
+    from vyntr_ray.stages.windows import funnel
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n = 500
+    steps = ["a", "b", "c"]
+    ev = pd.DataFrame({
+        "user_id": rng.integers(0, 29, n),
+        "ts": pd.to_datetime(rng.integers(0, 2000, n), unit="s", utc=False),
+        "event_type": rng.choice(["a", "b", "c", "x"], n),
+    })
+    got = funnel(rd.from_pandas(ev.copy()), steps).to_pandas()
+
+    # brute force: per user walk the ordered log, step i strictly after
+    # the EARLIEST completion time of step i-1
+    users = np.zeros(len(steps), dtype=np.int64)
+    for uid, g in ev.groupby("user_id"):
+        prev = None
+        for i, s in enumerate(steps):
+            m = g[g["event_type"] == s]
+            if i > 0:
+                m = m[m["ts"] > prev]
+            if len(m) == 0:
+                break
+            prev = m["ts"].min()
+            users[i] += 1
+    assert got["step"].tolist() == [1, 2, 3]
+    assert got["event_type"].tolist() == steps
+    assert got["users"].tolist() == users.tolist()

@@ -301,6 +301,24 @@ def _fused_task():
     return _FUSED_TASK
 
 
+def _fetched_of_block(t: pa.Table) -> pa.Table:
+    """kind==0 keys (fetched urls) of one materialized partials block."""
+    if "kind" not in t.column_names or t.num_rows == 0:
+        return pa.table({"key": pa.array([], pa.string())})
+    return t.filter(pc.equal(t["kind"], 0)).select(["key"])
+
+
+_FETCHED_TASK = None
+
+
+def _fetched_task():
+    global _FETCHED_TASK
+    if _FETCHED_TASK is None:
+        import ray
+        _FETCHED_TASK = ray.remote(num_cpus=0.25)(_fetched_of_block)
+    return _FETCHED_TASK
+
+
 # --------------------------------------------------------------------------
 # distributed link-dedup path (giant waves)
 # --------------------------------------------------------------------------
@@ -922,10 +940,13 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
                             ordered_new = (newdf.sort_values("orderkey")
                                            ["link"].tolist())
                     _t3 = _time.perf_counter()
-                    ftabs = ray.get(partial_ds.map_batches(
-                        lambda t: t.filter(_pc.equal(t["kind"], 0))
-                        .select(["key"]),
-                        batch_format="pyarrow").to_arrow_refs())
+                    # fetched urls come off the SAME materialized partial
+                    # blocks via raw tasks — a map_batches here paid a full
+                    # streaming-executor launch (~0.3-0.5 s) per wave just
+                    # to filter tiny blocks
+                    _ftask = _fetched_task()
+                    ftabs = ray.get([_ftask.remote(r)
+                                     for r in partial_ds.to_arrow_refs()])
                     # an all-miss wave yields blocks without the key column
                     ftabs = [t for t in ftabs
                              if "key" in t.column_names and t.num_rows]

@@ -22,7 +22,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["tumbling", "sliding", "sessionize", "rolling_sum", "lag_diff"]
+__all__ = ["tumbling", "sliding", "sessionize", "rolling_sum", "lag_diff",
+           "funnel"]
 
 _US = 1_000_000
 
@@ -196,3 +197,54 @@ def lag_diff(ds, key_col: str = "user_id", ts_col: str = "ts",
     return _by_part(ds, key_col).groupby("_part").map_groups(
         lambda g: per_part(g.drop(columns="_part")),
         batch_format="pandas")
+
+
+def funnel(ds, steps: list[str], key_col: str = "user_id",
+           ts_col: str = "ts", ev_col: str = "event_type"):
+    """Ordered-sequence conversion funnel: how many keys reached step i.
+
+    A key reaches step 1 at ``t1 = min(ts | ev == steps[0])`` and step
+    ``i`` at ``t_i = min(ts | ev == steps[i] and ts > t_{i-1})`` —
+    i.e. each step must occur STRICTLY AFTER the earliest completion of
+    the previous one (the standard product-analytics funnel).  Returns
+    ``(step, event_type, users)`` ordered by step.
+
+    Shape: all events of a key live in one hash partition, so each
+    partition resolves its keys' full funnels with vectorized pandas
+    joins (never a Ray group per key), emits one ``len(steps)``-row
+    partial, and a tiny final groupby sums partials.  Driver holds
+    O(len(steps)) rows; no reference counterpart (SURVEY §2.9 family).
+    """
+    from ray.data.aggregate import Sum
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        # Ray's map_groups can hand the group frame over with a named
+        # index; drop it so key_col is unambiguous in groupby/merge
+        g = g.reset_index(drop=True)
+        users = np.zeros(len(steps), dtype=np.int64)
+        cur = None  # frame: key -> earliest completion time of prev step
+        for i, s in enumerate(steps):
+            m = g[g[ev_col] == s]
+            if i > 0:
+                m = m.merge(cur, on=key_col, how="inner")
+                m = m[m[ts_col] > m["_prev"]]
+            cur = (m.groupby(key_col)[ts_col].min()
+                   .rename("_prev").reset_index())
+            users[i] = len(cur)
+        return pd.DataFrame({"step": np.arange(1, len(steps) + 1,
+                                               dtype=np.int64),
+                             "users": users})
+
+    part = _by_part(ds, key_col).groupby("_part").map_groups(
+        lambda g: per_part(g.drop(columns="_part")),
+        batch_format="pandas")
+    agg = part.groupby("step").aggregate(Sum("users", alias_name="users"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        step = t["step"].to_numpy()
+        return pa.table({
+            "step": t["step"],
+            "event_type": pa.array([steps[i - 1] for i in step]),
+            "users": pc.cast(t["users"], pa.int64())})
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort("step")

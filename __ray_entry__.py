@@ -680,6 +680,16 @@ def _q_funnel(sf_dir: str):
     return funnel(ds, ["view", "signup", "purchase"])
 
 
+def _q_retention(sf_dir: str):
+    """Daily cohort retention triangle over the event log: distinct
+    users with any event at age-a days after their first-event day.
+    Hash-partitioned per-key pass, O(cohorts x ages) driver rows."""
+    from vyntr_ray.stages.windows import retention
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return retention(ds, period_s=86_400)
+
+
 def _q_tpch_q18ish(sf_dir: str):
     """TPC-H Q18 analog (large-volume customers): distributed
     groupby(l_orderkey).sum(qty) -> HAVING > 150 makes the qualifying
@@ -1793,6 +1803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_tokens": _q_frequent_tokens,
         "event_transitions": _q_event_transitions,
         "funnel": _q_funnel,
+        "retention": _q_retention,
         "tpch_q18ish": _q_tpch_q18ish,
         "bigram_pmi": _q_bigram_pmi,
         "ntile_buckets": _q_ntile_buckets,
@@ -2565,6 +2576,19 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 3::BIGINT, 'purchase', count(*)::BIGINT FROM s3)
             ORDER BY step
+        """,
+        # retention: distinct (user, day) pairs -> cohort = min day
+        "retention": """
+            WITH up AS (SELECT DISTINCT user_id,
+                               epoch_us(ts) // 86400000000 AS p
+                        FROM events),
+                 f AS (SELECT user_id, min(p) AS cohort
+                       FROM up GROUP BY user_id)
+            SELECT f.cohort::BIGINT AS cohort,
+                   (up.p - f.cohort)::BIGINT AS age,
+                   count(*)::BIGINT AS users
+            FROM up JOIN f USING (user_id)
+            GROUP BY 1, 2 ORDER BY cohort, age
         """,
         "tpch_q18ish": """
             WITH q AS (

@@ -164,6 +164,35 @@ def test_lag_diff_matches_bruteforce(seed, ray_session):
     assert got["diff_centi"].tolist() == exp
 
 
+@pytest.mark.parametrize("seed", [3, 17])
+def test_retention_matches_bruteforce(seed, ray_session):
+    import ray.data as rd
+
+    from vyntr_ray.stages.windows import retention
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n, period = 800, 50
+    ev = pd.DataFrame({
+        "user_id": rng.integers(0, 37, n),
+        "ts": pd.to_datetime(rng.integers(0, 1000, n), unit="s", utc=False),
+    })
+    got = retention(rd.from_pandas(ev.copy()), period_s=period).to_pandas()
+
+    # brute force: distinct (user, period); cohort = min period per user
+    exp: dict[tuple[int, int], int] = {}
+    p = ev["ts"].astype("int64") // (period * 10**9)
+    for uid, g in p.groupby(ev["user_id"]):
+        days = sorted(set(g))
+        for d in days:
+            k = (days[0], d - days[0])
+            exp[k] = exp.get(k, 0) + 1
+    got_map = {(r.cohort, r.age): r.users for r in got.itertuples()}
+    assert got_map == exp
+    # output is sorted and age-0 rows equal cohort sizes
+    assert got[["cohort", "age"]].values.tolist() == sorted(
+        got[["cohort", "age"]].values.tolist())
+
+
 @pytest.mark.parametrize("seed", [5, 23])
 def test_funnel_matches_bruteforce(seed, ray_session):
     import ray.data as rd

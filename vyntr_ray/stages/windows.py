@@ -23,7 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["tumbling", "sliding", "sessionize", "rolling_sum", "lag_diff",
-           "funnel"]
+           "funnel", "retention"]
 
 _US = 1_000_000
 
@@ -248,3 +248,49 @@ def funnel(ds, steps: list[str], key_col: str = "user_id",
             "users": pc.cast(t["users"], pa.int64())})
 
     return agg.map_batches(finalize, batch_format="pyarrow").sort("step")
+
+
+def retention(ds, period_s: int = 86_400, key_col: str = "user_id",
+              ts_col: str = "ts"):
+    """Cohort retention matrix: ``(cohort, age, users)``.
+
+    A key's cohort is the period of its FIRST event
+    (``floor(ts_us / period_us)`` on the int64 microsecond timestamp);
+    it is retained at age ``a`` if it has any event in period
+    ``cohort + a``.  ``users`` counts distinct keys per (cohort, age) —
+    the standard product-analytics retention triangle; age 0 row equals
+    cohort size by construction.
+
+    Shape: all events of a key live in one hash partition; each
+    partition dedups to distinct (key, period) pairs, derives each
+    key's cohort with a vectorized groupby-min transform, and emits a
+    value-counted (cohort, age) partial — distinct keys never collide
+    across partitions, so partial counts sum exactly.  Driver holds
+    O(cohorts × ages) rows.  No reference counterpart (SURVEY §2.9
+    family of training-analytics additions).
+    """
+    from ray.data.aggregate import Sum
+
+    period_us = period_s * _US
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.reset_index(drop=True)
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+        p = us // period_us
+        up = pd.DataFrame({key_col: g[key_col], "_p": p}).drop_duplicates()
+        cohort = up.groupby(key_col)["_p"].transform("min")
+        partial = (pd.DataFrame({"cohort": cohort,
+                                 "age": up["_p"] - cohort})
+                   .value_counts().rename("users").reset_index())
+        return partial.astype({"cohort": "int64", "age": "int64",
+                               "users": "int64"})
+
+    part = _by_part(ds, key_col).groupby("_part").map_groups(
+        lambda g: per_part(g.drop(columns="_part")),
+        batch_format="pandas")
+    return (part.groupby(["cohort", "age"])
+            .aggregate(Sum("users", alias_name="users"))
+            .map_batches(lambda t: t.set_column(
+                t.column_names.index("users"), "users",
+                pc.cast(t["users"], pa.int64())), batch_format="pyarrow")
+            .sort(["cohort", "age"]))

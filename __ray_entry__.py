@@ -680,6 +680,41 @@ def _q_funnel(sf_dir: str):
     return funnel(ds, ["view", "signup", "purchase"])
 
 
+def _q_tpch_q4ish(sf_dir: str):
+    """TPC-H Q4 analog (order priority checking): EXISTS semi-join —
+    orders in a one-year window having at least one returned lineitem,
+    counted by priority.  The semi side is LARGE (a quarter of all
+    lineitems), so it is deduped with a distributed groupby and joined
+    hash-partitioned — never broadcast (contrast tpch_q18ish, where a
+    HAVING bounds the qualifying set first)."""
+    import datetime
+
+    import pyarrow.compute as pc
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+    keys = (li.map_batches(
+        lambda t: t.filter(pc.equal(t["l_returnflag"], "R"))
+        .select(["l_orderkey"]), batch_format="pyarrow")
+        .groupby("l_orderkey").count()
+        .map_batches(lambda t: t.select(["l_orderkey"]),
+                     batch_format="pyarrow"))
+    lo = pa.scalar(datetime.datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1997, 1, 1), pa.timestamp("us"))
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    ofil = orders.map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(t["o_orderdate"], lo),
+            pc.less(t["o_orderdate"], hi))).drop_columns(["o_orderdate"]),
+        batch_format="pyarrow")
+    j = ofil.join(keys, join_type="inner", num_partitions=8,
+                  on=("o_orderkey",), right_on=("l_orderkey",))
+    return (j.groupby("o_orderpriority").count()
+            .map_batches(lambda t: t.rename_columns(
+                ["o_orderpriority", "n"]), batch_format="pyarrow")
+            .sort("o_orderpriority"))
+
+
 def _q_retention(sf_dir: str):
     """Daily cohort retention triangle over the event log: distinct
     users with any event at age-a days after their first-event day.
@@ -1805,6 +1840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": _q_funnel,
         "retention": _q_retention,
         "tpch_q18ish": _q_tpch_q18ish,
+        "tpch_q4ish": _q_tpch_q4ish,
         "bigram_pmi": _q_bigram_pmi,
         "ntile_buckets": _q_ntile_buckets,
         "group_zscores": _q_group_zscores,
@@ -2576,6 +2612,16 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 3::BIGINT, 'purchase', count(*)::BIGINT FROM s3)
             ORDER BY step
+        """,
+        "tpch_q4ish": """
+            SELECT o_orderpriority, count(*)::BIGINT AS n
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         # retention: distinct (user, day) pairs -> cohort = min day
         "retention": """

@@ -117,7 +117,9 @@ def bench_queries(repeats: int = 2) -> dict:
              "pack_sequences", "unigram_logprob", "dup_substrings",
              "dup_clusters", "dsir_weights", "chunk_upsert",
              "curate", "ngram_counts", "group_zscores", "tfidf_keywords",
-             "tpch_q5ish", "qty_discount_corr", "frequent_tokens"]
+             "tpch_q5ish", "qty_discount_corr", "frequent_tokens",
+             "funnel", "retention", "tpch_q18ish", "tpch_q4ish",
+             "bigram_pmi"]
     qs = em.queries()
     out = {}
     for _ in range(max(1, repeats)):

@@ -715,6 +715,126 @@ def _q_tpch_q4ish(sf_dir: str):
             .sort("o_orderpriority"))
 
 
+def _q_tpch_q13ish(sf_dir: str):
+    """TPC-H Q13 analog (customer order-count distribution): a LEFT
+    OUTER join shape — customers with ZERO orders must survive into the
+    histogram.  No join operator is needed: per-batch value_counts
+    partials from orders (combiner pre-aggregation) are UNION'd with a
+    zero-count row per customer, one groupby sums both sides (the
+    union+groupby merge pattern), and a second tiny groupby builds the
+    count-of-counts histogram.  Shuffle = O(distinct custkeys), driver
+    = O(distinct counts)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def opart(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t["o_custkey"])
+        n = len(vc)
+        return pa.table({
+            "c_custkey": vc.field("values"),
+            "n_orders": pc.cast(vc.field("counts"), pa.int64()),
+            "is_cust": pa.array([0] * n, pa.int64())})
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def cpart(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "n_orders": pa.array([0] * n, pa.int64()),
+            "is_cust": pa.array([1] * n, pa.int64())})
+
+    merged = (orders.map_batches(opart, batch_format="pyarrow")
+              .union(cust.map_batches(cpart, batch_format="pyarrow"))
+              .groupby("c_custkey")
+              .aggregate(Sum("n_orders", alias_name="c_count"),
+                         Sum("is_cust", alias_name="is_cust")))
+    per_cust = merged.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["is_cust"],
+                                            pa.scalar(1, pa.int64())))
+        .select(["c_count"]), batch_format="pyarrow")
+    hist = per_cust.groupby("c_count").count().map_batches(
+        lambda t: t.rename_columns(["c_count", "custdist"]),
+        batch_format="pyarrow")
+    return hist.sort(["custdist", "c_count"], descending=[True, True])
+
+
+def _q_tpch_q16ish(sf_dir: str):
+    """TPC-H Q16 analog (supplier-part relationship count): COUNT
+    (DISTINCT suppkey) per (brand, type, size) as TWO distributed
+    dedup groupbys — distinct (partkey, suppkey) pairs from lineitem
+    (the partsupp analog), a hash-partitioned join against the filtered
+    part dimension, then distinct (brand, type, size, suppkey) before
+    the final count — the distinct-aggregate never holds a group's
+    values in one worker."""
+    import pyarrow.compute as pc
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    pairs = (li.groupby(["l_partkey", "l_suppkey"]).count()
+             .map_batches(lambda t: t.select(["l_partkey", "l_suppkey"]),
+                          batch_format="pyarrow"))
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_brand", "p_type", "p_size"])
+    pfil = part.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t["p_brand"], "Brand#1"))),
+        batch_format="pyarrow")
+    j = pairs.join(pfil, join_type="inner", num_partitions=8,
+                   on=("l_partkey",), right_on=("p_partkey",))
+    d2 = (j.groupby(["p_brand", "p_type", "p_size", "l_suppkey"]).count()
+          .map_batches(lambda t: t.select(["p_brand", "p_type", "p_size"]),
+                       batch_format="pyarrow"))
+    out = d2.groupby(["p_brand", "p_type", "p_size"]).count().map_batches(
+        lambda t: t.rename_columns(
+            ["p_brand", "p_type", "p_size", "supplier_cnt"]),
+        batch_format="pyarrow")
+    return out.sort(["supplier_cnt", "p_brand", "p_type", "p_size"],
+                    descending=[True, False, False, False])
+
+
+def _q_running_total(sf_dir: str):
+    """Per-user running total (unbounded-preceding window frame),
+    exact centi ints — the cumulative sibling of rolling_sum."""
+    from vyntr_ray.stages.windows import running_total
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+    return running_total(ds)
+
+
+def _q_value_quantiles_cont(sf_dir: str):
+    """Exact per-event-type INTERPOLATED quantiles (quantile_cont
+    convention), integer 1e-4-unit arithmetic on both sides."""
+    from vyntr_ray.stages.dataset_tools import group_quantiles_cont
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return group_quantiles_cont(ds, "event_type", "value")
+
+
+def _q_regex_extract(sf_dir: str):
+    """Regex-extraction table: every match of a word pattern flat-mapped
+    out of each document with per-doc counts.  A doc's text lives in one
+    row, so per-batch Counter emission is already final — zero shuffle."""
+    import re
+    from collections import Counter
+
+    pat = re.compile(r"\b[st][a-z]{3,}\b")
+
+    def extract(t: pa.Table) -> pa.Table:
+        ids, terms, ns = [], [], []
+        for did, txt in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+            for term, n in Counter(pat.findall(txt or "")).items():
+                ids.append(did)
+                terms.append(term)
+                ns.append(n)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "term": pa.array(terms, pa.string()),
+                         "n": pa.array(ns, pa.int64())})
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(extract, batch_format="pyarrow")
+
+
 def _q_retention(sf_dir: str):
     """Daily cohort retention triangle over the event log: distinct
     users with any event at age-a days after their first-event day.
@@ -1841,6 +1961,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention": _q_retention,
         "tpch_q18ish": _q_tpch_q18ish,
         "tpch_q4ish": _q_tpch_q4ish,
+        "tpch_q13ish": _q_tpch_q13ish,
+        "tpch_q16ish": _q_tpch_q16ish,
+        "running_total": _q_running_total,
+        "value_quantiles_cont": _q_value_quantiles_cont,
+        "regex_extract": _q_regex_extract,
         "bigram_pmi": _q_bigram_pmi,
         "ntile_buckets": _q_ntile_buckets,
         "group_zscores": _q_group_zscores,
@@ -2622,6 +2747,72 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l_orderkey = o_orderkey
                             AND l_returnflag = 'R')
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "tpch_q13ish": """
+            WITH per_cust AS (
+                SELECT c.c_custkey, count(o.o_custkey)::BIGINT AS c_count
+                FROM customer c LEFT JOIN orders o
+                  ON c.c_custkey = o.o_custkey
+                GROUP BY c.c_custkey)
+            SELECT c_count, count(*)::BIGINT AS custdist
+            FROM per_cust GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "tpch_q16ish": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#1'
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "running_total": """
+            SELECT event_id, user_id,
+                   sum(round(value * 100)::BIGINT) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )::BIGINT AS run_centi
+            FROM events
+        """,
+        "value_quantiles_cont": """
+            WITH s AS (
+                SELECT event_type, round(value * 100)::BIGINT AS vc,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY value) - 1 AS r,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM events),
+            g AS (
+                SELECT event_type, n,
+                       max(CASE WHEN r = (25 * (n - 1)) // 100
+                                THEN vc END) AS lo25,
+                       max(CASE WHEN r = least((25 * (n - 1)) // 100 + 1,
+                                               n - 1) THEN vc END) AS hi25,
+                       max(CASE WHEN r = (50 * (n - 1)) // 100
+                                THEN vc END) AS lo50,
+                       max(CASE WHEN r = least((50 * (n - 1)) // 100 + 1,
+                                               n - 1) THEN vc END) AS hi50,
+                       max(CASE WHEN r = (95 * (n - 1)) // 100
+                                THEN vc END) AS lo95,
+                       max(CASE WHEN r = least((95 * (n - 1)) // 100 + 1,
+                                               n - 1) THEN vc END) AS hi95
+                FROM s GROUP BY event_type, n)
+            SELECT event_type,
+                   (lo25 * 100 + ((25 * (n - 1)) % 100)
+                        * (hi25 - lo25))::BIGINT AS q25_e4,
+                   (lo50 * 100 + ((50 * (n - 1)) % 100)
+                        * (hi50 - lo50))::BIGINT AS q50_e4,
+                   (lo95 * 100 + ((95 * (n - 1)) % 100)
+                        * (hi95 - lo95))::BIGINT AS q95_e4
+            FROM g
+        """,
+        "regex_extract": r"""
+            SELECT doc_id, m AS term, count(*)::BIGINT AS n
+            FROM (SELECT doc_id,
+                         unnest(regexp_extract_all(
+                             text, '\b[st][a-z]{3,}\b')) AS m
+                  FROM documents)
+            GROUP BY doc_id, m
         """,
         # retention: distinct (user, day) pairs -> cohort = min day
         "retention": """

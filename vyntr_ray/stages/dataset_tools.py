@@ -17,7 +17,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["topk_largest", "remove_largest", "group_quantiles",
-           "group_topk", "group_quantiles_approx", "pivot_counts"]
+           "group_quantiles_cont", "group_topk", "group_quantiles_approx",
+           "pivot_counts"]
 
 
 def topk_largest(ds, k: int = 100, length_col: str = "n_chars",
@@ -68,6 +69,39 @@ def group_quantiles(ds, group_col: str, value_col: str,
         for q in qs:
             row[f"q{int(round(q * 100))}"] = [
                 v[min(n - 1, max(0, math.ceil(q * n) - 1))]]
+        return pd.DataFrame(row)
+
+    return ds.groupby(group_col).map_groups(agg, batch_format="pandas")
+
+
+def group_quantiles_cont(ds, group_col: str, value_col: str,
+                         qs_pct: tuple = (25, 50, 95)):
+    """Exact per-group INTERPOLATED quantiles (the ``quantile_cont``
+    convention: index ``h = q*(n-1)``, linear blend of the two straddling
+    order statistics) — the continuous sibling of :func:`group_quantiles`.
+
+    Interpolation normally forces float arithmetic; here it stays exact
+    int64: values are 2-decimal so ``v_centi = round(v*100)`` is exact,
+    and with ``q = p/100`` the index splits as ``idx, rem = divmod(
+    p*(n-1), 100)`` so ``result * 10^4 = v_centi[idx]*100 + rem *
+    (v_centi[idx+1] - v_centi[idx])`` — the output columns are in 1e-4
+    units (``q{p}_e4``), comparable bit-for-bit against a SQL oracle
+    that mirrors the same integer formula.  Group count is bounded
+    (one row per group), same scale note as :func:`group_quantiles`.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(np.round(g[value_col].to_numpy() * 100)
+                    .astype(np.int64))
+        n = len(v)
+        row = {group_col: [g[group_col].iloc[0]]}
+        for p in qs_pct:
+            idx, rem = divmod(int(p) * (n - 1), 100)
+            lo = int(v[idx])
+            hi = int(v[min(idx + 1, n - 1)])
+            row[f"q{int(p)}_e4"] = [lo * 100 + rem * (hi - lo)]
         return pd.DataFrame(row)
 
     return ds.groupby(group_col).map_groups(agg, batch_format="pandas")

@@ -23,7 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["tumbling", "sliding", "sessionize", "rolling_sum", "lag_diff",
-           "funnel", "retention"]
+           "running_total", "funnel", "retention"]
 
 _US = 1_000_000
 
@@ -193,6 +193,35 @@ def lag_diff(ds, key_col: str = "user_id", ts_col: str = "ts",
         return pd.DataFrame({id_col: g[id_col].to_numpy(),
                              key_col: key,
                              "diff_centi": diff})
+
+    return _by_part(ds, key_col).groupby("_part").map_groups(
+        lambda g: per_part(g.drop(columns="_part")),
+        batch_format="pandas")
+
+
+def running_total(ds, key_col: str = "user_id", ts_col: str = "ts",
+                  id_col: str = "event_id", value_col: str = "value"):
+    """Per-key running total: ``SUM(value) OVER (PARTITION BY key ORDER BY
+    ts, id ROWS UNBOUNDED PRECEDING)`` — the unbounded-preceding frame
+    :func:`rolling_sum` is the bounded sibling of.  Same hash-partition
+    shape (one vectorized pandas sweep per partition, never one Ray group
+    per key); the cumsum is reset at each key boundary by subtracting the
+    prefix at the key's start.  Values are 2-decimal, so per-row centi
+    scaling keeps every running sum exact int64.
+    """
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        key = g[key_col].to_numpy()
+        v = np.round(g[value_col].to_numpy() * 100).astype(np.int64)
+        n = len(v)
+        newkey = np.r_[True, key[1:] != key[:-1]]
+        key_start = np.maximum.accumulate(
+            np.where(newkey, np.arange(n), 0))
+        c = np.concatenate([[0], np.cumsum(v)])
+        run = c[1:] - c[key_start]
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             key_col: key,
+                             "run_centi": run})
 
     return _by_part(ds, key_col).groupby("_part").map_groups(
         lambda g: per_part(g.drop(columns="_part")),

@@ -119,7 +119,8 @@ def bench_queries(repeats: int = 2) -> dict:
              "curate", "ngram_counts", "group_zscores", "tfidf_keywords",
              "tpch_q5ish", "qty_discount_corr", "frequent_tokens",
              "funnel", "retention", "tpch_q18ish", "tpch_q4ish",
-             "bigram_pmi"]
+             "bigram_pmi", "tpch_q13ish", "tpch_q16ish", "running_total",
+             "value_quantiles_cont", "regex_extract"]
     qs = em.queries()
     out = {}
     for _ in range(max(1, repeats)):

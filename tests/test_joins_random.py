@@ -225,3 +225,60 @@ def test_funnel_matches_bruteforce(seed, ray_session):
     assert got["step"].tolist() == [1, 2, 3]
     assert got["event_type"].tolist() == steps
     assert got["users"].tolist() == users.tolist()
+
+
+@pytest.mark.parametrize("seed", [8, 31])
+def test_running_total_matches_bruteforce(seed, ray_session):
+    import ray.data as rd
+
+    from vyntr_ray.stages.windows import running_total
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n = 600
+    ev = pd.DataFrame({
+        "user_id": rng.integers(0, 13, n),
+        # dense ts range -> duplicate timestamps inside a key; the
+        # (ts, event_id) order must break the tie deterministically
+        "ts": pd.to_datetime(rng.integers(0, 50, n), unit="s", utc=False),
+        "event_id": np.arange(n, dtype="int64"),
+        "value": np.round(rng.uniform(-5, 9, n), 2),
+    })
+    got = (running_total(rd.from_pandas(ev.copy()))
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+
+    exp = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    centi = np.round(exp["value"].to_numpy() * 100).astype("int64")
+    exp = exp.assign(run_centi=pd.Series(centi, index=exp.index)
+                     .groupby(exp["user_id"]).cumsum())
+    exp = exp.sort_values("event_id").reset_index(drop=True)
+    assert got["run_centi"].tolist() == exp["run_centi"].tolist()
+    assert len(got) == n
+
+
+@pytest.mark.parametrize("seed", [9, 40])
+def test_group_quantiles_cont_matches_numpy(seed, ray_session):
+    import ray.data as rd
+
+    from vyntr_ray.stages.dataset_tools import group_quantiles_cont
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n = 400
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], n),
+        # includes a single-element group edge case below
+        "value": np.round(rng.uniform(0, 99, n), 2),
+    })
+    df = pd.concat([df, pd.DataFrame({"g": ["solo"], "value": [3.14]})],
+                   ignore_index=True)
+    got = (group_quantiles_cont(rd.from_pandas(df.copy()), "g", "value")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+
+    for _, row in got.iterrows():
+        v = np.round(df[df["g"] == row["g"]]["value"].to_numpy() * 100
+                     ).astype("int64")
+        for p in (25, 50, 95):
+            # numpy 'linear' is the same q*(n-1) convention; the engine
+            # result is x1e4 integer, exact because rem/100 is rational
+            expect = np.quantile(np.sort(v), p / 100,
+                                 method="linear") * 100
+            assert abs(row[f"q{p}_e4"] - expect) < 1e-6, (row["g"], p)

@@ -793,6 +793,108 @@ def _q_tpch_q16ish(sf_dir: str):
                     descending=[True, False, False, False])
 
 
+def _q_tpch_q7ish(sf_dir: str):
+    """TPC-H Q7 analog (volume shipping between two nations, by year):
+    the nation-filtered customer and supplier key->nation maps are
+    broadcast once (bounded: 2/25 of each dimension, the q3ish
+    precedent); orders and lineitem stay distributed and meet in a
+    hash-partitioned large-large join; year extraction + the cross-
+    nation predicate run post-join; exact integer dmilli revenue."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    n1, n2 = "NATION_3", "NATION_8"
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pylist()
+    nk = {r["n_nationkey"]: r["n_name"] for r in nat
+          if r["n_name"] in (n1, n2)}
+    nkeys = pa.array(sorted(nk), pa.int32())
+
+    crows = (_read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+             .map_batches(lambda t: t.filter(
+                 pc.is_in(t["c_nationkey"], value_set=nkeys)),
+                 batch_format="pyarrow").take_all())
+    cref = ray.put({r["c_custkey"]: nk[r["c_nationkey"]] for r in crows})
+    srows = (_read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+             .map_batches(lambda t: t.filter(
+                 pc.is_in(t["s_nationkey"], value_set=nkeys)),
+                 batch_format="pyarrow").take_all())
+    sref = ray.put({r["s_suppkey"]: nk[r["s_nationkey"]] for r in srows})
+
+    lo = pa.scalar(datetime.datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1998, 1, 1), pa.timestamp("us"))
+
+    def omap(t: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        t = t.filter(pa.array([k in cm for k in
+                               t["o_custkey"].to_pylist()]))
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "cust_nation": pa.array(
+                [cm[k] for k in t["o_custkey"].to_pylist()], pa.string())})
+
+    def lmap(t: pa.Table) -> pa.Table:
+        sm = ray.get(sref)
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                             pc.less(t["l_shipdate"], hi)))
+        t = t.filter(pa.array([k in sm for k in
+                               t["l_suppkey"].to_pylist()]))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "supp_nation": pa.array(
+                [sm[k] for k in t["l_suppkey"].to_pylist()], pa.string()),
+            "l_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+            "rev_dmilli": pc.cast(pc.round(pc.multiply(
+                rev, pa.scalar(10_000.0))), pa.int64())})
+
+    o = _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey"]).map_batches(
+        omap, batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                        "l_extendedprice", "l_discount"]).map_batches(
+        lmap, batch_format="pyarrow")
+    # both sides are heavily filtered (2/25 of nations) so small-sf hash
+    # partitions can be one-side-empty — Dataset.join crashes there; the
+    # tagged-union hash_join tolerates it (see stages/joins.py)
+    from vyntr_ray.stages.joins import hash_join
+    j = hash_join(li, o, key_col="l_orderkey",
+                  left_payload=["supp_nation", "l_year", "rev_dmilli"],
+                  right_payload=["cust_nation"],
+                  right_key_col="o_orderkey", n_parts=16)
+    cross = j.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(
+            t["supp_nation"], t["cust_nation"]))),
+        batch_format="pyarrow")
+    agg = (cross.groupby(["supp_nation", "cust_nation", "l_year"])
+           .aggregate(Sum("rev_dmilli", alias_name="revenue_dmilli")))
+    return agg.sort(["supp_nation", "cust_nation", "l_year"])
+
+
+def _q_rollup_counts(sf_dir: str):
+    """GROUP BY ROLLUP(lang, source) over documents: doc counts + char
+    totals at all three granularities, 'ALL' sentinel for rolled-up
+    levels (no NULL enters the value hash)."""
+    from vyntr_ray.stages.dataset_tools import rollup_counts
+    ds = _read(sf_dir, "documents",
+               columns=["lang", "source", "n_chars"])
+    return rollup_counts(ds, "lang", "source", "n_chars")
+
+
+def _q_group_ranks(sf_dir: str):
+    """Per-user RANK + DENSE_RANK of events by value desc (tie-safe:
+    both are functions of the value, unlike row_number)."""
+    from vyntr_ray.stages.windows import group_ranks
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "value"])
+    return group_ranks(ds)
+
+
 def _q_running_total(sf_dir: str):
     """Per-user running total (unbounded-preceding window frame),
     exact centi ints — the cumulative sibling of rolling_sum."""
@@ -1963,9 +2065,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q4ish": _q_tpch_q4ish,
         "tpch_q13ish": _q_tpch_q13ish,
         "tpch_q16ish": _q_tpch_q16ish,
+        "tpch_q7ish": _q_tpch_q7ish,
         "running_total": _q_running_total,
         "value_quantiles_cont": _q_value_quantiles_cont,
         "regex_extract": _q_regex_extract,
+        "rollup_counts": _q_rollup_counts,
+        "group_ranks": _q_group_ranks,
         "bigram_pmi": _q_bigram_pmi,
         "ntile_buckets": _q_ntile_buckets,
         "group_zscores": _q_group_zscores,
@@ -2766,6 +2871,45 @@ def oracle_sql() -> dict[str, str]:
             WHERE p_brand <> 'Brand#1'
             GROUP BY p_brand, p_type, p_size
             ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "tpch_q7ish": """
+            SELECT supp_nation, cust_nation, l_year,
+                   sum(rev_dmilli)::BIGINT AS revenue_dmilli
+            FROM (SELECT ns.n_name AS supp_nation,
+                         nc.n_name AS cust_nation,
+                         year(l_shipdate)::BIGINT AS l_year,
+                         round(l_extendedprice * (1 - l_discount)
+                               * 10000)::BIGINT AS rev_dmilli
+                  FROM lineitem
+                  JOIN orders   ON o_orderkey = l_orderkey
+                  JOIN customer ON c_custkey = o_custkey
+                  JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN nation nc ON nc.n_nationkey = c_nationkey
+                  JOIN nation ns ON ns.n_nationkey = s_nationkey
+                  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                    AND l_shipdate <  TIMESTAMP '1998-01-01'
+                    AND ((ns.n_name = 'NATION_3'
+                          AND nc.n_name = 'NATION_8')
+                      OR (ns.n_name = 'NATION_8'
+                          AND nc.n_name = 'NATION_3')))
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "rollup_counts": """
+            SELECT coalesce(lang, 'ALL') AS lang,
+                   coalesce(source, 'ALL') AS source,
+                   count(*)::BIGINT AS n,
+                   sum(n_chars)::BIGINT AS total
+            FROM documents
+            GROUP BY ROLLUP(lang, source)
+        """,
+        "group_ranks": """
+            SELECT event_id, user_id,
+                   rank() OVER (PARTITION BY user_id
+                                ORDER BY value DESC)::BIGINT AS rnk,
+                   dense_rank() OVER (PARTITION BY user_id
+                                      ORDER BY value DESC)::BIGINT AS drnk
+            FROM events
         """,
         "running_total": """
             SELECT event_id, user_id,

@@ -282,3 +282,47 @@ def test_group_quantiles_cont_matches_numpy(seed, ray_session):
             expect = np.quantile(np.sort(v), p / 100,
                                  method="linear") * 100
             assert abs(row[f"q{p}_e4"] - expect) < 1e-6, (row["g"], p)
+
+
+@pytest.mark.parametrize("seed", [10, 47])
+def test_hash_join_matches_pandas(seed, ray_session):
+    import ray.data as rd
+
+    from vyntr_ray.stages.joins import hash_join
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    left = pd.DataFrame({
+        "k": rng.integers(0, 40, 300),
+        "lv": rng.integers(0, 1000, 300).astype("int64"),
+    })
+    # selective right side: many hash partitions end up right-empty —
+    # the exact shape that crashes Ray's native JoinOperator
+    right = pd.DataFrame({
+        "rk": rng.integers(0, 40, 12),
+        "rv": rng.integers(0, 1000, 12).astype("int64"),
+    })
+    got = hash_join(
+        rd.from_pandas(left.copy()), rd.from_pandas(right.copy()),
+        key_col="k", left_payload=["lv"], right_payload=["rv"],
+        right_key_col="rk", n_parts=16,
+    ).to_pandas().sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+
+    exp = (left.merge(right, left_on="k", right_on="rk", how="inner")
+           [["k", "lv", "rv"]]
+           .sort_values(["k", "lv", "rv"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+
+
+def test_hash_join_empty_right(ray_session):
+    import ray.data as rd
+
+    from vyntr_ray.stages.joins import hash_join
+
+    left = pd.DataFrame({"k": [1, 2, 3], "lv": [10, 20, 30]})
+    right = pd.DataFrame({"rk": pd.Series(dtype="int64"),
+                          "rv": pd.Series(dtype="int64")})
+    out = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                    key_col="k", left_payload=["lv"],
+                    right_payload=["rv"], right_key_col="rk",
+                    n_parts=4).to_pandas()
+    assert len(out) == 0

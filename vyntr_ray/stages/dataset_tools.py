@@ -18,7 +18,7 @@ import pyarrow.compute as pc
 
 __all__ = ["topk_largest", "remove_largest", "group_quantiles",
            "group_quantiles_cont", "group_topk", "group_quantiles_approx",
-           "pivot_counts"]
+           "pivot_counts", "rollup_counts"]
 
 
 def topk_largest(ds, k: int = 100, length_col: str = "n_chars",
@@ -105,6 +105,42 @@ def group_quantiles_cont(ds, group_col: str, value_col: str,
         return pd.DataFrame(row)
 
     return ds.groupby(group_col).map_groups(agg, batch_format="pandas")
+
+
+def rollup_counts(ds, col1: str, col2: str, value_col: str,
+                  all_label: str = "ALL"):
+    """GROUP BY ROLLUP(col1, col2): count + sum(value) at three
+    granularities — (col1, col2), (col1), and the grand total — with
+    ``all_label`` standing in for the rolled-up column (a sentinel, so
+    NULLs never enter the driver's value hash).
+
+    One distributed pass: per-batch pandas partials pre-aggregate to the
+    fine level (combiner pattern), one groupby sums them; the coarser
+    levels derive from the FINE-LEVEL result, which is bounded by the
+    category-cardinality product — O(|col1| x |col2|) driver rows, the
+    same bounded-driver shape as the sampling/sketch operators.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby([col1, col2], as_index=False)
+                .agg(n=(value_col, "size"), total=(value_col, "sum")))
+
+    fine = (ds.map_batches(partial, batch_format="pandas")
+            .groupby([col1, col2])
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("total", alias_name="total"))
+            .to_pandas())
+    lvl1 = (fine.groupby(col1, as_index=False)[["n", "total"]].sum()
+            .assign(**{col2: all_label}))
+    lvl0 = pd.DataFrame({col1: [all_label], col2: [all_label],
+                         "n": [fine["n"].sum()],
+                         "total": [fine["total"].sum()]})
+    out = pd.concat([fine, lvl1, lvl0], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    out["total"] = out["total"].astype("int64")
+    return out[[col1, col2, "n", "total"]]
 
 
 def group_topk(ds, group_col: str, value_col: str, id_col: str, k: int = 3):

@@ -26,7 +26,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["asof_join", "range_count_join"]
+__all__ = ["asof_join", "range_count_join", "hash_join"]
 
 
 def _part_col(keys: pa.ChunkedArray, n_parts: int) -> pa.Array:
@@ -228,3 +228,74 @@ def range_count_join(left_ds, right_ds, key_col: str, ts_col: str,
 
     both = l_tag.union(r_tag)
     return both.groupby("part").map_groups(sweep, batch_format="pandas")
+
+
+def hash_join(left_ds, right_ds, key_col: str,
+              left_payload: list[str], right_payload: list[str],
+              right_key_col: str | None = None, n_parts: int = 64):
+    """Inner equi-join as tagged union + ONE hash-partition groupby +
+    a vectorized pandas merge per partition.
+
+    Exists because ``Dataset.join`` (Ray's JoinOperator) crashes with
+    ``ArrowInvalid: No match ... for key field reference`` when a hash
+    partition ends up EMPTY on one side (its block degrades to a
+    schema-less table) — common for selective filters over small
+    scale factors.  This shape tolerates empty sides (the merge just
+    returns no rows for that partition), bounds skew by partition
+    rather than by key, and pays one shuffle like the native join.
+    Payload column names must be disjoint across sides.
+    """
+    rkey = right_key_col or key_col
+    l_schema = left_ds.schema()
+    r_schema = right_ds.schema()
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    combined = {key_col: l_types[key_col], "side": pa.int8(),
+                **{c: l_types[c] for c in left_payload},
+                **{c: r_types[c] for c in right_payload}}
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {}
+            for name, typ in combined.items():
+                if name == "side":
+                    cols[name] = pa.array(np.full(n, side, np.int8))
+                elif name == key_col:
+                    cols[name] = t[key_col if side == 1 else rkey]
+                elif side == 1 and name in left_payload:
+                    cols[name] = t[name]
+                elif side == 0 and name in right_payload:
+                    cols[name] = t[name]
+                else:
+                    cols[name] = pa.nulls(n, typ)
+            out = pa.table(cols)
+            return out.append_column(
+                "part", _part_col(out[key_col], n_parts))
+        return f
+
+    l_tag = (left_ds.select_columns([key_col] + left_payload)
+             .map_batches(tag(1), batch_format="pyarrow"))
+    r_tag = (right_ds.select_columns([rkey] + right_payload)
+             .map_batches(tag(0), batch_format="pyarrow"))
+
+    out_cols = [key_col] + left_payload + right_payload
+    out_dtypes = {c: combined[c].to_pandas_dtype() for c in out_cols}
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 1]
+        right = g[g["side"] == 0]
+        if left.empty or right.empty:
+            return pd.DataFrame({c: pd.Series(dtype=out_dtypes[c])
+                                 for c in out_cols})
+        merged = pd.merge(left[[key_col] + left_payload],
+                          right[[key_col] + right_payload],
+                          on=key_col, how="inner")
+        # tagged-union nulls upcast ints to float in the pandas frame;
+        # inner-join output has no nulls, so the cast back is exact
+        for c in out_cols:
+            merged[c] = merged[c].astype(out_dtypes[c])
+        return merged[out_cols]
+
+    both = l_tag.union(r_tag)
+    return both.groupby("part").map_groups(merge, batch_format="pandas")

@@ -23,7 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["tumbling", "sliding", "sessionize", "rolling_sum", "lag_diff",
-           "running_total", "funnel", "retention"]
+           "running_total", "group_ranks", "funnel", "retention"]
 
 _US = 1_000_000
 
@@ -222,6 +222,31 @@ def running_total(ds, key_col: str = "user_id", ts_col: str = "ts",
         return pd.DataFrame({id_col: g[id_col].to_numpy(),
                              key_col: key,
                              "run_centi": run})
+
+    return _by_part(ds, key_col).groupby("_part").map_groups(
+        lambda g: per_part(g.drop(columns="_part")),
+        batch_format="pandas")
+
+
+def group_ranks(ds, key_col: str = "user_id", value_col: str = "value",
+                id_col: str = "event_id"):
+    """Per-key RANK and DENSE_RANK by value descending — deterministic
+    even under value ties (both functions assign tied rows the same
+    rank, unlike row_number).  Same hash-partition shape as the other
+    per-key windows: one vectorized pandas pass per partition, pandas
+    ``rank(method='min'/'dense')`` within each key.
+    """
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, value_col, id_col],
+                          ascending=[True, False, True], kind="mergesort")
+        grp = g.groupby(key_col, sort=False)[value_col]
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            key_col: g[key_col].to_numpy(),
+            "rnk": grp.rank(method="min", ascending=False)
+            .astype("int64").to_numpy(),
+            "drnk": grp.rank(method="dense", ascending=False)
+            .astype("int64").to_numpy()})
 
     return _by_part(ds, key_col).groupby("_part").map_groups(
         lambda g: per_part(g.drop(columns="_part")),

@@ -326,3 +326,29 @@ def test_hash_join_empty_right(ray_session):
                     right_payload=["rv"], right_key_col="rk",
                     n_parts=4).to_pandas()
     assert len(out) == 0
+
+
+def test_hash_join_skewed_hot_key(ray_session):
+    import ray.data as rd
+
+    from vyntr_ray.stages.joins import hash_join
+
+    # one hot key carries half of all left rows; right has multiple
+    # matches for it (fan-out) — partition-level merge must not lose or
+    # duplicate pairs
+    rng = np.random.Generator(np.random.PCG64(99))
+    n = 400
+    k = np.where(rng.random(n) < 0.5, 7, rng.integers(0, 50, n))
+    left = pd.DataFrame({"k": k.astype("int64"),
+                         "lv": np.arange(n, dtype="int64")})
+    right = pd.DataFrame({"rk": np.array([7, 7, 7, 1, 2], dtype="int64"),
+                          "rv": np.arange(5, dtype="int64")})
+    got = hash_join(
+        rd.from_pandas(left.copy()), rd.from_pandas(right.copy()),
+        key_col="k", left_payload=["lv"], right_payload=["rv"],
+        right_key_col="rk", n_parts=8,
+    ).to_pandas().sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    exp = (left.merge(right, left_on="k", right_on="rk")[["k", "lv", "rv"]]
+           .sort_values(["k", "lv", "rv"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+    assert (got["k"] == 7).sum() == 3 * (left["k"] == 7).sum()

@@ -876,6 +876,59 @@ def _q_tpch_q7ish(sf_dir: str):
     return agg.sort(["supp_nation", "cust_nation", "l_year"])
 
 
+def _q_tpch_q2ish(sf_dir: str):
+    """TPC-H Q2 analog (minimum-balance supplier per part): the
+    correlated min-subquery decorrelated into groupby(part).min +
+    a hash-partitioned join-back, keeping the argmin rows.  Distinct
+    supplier pairs come from lineitem (the partsupp analog); part is
+    met with hash_join (filter-selective sides tolerate empty
+    partitions); supplier attributes broadcast once (smallest dim)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Min
+
+    from vyntr_ray.stages.joins import hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    pairs = (li.groupby(["l_partkey", "l_suppkey"]).count()
+             .map_batches(lambda t: t.select(["l_partkey", "l_suppkey"]),
+                          batch_format="pyarrow"))
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
+    pf = part.map_batches(
+        lambda t: t.filter(pc.equal(t["p_type"], "STANDARD"))
+        .select(["p_partkey"]), batch_format="pyarrow")
+    j = hash_join(pairs, pf, key_col="l_partkey",
+                  left_payload=["l_suppkey"], right_payload=[],
+                  right_key_col="p_partkey", n_parts=16)
+
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_acctbal", "s_name"])
+    sref = ray.put({k: (int(round(b * 100)), n) for k, b, n in
+                    zip(sup["s_suppkey"].to_pylist(),
+                        sup["s_acctbal"].to_pylist(),
+                        sup["s_name"].to_pylist())})
+
+    def attach(t: pa.Table) -> pa.Table:
+        sm = ray.get(sref)
+        vals = [sm[k] for k in t["l_suppkey"].to_pylist()]
+        return pa.table({
+            "p_partkey": t["l_partkey"],
+            "s_name": pa.array([v[1] for v in vals], pa.string()),
+            "acctbal_centi": pa.array([v[0] for v in vals], pa.int64())})
+
+    withbal = j.map_batches(attach, batch_format="pyarrow")
+    mins = (withbal.groupby("p_partkey")
+            .aggregate(Min("acctbal_centi", alias_name="min_centi")))
+    back = hash_join(withbal, mins, key_col="p_partkey",
+                     left_payload=["s_name", "acctbal_centi"],
+                     right_payload=["min_centi"], n_parts=16)
+    return back.map_batches(
+        lambda t: t.filter(pc.equal(t["acctbal_centi"], t["min_centi"]))
+        .select(["p_partkey", "s_name", "acctbal_centi"]),
+        batch_format="pyarrow")
+
+
 def _q_rollup_counts(sf_dir: str):
     """GROUP BY ROLLUP(lang, source) over documents: doc counts + char
     totals at all three granularities, 'ALL' sentinel for rolled-up
@@ -2071,6 +2124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_extract": _q_regex_extract,
         "rollup_counts": _q_rollup_counts,
         "group_ranks": _q_group_ranks,
+        "tpch_q2ish": _q_tpch_q2ish,
         "bigram_pmi": _q_bigram_pmi,
         "ntile_buckets": _q_ntile_buckets,
         "group_zscores": _q_group_zscores,
@@ -2902,6 +2956,20 @@ def oracle_sql() -> dict[str, str]:
                    sum(n_chars)::BIGINT AS total
             FROM documents
             GROUP BY ROLLUP(lang, source)
+        """,
+        "tpch_q2ish": """
+            WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey
+                        FROM lineitem),
+            j AS (SELECT ps.l_partkey AS p_partkey, s_name,
+                         round(s_acctbal * 100)::BIGINT AS acctbal_centi
+                  FROM ps
+                  JOIN part ON p_partkey = l_partkey
+                  JOIN supplier ON s_suppkey = l_suppkey
+                  WHERE p_type = 'STANDARD')
+            SELECT p_partkey, s_name, acctbal_centi
+            FROM j
+            QUALIFY acctbal_centi =
+                min(acctbal_centi) OVER (PARTITION BY p_partkey)
         """,
         "group_ranks": """
             SELECT event_id, user_id,

@@ -929,6 +929,46 @@ def _q_tpch_q2ish(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_user_set_ops(sf_dir: str):
+    """INTERSECT / EXCEPT over user sets (which users did BOTH purchase
+    and signup; which purchased but never signed up): distinct (user,
+    type) per batch partial -> one groupby ORs the two membership flags
+    -> the set op is a vectorized flag predicate, never a driver set."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array(["purchase", "signup"]))
+        t = t.filter(keep)
+        isp = pc.cast(pc.equal(t["event_type"], "purchase"), pa.int64())
+        return pa.table({"user_id": t["user_id"],
+                         "has_purchase": isp,
+                         "has_signup": pc.subtract(
+                             pa.scalar(1, pa.int64()), isp)})
+
+    agg = (ev.map_batches(flags, batch_format="pyarrow")
+           .groupby("user_id")
+           .aggregate(Max("has_purchase", alias_name="has_purchase"),
+                      Max("has_signup", alias_name="has_signup")))
+
+    def emit(t: pa.Table) -> pa.Table:
+        both = t.filter(pc.and_(pc.equal(t["has_purchase"], 1),
+                                pc.equal(t["has_signup"], 1)))
+        only = t.filter(pc.and_(pc.equal(t["has_purchase"], 1),
+                                pc.equal(t["has_signup"], 0)))
+        return pa.concat_tables([
+            pa.table({"op": pa.array(["both"] * len(both), pa.string()),
+                      "user_id": both["user_id"]}),
+            pa.table({"op": pa.array(["purchase_only"] * len(only),
+                                     pa.string()),
+                      "user_id": only["user_id"]})])
+
+    return agg.map_batches(emit, batch_format="pyarrow")
+
+
 def _q_rollup_counts(sf_dir: str):
     """GROUP BY ROLLUP(lang, source) over documents: doc counts + char
     totals at all three granularities, 'ALL' sentinel for rolled-up
@@ -2125,6 +2165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_counts": _q_rollup_counts,
         "group_ranks": _q_group_ranks,
         "tpch_q2ish": _q_tpch_q2ish,
+        "user_set_ops": _q_user_set_ops,
         "bigram_pmi": _q_bigram_pmi,
         "ntile_buckets": _q_ntile_buckets,
         "group_zscores": _q_group_zscores,
@@ -2956,6 +2997,17 @@ def oracle_sql() -> dict[str, str]:
                    sum(n_chars)::BIGINT AS total
             FROM documents
             GROUP BY ROLLUP(lang, source)
+        """,
+        "user_set_ops": """
+            SELECT 'both' AS op, user_id FROM
+                (SELECT user_id FROM events WHERE event_type = 'purchase'
+                 INTERSECT
+                 SELECT user_id FROM events WHERE event_type = 'signup')
+            UNION ALL
+            SELECT 'purchase_only' AS op, user_id FROM
+                (SELECT user_id FROM events WHERE event_type = 'purchase'
+                 EXCEPT
+                 SELECT user_id FROM events WHERE event_type = 'signup')
         """,
         "tpch_q2ish": """
             WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey

@@ -880,9 +880,11 @@ def _q_tpch_q2ish(sf_dir: str):
     """TPC-H Q2 analog (minimum-balance supplier per part): the
     correlated min-subquery decorrelated into groupby(part).min +
     a hash-partitioned join-back, keeping the argmin rows.  Distinct
-    supplier pairs come from lineitem (the partsupp analog); part is
-    met with hash_join (filter-selective sides tolerate empty
-    partitions); supplier attributes broadcast once (smallest dim)."""
+    supplier pairs come from lineitem (the partsupp analog); the
+    type-filtered part keys broadcast once and prune BEFORE the
+    pair-dedup shuffle; supplier attributes broadcast once (smallest
+    dim); the argmin join-back is hash_join (tolerates the empty
+    partitions the selective filters create)."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
     import ray
@@ -890,17 +892,27 @@ def _q_tpch_q2ish(sf_dir: str):
 
     from vyntr_ray.stages.joins import hash_join
 
-    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
-    pairs = (li.groupby(["l_partkey", "l_suppkey"]).count()
-             .map_batches(lambda t: t.select(["l_partkey", "l_suppkey"]),
-                          batch_format="pyarrow"))
+    # the type filter keeps ~1/6 of the part dimension — broadcast the
+    # surviving partkeys once (the q3ish precedent) and apply them
+    # BEFORE the distinct groupby, so the pair-dedup shuffle carries
+    # only qualifying rows (one shuffle fewer than joining part in)
     part = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
-    pf = part.map_batches(
+    pk = (part.map_batches(
         lambda t: t.filter(pc.equal(t["p_type"], "STANDARD"))
-        .select(["p_partkey"]), batch_format="pyarrow")
-    j = hash_join(pairs, pf, key_col="l_partkey",
-                  left_payload=["l_suppkey"], right_payload=[],
-                  right_key_col="p_partkey", n_parts=16)
+        .select(["p_partkey"]), batch_format="pyarrow").take_all())
+    pk_ref = ray.put(frozenset(r["p_partkey"] for r in pk))
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def lfilt(t: pa.Table) -> pa.Table:
+        keys = ray.get(pk_ref)
+        return t.filter(pa.array([k in keys for k in
+                                  t["l_partkey"].to_pylist()]))
+
+    j = (li.map_batches(lfilt, batch_format="pyarrow")
+         .groupby(["l_partkey", "l_suppkey"]).count()
+         .map_batches(lambda t: t.select(["l_partkey", "l_suppkey"]),
+                      batch_format="pyarrow"))
 
     sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
                         columns=["s_suppkey", "s_acctbal", "s_name"])
@@ -917,9 +929,15 @@ def _q_tpch_q2ish(sf_dir: str):
             "s_name": pa.array([v[1] for v in vals], pa.string()),
             "acctbal_centi": pa.array([v[0] for v in vals], pa.int64())})
 
-    withbal = j.map_batches(attach, batch_format="pyarrow")
+    # withbal is consumed twice (min aggregation + join-back) and
+    # hash_join's schema() probes would otherwise re-execute the whole
+    # upstream chain each time — pin the bounded intermediate (one row
+    # per distinct (part, supplier) pair of the filtered dimension)
+    # in the object store once
+    withbal = j.map_batches(attach, batch_format="pyarrow").materialize()
     mins = (withbal.groupby("p_partkey")
-            .aggregate(Min("acctbal_centi", alias_name="min_centi")))
+            .aggregate(Min("acctbal_centi", alias_name="min_centi"))
+            .materialize())
     back = hash_join(withbal, mins, key_col="p_partkey",
                      left_payload=["s_name", "acctbal_centi"],
                      right_payload=["min_centi"], n_parts=16)

@@ -765,32 +765,70 @@ def _q_tpch_q16ish(sf_dir: str):
     """TPC-H Q16 analog (supplier-part relationship count): COUNT
     (DISTINCT suppkey) per (brand, type, size) as TWO distributed
     dedup groupbys — distinct (partkey, suppkey) pairs from lineitem
-    (the partsupp analog), a hash-partitioned join against the filtered
-    part dimension, then distinct (brand, type, size, suppkey) before
-    the final count — the distinct-aggregate never holds a group's
-    values in one worker."""
-    import pyarrow.compute as pc
+    (the partsupp analog), part attributes attached from a broadcast
+    dimension map (Brand#1 pre-excluded), then distinct (brand, type,
+    size, suppkey) with per-batch local pre-dedup before the final
+    count — the distinct-aggregate never holds a group's values in one
+    worker."""
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    # part is a bounded dimension (the q5ish supplier precedent) —
+    # broadcast partkey -> (brand, type, size) with Brand#1 already
+    # excluded instead of shipping a join; the 240k-pair x 2k-part
+    # JoinOperator was the dominant cost of the earlier shape (PERF.md)
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand", "p_type",
+                                  "p_size"])
+    pmap = {k: (b, t, s) for k, b, t, s in zip(
+        part["p_partkey"].to_pylist(), part["p_brand"].to_pylist(),
+        part["p_type"].to_pylist(), part["p_size"].to_pylist())
+        if b != "Brand#1"}
+    pref = ray.put(pmap)
+
+    from vyntr_ray.stages.dataset_tools import distinct_rows
 
     li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
-    pairs = (li.groupby(["l_partkey", "l_suppkey"]).count()
-             .map_batches(lambda t: t.select(["l_partkey", "l_suppkey"]),
-                          batch_format="pyarrow"))
-    part = _read(sf_dir, "part",
-                 columns=["p_partkey", "p_brand", "p_type", "p_size"])
-    pfil = part.map_batches(
-        lambda t: t.filter(pc.invert(pc.equal(t["p_brand"], "Brand#1"))),
-        batch_format="pyarrow")
-    j = pairs.join(pfil, join_type="inner", num_partitions=8,
-                   on=("l_partkey",), right_on=("p_partkey",))
-    d2 = (j.groupby(["p_brand", "p_type", "p_size", "l_suppkey"]).count()
-          .map_batches(lambda t: t.select(["p_brand", "p_type", "p_size"]),
-                       batch_format="pyarrow"))
-    out = d2.groupby(["p_brand", "p_type", "p_size"]).count().map_batches(
-        lambda t: t.rename_columns(
-            ["p_brand", "p_type", "p_size", "supplier_cnt"]),
-        batch_format="pyarrow")
-    return out.sort(["supplier_cnt", "p_brand", "p_type", "p_size"],
-                    descending=[True, False, False, False])
+    pairs = distinct_rows(li, ["l_partkey", "l_suppkey"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        mm = ray.get(pref)
+        rows = [(*mm[k], s) for k, s in zip(t["l_partkey"].to_pylist(),
+                                            t["l_suppkey"].to_pylist())
+                if k in mm]
+        df = pd.DataFrame(rows, columns=["p_brand", "p_type", "p_size",
+                                         "l_suppkey"])
+        # local pre-dedup shrinks the distinct shuffle
+        df = df.drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False).cast(
+            pa.schema([("p_brand", pa.string()), ("p_type", pa.string()),
+                       ("p_size", pa.int32()),
+                       ("l_suppkey", pa.int64())]))
+
+    d2 = distinct_rows(
+        pairs.map_batches(attach, batch_format="pyarrow"),
+        ["p_brand", "p_type", "p_size", "l_suppkey"],
+        part_key="l_suppkey")
+
+    def pcount(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["p_brand", "p_type", "p_size"], as_index=False)
+        return g.size().rename(columns={"size": "n_part"})
+
+    # final merge on the driver: the result is bounded by the
+    # brand x type x size attribute product (1.7k rows here), and a Ray
+    # multi-key Aggregate's cost tracks group count (~30 s for these
+    # 1.7k string-key groups at sf0.1, PERF.md) — partials shrink the
+    # driver transfer to O(partitions x groups)
+    out = (d2.map_batches(pcount, batch_format="pandas").to_pandas()
+           .groupby(["p_brand", "p_type", "p_size"], as_index=False)
+           ["n_part"].sum().rename(columns={"n_part": "supplier_cnt"}))
+    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+    return (out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True], kind="mergesort")
+        .reset_index(drop=True))
 
 
 def _q_tpch_q7ish(sf_dir: str):

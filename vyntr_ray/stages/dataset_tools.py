@@ -18,7 +18,7 @@ import pyarrow.compute as pc
 
 __all__ = ["topk_largest", "remove_largest", "group_quantiles",
            "group_quantiles_cont", "group_topk", "group_quantiles_approx",
-           "pivot_counts", "rollup_counts"]
+           "pivot_counts", "rollup_counts", "distinct_rows"]
 
 
 def topk_largest(ds, k: int = 100, length_col: str = "n_chars",
@@ -105,6 +105,26 @@ def group_quantiles_cont(ds, group_col: str, value_col: str,
         return pd.DataFrame(row)
 
     return ds.groupby(group_col).map_groups(agg, batch_format="pandas")
+
+
+def distinct_rows(ds, cols: list, part_key: str | None = None,
+                  n_parts: int = 64):
+    """Exact DISTINCT over ``cols`` — the many-groups rule applied to
+    dedup: hash-partition on ``part_key`` (default ``cols[0]``; any
+    column whose co-location implies row co-location works) and run ONE
+    vectorized ``drop_duplicates`` per partition, instead of a
+    groupby-count Aggregate that tracks every distinct row as its own
+    group (measured 8.7 s vs ~1 s for a 600k-row / 240k-distinct
+    two-key dedup at sf0.1, PERF.md)."""
+    from vyntr_ray.stages.windows import _by_part
+
+    def dd(g: "pd.DataFrame") -> "pd.DataFrame":
+        return g.drop_duplicates(subset=cols)[cols]
+
+    return (_by_part(ds, part_key or cols[0], n_parts=n_parts)
+            .groupby("_part")
+            .map_groups(lambda g: dd(g.drop(columns="_part")),
+                        batch_format="pandas"))
 
 
 def rollup_counts(ds, col1: str, col2: str, value_col: str,

@@ -691,13 +691,13 @@ def _q_tpch_q4ish(sf_dir: str):
 
     import pyarrow.compute as pc
 
+    from vyntr_ray.stages.dataset_tools import distinct_rows
+
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
-    keys = (li.map_batches(
+    keys = distinct_rows(li.map_batches(
         lambda t: t.filter(pc.equal(t["l_returnflag"], "R"))
-        .select(["l_orderkey"]), batch_format="pyarrow")
-        .groupby("l_orderkey").count()
-        .map_batches(lambda t: t.select(["l_orderkey"]),
-                     batch_format="pyarrow"))
+        .select(["l_orderkey"]), batch_format="pyarrow"),
+        ["l_orderkey"])
     lo = pa.scalar(datetime.datetime(1996, 1, 1), pa.timestamp("us"))
     hi = pa.scalar(datetime.datetime(1997, 1, 1), pa.timestamp("us"))
     orders = _read(sf_dir, "orders",
@@ -947,10 +947,9 @@ def _q_tpch_q2ish(sf_dir: str):
         return t.filter(pa.array([k in keys for k in
                                   t["l_partkey"].to_pylist()]))
 
-    j = (li.map_batches(lfilt, batch_format="pyarrow")
-         .groupby(["l_partkey", "l_suppkey"]).count()
-         .map_batches(lambda t: t.select(["l_partkey", "l_suppkey"]),
-                      batch_format="pyarrow"))
+    from vyntr_ray.stages.dataset_tools import distinct_rows
+    j = distinct_rows(li.map_batches(lfilt, batch_format="pyarrow"),
+                      ["l_partkey", "l_suppkey"])
 
     sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
                         columns=["s_suppkey", "s_acctbal", "s_name"])

@@ -885,6 +885,34 @@ class TestDistributedStages:
         grp = a.groupby("component")["node"].min()
         assert (grp.index == grp.values).all()
 
+    def test_connected_components_driver_stitch_bounded(self):
+        # pathological long chain: worst case for label propagation, and
+        # the shape the r3 verdict flagged — the driver union-find must
+        # only ever see a contracted edge set under the limit, however
+        # large the input
+        import ray.data as rd
+
+        from vyntr_ray.stages.graph import connected_components
+
+        n = 120_000
+        limit = 10_000
+
+        def chain(t: pa.Table) -> pa.Table:
+            i = t["id"].to_numpy()
+            return pa.table({"u": pa.array(i, pa.int64()),
+                             "v": pa.array(i + 1, pa.int64())})
+
+        ds = (rd.range(n, override_num_blocks=16)
+              .map_batches(chain, batch_format="pyarrow"))
+        stats: dict = {}
+        out = connected_components(ds, driver_edge_limit=limit,
+                                   _stats=stats).to_pandas()
+        assert stats["driver_edges"] <= limit, stats
+        assert stats["levels"] >= 1
+        # one chain -> one component rooted at node 0
+        assert len(out) == n + 1
+        assert (out["component"] == 0).all()
+
 
 class TestLmDataOps:
     """Parallelism-invariance + invariants for the LM-curation ops."""

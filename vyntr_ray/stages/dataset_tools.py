@@ -93,7 +93,8 @@ def group_quantiles_cont(ds, group_col: str, value_col: str,
     import pandas as pd
 
     def agg(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(np.round(g[value_col].to_numpy() * 100)
+        from ..rounding import round_half_away
+        v = np.sort(round_half_away(g[value_col].to_numpy() * 100)
                     .astype(np.int64))
         n = len(v)
         row = {group_col: [g[group_col].iloc[0]]}
@@ -139,12 +140,19 @@ def rollup_counts(ds, col1: str, col2: str, value_col: str,
     levels derive from the FINE-LEVEL result, which is bounded by the
     category-cardinality product — O(|col1| x |col2|) driver rows, the
     same bounded-driver shape as the sampling/sketch operators.
+
+    Null categories are kept as their own groups through every level
+    (``dropna=False`` — SQL ROLLUP groups NULLs too) and mapped to
+    ``all_label`` only at emit time, mirroring the oracle's
+    ``coalesce(col, 'ALL')`` exactly (including the label collision when
+    a real category is literally named 'ALL' — both sides collide the
+    same way).
     """
     import pandas as pd
     from ray.data.aggregate import Sum
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return (df.groupby([col1, col2], as_index=False)
+        return (df.groupby([col1, col2], as_index=False, dropna=False)
                 .agg(n=(value_col, "size"), total=(value_col, "sum")))
 
     fine = (ds.map_batches(partial, batch_format="pandas")
@@ -152,12 +160,14 @@ def rollup_counts(ds, col1: str, col2: str, value_col: str,
             .aggregate(Sum("n", alias_name="n"),
                        Sum("total", alias_name="total"))
             .to_pandas())
-    lvl1 = (fine.groupby(col1, as_index=False)[["n", "total"]].sum()
-            .assign(**{col2: all_label}))
+    lvl1 = (fine.groupby(col1, as_index=False, dropna=False)[
+        ["n", "total"]].sum().assign(**{col2: all_label}))
     lvl0 = pd.DataFrame({col1: [all_label], col2: [all_label],
                          "n": [fine["n"].sum()],
                          "total": [fine["total"].sum()]})
     out = pd.concat([fine, lvl1, lvl0], ignore_index=True)
+    out[col1] = out[col1].fillna(all_label)
+    out[col2] = out[col2].fillna(all_label)
     out["n"] = out["n"].astype("int64")
     out["total"] = out["total"].astype("int64")
     return out[[col1, col2, "n", "total"]]

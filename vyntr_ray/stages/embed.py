@@ -274,7 +274,8 @@ def mean_pool(ds, key_col: str = "label", vec_col: str = "embedding",
         cnt = np.bincount(codes, minlength=len(uniq)).astype(np.float64)
         m = sums / cnt[:, None]
         if round_to is not None:
-            m = np.round(m, round_to)
+            from ..rounding import round_half_away
+            m = round_half_away(m.ravel(), round_to).reshape(m.shape)
         if explode:
             return pd.DataFrame({
                 key_col: np.repeat(np.asarray(uniq), dim),

@@ -72,8 +72,17 @@ def _local_union_find(us: np.ndarray, vs: np.ndarray) -> dict:
 
 def connected_components(edges_ds, u_col: str = "u", v_col: str = "v",
                          driver_edge_limit: int = 500_000,
-                         max_levels: int = 4):
-    """(node, component) for every node appearing in the edge table."""
+                         max_levels: int = 64, _stats: dict | None = None):
+    """(node, component) for every node appearing in the edge table.
+
+    The driver union-find only ever sees a contracted edge set of at most
+    ``driver_edge_limit`` rows: contraction rounds repeat until the count
+    is under the limit or a round stops making progress (each round's
+    local union-find collapses every block's chains, so path lengths
+    shrink geometrically — a stall means the graph is already star-shaped
+    across partitions and the next stitch can't shrink it further).
+    ``max_levels`` is a runaway backstop, not the operating bound.
+    ``_stats`` (tests) receives {"levels", "driver_edges"}."""
     import ray.data as rd
 
     def norm(t: pa.Table) -> pa.Table:
@@ -82,10 +91,15 @@ def connected_components(edges_ds, u_col: str = "u", v_col: str = "v",
 
     edges = edges_ds.map_batches(norm, batch_format="pyarrow").materialize()
     mappings = []                    # per-level (node, root) datasets
+    prev_count = None
 
     for _level in range(max_levels):
-        if edges.count() <= driver_edge_limit:
+        n_edges = edges.count()
+        if n_edges <= driver_edge_limit:
             break
+        if prev_count is not None and n_edges >= prev_count:
+            break                    # no progress — stitch is a fixpoint
+        prev_count = n_edges
 
         def contract(t: pa.Table) -> pa.Table:
             roots = _local_union_find(t["u"].to_numpy(), t["v"].to_numpy())
@@ -119,6 +133,9 @@ def connected_components(edges_ds, u_col: str = "u", v_col: str = "v",
 
     # driver union-find on the (small) contracted graph
     rows = edges.take_all()
+    if _stats is not None:
+        _stats["levels"] = len(mappings)
+        _stats["driver_edges"] = len(rows)
     comp = _local_union_find(
         np.array([r["u"] for r in rows], np.int64),
         np.array([r["v"] for r in rows], np.int64))

@@ -25,21 +25,50 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = ["asof_join", "range_count_join", "hash_join"]
+
+
+def _pa_type(t) -> pa.DataType:
+    """Normalize a Dataset schema entry to an arrow DataType.
+
+    A Dataset whose blocks are pandas (e.g. the output of a
+    ``map_groups(..., batch_format="pandas")`` stage) reports numpy dtypes
+    from ``.schema()``; joining such a side needs them mapped back.
+    ``object`` dtype carries no element type — assumed string (the only
+    way pandas blocks represent text)."""
+    if isinstance(t, pa.DataType):
+        return t
+    if t == np.dtype(object):
+        return pa.string()
+    return pa.from_numpy_dtype(t)
 
 
 def _part_col(keys: pa.ChunkedArray, n_parts: int) -> pa.Array:
     """md5-derived partition id per key — md5 runs once per DISTINCT key
     (keys repeat heavily in join columns; hashing 240k rows one-by-one
     in Python was the dominant cost of a 600k-row join at sf0.1), then
-    a vectorized codes lookup fans it back out.  Routing is byte-
-    identical to the old per-row form: md5(str(v)) per unique v."""
-    codes, uniques = pd.factorize(
-        keys.combine_chunks().to_pandas(), use_na_sentinel=False)
+    a vectorized codes lookup fans it back out.
+
+    Uniques come from Arrow's ``dictionary_encode`` on the ORIGINAL typed
+    array, never from a pandas conversion: ``to_pandas`` silently casts a
+    null-bearing int64 batch to float64, so the same key would hash as
+    ``'7.0'`` in one batch and ``'7'`` in another and route to different
+    partitions.  Null keys get their own deterministic partition
+    (``md5('\\x00NULL')``) — callers that need SQL join semantics drop
+    them before partitioning (``hash_join`` does)."""
+    arr = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+    enc = pc.dictionary_encode(arr)
+    uniques = enc.dictionary.to_pylist()
     upart = np.fromiter(
         (int(hashlib.md5(str(v).encode("utf-8")).hexdigest()[:8], 16)
          % n_parts for v in uniques), np.int32, count=len(uniques))
+    null_part = np.int32(
+        int(hashlib.md5(b"\x00NULL").hexdigest()[:8], 16) % n_parts)
+    upart = np.append(upart, null_part).astype(np.int32)
+    codes = enc.indices.fill_null(len(uniques)).to_numpy(
+        zero_copy_only=False).astype(np.int64)
     return pa.array(upart[codes], pa.int32())
 
 
@@ -55,8 +84,10 @@ def asof_join(left_ds, right_ds, key_col: str, ts_col: str,
     assert how in ("inner", "left")
     l_schema = left_ds.schema()
     r_schema = right_ds.schema()
-    l_types = dict(zip(l_schema.names, l_schema.types))
-    r_types = dict(zip(r_schema.names, r_schema.types))
+    l_types = {n: _pa_type(t) for n, t in zip(l_schema.names,
+                                               l_schema.types)}
+    r_types = {n: _pa_type(t) for n, t in zip(r_schema.names,
+                                               r_schema.types)}
     r_out = {right_prefix + c: r_types[c] for c in [ts_col] + right_payload}
     combined = {key_col: l_types[key_col], ts_col: l_types[ts_col],
                 "side": pa.int8(),
@@ -160,7 +191,8 @@ def range_count_join(left_ds, right_ds, key_col: str, ts_col: str,
     Every left row survives (count 0 when nothing matched).
     """
     l_schema = left_ds.schema()
-    l_types = dict(zip(l_schema.names, l_schema.types))
+    l_types = {n: _pa_type(t) for n, t in zip(l_schema.names,
+                                               l_schema.types)}
     combined = {key_col: l_types[key_col], ts_col: l_types[ts_col],
                 "side": pa.int8(),
                 **{c: l_types[c] for c in left_payload}}
@@ -251,25 +283,35 @@ def hash_join(left_ds, right_ds, key_col: str,
     returns no rows for that partition), bounds skew by partition
     rather than by key, and pays one shuffle like the native join.
     Payload column names must be disjoint across sides.
+
+    SQL inner-join semantics on keys: null-key rows are dropped on BOTH
+    sides before partitioning (pandas ``merge`` would otherwise match
+    NaN==NaN), and the right key is cast to the LEFT key's arrow type so
+    an int32-vs-int64 pair can't produce inconsistent block schemas or
+    divergent str()-based routing.
     """
     rkey = right_key_col or key_col
     l_schema = left_ds.schema()
     r_schema = right_ds.schema()
-    l_types = dict(zip(l_schema.names, l_schema.types))
-    r_types = dict(zip(r_schema.names, r_schema.types))
+    l_types = {n: _pa_type(t) for n, t in zip(l_schema.names,
+                                               l_schema.types)}
+    r_types = {n: _pa_type(t) for n, t in zip(r_schema.names,
+                                               r_schema.types)}
     combined = {key_col: l_types[key_col], "side": pa.int8(),
                 **{c: l_types[c] for c in left_payload},
                 **{c: r_types[c] for c in right_payload}}
 
     def tag(side: int):
         def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t[key_col if side == 1 else rkey]))
             n = t.num_rows
             cols = {}
             for name, typ in combined.items():
                 if name == "side":
                     cols[name] = pa.array(np.full(n, side, np.int8))
                 elif name == key_col:
-                    cols[name] = t[key_col if side == 1 else rkey]
+                    k = t[key_col if side == 1 else rkey]
+                    cols[name] = k if side == 1 else pc.cast(k, typ)
                 elif side == 1 and name in left_payload:
                     cols[name] = t[name]
                 elif side == 0 and name in right_payload:

@@ -38,6 +38,7 @@ from collections import Counter
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from ..rounding import iround_half_away, round_half_away
 
 __all__ = ["build_text_index", "bm25_topk", "index_summary",
            "term_rows_batch", "TEXT_TOKEN", "tfidf_keywords",
@@ -225,8 +226,11 @@ def bm25_topk(index_dir: str, query_terms: list[str], k: int = 10,
            .groupby(id_col)
            .aggregate(Sum("partial", alias_name="score")))
     rounded = agg.map_batches(
-        lambda t: t.set_column(t.schema.get_field_index("score"), "score",
-                               pc.round(t["score"], round_to)),
+        lambda t: t.set_column(
+            t.schema.get_field_index("score"), "score",
+            pa.array(round_half_away(
+                t["score"].to_numpy(zero_copy_only=False), round_to),
+                pa.float64())),
         batch_format="pyarrow")
     return rounded.sort(["score", id_col],
                         descending=[True, False]).limit(k)
@@ -444,8 +448,11 @@ def bm25_fielded_topk(index_dir: str, query_terms: list[str], k: int = 10,
            .groupby(id_col)
            .aggregate(Sum("partial", alias_name="score")))
     rounded = agg.map_batches(
-        lambda t: t.set_column(t.schema.get_field_index("score"), "score",
-                               pc.round(t["score"], round_to)),
+        lambda t: t.set_column(
+            t.schema.get_field_index("score"), "score",
+            pa.array(round_half_away(
+                t["score"].to_numpy(zero_copy_only=False), round_to),
+                pa.float64())),
         batch_format="pyarrow")
     return rounded.sort(["score", id_col],
                         descending=[True, False]).limit(k)
@@ -493,8 +500,8 @@ def tfidf_keywords(ds, k: int = 5, id_col: str = "doc_id",
     df_rows = (ds.map_batches(df_partial, batch_format="pyarrow")
                .groupby("term").sum("df").take_all())
     n_docs = ds.count()
-    idf_micro = {r["term"]: int(round(math.log(n_docs / r["sum(df)"])
-                                      * 1_000_000)) for r in df_rows}
+    idf_micro = {r["term"]: iround_half_away(
+        math.log(n_docs / r["sum(df)"]) * 1_000_000) for r in df_rows}
     idf_ref = ray.put(idf_micro)
 
     def score(b: pa.Table) -> pa.Table:

@@ -30,6 +30,7 @@ __all__ = ["query_vector", "cosine_topk", "ivf_topk", "build_ivf_layout",
 CACHE_DIR = "/tmp/vyntr_ray_cache/ivf"
 
 import itertools as _itertools
+from ..rounding import round_half_away
 
 _ADHOC_SEQ = _itertools.count()
 
@@ -49,7 +50,8 @@ def _scores_batch(batch: pa.Table, q: np.ndarray, id_col: str,
     scores = (mat @ qn) / norms
     return pa.table({
         id_col: batch[id_col],
-        "score": pa.array(np.round(scores, round_to), pa.float64()),
+        "score": pa.array(round_half_away(scores, round_to),
+                          pa.float64()),
     })
 
 

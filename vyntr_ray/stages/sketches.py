@@ -30,6 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..state.filters import _hash64
+from ..rounding import iround_half_away
 
 __all__ = ["hll_sketch_batch", "hll_count_distinct", "group_count_distinct",
            "tdigest_batch", "tdigest_merge", "tdigest_quantile",
@@ -76,7 +77,7 @@ def _estimate(regs: np.ndarray) -> int:
     zeros = int(np.sum(regs == 0))
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)          # small-range correction
-    return int(round(est))
+    return iround_half_away(float(est))
 
 
 def hll_count_distinct(ds, group_col: str, value_col: str, p: int = 12):

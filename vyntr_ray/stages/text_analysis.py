@@ -17,6 +17,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from ..rounding import iround_half_away, round_half_away
 
 __all__ = ["token_stats_batch", "token_totals", "quality_batch",
            "fingerprint_batch", "LangId", "lang_id",
@@ -361,7 +362,7 @@ def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
             "n_tok": pa.array(lens[keep], pa.int64()),
             "n_oov": pa.array(oov.astype(np.int64), pa.int64()),
             "logprob_milli": pa.array(
-                np.round(sums * 1000).astype(np.int64), pa.int64()),
+                round_half_away(sums * 1000).astype(np.int64), pa.int64()),
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
@@ -481,7 +482,7 @@ def dsir_weights(ds, text_col: str = "text", id_col: str = "doc_id",
             bk = _dsir_bucket(feats, n_buckets)
             ids.append(i)
             nf.append(len(feats))
-            wm.append(int(round(float(lrv[bk].sum()) * 1000)))
+            wm.append(iround_half_away(float(lrv[bk].sum()) * 1000))
         return pa.table({id_col: pa.array(ids, pa.int64()),
                          "n_feat": pa.array(nf, pa.int64()),
                          "weight_milli": pa.array(wm, pa.int64())})
@@ -535,8 +536,8 @@ def group_zscores(ds, group_col: str, value_col: str, id_col: str,
         return pa.table({
             id_col: b[id_col],
             group_col: b[group_col],
-            "z_milli": pa.array(np.round(z * scale).astype(np.int64),
-                                pa.int64()),
+            "z_milli": pa.array(round_half_away(z * scale)
+                                .astype(np.int64), pa.int64()),
         })
 
     return ds.map_batches(standardize, batch_format="pyarrow")

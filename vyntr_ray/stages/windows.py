@@ -22,6 +22,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..rounding import round_half_away
+
 __all__ = ["tumbling", "sliding", "sessionize", "rolling_sum", "lag_diff",
            "running_total", "group_ranks", "funnel", "retention"]
 
@@ -33,17 +35,14 @@ def _by_part(ds, key_col: str, n_parts: int = 64):
     group on this (bounded group count, vectorized per-partition pandas)
     instead of one Ray group per key (PERF.md many-groups rule).
     md5 runs once per DISTINCT key per batch (keys repeat heavily in
-    event logs), fanned back out by a vectorized codes lookup —
-    byte-identical routing to the per-row form."""
-    import hashlib
+    event logs), fanned back out by a vectorized codes lookup.  Uniques
+    come from Arrow ``dictionary_encode`` on the typed column (a pandas
+    round-trip would float-cast null-bearing int batches and route the
+    same key inconsistently across batches — see joins._part_col)."""
+    from .joins import _part_col
 
     def add(t: pa.Table) -> pa.Table:
-        codes, uniques = pd.factorize(
-            t[key_col].combine_chunks().to_pandas(), use_na_sentinel=False)
-        upart = np.fromiter(
-            (int(hashlib.md5(str(v).encode("utf-8")).hexdigest()[:8], 16)
-             % n_parts for v in uniques), np.int32, count=len(uniques))
-        return t.append_column("_part", pa.array(upart[codes], pa.int32()))
+        return t.append_column("_part", _part_col(t[key_col], n_parts))
 
     return ds.map_batches(add, batch_format="pyarrow")
 
@@ -108,12 +107,12 @@ def sessionize(ds, gap_s: int, key_col: str = "user_id", ts_col: str = "ts",
     """Gap-based sessions: a new session starts when the pause > gap.
 
     Per-key pandas gaps-and-islands over the sorted group; returns
-    (key, session_id, n, start_us, end_us, sum_value_centi).  The value sum
-    is returned integer-scaled (×``scale``, nearest int) so the DuckDB
-    oracle hash-compares exactly — a float sum's addend order differs
-    between engines and pandas ``.round`` is half-to-even while DuckDB
-    ``round()`` is half-away-from-zero; with 2-decimal inputs the scaled
-    sum is integral up to ~1e-9, so nearest-int is mode-independent.
+    (key, session_id, n, start_us, end_us, sum_value_centi).  Values are
+    integer-scaled PER ROW (×``scale``, half-away-from-zero like DuckDB
+    ``round``) and summed as int64 — rounding the float sum post-hoc is
+    addend-order- and tie-mode-dependent across engines, per-row int
+    scaling is exact at any input precision (the oracle mirrors with
+    ``sum(round(value*100)::BIGINT)``).
     """
     gap_us = gap_s * _US
 
@@ -128,7 +127,9 @@ def sessionize(ds, gap_s: int, key_col: str = "user_id", ts_col: str = "ts",
         gap = np.r_[True, (us[1:] - us[:-1]) > gap_us]
         gsid = np.cumsum(newkey | gap) - 1
         sess = (pd.DataFrame({key_col: key, "_g": gsid, "us": us,
-                              "v": g[value_col].to_numpy()})
+                              "v": round_half_away(
+                                  g[value_col].to_numpy() * scale)
+                              .astype(np.int64)})
                 .groupby("_g", sort=True)
                 .agg(**{key_col: (key_col, "first"), "n": ("us", "size"),
                         "start_us": ("us", "min"), "end_us": ("us", "max"),
@@ -139,9 +140,7 @@ def sessionize(ds, gap_s: int, key_col: str = "user_id", ts_col: str = "ts",
         sess.insert(1, "session_id",
                     sess.groupby(key_col, sort=False).cumcount()
                     .astype("int64"))
-        sess["sum_value_centi"] = (
-            np.rint(sess.pop("sum_value").to_numpy() * scale)
-            .astype("int64"))
+        sess["sum_value_centi"] = sess.pop("sum_value").astype("int64")
         return sess
 
     return _by_part(ds, key_col).groupby("_part").map_groups(
@@ -163,7 +162,7 @@ def rolling_sum(ds, k: int, key_col: str = "user_id", ts_col: str = "ts",
         # inside one key because lo is clamped to the key's start index
         g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
         key = g[key_col].to_numpy()
-        v = np.round(g[value_col].to_numpy() * 100).astype(np.int64)
+        v = round_half_away(g[value_col].to_numpy() * 100).astype(np.int64)
         n = len(v)
         newkey = np.r_[True, key[1:] != key[:-1]]
         key_start = np.maximum.accumulate(
@@ -192,7 +191,7 @@ def lag_diff(ds, key_col: str = "user_id", ts_col: str = "ts",
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
         key = g[key_col].to_numpy()
-        v = np.round(g[value_col].to_numpy() * 100).astype(np.int64)
+        v = round_half_away(g[value_col].to_numpy() * 100).astype(np.int64)
         diff = np.r_[np.int64(0), v[1:] - v[:-1]]
         newkey = np.r_[True, key[1:] != key[:-1]]
         diff[newkey] = 0
@@ -218,7 +217,7 @@ def running_total(ds, key_col: str = "user_id", ts_col: str = "ts",
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
         key = g[key_col].to_numpy()
-        v = np.round(g[value_col].to_numpy() * 100).astype(np.int64)
+        v = round_half_away(g[value_col].to_numpy() * 100).astype(np.int64)
         n = len(v)
         newkey = np.r_[True, key[1:] != key[:-1]]
         key_start = np.maximum.accumulate(

@@ -912,15 +912,17 @@ def _q_tpch_q7ish(sf_dir: str):
 
     # customer scales with the fact tables — distributed hash join, not a
     # broadcast (Dataset.join crashes on the empty-sided partitions the
-    # 2/25-nation filter creates at small sf; hash_join tolerates them)
-    # materialized: the second hash_join's schema() probe would otherwise
-    # re-execute this whole join chain (the q2ish lesson); the output is
-    # bounded — orders of 2/25 nations' customers
+    # 2/25-nation filter creates at small sf; hash_join tolerates them);
+    # explicit types let both joins skip the .schema() probes
+    # that would otherwise execute the upstream chains once extra, so the
+    # whole two-join pipeline streams end to end
     o = hash_join(
         _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]),
         cust, key_col="o_custkey", left_payload=["o_orderkey"],
         right_payload=["cust_nation"], right_key_col="c_custkey",
-        n_parts=16).materialize()
+        n_parts=16,
+        types={"o_custkey": pa.int64(), "c_custkey": pa.int64(),
+               "o_orderkey": pa.int64(), "cust_nation": pa.string()})
 
     def lmap(t: pa.Table) -> pa.Table:
         sm = ray.get(sref)
@@ -946,7 +948,11 @@ def _q_tpch_q7ish(sf_dir: str):
     j = hash_join(li, o, key_col="l_orderkey",
                   left_payload=["supp_nation", "l_year", "rev_dmilli"],
                   right_payload=["cust_nation"],
-                  right_key_col="o_orderkey", n_parts=16)
+                  right_key_col="o_orderkey", n_parts=16,
+                  types={"l_orderkey": pa.int64(), "o_orderkey": pa.int64(),
+                         "supp_nation": pa.string(), "l_year": pa.int64(),
+                         "rev_dmilli": pa.int64(),
+                         "cust_nation": pa.string()})
     cross = j.map_batches(
         lambda t: t.filter(pc.invert(pc.equal(
             t["supp_nation"], t["cust_nation"]))),

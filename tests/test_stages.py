@@ -1185,3 +1185,28 @@ class TestHFEncoderContract:
         embs = out["embedding"].to_pylist()
         assert len(embs) == 2 and all(len(e) == 4 for e in embs)
         assert out.schema.field("embedding").type == pa.list_(pa.float32())
+
+    def test_device_and_batch_plumbing(self, monkeypatch):
+        # r3 verdict item 9: the map_batches wiring — device, max_length,
+        # GPU fraction, batch size, actor concurrency — end-to-end
+        from vyntr_ray.stages.embed import HFEncoder, _hf_map_kwargs
+        kw = _hf_map_kwargs("m/x", "chunk_text", concurrency=3,
+                            batch_size=256, num_gpus=0.25,
+                            device="cuda:1", max_length=128)
+        assert kw["fn_constructor_kwargs"] == {
+            "model_name": "m/x", "text_col": "chunk_text",
+            "device": "cuda:1", "max_length": 128}
+        assert kw["batch_size"] == 256 and kw["concurrency"] == 3
+        assert kw["num_gpus"] == 0.25 and "num_cpus" not in kw
+        # CPU path reserves a CPU fraction instead of a GPU
+        kw = _hf_map_kwargs("m/x", "t", 2, 1000, 0, None, 512)
+        assert kw["num_cpus"] == 0.5 and "num_gpus" not in kw
+        # the constructor honors an explicit device + max_length
+        record = {}
+        self._install_fakes(monkeypatch, record)
+        enc = HFEncoder(model_name="fake/mini", device="cuda:1",
+                        max_length=64)
+        assert record["model_device"] == "cuda:1"
+        enc.encode(["a b"])
+        assert record["tok_kwargs"]["max_length"] == 64
+        assert record["enc_device"] == "cuda:1"

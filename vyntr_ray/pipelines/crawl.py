@@ -290,7 +290,22 @@ def _fetch_parse_store_file(path: str, wave_urls: pa.Array,
                                 wave_urls, wave, wave_out, ladder)
 
 
+def _fetch_parse_block(block: pa.Table, wave_urls: pa.Array,
+                       wave: int, wave_out: str, ladder) -> pa.Table:
+    """FUSED preload-path wave kernel: one raw task per PINNED corpus
+    block (the block ObjectRef is passed straight to ``.remote`` — Ray
+    dereferences it zero-copy in the worker).  Same parse tail as the
+    disk kernel; replaces the per-wave ``map_batches`` Dataset job over
+    the materialized corpus, whose streaming-executor launch +
+    per-wave ``materialize()`` were pure fixed cost.  (Differs from the
+    r3 per-BUCKET fused preload that measured slower: blocks stay at the
+    2×CPU granularity, so wave parallelism is preserved.)"""
+    b = block.filter(pc.is_in(block["url"], value_set=wave_urls))
+    return _parse_fetched_table(b, wave_urls, wave, wave_out, ladder)
+
+
 _FUSED_TASK = None
+_BLOCK_TASK = None
 
 
 def _fused_task():
@@ -299,6 +314,14 @@ def _fused_task():
         import ray
         _FUSED_TASK = ray.remote(num_cpus=1)(_fetch_parse_store_file)
     return _FUSED_TASK
+
+
+def _block_task():
+    global _BLOCK_TASK
+    if _BLOCK_TASK is None:
+        import ray
+        _BLOCK_TASK = ray.remote(num_cpus=1)(_fetch_parse_block)
+    return _BLOCK_TASK
 
 
 def _fetched_of_block(t: pa.Table) -> pa.Table:
@@ -551,7 +574,8 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
               distributed_select: bool = False,
               domain_caps: dict | None = None,
               fetch_ladder=None,
-              frontier_actors: int | None = None) -> CrawlStats:
+              frontier_actors: int | None = None,
+              preload_fused: bool = True) -> CrawlStats:
     """Crawl ``pages_path`` (parquet file or bucketed store) from ``seeds``.
 
     ``preload_pages=True`` materializes the (url, html) columns into the
@@ -732,6 +756,7 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
 
     store_meta_cached = _store_meta(pages_path)
     preloaded = None
+    preload_refs = None
     if preload_pages:
         import ray.data as _rd
         # block count sized to the cluster: each wave maps over every
@@ -752,6 +777,10 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
             preloaded = _rd.read_parquet(pages_path, columns=["url", "html"],
                                          override_num_blocks=n_blocks)
         preloaded = preloaded.materialize()
+        # fused preload: pin the block refs once; each wave is then raw
+        # tasks over the pinned blocks (no per-wave Dataset launch)
+        preload_refs = (preloaded.to_arrow_refs() if preload_fused
+                        else None)
 
     try:
         import time as _time
@@ -797,8 +826,13 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
             distributed_enqueued = False
             wave_eq_counts: dict | None = None
             fused_paths: list[str] | None = None
+            fused_blocks = False
             if not batch:
                 ds = None
+            elif preload_refs is not None:
+                # fused preload: raw tasks over the pinned corpus blocks
+                ds = None
+                fused_blocks = True
             elif preloaded is not None:
                 ds = preloaded
             elif store_meta_cached is not None:
@@ -808,7 +842,7 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
                                            store_meta_cached) or None
             else:
                 ds = _fetch_dataset(pages_path, batch)
-            if ds is not None or fused_paths is not None:
+            if ds is not None or fused_paths is not None or fused_blocks:
                 wave_out = os.path.join(analyses_dir, f"wave-{wave:05d}")
                 shutil.rmtree(wave_out, ignore_errors=True)  # partial rerun
                 os.makedirs(wave_out, exist_ok=True)
@@ -828,6 +862,11 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
                     fused_refs = [task.remote(p, vs_ref, wave,
                                               wave_out, fetch_ladder)
                                   for p in fused_paths]
+                elif fused_blocks:
+                    task = _block_task()
+                    fused_refs = [task.remote(ref, vs_ref, wave,
+                                              wave_out, fetch_ladder)
+                                  for ref in preload_refs]
 
                 def parse_fn(b: pa.Table) -> pa.Table:
                     import hashlib as _h

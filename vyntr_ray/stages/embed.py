@@ -207,25 +207,38 @@ class HFEncoder:
                     pa.list_(pa.float32())))
 
 
+def _hf_map_kwargs(model: str, text_col: str, concurrency: int,
+                   batch_size: int, num_gpus: float,
+                   device: str | None, max_length: int) -> dict:
+    """The exact ``map_batches`` kwargs the HF path uses — split out so the
+    contract test can pin the device / batch-size / GPU-fraction plumbing
+    without a real model (the fake-transformers monkeypatch can't reach
+    map_batches' actor processes)."""
+    return dict(
+        fn_constructor_kwargs={"model_name": model, "text_col": text_col,
+                               "device": device, "max_length": max_length},
+        batch_format="pyarrow", concurrency=concurrency,
+        batch_size=batch_size,
+        **({"num_gpus": num_gpus} if num_gpus else {"num_cpus": 0.5}))
+
+
 def embed_chunks(ds, dim: int = 64, text_col: str = "chunk_text",
                  concurrency: int = 2, batch_size: int = 1000,
-                 model: str | None = None, num_gpus: float = 0):
+                 model: str | None = None, num_gpus: float = 0,
+                 device: str | None = None, max_length: int = 512):
     """T4: actor-pool encode, ``batch_size`` = the reference's model batch
     (`generate_embeddings.py:37` CHUNK_BATCH_SIZE=1000).
 
     ``model=None`` (default) uses the deterministic :class:`StubEncoder`;
-    pass an HF model name (and optionally ``num_gpus`` per actor) to run
-    :class:`HFEncoder` instead — same schema, same batching, setup once
-    per actor.
+    pass an HF model name (and optionally ``num_gpus`` per actor /
+    ``device`` / ``max_length``) to run :class:`HFEncoder` instead —
+    same schema, same batching, setup once per actor.
     """
     if model is not None:
         return ds.map_batches(
             HFEncoder,
-            fn_constructor_kwargs={"model_name": model,
-                                   "text_col": text_col},
-            batch_format="pyarrow", concurrency=concurrency,
-            batch_size=batch_size,
-            **({"num_gpus": num_gpus} if num_gpus else {"num_cpus": 0.5}))
+            **_hf_map_kwargs(model, text_col, concurrency, batch_size,
+                             num_gpus, device, max_length))
     return ds.map_batches(
         StubEncoder, fn_constructor_kwargs={"dim": dim, "text_col": text_col},
         batch_format="pyarrow", concurrency=concurrency,

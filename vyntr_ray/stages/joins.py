@@ -271,7 +271,8 @@ def range_count_join(left_ds, right_ds, key_col: str, ts_col: str,
 
 def hash_join(left_ds, right_ds, key_col: str,
               left_payload: list[str], right_payload: list[str],
-              right_key_col: str | None = None, n_parts: int = 64):
+              right_key_col: str | None = None, n_parts: int = 64,
+              types: dict | None = None):
     """Inner equi-join as tagged union + ONE hash-partition groupby +
     a vectorized pandas merge per partition.
 
@@ -289,14 +290,25 @@ def hash_join(left_ds, right_ds, key_col: str,
     NaN==NaN), and the right key is cast to the LEFT key's arrow type so
     an int32-vs-int64 pair can't produce inconsistent block schemas or
     divergent str()-based routing.
+
+    ``types`` (optional): arrow type per key/payload column.  When given,
+    the ``.schema()`` probes are SKIPPED — on a lazy map chain a schema
+    probe can execute the whole upstream pipeline once just to learn
+    types the caller already knows statically.
     """
     rkey = right_key_col or key_col
-    l_schema = left_ds.schema()
-    r_schema = right_ds.schema()
-    l_types = {n: _pa_type(t) for n, t in zip(l_schema.names,
-                                               l_schema.types)}
-    r_types = {n: _pa_type(t) for n, t in zip(r_schema.names,
-                                               r_schema.types)}
+    if types is not None:
+        l_types = {key_col: types[key_col],
+                   **{c: types[c] for c in left_payload}}
+        r_types = {rkey: types.get(rkey, types[key_col]),
+                   **{c: types[c] for c in right_payload}}
+    else:
+        l_schema = left_ds.schema()
+        r_schema = right_ds.schema()
+        l_types = {n: _pa_type(t) for n, t in zip(l_schema.names,
+                                                  l_schema.types)}
+        r_types = {n: _pa_type(t) for n, t in zip(r_schema.names,
+                                                  r_schema.types)}
     combined = {key_col: l_types[key_col], "side": pa.int8(),
                 **{c: l_types[c] for c in left_payload},
                 **{c: r_types[c] for c in right_payload}}

@@ -27,6 +27,18 @@ def _rd():
     return rd
 
 
+def _concat_refs(ds, schema: pa.Schema) -> pa.Table:
+    """``concat_tables`` over a small Dataset's pinned block refs,
+    tolerating EMPTY blocks: a fully-filtered block degrades to a
+    schema-less zero-column table, and ``pa.concat_tables`` refuses to
+    mix schemas.  ``schema`` also covers the all-empty case."""
+    import ray
+    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows > 0]
+    if not tabs:
+        return schema.empty_table()
+    return pa.concat_tables(tabs)
+
+
 def _read(sf_dir: str, table: str, **kw):
     return _rd().read_parquet(f"{sf_dir}/{table}.parquet", **kw)
 
@@ -1184,7 +1196,8 @@ def _q_tpch_q18ish(sf_dir: str):
     # cheap aggregate on the pinned qual), fall back to the distributed
     # hash_join above the threshold.
     if qual.count() <= 500_000:
-        qtab = pa.concat_tables(ray.get(qual.to_arrow_refs()))
+        qtab = _concat_refs(qual, pa.schema([
+            ("l_orderkey", pa.int64()), ("sum_qty_centi", pa.int64())]))
         qmap_ref = ray.put({
             "key": qtab["l_orderkey"].combine_chunks(),
             "sum": qtab["sum_qty_centi"].combine_chunks()})
@@ -2240,6 +2253,441 @@ def _q_audio_windows(_sf_dir: str):
     return chunk_audio(_rd().from_items(rows), window_s=1.0)
 
 
+def _sum_partials(ds, cols: list[str]):
+    """Collapse per-block int64 partial-sum rows to ONE driver row.
+
+    The distributed global-sum shape: every block emits one row of int64
+    partials (map_batches), so the driver receives #blocks rows — O(cluster),
+    never O(data) — and the final add is a trivial numpy sum."""
+    parts = ds.take_all()
+    return pd.DataFrame({c: pd.array(
+        [int(sum(r[c] for r in parts))], dtype="int64") for c in cols})
+
+
+def _q_tpch_q6ish(sf_dir: str):
+    """TPC-H Q6 analog (forecast-revenue change): pure scan-filter-sum,
+    zero shuffle.  Columns are pruned at the read; each block emits one
+    int64 partial row; the discount band compares CENTI INTEGERS on both
+    sides (a float BETWEEN on 0.05/0.07 would be representation-dependent).
+    The litmus test that a simple reduction stays embarrassingly
+    parallel at 100 TB — no groupby, no driver row set beyond #blocks."""
+    import datetime
+
+    import pyarrow.compute as pc
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1997, 1, 1)
+    li = _read(sf_dir, "lineitem",
+               columns=["l_shipdate", "l_quantity", "l_extendedprice",
+                        "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dc = pc.cast(_round_ha(pc.multiply(t["l_discount"],
+                                           pa.scalar(100.0))), pa.int64())
+        keep = pc.and_(pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+            pc.less(t["l_shipdate"], pa.scalar(hi))), pc.and_(
+            pc.and_(pc.greater_equal(dc, pa.scalar(5, pa.int64())),
+                    pc.less_equal(dc, pa.scalar(7, pa.int64()))),
+            pc.less(t["l_quantity"], pa.scalar(24.0))))
+        t2 = t.filter(keep)
+        rev = pc.cast(_round_ha(pc.multiply(
+            pc.multiply(t2["l_extendedprice"], t2["l_discount"]),
+            pa.scalar(10_000.0))), pa.int64())
+        s = pc.sum(rev).as_py() or 0
+        return pa.table({"revenue_dmilli": pa.array([s], pa.int64()),
+                         "n_rows": pa.array([t2.num_rows], pa.int64())})
+
+    return _sum_partials(li.map_batches(partial, batch_format="pyarrow"),
+                         ["revenue_dmilli", "n_rows"])
+
+
+def _q_tpch_q14ish(sf_dir: str):
+    """TPC-H Q14 analog (promo revenue): part is the MEDIUM dimension —
+    broadcast as a dense partkey->is_promo bitmask (one byte per part,
+    ray.put once), never a shuffle; lineitem streams through one
+    map_batches that filters by month, scales revenue to exact dmilli
+    ints and splits it promo/total; per-block partials sum on the
+    driver.  Ratio left to the reader — two exact int64 sums are the
+    stable contract (the reference's float division is one line away)."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1997, 1, 1)
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+    pmax = int(pc.max(part["p_partkey"]).as_py())
+    promo = np.zeros(pmax + 1, dtype=bool)
+    promo[part.filter(pc.equal(part["p_type"], "PROMO"))
+          ["p_partkey"].to_numpy()] = True
+    promo_ref = ray.put(promo)
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                        "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = ray.get(promo_ref)
+        keep = pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                       pc.less(t["l_shipdate"], pa.scalar(hi)))
+        t = t.filter(keep)
+        rev = pc.cast(_round_ha(pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(10_000.0))), pa.int64()).to_numpy(
+                zero_copy_only=False)
+        is_promo = mask[t["l_partkey"].to_numpy()]
+        return pa.table({
+            "promo_dmilli": pa.array([int(rev[is_promo].sum())], pa.int64()),
+            "total_dmilli": pa.array([int(rev.sum())], pa.int64())})
+
+    return _sum_partials(li.map_batches(partial, batch_format="pyarrow"),
+                         ["promo_dmilli", "total_dmilli"])
+
+
+def _q_tpch_q10ish(sf_dir: str):
+    """TPC-H Q10 analog (returned-item revenue, top-20 customers):
+    date-filtered orders LARGE-LARGE hash-joined with R-flag lineitem
+    revenue, pre-aggregated per custkey (bounded by active customers in
+    the window, far below lineitem), then a second distributed hash_join
+    attaches the customer name/nation — customer scales with facts, so
+    no broadcast — and the 25-row nation map rides as a driver lookup.
+    Exact dmilli int revenue; top-20 via sort-limit."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from vyntr_ray.stages.joins import hash_join
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 7, 1)
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ofilt(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                       pc.less(t["o_orderdate"], pa.scalar(hi)))
+        return t.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                        "l_discount"])
+
+    def lrev(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        rev = pc.cast(_round_ha(pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(10_000.0))), pa.int64())
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "rev_dmilli": rev})
+
+    j = hash_join(
+        li.map_batches(lrev, batch_format="pyarrow"),
+        orders.map_batches(ofilt, batch_format="pyarrow"),
+        key_col="l_orderkey", left_payload=["rev_dmilli"],
+        right_payload=["o_custkey"], right_key_col="o_orderkey",
+        n_parts=16,
+        types={"l_orderkey": pa.int64(), "o_orderkey": pa.int64(),
+               "rev_dmilli": pa.int64(), "o_custkey": pa.int64()})
+
+    custrev = j.groupby("o_custkey").aggregate(
+        Sum("rev_dmilli", alias_name="revenue_dmilli"))
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_name", "c_nationkey"])
+    named = hash_join(
+        custrev, cust, key_col="o_custkey",
+        left_payload=["revenue_dmilli"],
+        right_payload=["c_name", "c_nationkey"], right_key_col="c_custkey",
+        n_parts=16,
+        types={"o_custkey": pa.int64(), "c_custkey": pa.int64(),
+               "revenue_dmilli": pa.int64(), "c_name": pa.string(),
+               "c_nationkey": pa.int64()})
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    nmax = int(pc.max(nat["n_nationkey"]).as_py())
+    names = np.array([""] * (nmax + 1), dtype=object)
+    names[nat["n_nationkey"].to_numpy()] = np.asarray(
+        nat["n_name"].to_pylist(), dtype=object)
+
+    def attach(t: pa.Table) -> pa.Table:
+        nn = names[t["c_nationkey"].to_numpy(zero_copy_only=False)
+                   .astype(np.int64)]
+        return pa.table({
+            "c_custkey": t["o_custkey"], "c_name": t["c_name"],
+            "n_name": pa.array(list(nn), pa.string()),
+            "revenue_dmilli": t["revenue_dmilli"]})
+
+    return (named.map_batches(attach, batch_format="pyarrow")
+            .sort(["revenue_dmilli", "c_custkey"],
+                  descending=[True, False]).limit(20))
+
+
+def _q_tpch_q17ish(sf_dir: str):
+    """TPC-H Q17 analog (small-quantity-order revenue): the correlated
+    per-part average is decorrelated into a bounded per-part aggregate
+    over the brand-filtered lineitem (parts of ONE brand — 1/25 of the
+    part dim), broadcast back, and the threshold ``qty < 0.2*avg(qty)``
+    is cross-multiplied into the EXACT integer predicate
+    ``qty_centi * cnt * 5 < sum_qty_centi`` — no division ever happens,
+    so no float can diverge between engine and oracle."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand"])
+    pks = part.filter(pc.equal(part["p_brand"], "Brand#23"))["p_partkey"]
+    pk_ref = ray.put(pc.cast(pks.combine_chunks(), pa.int64()))
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def lfilt(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["l_partkey"],
+                              value_set=ray.get(pk_ref)))
+        return pa.table({
+            "l_partkey": t["l_partkey"],
+            "qty_centi": pc.cast(_round_ha(pc.multiply(
+                t["l_quantity"], pa.scalar(100.0))), pa.int64()),
+            "price_centi": pc.cast(_round_ha(pc.multiply(
+                t["l_extendedprice"], pa.scalar(100.0))), pa.int64())})
+
+    flt = li.map_batches(lfilt, batch_format="pyarrow").materialize()
+
+    stats = (flt.groupby("l_partkey")
+             .aggregate(Sum("qty_centi", alias_name="sq"),
+                        Count(alias_name="cnt")))
+    stab = _concat_refs(stats, pa.schema([
+        ("l_partkey", pa.int64()), ("sq", pa.int64()),
+        ("cnt", pa.int64())]))
+    smap_ref = ray.put({
+        "key": stab["l_partkey"].combine_chunks(),
+        "sq": stab["sq"].combine_chunks(),
+        "cnt": pc.cast(stab["cnt"].combine_chunks(), pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        sm = ray.get(smap_ref)
+        idx = pc.index_in(t["l_partkey"], value_set=sm["key"])
+        sq = pc.take(sm["sq"], idx).to_numpy(zero_copy_only=False)
+        cnt = pc.take(sm["cnt"], idx).to_numpy(zero_copy_only=False)
+        qc = t["qty_centi"].to_numpy()
+        keep = qc * cnt * 5 < sq
+        pr = t["price_centi"].to_numpy()[keep]
+        return pa.table({
+            "price_sum_centi": pa.array([int(pr.sum())], pa.int64()),
+            "n_rows": pa.array([int(keep.sum())], pa.int64())})
+
+    return _sum_partials(flt.map_batches(partial, batch_format="pyarrow"),
+                         ["price_sum_centi", "n_rows"])
+
+
+def _q_tpch_q19ish(sf_dir: str):
+    """TPC-H Q19 analog (disjunctive discounted-revenue): part's
+    (brand, size) attributes broadcast as dense partkey-indexed arrays,
+    the three-arm OR evaluated fully vectorized in numpy inside one
+    map_batches — the shape for predicate trees too irregular for
+    parquet row-group pruning.  Per-block int partials; zero shuffle."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand", "p_size"])
+    pmax = int(pc.max(part["p_partkey"]).as_py())
+    brand = np.zeros(pmax + 1, dtype=np.int8)
+    for i, b in enumerate(["Brand#12", "Brand#23", "Brand#34"], start=1):
+        brand[part.filter(pc.equal(part["p_brand"], b))
+              ["p_partkey"].to_numpy()] = i
+    size = np.zeros(pmax + 1, dtype=np.int64)
+    size[part["p_partkey"].to_numpy()] = part["p_size"].to_numpy()
+    luts_ref = ray.put((brand, size))
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice",
+                        "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        b_lut, s_lut = ray.get(luts_ref)
+        pk = t["l_partkey"].to_numpy()
+        b, s = b_lut[pk], s_lut[pk]
+        q = np.asarray(_round_ha(t["l_quantity"]).to_numpy(
+            zero_copy_only=False), np.int64)
+        keep = (((b == 1) & (s <= 15) & (q >= 1) & (q <= 11))
+                | ((b == 2) & (s <= 25) & (q >= 10) & (q <= 20))
+                | ((b == 3) & (s <= 35) & (q >= 20) & (q <= 30)))
+        t2 = t.filter(pa.array(keep))
+        rev = pc.cast(_round_ha(pc.multiply(
+            pc.multiply(t2["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t2["l_discount"])),
+            pa.scalar(10_000.0))), pa.int64())
+        s_ = pc.sum(rev).as_py() or 0
+        return pa.table({"revenue_dmilli": pa.array([s_], pa.int64()),
+                         "n_rows": pa.array([t2.num_rows], pa.int64())})
+
+    return _sum_partials(li.map_batches(partial, batch_format="pyarrow"),
+                         ["revenue_dmilli", "n_rows"])
+
+
+def _q_tpch_q22ish(sf_dir: str):
+    """TPC-H Q22 analog (global sales opportunity): customers with an
+    above-average positive balance and NO orders in a half-year window,
+    counted per nation.  The mean gate is the exact integer
+    cross-multiplication ``bal_centi * n > s`` (driver sees two ints);
+    the no-orders test is the DISTRIBUTED :func:`anti_join` — the
+    window's orders key set is customer-scale, so a broadcast NOT IN
+    would ship a fact-sized set to every task.  Nation (25 rows)
+    attaches via driver lookup."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    from vyntr_ray.stages.joins import anti_join
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 7, 1)
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_acctbal", "c_nationkey"])
+
+    def bal(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "bal_centi": pc.cast(_round_ha(pc.multiply(
+                t["c_acctbal"], pa.scalar(100.0))), pa.int64()),
+            "c_nationkey": pc.cast(t["c_nationkey"], pa.int64())})
+
+    cb = cust.map_batches(bal, batch_format="pyarrow").materialize()
+
+    def avg_partial(t: pa.Table) -> pa.Table:
+        pos = t.filter(pc.greater(t["bal_centi"], pa.scalar(0, pa.int64())))
+        s = pc.sum(pos["bal_centi"]).as_py() or 0
+        return pa.table({"s": pa.array([s], pa.int64()),
+                         "n": pa.array([pos.num_rows], pa.int64())})
+
+    tot = _sum_partials(cb.map_batches(avg_partial, batch_format="pyarrow"),
+                        ["s", "n"])
+    s, n = int(tot["s"][0]), int(tot["n"][0])
+
+    rich = cb.map_batches(
+        lambda t: t.filter(pc.greater(
+            pc.multiply(t["bal_centi"], pa.scalar(n, pa.int64())),
+            pa.scalar(s, pa.int64()))), batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    owin = orders.map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+            pc.less(t["o_orderdate"], pa.scalar(hi))))
+        .select(["o_custkey"]), batch_format="pyarrow")
+    noorder = anti_join(
+        rich, owin, key_col="c_custkey",
+        left_payload=["bal_centi", "c_nationkey"],
+        right_key_col="o_custkey", n_parts=16,
+        types={"c_custkey": pa.int64(), "o_custkey": pa.int64(),
+               "bal_centi": pa.int64(), "c_nationkey": pa.int64()})
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    nmax = int(pc.max(nat["n_nationkey"]).as_py())
+    names = np.array([""] * (nmax + 1), dtype=object)
+    names[nat["n_nationkey"].to_numpy()] = np.asarray(
+        nat["n_name"].to_pylist(), dtype=object)
+
+    def attach(t: pa.Table) -> pa.Table:
+        nn = names[t["c_nationkey"].to_numpy(zero_copy_only=False)
+                   .astype(np.int64)]
+        return pa.table({"n_name": pa.array(list(nn), pa.string()),
+                         "bal_centi": t["bal_centi"]})
+
+    return (noorder.map_batches(attach, batch_format="pyarrow")
+            .groupby("n_name")
+            .aggregate(Count(alias_name="numcust"),
+                       Sum("bal_centi", alias_name="totacctbal_centi"))
+            .sort("n_name"))
+
+
+_PARA_SEG_WORDS = 20
+
+
+def _q_paragraph_dedup(sf_dir: str):
+    """CCNet-style paragraph-level dedup (Wenzek et al. 2020 §4.1 keeps
+    one occurrence of every duplicated paragraph corpus-wide).  The
+    synthetic documents carry no newline structure, so the paragraph
+    unit is a deterministic segmentation: consecutive
+    ``_PARA_SEG_WORDS``-word windows of the whitespace token stream.
+    A segment is kept iff its (doc_id, seg_idx) is the MINIMAL
+    occurrence of its md5 corpus-wide — hash-partition by segment md5,
+    one vectorized first-occurrence drop per partition (the
+    keep_best_doc k=1 shape, never a per-key groupby), then a second
+    hash-partition regroups kept segments per doc in order."""
+    import hashlib
+
+    from vyntr_ray.stages.joins import _part_col
+
+    n_parts = 16
+
+    def segment(t: pa.Table) -> pa.Table:
+        import re
+        ids, idxs, segs, hashes, nsegs = [], [], [], [], []
+        for did, txt in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+            words = re.findall(r"\S+", txt or "")
+            k = (len(words) + _PARA_SEG_WORDS - 1) // _PARA_SEG_WORDS
+            for i in range(k):
+                seg = " ".join(words[i * _PARA_SEG_WORDS:
+                                     (i + 1) * _PARA_SEG_WORDS])
+                ids.append(did)
+                idxs.append(i + 1)
+                segs.append(seg)
+                hashes.append(hashlib.md5(
+                    seg.encode("utf-8")).hexdigest())
+                nsegs.append(k)
+        out = pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "i": pa.array(idxs, pa.int64()),
+            "seg": pa.array(segs, pa.string()),
+            "h": pa.array(hashes, pa.string()),
+            "n_segs": pa.array(nsegs, pa.int64())})
+        return out.append_column("part", _part_col(out["h"], n_parts))
+
+    def first_only(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id", "i"], kind="mergesort")
+        kept = g.drop_duplicates("h", keep="first")
+        return kept[["doc_id", "i", "seg", "n_segs"]]
+
+    def regroup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "i"], kind="mergesort")
+        agg = g.groupby("doc_id", sort=True)
+        out = pd.DataFrame({
+            "doc_id": np.asarray(list(agg.groups), np.int64),
+            "n_segs": agg["n_segs"].first().to_numpy(np.int64),
+            "n_kept": agg.size().to_numpy(np.int64),
+            "kept_text": agg["seg"].apply(" ".join).to_numpy(object)})
+        return out
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    kept = (docs.map_batches(segment, batch_format="pyarrow")
+            .groupby("part").map_groups(first_only, batch_format="pandas"))
+
+    def part2(t: pa.Table) -> pa.Table:
+        return t.append_column("part", _part_col(t["doc_id"], n_parts))
+
+    return (kept.map_batches(part2, batch_format="pyarrow")
+            .groupby("part").map_groups(regroup, batch_format="pandas"))
+
+
 # ---------------------------------------------------------------------------
 # the public contract
 # ---------------------------------------------------------------------------
@@ -2253,15 +2701,21 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- driver-checked window (first 50): the r4 rotation ---
-        # the driver correctness-checks the FIRST 50 entries; rounds
-        # 1-3 covered the original head, so the never-checked tail
-        # rotates forward this round (plus tpch_q18ish to confirm
-        # the rounding-mode fix).  Previously-green entries follow;
-        # rows-only multimodal stubs sit last.
+        # never-driver-checked entries (incl. the 7 new r4 queries)
+        # first, then the riskiest previously-green rows: r3-only
+        # single-data-point entries and the money-scaling queries the
+        # r4 rounding conversion touched after their last driver row.
         "crawl_flagship": _q_crawl_flagship,
         "tpch_q18ish": _q_tpch_q18ish,
         "bm25_phrase": _q_bm25_phrase,
         "search_boolean": _q_search_boolean,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "tpch_q6ish": _q_tpch_q6ish,
+        "tpch_q10ish": _q_tpch_q10ish,
+        "tpch_q14ish": _q_tpch_q14ish,
+        "tpch_q17ish": _q_tpch_q17ish,
+        "tpch_q19ish": _q_tpch_q19ish,
+        "tpch_q22ish": _q_tpch_q22ish,
         "tpch_q16ish": _q_tpch_q16ish,
         "tpch_q7ish": _q_tpch_q7ish,
         "running_total": _q_running_total,
@@ -2273,6 +2727,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_set_ops": _q_user_set_ops,
         "bigram_pmi": _q_bigram_pmi,
         "ntile_buckets": _q_ntile_buckets,
+        "knn_join": _q_knn_join,
+        "tfidf_keywords": _q_tfidf_keywords,
+        "chunk_upsert": _q_chunk_upsert,
+        "inverted_index": _q_inverted_index,
+        "bm25_topk": _q_bm25_topk,
+        "bm25_fielded": _q_bm25_fielded,
+        "ivf_kmeans": _q_ivf_kmeans,
+        "audio_windows": _q_audio_windows,
+        "lag_diff": _q_lag_diff,
+        "blob_stats": _q_blob_stats,
+        "tpch_q3ish": _q_tpch_q3ish,
+        "tpch_q5ish": _q_tpch_q5ish,
+        "qty_discount_corr": _q_qty_discount_corr,
+        "frequent_tokens": _q_frequent_tokens,
+        "event_transitions": _q_event_transitions,
+        "funnel": _q_funnel,
+        "retention": _q_retention,
+        "tpch_q4ish": _q_tpch_q4ish,
+        "tpch_q13ish": _q_tpch_q13ish,
+        "lineitem_join": _q_lineitem_join,
+        "tpch_q1ish": _q_tpch_q1,
+        "region_customers": _q_region_customers,
+        "sessionize": _q_sessionize,
+        "rolling_sum": _q_rolling_sum,
+        "asof_join": _q_asof_join,
+        "asof_join_left": _q_asof_join_left,
+        "range_join": _q_range_join,
+        "value_quantiles": _q_value_quantiles,
+        # --- previously driver-checked (r1-r3 green) + rows-only ---
         "group_zscores": _q_group_zscores,
         "distinct_users": _q_distinct_users,
         "distinct_users_hll": _q_distinct_users_hll,
@@ -2287,7 +2770,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunks,
         "chunk_embeddings": _q_chunk_embeddings,
         "ann_topk": _q_ann_topk,
-        "knn_join": _q_knn_join,
         "ivf_ann": _q_ivf_ann,
         "index_prep": _q_index_prep,
         "autocomplete": _q_autocomplete,
@@ -2296,21 +2778,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_json": _q_event_json,
         "events_window": _q_events_window,
         "sliding_window": _q_sliding_window,
-        "sessionize": _q_sessionize,
-        "lineitem_join": _q_lineitem_join,
-        "tpch_q1ish": _q_tpch_q1,
-        "region_customers": _q_region_customers,
         "orders_topk": _q_orders_topk,
         "relevant_text": _q_relevant_text,
         "inactive_customers": _q_inactive_customers,
         "nation_customers_agg": _q_nation_agg,
-        "tfidf_keywords": _q_tfidf_keywords,
         "search_topk": _q_search_topk,
-        "chunk_upsert": _q_chunk_upsert,
-        "inverted_index": _q_inverted_index,
-        "bm25_topk": _q_bm25_topk,
-        "bm25_fielded": _q_bm25_fielded,
-        # --- previously driver-checked (r1-r3 green) + rows-only ---
         "extract_text": _q_extract_text,
         "clean_content": _q_clean_content,
         "cleaning_stats": _q_cleaning_stats,
@@ -2341,27 +2813,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate": _q_curate,
         "dup_substrings": _q_dup_substrings,
         "dup_clusters": _q_dup_clusters,
-        "asof_join": _q_asof_join,
-        "asof_join_left": _q_asof_join_left,
-        "range_join": _q_range_join,
-        "value_quantiles": _q_value_quantiles,
         "group_topk": _q_group_topk,
         "event_pivot": _q_event_pivot,
-        "rolling_sum": _q_rolling_sum,
-        "lag_diff": _q_lag_diff,
-        "blob_stats": _q_blob_stats,
-        "tpch_q3ish": _q_tpch_q3ish,
-        "tpch_q5ish": _q_tpch_q5ish,
-        "qty_discount_corr": _q_qty_discount_corr,
-        "frequent_tokens": _q_frequent_tokens,
-        "event_transitions": _q_event_transitions,
-        "funnel": _q_funnel,
-        "retention": _q_retention,
-        "tpch_q4ish": _q_tpch_q4ish,
-        "tpch_q13ish": _q_tpch_q13ish,
-        "ivf_kmeans": _q_ivf_kmeans,
         "multimodal_decode": _q_multimodal,
-        "audio_windows": _q_audio_windows,
         "video_frames": _q_video_frames,
     }
 
@@ -3010,6 +3464,114 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate <  TIMESTAMP '1997-01-01'
             GROUP BY n_name
             ORDER BY revenue_dmilli DESC, n_name
+        """,
+        # Q6 analog: scan-filter-sum; discount band compared in centi ints
+        "tpch_q6ish": """
+            SELECT sum(round(l_extendedprice * l_discount
+                             * 10000)::BIGINT)::BIGINT AS revenue_dmilli,
+                   count(*)::BIGINT AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND round(l_discount * 100)::BIGINT BETWEEN 5 AND 7
+              AND l_quantity < 24
+        """,
+        # Q10 analog: returned-item revenue, top-20 customers
+        "tpch_q10ish": """
+            SELECT c_custkey, c_name, n_name,
+                   sum(round(l_extendedprice * (1 - l_discount)
+                             * 10000)::BIGINT)::BIGINT AS revenue_dmilli
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-07-01'
+              AND l_returnflag = 'R'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue_dmilli DESC, c_custkey LIMIT 20
+        """,
+        # Q14 analog: promo revenue split — two exact int sums, no ratio
+        "tpch_q14ish": """
+            SELECT sum(CASE WHEN p_type = 'PROMO' THEN r ELSE 0
+                       END)::BIGINT AS promo_dmilli,
+                   sum(r)::BIGINT AS total_dmilli
+            FROM (SELECT round(l_extendedprice * (1 - l_discount)
+                               * 10000)::BIGINT AS r, l_partkey
+                  FROM lineitem
+                  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                    AND l_shipdate <  TIMESTAMP '1997-01-01')
+            JOIN part ON l_partkey = p_partkey
+        """,
+        # Q17 analog: qty < 0.2*avg(qty) cross-multiplied into exact ints
+        "tpch_q17ish": """
+            WITH a AS (
+                SELECT l_partkey,
+                       sum(round(l_quantity * 100)::BIGINT)::BIGINT AS sq,
+                       count(*)::BIGINT AS cnt
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#23' GROUP BY l_partkey)
+            SELECT sum(round(l_extendedprice * 100)::BIGINT)::BIGINT
+                       AS price_sum_centi,
+                   count(*)::BIGINT AS n_rows
+            FROM lineitem JOIN a USING (l_partkey)
+            WHERE round(l_quantity * 100)::BIGINT * cnt * 5 < sq
+        """,
+        # Q19 analog: three-arm disjunction over part attrs + quantity
+        "tpch_q19ish": """
+            SELECT sum(round(l_extendedprice * (1 - l_discount)
+                             * 10000)::BIGINT)::BIGINT AS revenue_dmilli,
+                   count(*)::BIGINT AS n_rows
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size <= 15
+                   AND round(l_quantity)::BIGINT BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size <= 25
+                   AND round(l_quantity)::BIGINT BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size <= 35
+                   AND round(l_quantity)::BIGINT BETWEEN 20 AND 30)
+        """,
+        # Q22 analog: above-average balance + NOT EXISTS orders-in-window
+        "tpch_q22ish": """
+            WITH b AS (
+                SELECT c_custkey, round(c_acctbal * 100)::BIGINT AS bal_centi,
+                       c_nationkey
+                FROM customer),
+            avg_b AS (
+                SELECT sum(bal_centi)::BIGINT AS s, count(*)::BIGINT AS n
+                FROM b WHERE bal_centi > 0)
+            SELECT n_name, count(*)::BIGINT AS numcust,
+                   sum(bal_centi)::BIGINT AS totacctbal_centi
+            FROM b JOIN nation ON c_nationkey = n_nationkey, avg_b
+            WHERE bal_centi * n > s
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1996-01-01'
+                    AND o_orderdate <  TIMESTAMP '1996-07-01')
+            GROUP BY n_name ORDER BY n_name
+        """,
+        # CCNet-style paragraph dedup over deterministic 20-word segments:
+        # a segment survives iff its (doc_id, i) is the minimal occurrence
+        # of its md5 corpus-wide; docs whose every segment is a dup drop out
+        "paragraph_dedup": r"""
+            WITH w AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS words
+                FROM documents),
+            seg AS (
+                SELECT doc_id, i,
+                       array_to_string(words[(i-1)*20+1 : i*20], ' ') AS seg
+                FROM w, unnest(generate_series(
+                    1, (len(words)+19)//20)) AS t(i)),
+            k AS (
+                SELECT doc_id, i, seg,
+                       row_number() OVER (PARTITION BY md5(seg)
+                                          ORDER BY doc_id, i) AS rn
+                FROM seg)
+            SELECT doc_id, count(*)::BIGINT AS n_segs,
+                   sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+                   string_agg(CASE WHEN rn = 1 THEN seg END,
+                              ' ' ORDER BY i) AS kept_text
+            FROM k GROUP BY doc_id HAVING n_kept > 0 ORDER BY doc_id
         """,
         # Pearson corr from exact int sufficient stats; the final double
         # expression mirrors the engine's formula term-for-term so the

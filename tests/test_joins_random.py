@@ -352,3 +352,51 @@ def test_hash_join_skewed_hot_key(ray_session):
            .sort_values(["k", "lv", "rv"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
     assert (got["k"] == 7).sum() == 3 * (left["k"] == 7).sum()
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [1, 2])
+def test_anti_join_matches_bruteforce(seed):
+    import ray.data as rd
+
+    from vyntr_ray.stages.joins import anti_join
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    left = pd.DataFrame({
+        "k": rng.integers(0, 40, 300).astype("int64"),
+        "v": np.arange(300, dtype="int64")})
+    # right keys overlap partially; some keys exist ONLY on the right
+    right = pd.DataFrame({
+        "rk": rng.integers(20, 60, 200).astype("int64")})
+    # null keys: dropped on the left, ignored on the right (NOT EXISTS)
+    left.loc[::50, "k"] = None
+    right.loc[::40, "rk"] = None
+
+    got = anti_join(
+        rd.from_pandas(left).repartition(5),
+        rd.from_pandas(right).repartition(4),
+        key_col="k", left_payload=["v"], right_key_col="rk",
+        n_parts=7).to_pandas().sort_values("v").reset_index(drop=True)
+
+    rset = set(right["rk"].dropna().astype("int64"))
+    exp = left.dropna(subset=["k"])
+    exp = exp[~exp["k"].astype("int64").isin(rset)]
+    exp = exp.astype({"k": "int64", "v": "int64"}).sort_values(
+        "v").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k", "v"]].astype({"k": "int64", "v": "int64"}), exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_anti_join_empty_right():
+    import ray.data as rd
+
+    from vyntr_ray.stages.joins import anti_join
+
+    left = pd.DataFrame({"k": np.arange(10, dtype="int64"),
+                         "v": np.arange(10, dtype="int64")})
+    right = pd.DataFrame({"rk": pd.array([], dtype="int64")})
+    got = anti_join(rd.from_pandas(left), rd.from_pandas(right),
+                    key_col="k", left_payload=["v"], right_key_col="rk",
+                    n_parts=4).to_pandas()
+    assert sorted(got["k"]) == list(range(10))

@@ -32,6 +32,9 @@ TIE_QUERIES = [
     "lag_diff", "rolling_sum", "running_total", "sessionize",
     "value_quantiles", "value_quantiles_cont", "ntile_buckets",
     "region_customers",
+    # r4 analogs: every one scales money/qty per row
+    "tpch_q6ish", "tpch_q10ish", "tpch_q14ish", "tpch_q17ish",
+    "tpch_q19ish", "tpch_q22ish",
 ]
 
 

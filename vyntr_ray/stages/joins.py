@@ -27,7 +27,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["asof_join", "range_count_join", "hash_join"]
+__all__ = ["asof_join", "range_count_join", "hash_join", "anti_join"]
 
 
 def _pa_type(t) -> pa.DataType:
@@ -360,3 +360,77 @@ def hash_join(left_ds, right_ds, key_col: str,
 
     both = l_tag.union(r_tag)
     return both.groupby("part").map_groups(merge, batch_format="pandas")
+
+
+def anti_join(left_ds, right_ds, key_col: str,
+              left_payload: list[str],
+              right_key_col: str | None = None, n_parts: int = 64,
+              types: dict | None = None):
+    """LEFT ANTI equi-join (``WHERE NOT EXISTS (… right.key = left.key)``)
+    as the same tagged-union + ONE hash-partition shuffle as
+    :func:`hash_join` — both sides route by the same ``_part_col`` hash,
+    so each partition decides membership locally with one vectorized
+    ``isin``.  Distributed on BOTH sides: unlike the broadcast anti-join
+    (J1/J2 — right side shipped to every task), this works when the
+    exclusion side scales with the facts (e.g. "customers with no
+    orders": the orders key set is customer-scale, too big to ship).
+
+    NOT-EXISTS null semantics: right-side null keys are ignored and
+    left-side null keys are dropped (SQL ``NOT IN`` with a null on the
+    right would return nothing — callers wanting that must check).
+
+    ``types``: same schema-probe skip as :func:`hash_join`.
+    """
+    rkey = right_key_col or key_col
+    if types is not None:
+        l_types = {key_col: types[key_col],
+                   **{c: types[c] for c in left_payload}}
+    else:
+        l_schema = left_ds.schema()
+        l_types = {n: _pa_type(t) for n, t in zip(l_schema.names,
+                                                  l_schema.types)}
+    combined = {key_col: l_types[key_col], "side": pa.int8(),
+                **{c: l_types[c] for c in left_payload}}
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t[key_col if side == 1 else rkey]))
+            n = t.num_rows
+            cols = {}
+            for name, typ in combined.items():
+                if name == "side":
+                    cols[name] = pa.array(np.full(n, side, np.int8))
+                elif name == key_col:
+                    k = t[key_col if side == 1 else rkey]
+                    cols[name] = k if side == 1 else pc.cast(k, typ)
+                elif side == 1:
+                    cols[name] = t[name]
+                else:
+                    cols[name] = pa.nulls(n, typ)
+            out = pa.table(cols)
+            return out.append_column(
+                "part", _part_col(out[key_col], n_parts))
+        return f
+
+    l_tag = (left_ds.select_columns([key_col] + left_payload)
+             .map_batches(tag(1), batch_format="pyarrow"))
+    r_tag = (right_ds.select_columns([rkey])
+             .map_batches(tag(0), batch_format="pyarrow"))
+
+    out_cols = [key_col] + left_payload
+    out_dtypes = {c: combined[c].to_pandas_dtype() for c in out_cols}
+
+    def keep(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 1]
+        if left.empty:
+            return pd.DataFrame({c: pd.Series(dtype=out_dtypes[c])
+                                 for c in out_cols})
+        right_keys = g.loc[g["side"] == 0, key_col]
+        out = left[~left[key_col].isin(right_keys)]
+        out = out[out_cols].copy()
+        for c in out_cols:
+            out[c] = out[c].astype(out_dtypes[c])
+        return out
+
+    both = l_tag.union(r_tag)
+    return both.groupby("part").map_groups(keep, batch_format="pandas")

@@ -2688,6 +2688,24 @@ def _q_paragraph_dedup(sf_dir: str):
             .groupby("part").map_groups(regroup, batch_format="pandas"))
 
 
+def _q_shuffle_export(sf_dir: str):
+    """Training-run export sink: deterministic md5-shard global shuffle,
+    one parquet file per shard written via temp-file + atomic rename
+    (resumable — a killed export leaves no partial shard), returning
+    the (shard, n_docs, n_tokens) manifest.  Oracled exactly: shard =
+    int(md5(doc_id)[:8], 16) % 16 is recomputed in SQL via the hex
+    cast, token counts are the shared ``\\S+`` rule."""
+    import shutil
+
+    from vyntr_ray.stages.sampling import shuffle_export
+
+    out = os.path.join("/tmp/vyntr_ray_cache",
+                       f"shuffle_export_{os.path.basename(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return shuffle_export(ds, out, n_shards=16)
+
+
 # ---------------------------------------------------------------------------
 # the public contract
 # ---------------------------------------------------------------------------
@@ -2716,6 +2734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q17ish": _q_tpch_q17ish,
         "tpch_q19ish": _q_tpch_q19ish,
         "tpch_q22ish": _q_tpch_q22ish,
+        "shuffle_export": _q_shuffle_export,
         "tpch_q16ish": _q_tpch_q16ish,
         "tpch_q7ish": _q_tpch_q7ish,
         "running_total": _q_running_total,
@@ -3888,6 +3907,18 @@ def oracle_sql() -> dict[str, str]:
                        AND c.ts >= p.ts - INTERVAL 5 MINUTE
                        AND c.ts <= p.ts)::BIGINT AS n_clicks
             FROM p
+        """,
+        # export-manifest replica: shard = first-8-hex of md5 as int
+        # mod 16 (DuckDB's '0x'||hex BIGINT cast == python int(h,16));
+        # n_tokens = the shared \S+ whitespace-token rule
+        "shuffle_export": r"""
+            SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                        1, 8)) AS BIGINT) % 16 AS shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(regexp_extract_all(coalesce(text, ''),
+                                                   '\S+'))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY 1
         """,
         # hash-threshold sampling: 300000 ppm -> int(0.3 * 2^32) = hex
         # 4ccccccc; lowercase-hex string compare == numeric compare

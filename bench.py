@@ -121,7 +121,10 @@ def bench_queries(repeats: int = 2) -> dict:
              "funnel", "retention", "tpch_q18ish", "tpch_q4ish",
              "bigram_pmi", "tpch_q13ish", "tpch_q16ish", "running_total",
              "value_quantiles_cont", "regex_extract", "tpch_q7ish",
-             "rollup_counts", "group_ranks", "tpch_q2ish", "user_set_ops"]
+             "rollup_counts", "group_ranks", "tpch_q2ish", "user_set_ops",
+             "bm25_phrase", "search_boolean", "paragraph_dedup",
+             "tpch_q6ish", "tpch_q10ish", "tpch_q14ish", "tpch_q17ish",
+             "tpch_q19ish", "tpch_q22ish", "shuffle_export"]
     qs = em.queries()
     out = {}
     for _ in range(max(1, repeats)):

@@ -534,6 +534,43 @@ class TestDistributedStages:
         assert token_budget_sample(ds, 10**9, n_buckets=16).count() == 30
         assert token_budget_sample(ds, 3 * 7, n_buckets=16).count() == 7
 
+    def test_shuffle_export(self, tmp_path):
+        import hashlib
+        import os
+
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from vyntr_ray.stages.sampling import shuffle_export
+
+        rows = [{"doc_id": i, "text": " ".join(["w"] * (i % 5 + 1))}
+                for i in range(120)]
+        ds = rd.from_items(rows, override_num_blocks=6)
+        out = str(tmp_path / "export")
+        man = {r["shard"]: (r["n_docs"], r["n_tokens"])
+               for r in shuffle_export(ds, out, n_shards=8).take_all()}
+
+        hx = {i: hashlib.md5(str(i).encode()).hexdigest()
+              for i in range(120)}
+        exp_shard = {i: int(hx[i][:8], 16) % 8 for i in range(120)}
+
+        seen = []
+        for s in sorted(man):
+            t = pq.read_table(os.path.join(out, f"shard-{s:05d}.parquet"))
+            ids = t["doc_id"].to_pylist()
+            # within-shard order is (md5 hex, doc_id) — the shuffle
+            exp_ids = sorted((i for i in range(120)
+                              if exp_shard[i] == s),
+                             key=lambda i: (hx[i], i))
+            assert ids == exp_ids
+            assert man[s] == (len(ids),
+                              sum(i % 5 + 1 for i in ids))
+            seen += ids
+        assert sorted(seen) == list(range(120))
+        # atomic writes: no temp files survive
+        assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+        assert sum(d for d, _ in man.values()) == 120
+
     def test_weighted_mix_rates(self):
         import ray.data as rd
 

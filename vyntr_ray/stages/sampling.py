@@ -33,7 +33,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["hash_sample", "token_budget_sample", "weighted_mix",
-           "stratified_sample", "pack_sequences", "token_budget_by_group"]
+           "stratified_sample", "pack_sequences", "token_budget_by_group",
+           "shuffle_export"]
 
 _WS_TOKEN = re.compile(r"\S+")
 
@@ -359,3 +360,59 @@ def token_budget_by_group(ds, budgets: dict, group_col: str = "lang",
         return batch.filter(pa.array(out))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def shuffle_export(ds, out_dir: str, n_shards: int = 16,
+                   key_col: str = "doc_id", text_col: str = "text"):
+    """Deterministic shuffled sharded-parquet export — the training-run
+    sink: shard by md5(key) (so the global shuffle is seeded and
+    parallelism-invariant, no ``random_shuffle`` network pass), order
+    WITHIN each shard by (md5 hex, key), write one parquet file per
+    shard via temp-file + atomic rename (a killed export leaves no
+    partial shard; finished shards survive a rerun), and return the
+    manifest (shard, n_docs, n_tokens) as the stable contract.
+
+    Shard count is the resume/parallelism granularity — at 100 TB use
+    thousands of shards so one file is object-store-block-sized; each
+    shard is written by the one groupby partition that owns it (shard
+    IS the partition key; n_shards groups is the bounded-group case
+    where groupby+map_groups is the right shape).
+    """
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    def prep(t: pa.Table) -> pa.Table:
+        hs = _md5_hex(t[key_col].to_pylist())
+        shard = np.fromiter((int(h[:8], 16) % n_shards for h in hs),
+                            np.int64, count=len(hs))
+        toks = pa.array(
+            [len(_WS_TOKEN.findall(x or "")) for x in
+             t[text_col].to_pylist()], pa.int64())
+        return pa.table({
+            key_col: t[key_col], text_col: t[text_col],
+            "h": pa.array(hs, pa.string()),
+            "shard": pa.array(shard),
+            "n_tokens": toks})
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+        shard = int(g["shard"].iloc[0])
+        g = g.sort_values(["h", key_col], kind="mergesort")
+        path = os.path.join(out_dir, f"shard-{shard:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(pa.Table.from_pandas(
+            g[[key_col, text_col, "n_tokens"]], preserve_index=False), tmp)
+        os.replace(tmp, path)
+        return pd.DataFrame({
+            "shard": pd.array([shard], dtype="int64"),
+            "n_docs": pd.array([len(g)], dtype="int64"),
+            "n_tokens": pd.array([int(g["n_tokens"].sum())],
+                                 dtype="int64")})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("shard").map_groups(write_shard,
+                                         batch_format="pandas"))

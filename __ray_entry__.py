@@ -2264,6 +2264,23 @@ def _sum_partials(ds, cols: list[str]):
         [int(sum(r[c] for r in parts))], dtype="int64") for c in cols})
 
 
+def _sum_keyed_partials(ds, keys: list[str], cols: list[str]):
+    """Keyed variant of :func:`_sum_partials`: every block emits ONE
+    partial row per key combination, so the driver receives
+    O(#blocks x #groups) rows and folds them with one pandas groupby.
+    ONLY for key spaces bounded by a constant (years, lag buckets,
+    nation x year) — never for data-scaled keys; those go through the
+    hash-partition map_groups pattern instead."""
+    parts = pd.DataFrame(ds.take_all())
+    if parts.empty:
+        return pd.DataFrame({c: pd.array([], dtype="int64")
+                             for c in keys + cols})
+    g = parts.groupby(keys, as_index=False, sort=True)[cols].sum()
+    for c in cols:
+        g[c] = g[c].astype("int64")
+    return g
+
+
 def _q_tpch_q6ish(sf_dir: str):
     """TPC-H Q6 analog (forecast-revenue change): pure scan-filter-sum,
     zero shuffle.  Columns are pruned at the read; each block emits one
@@ -2618,6 +2635,567 @@ def _q_tpch_q22ish(sf_dir: str):
             .sort("n_name"))
 
 
+def _q_tpch_q8ish(sf_dir: str):
+    """TPC-H Q8 analog (national market share, regionalized): per order
+    year, the volume of STANDARD-part sales to ASIA-region customers
+    split into the ASIA-supplier ("local") slice and the total — two
+    exact int sums per year, ratio left to the reader (the q14ish
+    contract).  Shape: part bitmask + supplier->region dense array
+    broadcast (both medium dims), lineitem->orders and ->customer are
+    LARGE-LARGE hash joins (customer scales with facts), the 25-row
+    nation->region map rides as a driver lookup, and the final fold is
+    per-block keyed partials over a two-year key space."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from vyntr_ray.stages.joins import hash_join
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1998, 1, 1)
+
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    asia = int(reg.filter(pc.equal(reg["r_name"], "ASIA"))
+               ["r_regionkey"][0].as_py())
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    nmax = int(pc.max(nat["n_nationkey"]).as_py())
+    nreg = np.full(nmax + 1, -1, dtype=np.int64)
+    nreg[nat["n_nationkey"].to_numpy()] = nat["n_regionkey"].to_numpy()
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+    pmax = int(pc.max(part["p_partkey"]).as_py())
+    std = np.zeros(pmax + 1, dtype=bool)
+    std[part.filter(pc.equal(part["p_type"], "STANDARD"))
+        ["p_partkey"].to_numpy()] = True
+    std_ref = ray.put(std)
+
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_nationkey"])
+    smax = int(pc.max(sup["s_suppkey"]).as_py())
+    sreg = np.full(smax + 1, -1, dtype=np.int64)
+    sreg[sup["s_suppkey"].to_numpy()] = nreg[sup["s_nationkey"].to_numpy()]
+    sreg_ref = ray.put(sreg)
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"])
+
+    def lprep(t: pa.Table) -> pa.Table:
+        mask = ray.get(std_ref)[t["l_partkey"].to_numpy()]
+        t = t.filter(pa.array(mask, pa.bool_()))
+        vol = pc.cast(_round_ha(pc.multiply(pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(10_000.0))), pa.int64())
+        s_asia = ray.get(sreg_ref)[t["l_suppkey"].to_numpy()] == asia
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "vol_dmilli": vol,
+                         "s_asia": pa.array(s_asia, pa.bool_())})
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ofilt(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                       pc.less(t["o_orderdate"], pa.scalar(hi)))
+        t = t.filter(keep)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"],
+                         "o_year": pc.cast(pc.year(t["o_orderdate"]),
+                                           pa.int64())})
+
+    j1 = hash_join(
+        li.map_batches(lprep, batch_format="pyarrow"),
+        orders.map_batches(ofilt, batch_format="pyarrow"),
+        key_col="l_orderkey", left_payload=["vol_dmilli", "s_asia"],
+        right_payload=["o_custkey", "o_year"], right_key_col="o_orderkey",
+        n_parts=16,
+        types={"l_orderkey": pa.int64(), "o_orderkey": pa.int64(),
+               "vol_dmilli": pa.int64(), "s_asia": pa.bool_(),
+               "o_custkey": pa.int64(), "o_year": pa.int64()})
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    j2 = hash_join(
+        j1, cust, key_col="o_custkey",
+        left_payload=["vol_dmilli", "s_asia", "o_year"],
+        right_payload=["c_nationkey"], right_key_col="c_custkey",
+        n_parts=16,
+        types={"o_custkey": pa.int64(), "c_custkey": pa.int64(),
+               "vol_dmilli": pa.int64(), "s_asia": pa.bool_(),
+               "o_year": pa.int64(), "c_nationkey": pa.int64()})
+
+    nreg_ref = ray.put(nreg)
+
+    def partial(t: pa.Table) -> pa.Table:
+        creg = ray.get(nreg_ref)[
+            t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)]
+        t = t.filter(pa.array(creg == asia, pa.bool_()))
+        vol = t["vol_dmilli"].to_numpy(zero_copy_only=False)
+        sa = t["s_asia"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "o_year": t["o_year"].to_numpy(zero_copy_only=False),
+            "nation_dmilli": vol * sa.astype(np.int64),
+            "total_dmilli": vol})
+        g = df.groupby("o_year", as_index=False, sort=True).sum()
+        return pa.table({
+            "o_year": pa.array(g["o_year"].to_numpy(), pa.int64()),
+            "nation_dmilli": pa.array(g["nation_dmilli"].to_numpy(),
+                                      pa.int64()),
+            "total_dmilli": pa.array(g["total_dmilli"].to_numpy(),
+                                     pa.int64())})
+
+    return _sum_keyed_partials(
+        j2.map_batches(partial, batch_format="pyarrow"),
+        ["o_year"], ["nation_dmilli", "total_dmilli"])
+
+
+def _q_tpch_q9ish(sf_dir: str):
+    """TPC-H Q9 analog (product-type profit by nation x year; the
+    reference schema has no partsupp, so profit is the discounted
+    revenue of 'widget' parts): part bitmask + supplier->nation-name
+    dense array broadcast, ONE large-large hash join attaches the order
+    year, and the (nation, year) fold — bounded by 25 nations x 7
+    years — is per-block keyed partials, never a string-key Aggregate
+    (PERF.md: multi-key Aggregate cost tracks group count)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from vyntr_ray.stages.joins import hash_join
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_name"])
+    pmax = int(pc.max(part["p_partkey"]).as_py())
+    widget = np.zeros(pmax + 1, dtype=bool)
+    widget[part.filter(pc.match_substring(part["p_name"], "widget"))
+           ["p_partkey"].to_numpy()] = True
+    widget_ref = ray.put(widget)
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    nmax = int(pc.max(nat["n_nationkey"]).as_py())
+    nname = np.array([""] * (nmax + 1), dtype=object)
+    nname[nat["n_nationkey"].to_numpy()] = np.asarray(
+        nat["n_name"].to_pylist(), dtype=object)
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_nationkey"])
+    smax = int(pc.max(sup["s_suppkey"]).as_py())
+    snm = np.array([""] * (smax + 1), dtype=object)
+    snm[sup["s_suppkey"].to_numpy()] = nname[sup["s_nationkey"].to_numpy()]
+    snm_ref = ray.put(snm)
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"])
+
+    def lprep(t: pa.Table) -> pa.Table:
+        mask = ray.get(widget_ref)[t["l_partkey"].to_numpy()]
+        t = t.filter(pa.array(mask, pa.bool_()))
+        profit = pc.cast(_round_ha(pc.multiply(pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(10_000.0))), pa.int64())
+        nn = ray.get(snm_ref)[t["l_suppkey"].to_numpy()]
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "n_name": pa.array(list(nn), pa.string()),
+                         "profit_dmilli": profit})
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def oyear(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_year": pc.cast(pc.year(t["o_orderdate"]),
+                                           pa.int64())})
+
+    j = hash_join(
+        li.map_batches(lprep, batch_format="pyarrow"),
+        orders.map_batches(oyear, batch_format="pyarrow"),
+        key_col="l_orderkey", left_payload=["n_name", "profit_dmilli"],
+        right_payload=["o_year"], right_key_col="o_orderkey", n_parts=16,
+        types={"l_orderkey": pa.int64(), "o_orderkey": pa.int64(),
+               "n_name": pa.string(), "profit_dmilli": pa.int64(),
+               "o_year": pa.int64()})
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "n_name": t["n_name"].to_pylist(),
+            "o_year": t["o_year"].to_numpy(zero_copy_only=False),
+            "p": t["profit_dmilli"].to_numpy(zero_copy_only=False)})
+        g = df.groupby(["n_name", "o_year"], as_index=False, sort=True)
+        s = g["p"].sum()
+        return pa.table({"n_name": pa.array(s["n_name"], pa.string()),
+                         "o_year": pa.array(s["o_year"].to_numpy(),
+                                            pa.int64()),
+                         "profit_dmilli": pa.array(s["p"].to_numpy(),
+                                                   pa.int64())})
+
+    return _sum_keyed_partials(
+        j.map_batches(partial, batch_format="pyarrow"),
+        ["n_name", "o_year"], ["profit_dmilli"])
+
+
+def _q_tpch_q11ish(sf_dir: str):
+    """TPC-H Q11 analog (important stock; no partsupp in the schema, so
+    a part's "value" is its shipped extendedprice from ASIA-region
+    suppliers): the supplier key set (one region ~ 1/5 of a medium dim)
+    broadcasts as an is_in value set; per-part value sums go through
+    the hash-partition map_groups pattern (parts scale with SF — never
+    a per-key Aggregate); the HAVING fraction is scale-free and exactly
+    integer: value * n_parts > 2 * total (i.e. > 2x the mean part
+    value), with (total, n_parts) folded by per-block partials over the
+    bounded grouped set and broadcast back."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from vyntr_ray.stages.joins import _part_col
+
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    asia = int(reg.filter(pc.equal(reg["r_name"], "ASIA"))
+               ["r_regionkey"][0].as_py())
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    asia_nk = set(nat.filter(pc.equal(nat["n_regionkey"], asia))
+                  ["n_nationkey"].to_pylist())
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_nationkey"])
+    sks = pa.array(sorted(
+        s for s, n in zip(sup["s_suppkey"].to_pylist(),
+                          sup["s_nationkey"].to_pylist())
+        if n in asia_nk), pa.int64())
+    sk_ref = ray.put(sks)
+
+    n_parts = 16
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def lprep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(pc.cast(t["l_suppkey"], pa.int64()),
+                              value_set=ray.get(sk_ref)))
+        out = pa.table({
+            "l_partkey": t["l_partkey"],
+            "v": pc.cast(_round_ha(pc.multiply(
+                t["l_extendedprice"], pa.scalar(100.0))), pa.int64())})
+        return out.append_column("part",
+                                 _part_col(out["l_partkey"], n_parts))
+
+    def psum(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("l_partkey", as_index=False, sort=True)["v"].sum()
+        return pd.DataFrame({
+            "l_partkey": s["l_partkey"].astype("int64"),
+            "value_centi": s["v"].astype("int64")})
+
+    grouped = (li.map_batches(lprep, batch_format="pyarrow")
+               .groupby("part").map_groups(psum, batch_format="pandas")
+               .materialize())
+
+    def tot_partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "s": pa.array([pc.sum(t["value_centi"]).as_py() or 0],
+                          pa.int64()),
+            "np": pa.array([t.num_rows], pa.int64())})
+
+    tot = _sum_partials(
+        grouped.map_batches(tot_partial, batch_format="pyarrow"),
+        ["s", "np"])
+    s, np_ = int(tot["s"][0]), int(tot["np"][0])
+
+    return (grouped.map_batches(
+        lambda t: t.filter(pc.greater(
+            pc.multiply(t["value_centi"], pa.scalar(np_, pa.int64())),
+            pa.scalar(2 * s, pa.int64()))), batch_format="pyarrow")
+        .sort(["value_centi", "l_partkey"], descending=[True, False]))
+
+
+def _q_tpch_q12ish(sf_dir: str):
+    """TPC-H Q12 analog (shipping-lag priority histogram; the schema has
+    no shipmode/commitdate, so the "mode" is the ship lag bucket):
+    lineitem LARGE-LARGE hash-joined to orders, the day lag vectorized
+    in numpy, bucketed over the band [-120, 120) days as
+    (lag+120)//30 — non-negative on both sides, so integer division
+    cannot diverge — and high/low priority line counts folded as keyed
+    partials over the 8-bucket key space."""
+    import pyarrow.compute as pc
+
+    from vyntr_ray.stages.joins import hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate",
+                            "o_orderpriority"])
+
+    j = hash_join(
+        li, orders, key_col="l_orderkey",
+        left_payload=["l_shipdate"],
+        right_payload=["o_orderdate", "o_orderpriority"],
+        right_key_col="o_orderkey", n_parts=16,
+        types={"l_orderkey": pa.int64(), "o_orderkey": pa.int64(),
+               "l_shipdate": pa.timestamp("us"),
+               "o_orderdate": pa.timestamp("us"),
+               "o_orderpriority": pa.string()})
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        lag = ((ship - od).astype("timedelta64[D]")).astype(np.int64)
+        keep = (lag >= -120) & (lag < 120)
+        lag = lag[keep]
+        pri = np.asarray(t["o_orderpriority"].to_pylist(),
+                         dtype=object)[keep]
+        high = (pri == "1-URGENT") | (pri == "2-HIGH")
+        bucket = (lag + 120) // 30
+        df = pd.DataFrame({"lag_bucket": bucket, "h": high.astype(np.int64),
+                           "l": (~high).astype(np.int64)})
+        g = df.groupby("lag_bucket", as_index=False, sort=True).sum()
+        return pa.table({
+            "lag_bucket": pa.array(g["lag_bucket"].to_numpy(), pa.int64()),
+            "high_count": pa.array(g["h"].to_numpy(), pa.int64()),
+            "low_count": pa.array(g["l"].to_numpy(), pa.int64())})
+
+    return _sum_keyed_partials(
+        j.map_batches(partial, batch_format="pyarrow"),
+        ["lag_bucket"], ["high_count", "low_count"])
+
+
+def _q_tpch_q15ish(sf_dir: str):
+    """TPC-H Q15 analog (top supplier): half-year revenue per suppkey
+    via the hash-partition map_groups pattern (suppliers scale with
+    SF), the global max taken as ONE Dataset.max() scalar over the
+    bounded grouped set, and the argmax rows (all ties) filtered
+    distributedly — the decorrelated MAX-subquery shape.  Supplier
+    names attach from a driver-side medium-dim lookup."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from vyntr_ray.stages.joins import _part_col
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 7, 1)
+    n_parts = 16
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                        "l_discount"])
+
+    def lprep(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                       pc.less(t["l_shipdate"], pa.scalar(hi)))
+        t = t.filter(keep)
+        out = pa.table({
+            "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+            "rev": pc.cast(_round_ha(pc.multiply(pc.multiply(
+                t["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), t["l_discount"])),
+                pa.scalar(10_000.0))), pa.int64())})
+        return out.append_column("part",
+                                 _part_col(out["l_suppkey"], n_parts))
+
+    def psum(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("l_suppkey", as_index=False, sort=True)["rev"].sum()
+        return pd.DataFrame({
+            "s_suppkey": s["l_suppkey"].astype("int64"),
+            "total_revenue_dmilli": s["rev"].astype("int64")})
+
+    grouped = (li.map_batches(lprep, batch_format="pyarrow")
+               .groupby("part").map_groups(psum, batch_format="pandas")
+               .materialize())
+    best = int(grouped.max("total_revenue_dmilli"))
+
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_name"])
+    smax = int(pc.max(sup["s_suppkey"]).as_py())
+    snames = np.array([""] * (smax + 1), dtype=object)
+    snames[sup["s_suppkey"].to_numpy()] = np.asarray(
+        sup["s_name"].to_pylist(), dtype=object)
+    sn_ref = ray.put(snames)
+
+    def attach(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["total_revenue_dmilli"],
+                              pa.scalar(best, pa.int64())))
+        nm = ray.get(sn_ref)[t["s_suppkey"].to_numpy()]
+        return pa.table({
+            "s_suppkey": t["s_suppkey"],
+            "s_name": pa.array(list(nm), pa.string()),
+            "total_revenue_dmilli": t["total_revenue_dmilli"]})
+
+    return (grouped.map_batches(attach, batch_format="pyarrow")
+            .sort("s_suppkey"))
+
+
+def _q_tpch_q20ish(sf_dir: str):
+    """TPC-H Q20 analog (suppliers with excess shipped stock; no
+    partsupp/availqty in the schema, so the gate is a fixed quantity
+    threshold): 'widget' part bitmask broadcast, one year of lineitem
+    summed per (suppkey, partkey) through the hash-partition
+    map_groups pattern partitioned by SUPPKEY (both key dims scale with
+    SF; every (supp, part) group lands whole in the supplier's
+    partition), the HAVING + per-supplier dedup applied inside the
+    partition, and the ASIA/EUROPE region gate + name attach from the
+    driver-side medium supplier dim."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from vyntr_ray.stages.joins import _part_col
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1997, 1, 1)
+    n_parts = 16
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_name"])
+    pmax = int(pc.max(part["p_partkey"]).as_py())
+    widget = np.zeros(pmax + 1, dtype=bool)
+    widget[part.filter(pc.match_substring(part["p_name"], "widget"))
+           ["p_partkey"].to_numpy()] = True
+    widget_ref = ray.put(widget)
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_partkey", "l_quantity",
+                        "l_shipdate"])
+
+    def lprep(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                       pc.less(t["l_shipdate"], pa.scalar(hi)))
+        t = t.filter(keep)
+        mask = ray.get(widget_ref)[t["l_partkey"].to_numpy()]
+        t = t.filter(pa.array(mask, pa.bool_()))
+        out = pa.table({
+            "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+            "l_partkey": t["l_partkey"],
+            "qc": pc.cast(_round_ha(pc.multiply(
+                t["l_quantity"], pa.scalar(100.0))), pa.int64())})
+        return out.append_column("part",
+                                 _part_col(out["l_suppkey"], n_parts))
+
+    def heavy(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["l_suppkey", "l_partkey"], as_index=False)["qc"].sum()
+        hits = s.loc[s["qc"] > 5000, "l_suppkey"].drop_duplicates()
+        return pd.DataFrame({"s_suppkey": hits.astype("int64")})
+
+    hits = (li.map_batches(lprep, batch_format="pyarrow")
+            .groupby("part").map_groups(heavy, batch_format="pandas"))
+
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    want = set(reg.filter(pc.is_in(reg["r_name"], value_set=pa.array(
+        ["ASIA", "EUROPE"])))["r_regionkey"].to_pylist())
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    ok_nk = set(nat.filter(pa.array(
+        [rk in want for rk in nat["n_regionkey"].to_pylist()],
+        pa.bool_()))["n_nationkey"].to_pylist())
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_name", "s_nationkey"])
+    smax = int(pc.max(sup["s_suppkey"]).as_py())
+    snames = np.array([""] * (smax + 1), dtype=object)
+    snames[sup["s_suppkey"].to_numpy()] = np.asarray(
+        sup["s_name"].to_pylist(), dtype=object)
+    ok = np.zeros(smax + 1, dtype=bool)
+    ok[[s for s, n in zip(sup["s_suppkey"].to_pylist(),
+                          sup["s_nationkey"].to_pylist())
+        if n in ok_nk]] = True
+    nm_ref, ok_ref = ray.put(snames), ray.put(ok)
+
+    def attach(t: pa.Table) -> pa.Table:
+        keys = t["s_suppkey"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ray.get(ok_ref)[keys], pa.bool_()))
+        nm = ray.get(nm_ref)[t["s_suppkey"].to_numpy(zero_copy_only=False)]
+        return pa.table({"s_name": pa.array(list(nm), pa.string())})
+
+    return hits.map_batches(attach, batch_format="pyarrow").sort("s_name")
+
+
+def _q_tpch_q21ish(sf_dir: str):
+    """TPC-H Q21 analog (suppliers who kept orders waiting; no
+    receipt/commit dates in the schema, so "late" is shipping >60 days
+    after the order date): finalized orders hash-joined to lineitem,
+    then ONE hash-partition by orderkey with a fully vectorized pandas
+    pass per partition — per order: distinct suppliers, distinct LATE
+    suppliers; a supplier qualifies when it is the SOLE late supplier
+    on a multi-supplier order (the EXISTS / NOT-EXISTS pair collapsed
+    to set sizes).  Per-supplier counts then fold through a second
+    hash partition (suppliers scale with SF), names attach from the
+    medium driver dim."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from vyntr_ray.stages.joins import _part_col, hash_join
+
+    n_parts = 16
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderstatus", "o_orderdate"])
+
+    def ofilt(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderstatus"], "F"))
+        return t.select(["o_orderkey", "o_orderdate"])
+
+    j = hash_join(
+        li, orders.map_batches(ofilt, batch_format="pyarrow"),
+        key_col="l_orderkey",
+        left_payload=["l_suppkey", "l_shipdate"],
+        right_payload=["o_orderdate"], right_key_col="o_orderkey",
+        n_parts=16,
+        types={"l_orderkey": pa.int64(), "o_orderkey": pa.int64(),
+               "l_suppkey": pa.int64(),
+               "l_shipdate": pa.timestamp("us"),
+               "o_orderdate": pa.timestamp("us")})
+
+    def part1(t: pa.Table) -> pa.Table:
+        return t.append_column("part",
+                               _part_col(t["l_orderkey"], n_parts))
+
+    def waiting(g: pd.DataFrame) -> pd.DataFrame:
+        late = (g["l_shipdate"] - g["o_orderdate"]
+                ) > pd.Timedelta(days=60)
+        ns = g.groupby("l_orderkey")["l_suppkey"].nunique()
+        lrows = g.loc[late, ["l_orderkey", "l_suppkey"]].drop_duplicates()
+        nl = lrows.groupby("l_orderkey").size()
+        ok = ns.index[(ns >= 2)].intersection(nl.index[nl == 1])
+        out = lrows[lrows["l_orderkey"].isin(ok)]
+        return pd.DataFrame({"s_suppkey": out["l_suppkey"]
+                             .astype("int64")})
+
+    waits = (j.map_batches(part1, batch_format="pyarrow")
+             .groupby("part").map_groups(waiting, batch_format="pandas"))
+
+    def part2(t: pa.Table) -> pa.Table:
+        return t.append_column("part",
+                               _part_col(t["s_suppkey"], n_parts))
+
+    def count(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("s_suppkey", as_index=False, sort=True).size()
+        return pd.DataFrame({"s_suppkey": c["s_suppkey"].astype("int64"),
+                             "numwait": c["size"].astype("int64")})
+
+    counts = (waits.map_batches(part2, batch_format="pyarrow")
+              .groupby("part").map_groups(count, batch_format="pandas"))
+
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_name"])
+    smax = int(pc.max(sup["s_suppkey"]).as_py())
+    snames = np.array([""] * (smax + 1), dtype=object)
+    snames[sup["s_suppkey"].to_numpy()] = np.asarray(
+        sup["s_name"].to_pylist(), dtype=object)
+    sn_ref = ray.put(snames)
+
+    def attach(t: pa.Table) -> pa.Table:
+        nm = ray.get(sn_ref)[t["s_suppkey"].to_numpy(zero_copy_only=False)]
+        return pa.table({"s_name": pa.array(list(nm), pa.string()),
+                         "numwait": t["numwait"]})
+
+    return (counts.map_batches(attach, batch_format="pyarrow")
+            .sort(["numwait", "s_name"], descending=[True, False]))
+
+
 _PARA_SEG_WORDS = 20
 
 
@@ -2735,6 +3313,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q19ish": _q_tpch_q19ish,
         "tpch_q22ish": _q_tpch_q22ish,
         "shuffle_export": _q_shuffle_export,
+        "tpch_q8ish": _q_tpch_q8ish,
+        "tpch_q9ish": _q_tpch_q9ish,
+        "tpch_q11ish": _q_tpch_q11ish,
+        "tpch_q12ish": _q_tpch_q12ish,
+        "tpch_q15ish": _q_tpch_q15ish,
+        "tpch_q20ish": _q_tpch_q20ish,
+        "tpch_q21ish": _q_tpch_q21ish,
         "tpch_q16ish": _q_tpch_q16ish,
         "tpch_q7ish": _q_tpch_q7ish,
         "running_total": _q_running_total,
@@ -3568,6 +4153,138 @@ def oracle_sql() -> dict[str, str]:
                     AND o_orderdate >= TIMESTAMP '1996-01-01'
                     AND o_orderdate <  TIMESTAMP '1996-07-01')
             GROUP BY n_name ORDER BY n_name
+        """,
+        # Q8 analog: ASIA-supplier share of STANDARD-part volume sold to
+        # ASIA customers, two exact int sums per year
+        "tpch_q8ish": """
+            WITH v AS (
+                SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+                       round(l_extendedprice * (1 - l_discount)
+                             * 10000)::BIGINT AS vol,
+                       sn.n_regionkey AS s_reg
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN part ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation sn ON s_nationkey = sn.n_nationkey
+                JOIN customer ON c_custkey = o_custkey
+                JOIN nation cn ON c_nationkey = cn.n_nationkey
+                JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+                WHERE cr.r_name = 'ASIA' AND p_type = 'STANDARD'
+                  AND o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate <  TIMESTAMP '1998-01-01')
+            SELECT o_year,
+                   sum(CASE WHEN s_reg = (SELECT r_regionkey FROM region
+                                          WHERE r_name = 'ASIA')
+                            THEN vol ELSE 0 END)::BIGINT AS nation_dmilli,
+                   sum(vol)::BIGINT AS total_dmilli
+            FROM v GROUP BY 1 ORDER BY 1
+        """,
+        # Q9 analog: widget-part profit by supplier nation x order year
+        "tpch_q9ish": """
+            SELECT n_name,
+                   EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+                   sum(round(l_extendedprice * (1 - l_discount)
+                             * 10000)::BIGINT)::BIGINT AS profit_dmilli
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # Q11 analog: per-part shipped value from ASIA suppliers, HAVING
+        # value > 2x the mean part value cross-multiplied into ints
+        "tpch_q11ish": """
+            WITH f AS (
+                SELECT l_partkey,
+                       round(l_extendedprice * 100)::BIGINT AS v
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'ASIA'),
+            g AS (SELECT l_partkey, sum(v)::BIGINT AS value_centi
+                  FROM f GROUP BY 1),
+            tot AS (SELECT sum(value_centi)::BIGINT AS s,
+                           count(*)::BIGINT AS np FROM g)
+            SELECT l_partkey, value_centi FROM g, tot
+            WHERE value_centi * np > 2 * s
+            ORDER BY value_centi DESC, l_partkey
+        """,
+        # Q12 analog: ship-lag buckets (lag+120)//30 over [-120,120),
+        # high = urgent/high order priority
+        "tpch_q12ish": """
+            SELECT ((date_diff('day', o_orderdate, l_shipdate) + 120)
+                    // 30)::BIGINT AS lag_bucket,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END)::BIGINT AS high_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END)::BIGINT AS low_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE date_diff('day', o_orderdate, l_shipdate) >= -120
+              AND date_diff('day', o_orderdate, l_shipdate) <  120
+            GROUP BY 1 ORDER BY 1
+        """,
+        # Q15 analog: supplier(s) achieving max half-year revenue
+        "tpch_q15ish": """
+            WITH r AS (
+                SELECT l_suppkey,
+                       sum(round(l_extendedprice * (1 - l_discount)
+                                 * 10000)::BIGINT)::BIGINT
+                           AS total_revenue_dmilli
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1996-07-01'
+                GROUP BY 1)
+            SELECT s_suppkey, s_name, total_revenue_dmilli
+            FROM r JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue_dmilli =
+                  (SELECT max(total_revenue_dmilli) FROM r)
+            ORDER BY s_suppkey
+        """,
+        # Q20 analog: ASIA/EUROPE suppliers with a heavy one-year
+        # (supp, part) widget shipment group
+        "tpch_q20ish": """
+            WITH g AS (
+                SELECT l_suppkey, l_partkey,
+                       sum(round(l_quantity * 100)::BIGINT)::BIGINT AS sq
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_name LIKE '%widget%'
+                  AND l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1997-01-01'
+                GROUP BY 1, 2)
+            SELECT s_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name IN ('ASIA', 'EUROPE')
+              AND EXISTS (SELECT 1 FROM g
+                          WHERE l_suppkey = s_suppkey AND sq > 5000)
+            ORDER BY s_name
+        """,
+        # Q21 analog: sole-late supplier on multi-supplier finalized
+        # orders, late = shipped >60 days after the order date
+        "tpch_q21ish": """
+            WITH j AS (
+                SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'),
+            late AS (SELECT DISTINCT l_orderkey, l_suppkey FROM j
+                     WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY),
+            supps AS (SELECT l_orderkey,
+                             count(DISTINCT l_suppkey) AS ns
+                      FROM j GROUP BY 1),
+            lcnt AS (SELECT l_orderkey, count(*) AS nl
+                     FROM late GROUP BY 1)
+            SELECT s_name, count(*)::BIGINT AS numwait
+            FROM late
+            JOIN supps USING (l_orderkey)
+            JOIN lcnt USING (l_orderkey)
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE ns >= 2 AND nl = 1
+            GROUP BY 1 ORDER BY 2 DESC, 1
         """,
         # CCNet-style paragraph dedup over deterministic 20-word segments:
         # a segment survives iff its (doc_id, i) is the minimal occurrence

@@ -35,6 +35,8 @@ TIE_QUERIES = [
     # r4 analogs: every one scales money/qty per row
     "tpch_q6ish", "tpch_q10ish", "tpch_q14ish", "tpch_q17ish",
     "tpch_q19ish", "tpch_q22ish",
+    "tpch_q8ish", "tpch_q9ish", "tpch_q11ish", "tpch_q15ish",
+    "tpch_q20ish",
 ]
 
 

@@ -3266,6 +3266,36 @@ def _q_paragraph_dedup(sf_dir: str):
             .groupby("part").map_groups(regroup, batch_format="pandas"))
 
 
+def _q_anti_join_bloom(sf_dir: str):
+    """Customers with no orders in a half-year window via the
+    Bloom-prefiltered distributed anti-join: the right (orders) key
+    bitmap is OR-merged from per-block partials and broadcast once;
+    definitely-absent customers bypass the shuffle, the maybe-present
+    minority rides the exact anti_join — byte-identical to NOT EXISTS
+    at any bitmap size (false positives re-check exactly)."""
+    import datetime
+
+    import pyarrow.compute as pc
+
+    from vyntr_ray.stages.joins import bloom_anti_join
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 7, 1)
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    owin = orders.map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+            pc.less(t["o_orderdate"], pa.scalar(hi))))
+        .select(["o_custkey"]), batch_format="pyarrow")
+    return bloom_anti_join(
+        cust, owin, key_col="c_custkey", left_payload=["c_mktsegment"],
+        right_key_col="o_custkey", n_parts=16, m_bits=1 << 16,
+        types={"c_custkey": pa.int64(), "o_custkey": pa.int64(),
+               "c_mktsegment": pa.string()})
+
+
 def _q_shuffle_export(sf_dir: str):
     """Training-run export sink: deterministic md5-shard global shuffle,
     one parquet file per shard written via temp-file + atomic rename
@@ -3313,6 +3343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q19ish": _q_tpch_q19ish,
         "tpch_q22ish": _q_tpch_q22ish,
         "shuffle_export": _q_shuffle_export,
+        "anti_join_bloom": _q_anti_join_bloom,
         "tpch_q8ish": _q_tpch_q8ish,
         "tpch_q9ish": _q_tpch_q9ish,
         "tpch_q11ish": _q_tpch_q11ish,
@@ -4624,6 +4655,16 @@ def oracle_sql() -> dict[str, str]:
                        AND c.ts >= p.ts - INTERVAL 5 MINUTE
                        AND c.ts <= p.ts)::BIGINT AS n_clicks
             FROM p
+        """,
+        # Bloom-prefiltered anti-join == plain NOT EXISTS (the bitmap is
+        # a prefilter with exact re-check, never a semantics change)
+        "anti_join_bloom": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate <  TIMESTAMP '1996-07-01')
         """,
         # export-manifest replica: shard = first-8-hex of md5 as int
         # mod 16 (DuckDB's '0x'||hex BIGINT cast == python int(h,16));

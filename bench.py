@@ -126,7 +126,8 @@ def bench_queries(repeats: int = 2) -> dict:
              "tpch_q6ish", "tpch_q10ish", "tpch_q14ish", "tpch_q17ish",
              "tpch_q19ish", "tpch_q22ish", "shuffle_export",
              "tpch_q8ish", "tpch_q9ish", "tpch_q11ish", "tpch_q12ish",
-             "tpch_q15ish", "tpch_q20ish", "tpch_q21ish"]
+             "tpch_q15ish", "tpch_q20ish", "tpch_q21ish",
+             "anti_join_bloom"]
     qs = em.queries()
     out = {}
     for _ in range(max(1, repeats)):

@@ -8,6 +8,7 @@ tests, which only see the events-table distribution.
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 
@@ -400,3 +401,66 @@ def test_anti_join_empty_right():
                     key_col="k", left_payload=["v"], right_key_col="rk",
                     n_parts=4).to_pandas()
     assert sorted(got["k"]) == list(range(10))
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed,m_bits", [(1, 64), (2, 64), (3, 1 << 16)])
+def test_bloom_anti_join_matches_anti_join(seed, m_bits):
+    # m_bits=64 over ~40 distinct right keys saturates the bitmap --
+    # nearly every left key is a Bloom "maybe", so the exact re-check
+    # path carries the result and exactness must hold regardless
+    import ray.data as rd
+
+    from vyntr_ray.stages.joins import bloom_anti_join
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    left = pd.DataFrame({
+        "k": rng.integers(0, 40, 300).astype("int64"),
+        "v": np.arange(300, dtype="int64")})
+    right = pd.DataFrame({
+        "rk": rng.integers(20, 60, 200).astype("int64")})
+    left.loc[::50, "k"] = None
+    right.loc[::40, "rk"] = None
+
+    got = bloom_anti_join(
+        rd.from_pandas(left).repartition(5),
+        rd.from_pandas(right).repartition(4),
+        key_col="k", left_payload=["v"], right_key_col="rk",
+        n_parts=7, m_bits=m_bits, k=4,
+        types={"k": pa.int64(), "rk": pa.int64(), "v": pa.int64()}
+        ).to_pandas().sort_values("v").reset_index(drop=True)
+
+    rset = set(right["rk"].dropna().astype("int64"))
+    exp = left.dropna(subset=["k"])
+    exp = exp[~exp["k"].astype("int64").isin(rset)]
+    exp = exp.astype({"k": "int64", "v": "int64"}).sort_values(
+        "v").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k", "v"]].astype({"k": "int64", "v": "int64"}), exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_anti_join_string_keys_and_empty_right():
+    import ray.data as rd
+
+    from vyntr_ray.stages.joins import bloom_anti_join
+
+    left = pd.DataFrame({"k": [f"u{i}" for i in range(20)],
+                         "v": np.arange(20, dtype="int64")})
+    right = pd.DataFrame({"rk": pd.array([], dtype="string")})
+    got = bloom_anti_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        key_col="k", left_payload=["v"], right_key_col="rk", n_parts=4,
+        m_bits=256,
+        types={"k": pa.string(), "rk": pa.string(), "v": pa.int64()}
+        ).to_pandas()
+    assert sorted(got["k"]) == sorted(f"u{i}" for i in range(20))
+
+    right2 = pd.DataFrame({"rk": [f"u{i}" for i in range(0, 20, 2)]})
+    got2 = bloom_anti_join(
+        rd.from_pandas(left), rd.from_pandas(right2).repartition(3),
+        key_col="k", left_payload=["v"], right_key_col="rk", n_parts=4,
+        m_bits=256,
+        types={"k": pa.string(), "rk": pa.string(), "v": pa.int64()}
+        ).to_pandas()
+    assert sorted(got2["k"]) == sorted(f"u{i}" for i in range(1, 20, 2))

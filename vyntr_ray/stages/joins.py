@@ -27,7 +27,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["asof_join", "range_count_join", "hash_join", "anti_join"]
+__all__ = ["asof_join", "range_count_join", "hash_join", "anti_join",
+           "bloom_anti_join"]
 
 
 def _pa_type(t) -> pa.DataType:
@@ -323,7 +324,12 @@ def hash_join(left_ds, right_ds, key_col: str,
                     cols[name] = pa.array(np.full(n, side, np.int8))
                 elif name == key_col:
                     k = t[key_col if side == 1 else rkey]
-                    cols[name] = k if side == 1 else pc.cast(k, typ)
+                    # BOTH sides cast to the declared key type: a
+                    # types= entry that mismatches the actual left
+                    # schema (e.g. int64 declared, double-with-nulls
+                    # actual) would otherwise route the two sides
+                    # differently and silently drop matches
+                    cols[name] = pc.cast(k, typ)
                 elif side == 1 and name in left_payload:
                     cols[name] = t[name]
                 elif side == 0 and name in right_payload:
@@ -402,7 +408,12 @@ def anti_join(left_ds, right_ds, key_col: str,
                     cols[name] = pa.array(np.full(n, side, np.int8))
                 elif name == key_col:
                     k = t[key_col if side == 1 else rkey]
-                    cols[name] = k if side == 1 else pc.cast(k, typ)
+                    # BOTH sides cast to the declared key type: a
+                    # types= entry that mismatches the actual left
+                    # schema (e.g. int64 declared, double-with-nulls
+                    # actual) would otherwise route the two sides
+                    # differently and silently drop matches
+                    cols[name] = pc.cast(k, typ)
                 elif side == 1:
                     cols[name] = t[name]
                 else:
@@ -434,3 +445,107 @@ def anti_join(left_ds, right_ds, key_col: str,
 
     both = l_tag.union(r_tag)
     return both.groupby("part").map_groups(keep, batch_format="pandas")
+
+
+def _bloom_positions(arr: pa.Array, m_bits: int, k: int):
+    """(uniques, codes, positions): one md5 per DISTINCT key (the
+    _part_col economy), ``k`` bit positions sliced from the 128-bit
+    digest per unique.  ``positions`` is shaped (n_uniques, k)."""
+    enc = pc.dictionary_encode(arr)
+    uniques = enc.dictionary.to_pylist()
+    pos = np.empty((len(uniques), k), np.int64)
+    for i, v in enumerate(uniques):
+        d = hashlib.md5(str(v).encode("utf-8")).digest()
+        for j in range(k):
+            pos[i, j] = int.from_bytes(d[4 * j:4 * j + 4],
+                                       "little") % m_bits
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return uniques, codes, pos
+
+
+def bloom_anti_join(left_ds, right_ds, key_col: str,
+                    left_payload: list[str],
+                    right_key_col: str | None = None, n_parts: int = 64,
+                    types: dict | None = None,
+                    m_bits: int = 1 << 23, k: int = 4):
+    """:func:`anti_join` with a Bloom prefilter — the 100-TB shape.
+
+    The plain anti_join shuffles BOTH sides; but in the common case most
+    left keys never appear on the right (new urls vs the seen set, rich
+    customers vs a narrow order window), so most left rows pay the
+    shuffle only to be kept verbatim.  This variant builds a
+    fixed-size Bloom bitmap over the right keys (per-block partial
+    bitmaps, OR-merged on the driver — O(#blocks x m_bits/8), bounded
+    by cluster size, NOT by data; broadcast once via ray.put), then
+    splits the left stream: definitely-absent rows (no false negatives
+    in a Bloom filter) bypass the shuffle into the output, and only the
+    maybe-present minority rides the exact distributed
+    :func:`anti_join` — false positives are RE-CHECKED exactly, so the
+    result is byte-identical to anti_join at any ``m_bits``.  The same
+    probe-before-shuffle move as the crawl's seen prefilter (PERF.md:
+    2M soak 6.2k -> 11.2k urls/s).
+
+    ``m_bits`` sizing: ~10 bits/distinct right key keeps FP ~1% at k=4;
+    the default 8M bits (1 MiB bitmap) covers ~800k keys.  Right side is
+    consumed twice (bloom build + exact pass) and is materialized here.
+    """
+    import ray
+
+    rkey = right_key_col or key_col
+    right = right_ds.materialize()
+    nbytes = m_bits // 8
+    # bloom hashing must see ONE type on both sides (int64 7 and double
+    # 7.0 stringify differently); cast to the declared/derived key type
+    if types is not None:
+        ktyp = types[key_col]
+    else:
+        ls = left_ds.schema()
+        ktyp = _pa_type(dict(zip(ls.names, ls.types))[key_col])
+
+    def build(t: pa.Table) -> pa.Table:
+        arr = t[rkey].combine_chunks() if isinstance(
+            t[rkey], pa.ChunkedArray) else t[rkey]
+        arr = pc.cast(arr.drop_null(), ktyp)
+        bm = np.zeros(nbytes, np.uint8)
+        if len(arr):
+            _, _, pos = _bloom_positions(arr, m_bits, k)
+            flat = pos.reshape(-1)
+            np.bitwise_or.at(bm, flat >> 3,
+                             (1 << (flat & 7)).astype(np.uint8))
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    merged = np.zeros(nbytes, np.uint8)
+    for row in right.map_batches(build, batch_format="pyarrow").take_all():
+        merged |= np.frombuffer(row["bm"], np.uint8)
+    bm_ref = ray.put(merged)
+
+    cols = [key_col] + left_payload
+
+    def flag(t: pa.Table) -> pa.Table:
+        t = t.select(cols).filter(pc.is_valid(t[key_col]))
+        arr = t[key_col].combine_chunks() if isinstance(
+            t[key_col], pa.ChunkedArray) else t[key_col]
+        arr = pc.cast(arr, ktyp)
+        if t.num_rows == 0:
+            return t.append_column("_maybe", pa.array([], pa.bool_()))
+        bm = ray.get(bm_ref)
+        _, codes, pos = _bloom_positions(arr, m_bits, k)
+        hit = ((bm[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+               ).all(axis=1)
+        return t.append_column("_maybe",
+                               pa.array(hit[codes], pa.bool_()))
+
+    flagged = left_ds.map_batches(flag, batch_format="pyarrow")
+
+    def absent(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(t["_maybe"])).drop_columns(["_maybe"])
+
+    def maybe(t: pa.Table) -> pa.Table:
+        return t.filter(t["_maybe"]).drop_columns(["_maybe"])
+
+    flagged = flagged.materialize()
+    definite = flagged.map_batches(absent, batch_format="pyarrow")
+    checked = anti_join(flagged.map_batches(maybe, batch_format="pyarrow"),
+                        right, key_col=key_col, left_payload=left_payload,
+                        right_key_col=rkey, n_parts=n_parts, types=types)
+    return definite.union(checked)

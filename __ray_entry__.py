@@ -3324,6 +3324,173 @@ def entry() -> Any:
     return run_flagship(n_pages=600, budget=200)
 
 
+def _q_merge_intervals(sf_dir: str):
+    """Interval union per user: each event spawns [ts, ts + |value| s)
+    (duration integer-scaled half-away, exact at any float precision);
+    overlapping-or-touching spans coalesce via ONE hash-partition
+    shuffle + vectorized int64 sweep (stages/windows.py:merge_intervals
+    — gaps-and-islands over arbitrary spans, the streaming-window
+    operator the reference lacks, SURVEY §2.9)."""
+    import pyarrow.compute as pc
+
+    from vyntr_ray.stages.windows import merge_intervals
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def iv(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        dur = pc.cast(_round_ha(pc.multiply(pc.abs(t["value"]),
+                                            pa.scalar(1_000_000.0))),
+                      pa.int64())
+        return pa.table({"user_id": t["user_id"], "s_us": us,
+                         "e_us": pc.add(us, dur)})
+
+    return merge_intervals(ds.map_batches(iv, batch_format="pyarrow"),
+                           key_col="user_id")
+
+
+def _q_cumulative_distinct(sf_dir: str):
+    """Running distinct-user curve by day: first-seen-day per user via
+    hash-partition min-fold (users are data-scaled — never a per-key
+    group), bounded per-day counts, one O(#days) driver prefix sum.
+    COUNT(DISTINCT) OVER a cumulative frame, distributed."""
+    from vyntr_ray.stages.windows import cumulative_distinct
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return cumulative_distinct(ds, key_col="user_id", ts_col="ts")
+
+
+def _q_group_mode(sf_dir: str):
+    """Modal source per language (tie -> lexicographically smallest):
+    bounded-cardinality partial counts per block, driver argmax — the
+    rollup_counts O(|cats|^2) shape."""
+    from vyntr_ray.stages.dataset_tools import group_mode
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+    return group_mode(ds, "lang", "source")
+
+
+def _q_price_histogram(sf_dir: str):
+    """$20k fixed-width histogram of order totals: zero-shuffle partial
+    fold (the q6ish litmus — each block emits one row per occupied bin,
+    bins bounded by range/width, embarrassingly parallel at any scale).
+    Centi-int bin arithmetic on both sides; DuckDB ``//`` floors like
+    numpy int64 division (prices are positive either way)."""
+    from vyntr_ray.stages.dataset_tools import histogram_fixed
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+    return histogram_fixed(ds, "o_totalprice", width_centi=2_000_000)
+
+
+def _q_skyline_orders(sf_dir: str):
+    """2-D Pareto front of orders (maximize total price, minimize order
+    date): local skyline per block -> skyline of the union (dominance is
+    transitive, so every dominated point loses to a survivor of some
+    local pass).  Driver holds only concatenated local fronts.  Oracle
+    is the window formulation verified equivalent to the NOT EXISTS
+    dominance definition (fuzz-tested)."""
+    import pyarrow.compute as pc
+
+    from vyntr_ray.stages.dataset_tools import skyline
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice", "o_orderdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "price_centi": pc.cast(_round_ha(pc.multiply(
+                t["o_totalprice"], pa.scalar(100.0))), pa.int64()),
+            "date_us": pc.cast(t["o_orderdate"], pa.int64())})
+
+    return skyline(ds.map_batches(prep, batch_format="pyarrow"),
+                   "price_centi", "date_us")
+
+
+def _q_group_regression(sf_dir: str):
+    """Least-squares price ~ quantity per returnflag from EXACT integer
+    sufficient statistics (the qty_discount_corr shape: 5 int64 partials
+    per group/block, one bounded-key merge, the IEEE-double formula
+    evaluated term-for-term identically on both sides so round(..., 6)
+    matches bit-for-bit)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from vyntr_ray.rounding import fround_half_away
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(_round_ha(t["l_quantity"]), pa.int64())
+        y = pc.cast(_round_ha(pc.multiply(t["l_extendedprice"],
+                                          pa.scalar(100.0))), pa.int64())
+        b = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "x": x, "y": y, "xx": pc.multiply(x, x),
+            "xy": pc.multiply(x, y)})
+        g = b.group_by("l_returnflag").aggregate(
+            [("one", "sum"), ("x", "sum"), ("y", "sum"),
+             ("xx", "sum"), ("xy", "sum")])
+        return g.rename_columns(["l_returnflag", "n", "sx", "sy",
+                                 "sxx", "sxy"])
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("l_returnflag")
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("sx", alias_name="sx"),
+                         Sum("sy", alias_name="sy"),
+                         Sum("sxx", alias_name="sxx"),
+                         Sum("sxy", alias_name="sxy")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        rows = t.to_pylist()
+        slopes, iceps = [], []
+        for r in rows:
+            n, sx, sy = float(r["n"]), float(r["sx"]), float(r["sy"])
+            sxx, sxy = float(r["sxx"]), float(r["sxy"])
+            slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+            slopes.append(fround_half_away(slope, 6))
+            iceps.append(fround_half_away((sy - slope * sx) / n, 6))
+        return pa.table({
+            "l_returnflag": pa.array([r["l_returnflag"] for r in rows],
+                                     pa.string()),
+            "n": pa.array([r["n"] for r in rows], pa.int64()),
+            "slope_6": pa.array(slopes, pa.float64()),
+            "icept_6": pa.array(iceps, pa.float64())})
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def _q_unpivot_measures(sf_dir: str):
+    """UNPIVOT (wide measures -> long): every lineitem of each 10th
+    order explodes into four (measure, val_centi) rows — a pure
+    per-batch Arrow reshape, zero shuffle, column-pruned at the read."""
+    import pyarrow.compute as pc
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity",
+                        "l_extendedprice", "l_discount", "l_tax"])
+    measures = [("quantity", "l_quantity"),
+                ("extendedprice", "l_extendedprice"),
+                ("discount", "l_discount"), ("tax", "l_tax")]
+
+    def unp(t: pa.Table) -> pa.Table:
+        keep = (t["l_orderkey"].to_numpy(zero_copy_only=False) % 10) == 0
+        t = t.filter(pa.array(keep, pa.bool_()))
+        ok = t["l_orderkey"]
+        ln = pc.cast(t["l_linenumber"], pa.int64())
+        outs = []
+        for name, col in measures:
+            outs.append(pa.table({
+                "l_orderkey": ok, "l_linenumber": ln,
+                "measure": pa.array([name] * t.num_rows, pa.string()),
+                "val_centi": pc.cast(_round_ha(pc.multiply(
+                    t[col], pa.scalar(100.0))), pa.int64())}))
+        return pa.concat_tables(outs)
+
+    return li.map_batches(unp, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- driver-checked window (first 50): the r4 rotation ---
@@ -3333,6 +3500,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4 rounding conversion touched after their last driver row.
         "crawl_flagship": _q_crawl_flagship,
         "tpch_q18ish": _q_tpch_q18ish,
+        "merge_intervals": _q_merge_intervals,
+        "cumulative_distinct": _q_cumulative_distinct,
+        "group_mode": _q_group_mode,
+        "price_histogram": _q_price_histogram,
+        "skyline_orders": _q_skyline_orders,
+        "group_regression": _q_group_regression,
+        "unpivot_measures": _q_unpivot_measures,
         "bm25_phrase": _q_bm25_phrase,
         "search_boolean": _q_search_boolean,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -3699,6 +3873,119 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n, round(sum(value), 3) AS sum_value
             FROM w WHERE ws_us > us - 7200000000
             GROUP BY user_id, ws_us // 1000000
+        """,
+        # interval-union: window max-over-preceding mirrors the engine's
+        # per-key running-max sweep; tied (s,e) rows are identical so the
+        # in-frame order among ties cannot change island assignment
+        "merge_intervals": """
+            WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                               epoch_us(ts)
+                               + round(abs(value) * 1000000)::BIGINT AS e
+                        FROM events),
+            m AS (SELECT user_id, s, e,
+                         CASE WHEN max(e) OVER (PARTITION BY user_id
+                                  ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) >= s
+                              THEN 0 ELSE 1 END AS is_new
+                  FROM iv),
+            g AS (SELECT user_id, s, e,
+                         sum(is_new) OVER (PARTITION BY user_id
+                             ORDER BY s, e
+                             ROWS UNBOUNDED PRECEDING) AS grp
+                  FROM m)
+            SELECT user_id, min(s) AS start_us, max(e) AS end_us,
+                   count(*)::BIGINT AS n_iv
+            FROM g GROUP BY user_id, grp
+        """,
+        "cumulative_distinct": """
+            WITH f AS (SELECT user_id,
+                              min(epoch_us(ts) // 86400000000
+                                  * 86400000000) AS day_us
+                       FROM events GROUP BY user_id),
+            c AS (SELECT day_us, count(*)::BIGINT AS new_keys
+                  FROM f GROUP BY day_us)
+            SELECT day_us, new_keys,
+                   sum(new_keys) OVER (ORDER BY day_us
+                       ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_keys
+            FROM c
+        """,
+        "group_mode": """
+            WITH c AS (SELECT lang, source, count(*)::BIGINT AS n
+                       FROM documents GROUP BY lang, source)
+            SELECT lang, source AS mode, n FROM c
+            QUALIFY row_number() OVER (PARTITION BY lang
+                                       ORDER BY n DESC, source) = 1
+        """,
+        "price_histogram": """
+            WITH v AS (SELECT round(o_totalprice * 100)::BIGINT AS c
+                       FROM orders)
+            SELECT c // 2000000 AS bin,
+                   (c // 2000000) * 2000000 AS bin_lo_centi,
+                   count(*)::BIGINT AS n, sum(c)::BIGINT AS sum_centi
+            FROM v GROUP BY 1
+        """,
+        # skyline: window formulation fuzz-verified equivalent to the
+        # NOT EXISTS strict-dominance definition (maximize price,
+        # minimize date); m = min date over strictly-higher prices
+        "skyline_orders": """
+            WITH p AS (SELECT round(o_totalprice * 100)::BIGINT
+                                  AS price_centi,
+                              epoch_us(o_orderdate) AS date_us
+                       FROM orders),
+            e AS (SELECT price_centi, date_us,
+                         min(date_us) OVER (PARTITION BY price_centi)
+                             AS e,
+                         min(date_us) OVER (ORDER BY price_centi DESC
+                             RANGE BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS m
+                  FROM p)
+            SELECT price_centi, date_us, count(*)::BIGINT AS n
+            FROM e WHERE date_us = e AND (m IS NULL OR date_us < m)
+            GROUP BY price_centi, date_us
+        """,
+        # same-IEEE-expression contract as qty_discount_corr: both sides
+        # evaluate the identical double formula from identical int sums
+        "group_regression": """
+            WITH s AS (
+                SELECT l_returnflag,
+                       count(*)::BIGINT AS n,
+                       sum(round(l_quantity)::BIGINT)::BIGINT AS sx,
+                       sum(round(l_extendedprice * 100)::BIGINT)::BIGINT
+                           AS sy,
+                       sum(round(l_quantity)::BIGINT
+                           * round(l_quantity)::BIGINT)::BIGINT AS sxx,
+                       sum(round(l_quantity)::BIGINT
+                           * round(l_extendedprice * 100)::BIGINT)::BIGINT
+                           AS sxy
+                FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag, n,
+                   round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                         / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE),
+                         6) AS slope_6,
+                   round((sy::DOUBLE
+                          - (n::DOUBLE * sxy::DOUBLE
+                             - sx::DOUBLE * sy::DOUBLE)
+                            / (n::DOUBLE * sxx::DOUBLE
+                               - sx::DOUBLE * sx::DOUBLE)
+                            * sx::DOUBLE)
+                         / n::DOUBLE, 6) AS icept_6
+            FROM s
+        """,
+        "unpivot_measures": """
+            WITH f AS (SELECT * FROM lineitem WHERE l_orderkey % 10 = 0)
+            SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+                   'quantity' AS measure,
+                   round(l_quantity * 100)::BIGINT AS val_centi FROM f
+            UNION ALL
+            SELECT l_orderkey, l_linenumber::BIGINT, 'extendedprice',
+                   round(l_extendedprice * 100)::BIGINT FROM f
+            UNION ALL
+            SELECT l_orderkey, l_linenumber::BIGINT, 'discount',
+                   round(l_discount * 100)::BIGINT FROM f
+            UNION ALL
+            SELECT l_orderkey, l_linenumber::BIGINT, 'tax',
+                   round(l_tax * 100)::BIGINT FROM f
         """,
         "sessionize": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),

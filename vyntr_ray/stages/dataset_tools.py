@@ -18,7 +18,8 @@ import pyarrow.compute as pc
 
 __all__ = ["topk_largest", "remove_largest", "group_quantiles",
            "group_quantiles_cont", "group_topk", "group_quantiles_approx",
-           "pivot_counts", "rollup_counts", "distinct_rows"]
+           "pivot_counts", "rollup_counts", "distinct_rows", "group_mode",
+           "histogram_fixed", "skyline"]
 
 
 def topk_largest(ds, k: int = 100, length_col: str = "n_chars",
@@ -291,3 +292,124 @@ def pivot_counts(ds, key_col: str, cat_col: str,
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(key_col)
             .aggregate(*[Sum(name, alias_name=name) for name in cols]))
+
+
+def group_mode(ds, group_col: str, value_col: str):
+    """Most frequent value per group, ties broken by the SMALLEST value
+    (a total order, so partial + fold = exact).
+
+    Per-block partial (group, value) counts — bounded by the CATEGORY
+    cardinality product, the rollup_counts precondition; never use this
+    for data-scaled value columns — folded on the driver
+    (O(#blocks x |groups| x |values|) rows), then one argmax per group.
+    Returns (group, mode, n).  No reference counterpart (SURVEY §2.9
+    training-analytics additions).
+    """
+    import pandas as pd
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby([group_col, value_col], as_index=False).size()
+        out.columns = [group_col, value_col, "n"]
+        return out
+
+    parts = pd.DataFrame(
+        ds.map_batches(partial, batch_format="pandas").take_all())
+    tot = parts.groupby([group_col, value_col], as_index=False)["n"].sum()
+    tot = tot.sort_values([group_col, "n", value_col],
+                          ascending=[True, False, True], kind="mergesort")
+    top = (tot.groupby(group_col, as_index=False).head(1)
+           .reset_index(drop=True)
+           .rename(columns={value_col: "mode"}))
+    top["n"] = top["n"].astype("int64")
+    return top[[group_col, "mode", "n"]]
+
+
+def histogram_fixed(ds, value_col: str, width_centi: int,
+                    scale: int = 100):
+    """Fixed-width histogram over integer-scaled values — zero shuffle,
+    the q6ish litmus shape: each block emits one partial row per
+    OCCUPIED bin (bounded by value-range/width, never by rows), the
+    driver folds O(#blocks x #bins) rows.  Bin = floor division of the
+    per-row half-away-rounded centi value (exact at any float input
+    precision); returns (bin, bin_lo_centi, n, sum_centi).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..rounding import round_half_away
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = round_half_away(df[value_col].to_numpy() * scale).astype(
+            np.int64)
+        out = (pd.DataFrame({"bin": v // width_centi, "v": v})
+               .groupby("bin", as_index=False)
+               .agg(n=("v", "size"), sum_centi=("v", "sum")))
+        return out
+
+    parts = pd.DataFrame(
+        ds.map_batches(partial, batch_format="pandas").take_all())
+    g = (parts.groupby("bin", as_index=False)[["n", "sum_centi"]].sum()
+         .sort_values("bin").reset_index(drop=True))
+    g["bin"] = g["bin"].astype("int64")
+    g["n"] = g["n"].astype("int64")
+    g["sum_centi"] = g["sum_centi"].astype("int64")
+    g.insert(1, "bin_lo_centi", (g["bin"] * width_centi).astype("int64"))
+    return g
+
+
+def _sky_local(df, x_col: str, y_col: str):
+    """All rows not STRICTLY dominated within ``df`` (maximize x,
+    minimize y; b dominates a iff x_b >= x_a, y_b <= y_a, one strict).
+    Vectorized: sort x desc / y asc; a row survives iff its y equals the
+    min y of its own x-group AND is strictly below the min y of every
+    higher x-group (prefix min over group minima)."""
+    import numpy as np
+
+    df = df.sort_values([x_col, y_col], ascending=[False, True],
+                        kind="mergesort")
+    x = df[x_col].to_numpy()
+    y = df[y_col].to_numpy()
+    if len(x) == 0:
+        return df
+    newx = np.r_[True, x[1:] != x[:-1]]
+    gid = np.cumsum(newx) - 1
+    first_idx = np.flatnonzero(newx)
+    e = y[first_idx][gid]                      # min y within own x-group
+    ge = y[first_idx]                          # per-group min y, x desc
+    pm = np.minimum.accumulate(ge)
+    m_prev = np.empty_like(pm)
+    m_prev[0] = np.iinfo(np.int64).max
+    m_prev[1:] = pm[:-1]
+    keep = (y == e) & (y < m_prev[gid])
+    return df[keep]
+
+
+def skyline(ds, x_col: str, y_col: str):
+    """2-D Pareto front (skyline): rows with no strict dominator when
+    maximizing ``x_col`` and minimizing ``y_col`` (both int64).
+
+    Distributed as local-skyline-per-block -> skyline of the union:
+    dominance is transitive, so any dominated point's dominator chain
+    ends at a global skyline point that survives its own block's local
+    pass — the union pass then removes the dominated point.  The driver
+    holds only concatenated local skylines (small on real data; the
+    worst case — fully anticorrelated x/y — is the whole input, a
+    documented precondition like the rollup bound).  Duplicate skyline
+    points are aggregated to (x, y, n) so output hashing is stable.
+    """
+    import pandas as pd
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return _sky_local(df[[x_col, y_col]], x_col, y_col)
+
+    locs = pd.DataFrame(
+        ds.map_batches(partial, batch_format="pandas").take_all())
+    if locs.empty:
+        return pd.DataFrame({x_col: pd.array([], dtype="int64"),
+                             y_col: pd.array([], dtype="int64"),
+                             "n": pd.array([], dtype="int64")})
+    front = _sky_local(locs, x_col, y_col)
+    out = front.groupby([x_col, y_col], as_index=False).size()
+    out.columns = [x_col, y_col, "n"]
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)

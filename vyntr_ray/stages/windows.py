@@ -25,7 +25,8 @@ import pyarrow.compute as pc
 from ..rounding import round_half_away
 
 __all__ = ["tumbling", "sliding", "sessionize", "rolling_sum", "lag_diff",
-           "running_total", "group_ranks", "funnel", "retention"]
+           "running_total", "group_ranks", "funnel", "retention",
+           "merge_intervals", "cumulative_distinct"]
 
 _US = 1_000_000
 
@@ -353,3 +354,82 @@ def retention(ds, period_s: int = 86_400, key_col: str = "user_id",
                 t.column_names.index("users"), "users",
                 pc.cast(t["users"], pa.int64())), batch_format="pyarrow")
             .sort(["cohort", "age"]))
+
+
+def merge_intervals(ds, key_col: str = "user_id",
+                    start_col: str = "s_us", end_col: str = "e_us",
+                    n_parts: int = 64):
+    """Coalesce overlapping-or-touching ``[s, e]`` intervals per key —
+    the interval-union operator (gaps-and-islands over arbitrary spans,
+    unlike :func:`sessionize` whose spans are gap-derived points).
+
+    One hash-partition shuffle on the key, then one vectorized sweep per
+    partition: sort by (key, s, e), running max of ``e`` within each key
+    (pandas C ``cummax``), and a new island wherever ``s`` exceeds the
+    previous running max.  All comparisons stay int64 — a NaN-bearing
+    float ``shift`` would lose precision above 2^53, which epoch-us
+    timestamps exceed.  Returns (key, start_us, end_us, n_iv).  No
+    reference counterpart (SURVEY §2.9 training-analytics additions).
+    """
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, start_col, end_col], kind="mergesort")
+        key = g[key_col].to_numpy()
+        s = g[start_col].to_numpy().astype("int64")
+        e = g[end_col].to_numpy().astype("int64")
+        kid = np.cumsum(np.r_[True, key[1:] != key[:-1]]) - 1
+        cm = pd.Series(e).groupby(kid).cummax().to_numpy()
+        prev = np.empty_like(cm)
+        prev[0] = np.iinfo(np.int64).min
+        prev[1:] = cm[:-1]
+        first_of_key = np.r_[True, kid[1:] != kid[:-1]]
+        new = first_of_key | (s > prev)
+        isl = np.cumsum(new) - 1
+        out = (pd.DataFrame({key_col: key, "_i": isl, "s": s, "e": e})
+               .groupby("_i", sort=True)
+               .agg(**{key_col: (key_col, "first"),
+                       "start_us": ("s", "min"),
+                       "end_us": ("e", "max"),
+                       "n_iv": ("s", "size")})
+               .reset_index(drop=True))
+        out["n_iv"] = out["n_iv"].astype("int64")
+        return out
+
+    return _by_part(ds, key_col, n_parts=n_parts).groupby("_part").map_groups(
+        lambda g: per_part(g.drop(columns="_part")), batch_format="pandas")
+
+
+def cumulative_distinct(ds, key_col: str = "user_id", ts_col: str = "ts",
+                        period_us: int = 86_400_000_000,
+                        n_parts: int = 64):
+    """Running distinct-key curve: for each period (day by default), how
+    many distinct keys have EVER appeared up to and including it.
+
+    COUNT(DISTINCT) OVER a cumulative frame is inexpressible as a plain
+    window; the distributed shape is first-seen-period per key (keys are
+    data-scaled, so a hash-partition min-fold — never a per-key group),
+    then bounded per-period new-key counts fold on the driver into one
+    prefix sum (O(#periods) rows).  Only periods that are some key's
+    first appearance emit a row — the oracle mirrors that.  Returns
+    (day_us, new_keys, cum_keys) sorted by day.
+    """
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+        d = (us // period_us) * period_us
+        f = (pd.DataFrame({key_col: g[key_col].to_numpy(), "_d": d})
+             .groupby(key_col, as_index=False)["_d"].min())
+        c = f.groupby("_d", as_index=False).size()
+        c.columns = ["day_us", "new_keys"]
+        return c
+
+    parts = pd.DataFrame(
+        _by_part(ds, key_col, n_parts=n_parts).groupby("_part").map_groups(
+            lambda g: per_part(g.drop(columns="_part")),
+            batch_format="pandas").take_all())
+    g = (parts.groupby("day_us", as_index=False)["new_keys"].sum()
+         .sort_values("day_us").reset_index(drop=True))
+    g["day_us"] = g["day_us"].astype("int64")
+    g["new_keys"] = g["new_keys"].astype("int64")
+    g["cum_keys"] = g["new_keys"].cumsum().astype("int64")
+    return g

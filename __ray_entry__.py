@@ -3491,6 +3491,66 @@ def _q_unpivot_measures(sf_dir: str):
     return li.map_batches(unp, batch_format="pyarrow")
 
 
+def _q_percentile_ranks(sf_dir: str):
+    """PERCENT_RANK + CUME_DIST per user over value DESC (relative-rank
+    windows; stages/windows.py:percentile_ranks).  Both sides divide
+    the identical exact int64 operands in IEEE doubles, so round(.., 6)
+    matches bit-for-bit (the qty_discount_corr contract)."""
+    from vyntr_ray.stages.windows import percentile_ranks
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    return percentile_ranks(ds)
+
+
+def _q_cube_counts(sf_dir: str):
+    """GROUP BY CUBE(lang, source) count+sum over documents — the full
+    lattice from one distributed fine-level pass
+    (stages/dataset_tools.py:cube_counts)."""
+    from vyntr_ray.stages.dataset_tools import cube_counts
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+    return cube_counts(ds, "lang", "source", "n_chars")
+
+
+def _q_table_profile(sf_dir: str):
+    """Per-column profile of orders: n / n_null / exact n_distinct.
+    Distinct counts via block-local uniques -> one hash-partition dedup
+    (stages/dataset_tools.py:table_profile)."""
+    from vyntr_ray.stages.dataset_tools import table_profile
+
+    ds = _read(sf_dir, "orders")
+    return table_profile(ds, ["o_orderkey", "o_custkey", "o_orderstatus",
+                              "o_totalprice", "o_orderdate",
+                              "o_orderpriority"])
+
+
+def _q_fuzzy_dup_pairs(sf_dir: str):
+    """Edit-distance near-dup pairs: shared 16-char prefix block,
+    64-char-prefix banded Levenshtein <= 8 (stages/dedup.py:
+    fuzzy_dup_pairs).  Blocking is identical in the oracle, so the
+    result set is exactly the SQL self-join's."""
+    from vyntr_ray.stages.dedup import fuzzy_dup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return fuzzy_dup_pairs(ds)
+
+
+def _q_zonemap_export(sf_dir: str):
+    """Range-bucketed parquet export + zone-map manifest
+    (sources/zonemap.py): one sorted file per o_orderkey // 1000
+    bucket via tmp+atomic-rename, manifest = (bucket, min, max, n)."""
+    import shutil
+
+    from vyntr_ray.sources.zonemap import zonemap_export
+
+    out = os.path.join("/tmp/vyntr_ray_cache",
+                       f"zonemap_orders_{os.path.basename(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey",
+                                          "o_totalprice"])
+    return zonemap_export(ds, out, "o_orderkey", width=1000)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- driver-checked window (first 50): the r4 rotation ---
@@ -3507,6 +3567,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline_orders": _q_skyline_orders,
         "group_regression": _q_group_regression,
         "unpivot_measures": _q_unpivot_measures,
+        "percentile_ranks": _q_percentile_ranks,
+        "cube_counts": _q_cube_counts,
+        "table_profile": _q_table_profile,
+        "fuzzy_dup_pairs": _q_fuzzy_dup_pairs,
+        "zonemap_export": _q_zonemap_export,
         "bm25_phrase": _q_bm25_phrase,
         "search_boolean": _q_search_boolean,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -3986,6 +4051,62 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, l_linenumber::BIGINT, 'tax',
                    round(l_tax * 100)::BIGINT FROM f
+        """,
+        # both sides: (rank_min-1)/(n-1) and rank_max/n as IEEE-double
+        # divisions of identical int64 operands -> round(..,6) bit-exact
+        "percentile_ranks": """
+            SELECT event_id, user_id,
+                   round(percent_rank() OVER (PARTITION BY user_id
+                         ORDER BY value DESC), 6) AS pr_6,
+                   round(cume_dist() OVER (PARTITION BY user_id
+                         ORDER BY value DESC), 6) AS cd_6
+            FROM events
+        """,
+        "cube_counts": """
+            SELECT coalesce(lang, 'ALL') AS lang,
+                   coalesce(source, 'ALL') AS source,
+                   count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS total
+            FROM documents GROUP BY CUBE(lang, source)
+        """,
+        "table_profile": """
+            SELECT 'o_custkey' AS "column", count(*)::BIGINT AS n,
+                   (count(*) - count(o_custkey))::BIGINT AS n_null,
+                   count(DISTINCT o_custkey)::BIGINT AS n_distinct
+            FROM orders
+            UNION ALL SELECT 'o_orderdate', count(*),
+                   count(*) - count(o_orderdate),
+                   count(DISTINCT o_orderdate) FROM orders
+            UNION ALL SELECT 'o_orderkey', count(*),
+                   count(*) - count(o_orderkey),
+                   count(DISTINCT o_orderkey) FROM orders
+            UNION ALL SELECT 'o_orderpriority', count(*),
+                   count(*) - count(o_orderpriority),
+                   count(DISTINCT o_orderpriority) FROM orders
+            UNION ALL SELECT 'o_orderstatus', count(*),
+                   count(*) - count(o_orderstatus),
+                   count(DISTINCT o_orderstatus) FROM orders
+            UNION ALL SELECT 'o_totalprice', count(*),
+                   count(*) - count(o_totalprice),
+                   count(DISTINCT o_totalprice) FROM orders
+        """,
+        # blocking (16-char prefix equality) is the operator's contract,
+        # mirrored verbatim; banded Levenshtein == full Levenshtein for
+        # every kept pair (d <= 8 is inside the band)
+        "fuzzy_dup_pairs": """
+            WITH d AS (SELECT doc_id, substr(text, 1, 16) AS b,
+                              substr(text, 1, 64) AS p
+                       FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   levenshtein(a.p, b.p)::BIGINT AS dist
+            FROM d a JOIN d b ON a.b = b.b AND a.doc_id < b.doc_id
+            WHERE levenshtein(a.p, b.p) <= 8
+        """,
+        "zonemap_export": """
+            SELECT o_orderkey // 1000 AS bucket,
+                   min(o_orderkey)::BIGINT AS min_key,
+                   max(o_orderkey)::BIGINT AS max_key,
+                   count(*)::BIGINT AS n
+            FROM orders GROUP BY 1
         """,
         "sessionize": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),

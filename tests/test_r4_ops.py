@@ -147,3 +147,163 @@ def test_histogram_fixed_counts_and_sums():
     pd.testing.assert_frame_equal(got.astype("int64"),
                                   exp.astype("int64"))
     assert got["n"].sum() == 500
+
+
+def _lev_full(a: str, b: str) -> int:
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[lb]
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_lev_band_matches_full(seed):
+    from vyntr_ray.stages.dedup import _lev_band
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    alpha = "abcd"
+    for _ in range(200):
+        la, lb = rng.integers(0, 20, 2)
+        a = "".join(rng.choice(list(alpha), la))
+        b = "".join(rng.choice(list(alpha), lb))
+        for md in (0, 1, 3, 8):
+            full = _lev_full(a, b)
+            got = _lev_band(a, b, md)
+            assert got == (full if full <= md else md + 1), (a, b, md)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fuzzy_dup_pairs_bruteforce():
+    import ray.data as rd
+
+    from vyntr_ray.stages.dedup import fuzzy_dup_pairs
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    base = ["the quick brown fox jumps over the lazy dog again",
+            "a completely different sentence about ray data engines",
+            "the quick brown fox jumps over the lazy cat again"]
+    texts, ids = [], []
+    for i in range(120):
+        t = base[i % 3]
+        if rng.random() < 0.5:  # small edit beyond char 16
+            pos = int(rng.integers(20, len(t)))
+            t = t[:pos] + "x" + t[pos + 1:]
+        texts.append(t)
+        ids.append(i)
+    df = pd.DataFrame({"doc_id": ids, "text": texts})
+
+    got = (fuzzy_dup_pairs(rd.from_pandas(df).repartition(4),
+                           block_chars=16, probe_chars=64, max_dist=8,
+                           n_parts=3)
+           .to_pandas().sort_values(["id_a", "id_b"])
+           .reset_index(drop=True))
+
+    rows = []
+    for i in range(len(df)):
+        for j in range(i + 1, len(df)):
+            a, b = texts[i], texts[j]
+            if a[:16] != b[:16]:
+                continue
+            d = _lev_full(a[:64], b[:64])
+            if d <= 8:
+                rows.append((i, j, d))
+    exp = (pd.DataFrame(rows, columns=["id_a", "id_b", "dist"])
+           .astype("int64").sort_values(["id_a", "id_b"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype("int64"), exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_percentile_ranks_ties_and_singletons():
+    import ray.data as rd
+
+    from vyntr_ray.stages.windows import percentile_ranks
+
+    df = pd.DataFrame({
+        "event_id": range(7),
+        "user_id": [1, 1, 1, 1, 2, 2, 3],     # user 3 = single row
+        "value": [5.0, 5.0, 3.0, 1.0, 2.0, 2.0, 9.0],  # ties everywhere
+    })
+    got = (percentile_ranks(rd.from_pandas(df).repartition(3), n_parts=2)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    # user 1: values desc [5,5,3,1] -> rank_min [1,1,3,4], rank_max
+    # [2,2,3,4], n=4 -> pr = [0,0,2/3,1], cd = [.5,.5,.75,1]
+    exp_pr = [0.0, 0.0, round(2 / 3, 6), 1.0, 0.0, 0.0, 0.0]
+    exp_cd = [0.5, 0.5, 0.75, 1.0, 1.0, 1.0, 1.0]
+    assert got["pr_6"].tolist() == pytest.approx(exp_pr, abs=1e-9)
+    assert got["cd_6"].tolist() == pytest.approx(exp_cd, abs=1e-9)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_zonemap_export_lookup_roundtrip(tmp_path):
+    import ray.data as rd
+
+    from vyntr_ray.sources.zonemap import zonemap_export, zonemap_lookup
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    keys = rng.permutation(np.arange(1000, dtype="int64"))
+    df = pd.DataFrame({"k": keys, "v": keys * 2})
+    out = str(tmp_path / "zm")
+    man = zonemap_export(rd.from_pandas(df).repartition(5), out, "k",
+                         width=100)
+    assert man["n"].sum() == 1000
+    assert (man["min_key"] >= man["bucket"] * 100).all()
+    assert (man["max_key"] < (man["bucket"] + 1) * 100).all()
+    # lookup touches only covering buckets and returns exact rows
+    hit = zonemap_lookup(out, "k", [7, 503, 999])
+    assert hit["k"].tolist() == [7, 503, 999]
+    assert hit["v"].tolist() == [14, 1006, 1998]
+    # rerun is idempotent (atomic rename overwrites cleanly)
+    man2 = zonemap_export(rd.from_pandas(df).repartition(3), out, "k",
+                          width=100)
+    pd.testing.assert_frame_equal(man, man2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cube_counts_margins_consistent():
+    import ray.data as rd
+
+    from vyntr_ray.stages.dataset_tools import cube_counts
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], 300),
+        "b": rng.choice(["p", "q"], 300),
+        "v": rng.integers(0, 10, 300),
+    })
+    got = cube_counts(rd.from_pandas(df).repartition(4), "a", "b", "v")
+    fine = got[(got["a"] != "ALL") & (got["b"] != "ALL")]
+    assert got[(got["a"] == "ALL") & (got["b"] == "ALL")]["n"].iloc[0] == 300
+    for b, g in fine.groupby("b"):
+        m = got[(got["a"] == "ALL") & (got["b"] == b)]
+        assert m["n"].iloc[0] == g["n"].sum()
+        assert m["total"].iloc[0] == g["total"].sum()
+    for a, g in fine.groupby("a"):
+        m = got[(got["a"] == a) & (got["b"] == "ALL")]
+        assert m["n"].iloc[0] == g["n"].sum()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_table_profile_counts():
+    import ray.data as rd
+
+    from vyntr_ray.stages.dataset_tools import table_profile
+
+    df = pd.DataFrame({
+        "i": pd.array([1, 2, 2, None, 4], dtype="Int64"),
+        "s": ["a", "a", None, "b", "c"],
+        "f": [1.5, 1.5, 2.5, 2.5, None],
+    })
+    got = table_profile(rd.from_pandas(df).repartition(3),
+                        ["i", "s", "f"], n_parts=3)
+    exp = pd.DataFrame({
+        "column": ["f", "i", "s"],
+        "n": np.array([5, 5, 5], dtype="int64"),
+        "n_null": np.array([1, 1, 1], dtype="int64"),
+        "n_distinct": np.array([2, 3, 3], dtype="int64")})
+    pd.testing.assert_frame_equal(got, exp)

@@ -19,7 +19,7 @@ import pyarrow.compute as pc
 __all__ = ["topk_largest", "remove_largest", "group_quantiles",
            "group_quantiles_cont", "group_topk", "group_quantiles_approx",
            "pivot_counts", "rollup_counts", "distinct_rows", "group_mode",
-           "histogram_fixed", "skyline"]
+           "histogram_fixed", "skyline", "cube_counts", "table_profile"]
 
 
 def topk_largest(ds, k: int = 100, length_col: str = "n_chars",
@@ -413,3 +413,118 @@ def skyline(ds, x_col: str, y_col: str):
     out.columns = [x_col, y_col, "n"]
     out["n"] = out["n"].astype("int64")
     return out.reset_index(drop=True)
+
+
+def cube_counts(ds, col1: str, col2: str, value_col: str,
+                all_label: str = "ALL"):
+    """GROUP BY CUBE(col1, col2): the :func:`rollup_counts` lattice plus
+    the (ALL, col2) margin — all four granularities from ONE distributed
+    pass.  Same bounded-fine-level contract (category-cardinality
+    product), same NULL-as-group and sentinel-collision semantics as
+    rollup; every coarser level derives from the fine result on the
+    driver (O(|col1| x |col2|) rows)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby([col1, col2], as_index=False, dropna=False)
+                .agg(n=(value_col, "size"), total=(value_col, "sum")))
+
+    fine = (ds.map_batches(partial, batch_format="pandas")
+            .groupby([col1, col2])
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("total", alias_name="total"))
+            .to_pandas())
+    lvl1 = (fine.groupby(col1, as_index=False, dropna=False)[
+        ["n", "total"]].sum().assign(**{col2: all_label}))
+    lvl2 = (fine.groupby(col2, as_index=False, dropna=False)[
+        ["n", "total"]].sum().assign(**{col1: all_label}))
+    lvl0 = pd.DataFrame({col1: [all_label], col2: [all_label],
+                         "n": [fine["n"].sum()],
+                         "total": [fine["total"].sum()]})
+    out = pd.concat([fine, lvl1, lvl2, lvl0], ignore_index=True)
+    out[col1] = out[col1].fillna(all_label)
+    out[col2] = out[col2].fillna(all_label)
+    out["n"] = out["n"].astype("int64")
+    out["total"] = out["total"].astype("int64")
+    return out[[col1, col2, "n", "total"]]
+
+
+def _canon_str(arr: "pa.ChunkedArray | pa.Array") -> list:
+    """Equality-faithful string form per value (injective on distinct
+    values, equal values -> equal strings): strings pass through, ints
+    and timestamps via int64, floats via shortest-roundtrip repr.
+    Nulls return None."""
+    t = arr.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return arr.to_pylist()
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        return [None if v is None else str(v)
+                for v in pc.cast(arr, pa.int64()).to_pylist()]
+    if pa.types.is_floating(t):
+        return [None if v is None else repr(v) for v in arr.to_pylist()]
+    return [None if v is None else str(v) for v in arr.to_pylist()]
+
+
+def table_profile(ds, cols: list, n_parts: int = 64):
+    """Per-column data profile: (column, n, n_null, n_distinct) — the
+    scan a data engineer runs before trusting a new 100-TB drop.
+
+    Two distributed passes, both bounded on the driver:
+
+    * counts — each block emits one (col, n, n_null) row per column
+      (O(#blocks x #cols) driver rows, the histogram_fixed fold);
+    * n_distinct — each block emits its block-LOCAL distinct
+      (col, canonical-value) pairs (``dictionary_encode``, so the
+      shuffle carries per-block uniques, never rows), one hash-partition
+      ``drop_duplicates`` on the value hash dedups globally, and
+      per-partition counts fold on the driver.  Nulls are excluded,
+      matching SQL ``count(DISTINCT col)``.
+
+    The canonical string form only ever feeds EQUALITY (no formatting
+    parity with SQL needed — outputs are counts)."""
+    import pandas as pd
+
+    from vyntr_ray.stages.windows import _by_part
+
+    def counts(t: pa.Table) -> pa.Table:
+        rows = [(c, t.num_rows, t[c].null_count) for c in cols]
+        return pa.table({
+            "column": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "n_null": pa.array([r[2] for r in rows], pa.int64())})
+
+    cnt = pd.DataFrame(
+        ds.map_batches(counts, batch_format="pyarrow").take_all())
+    cnt = (cnt.groupby("column", as_index=False)[["n", "n_null"]].sum())
+
+    def pairs(t: pa.Table) -> pa.Table:
+        names, vals = [], []
+        for c in cols:
+            u = pc.unique(pc.cast(t[c], t[c].type))
+            for s in _canon_str(u):
+                if s is not None:
+                    names.append(c)
+                    vals.append(s)
+        return pa.table({"column": pa.array(names, pa.string()),
+                         "v": pa.array(vals, pa.string())})
+
+    def dd_count(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates(subset=["column", "v"])
+        out = u.groupby("column", as_index=False).size()
+        out.columns = ["column", "n_distinct"]
+        return out
+
+    nd = pd.DataFrame(
+        _by_part(ds.map_batches(pairs, batch_format="pyarrow"),
+                 "v", n_parts=n_parts)
+        .groupby("_part")
+        .map_groups(lambda g: dd_count(g.drop(columns="_part")),
+                    batch_format="pandas").take_all())
+    nd = nd.groupby("column", as_index=False)["n_distinct"].sum()
+
+    out = cnt.merge(nd, on="column", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0)
+    for c in ["n", "n_null", "n_distinct"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("column").reset_index(drop=True)

@@ -35,7 +35,7 @@ __all__ = ["add_md5", "dedup_exact", "dedup_by_key", "minhash_signatures",
            "minhash_lsh_pairs", "ngram_jaccard_pairs", "simhash_batch",
            "simhash_pairs", "embedding_dup_pairs", "word_shingles",
            "jaccard", "shingle_table", "dup_clusters",
-           "substring_dup_counts"]
+           "substring_dup_counts", "fuzzy_dup_pairs"]
 
 _P = (1 << 61) - 1  # Mersenne prime for universal hashing
 
@@ -741,3 +741,94 @@ def substring_dup_counts(ds, window: int = 64, stride: int = 16,
 
     return partials.groupby("dpart").map_groups(merge,
                                                 batch_format="pandas")
+
+
+def _lev_band(a: str, b: str, max_dist: int) -> int:
+    """Banded Levenshtein: exact distance if <= max_dist, else
+    max_dist + 1.  Classic two-row DP restricted to the |i - j| <=
+    max_dist diagonal band — O(len x band) instead of O(len^2), with
+    early abandon when a full row exceeds the threshold."""
+    if abs(len(a) - len(b)) > max_dist:
+        return max_dist + 1
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    big = max_dist + 1
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        lo = max(1, i - max_dist)
+        hi = min(lb, i + max_dist)
+        cur = [big] * (lb + 1)
+        if i <= max_dist:
+            cur[0] = i          # j = 0 cell (b exhausted) is in-band
+        ca = a[i - 1]
+        best = cur[0]
+        for j in range(lo, hi + 1):
+            c = min(prev[j] + 1, cur[j - 1] + 1,
+                    prev[j - 1] + (ca != b[j - 1]))
+            cur[j] = c
+            if c < best:
+                best = c
+        if best > max_dist:
+            return big
+        prev = cur
+    return prev[lb] if prev[lb] <= max_dist else big
+
+
+def fuzzy_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                    block_chars: int = 16, probe_chars: int = 64,
+                    max_dist: int = 8, n_parts: int = 32,
+                    pair_cap: int = 200_000):
+    """Edit-distance near-dup pairs: docs sharing a ``block_chars``
+    exact prefix whose ``probe_chars`` prefixes are within ``max_dist``
+    Levenshtein — the fuzzy tier between exact dedup and MinHash
+    (catches small in-place edits MinHash shingles dilute).
+
+    Blocking is deliberately identical on both the engine and the
+    oracle (prefix equality), so recall is a DOCUMENTED property of the
+    blocking scheme, not a divergence: pairs with differing prefixes
+    are out of scope by definition.  One hash-partition shuffle on the
+    block key; per-partition pair expansion is bounded by the block
+    sizes (``pair_cap`` guards adversarial all-same-prefix corpora —
+    exceeding it raises rather than silently truncating).  Returns
+    (id_a, id_b, dist) with id_a < id_b.
+    """
+    import pyarrow.compute as pc
+
+    from .joins import _part_col
+
+    def prep(t: pa.Table) -> pa.Table:
+        block = pc.utf8_slice_codeunits(t[text_col], 0, block_chars)
+        probe = pc.utf8_slice_codeunits(t[text_col], 0, probe_chars)
+        out = pa.table({id_col: t[id_col], "_block": block, "_probe": probe})
+        return out.append_column("_part", _part_col(block, n_parts))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        rows_a, rows_b, dists = [], [], []
+        for _, grp in g.groupby("_block", sort=False):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values(id_col, kind="mergesort")
+            ids = grp[id_col].to_numpy()
+            ps = grp["_probe"].tolist()
+            npairs = len(ids) * (len(ids) - 1) // 2
+            if npairs > pair_cap:
+                raise ValueError(
+                    f"fuzzy_dup_pairs: block of {len(ids)} rows exceeds "
+                    f"pair_cap={pair_cap}; tighten block_chars")
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    d = _lev_band(ps[i], ps[j], max_dist)
+                    if d <= max_dist:
+                        rows_a.append(ids[i])
+                        rows_b.append(ids[j])
+                        dists.append(d)
+        return pd.DataFrame({
+            "id_a": np.array(rows_a, dtype="int64"),
+            "id_b": np.array(rows_b, dtype="int64"),
+            "dist": np.array(dists, dtype="int64")})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(lambda g: per_part(g.drop(columns="_part")),
+                        batch_format="pandas"))

@@ -26,7 +26,7 @@ from ..rounding import round_half_away
 
 __all__ = ["tumbling", "sliding", "sessionize", "rolling_sum", "lag_diff",
            "running_total", "group_ranks", "funnel", "retention",
-           "merge_intervals", "cumulative_distinct"]
+           "merge_intervals", "cumulative_distinct", "percentile_ranks"]
 
 _US = 1_000_000
 
@@ -433,3 +433,38 @@ def cumulative_distinct(ds, key_col: str = "user_id", ts_col: str = "ts",
     g["new_keys"] = g["new_keys"].astype("int64")
     g["cum_keys"] = g["new_keys"].cumsum().astype("int64")
     return g
+
+
+def percentile_ranks(ds, key_col: str = "user_id",
+                     value_col: str = "value", id_col: str = "event_id",
+                     n_parts: int = 64):
+    """PERCENT_RANK and CUME_DIST per key, ordered by value DESC —
+    the relative-rank windows (quality-percentile gates in a curation
+    pipeline rank docs within a language exactly this way).
+
+    Same one-shuffle shape as :func:`group_ranks`.  Both outputs follow
+    the SQL definitions from integer ranks: percent_rank =
+    (rank_min - 1) / (n - 1) (0.0 for single-row partitions, the SQL
+    convention) and cume_dist = rank_max / n, each an IEEE-double
+    division of exact int64 operands — DuckDB evaluates the identical
+    expression, so round(..., 6) matches bit-for-bit (the
+    qty_discount_corr contract).  Returns (id, key, pr_6, cd_6).
+    """
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, value_col, id_col],
+                          ascending=[True, False, True], kind="mergesort")
+        grp = g.groupby(key_col, sort=False)[value_col]
+        rmin = grp.rank(method="min", ascending=False).to_numpy(np.float64)
+        rmax = grp.rank(method="max", ascending=False).to_numpy(np.float64)
+        n = grp.transform("size").to_numpy(np.float64)
+        pr = np.where(n > 1.0, (rmin - 1.0) / (n - 1.0), 0.0)
+        cd = rmax / n
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            key_col: g[key_col].to_numpy(),
+            "pr_6": round_half_away(pr, 6),
+            "cd_6": round_half_away(cd, 6)})
+
+    return _by_part(ds, key_col, n_parts=n_parts).groupby("_part").map_groups(
+        lambda g: per_part(g.drop(columns="_part")), batch_format="pandas")

@@ -133,6 +133,43 @@ def _jaccard_pairs_sql(thr_ppm: int) -> str:
     """
 
 
+def _hits_sql(n_iter: int = 4) -> str:
+    """Unrolled integer HITS oracle: one (auth, hub) CTE pair per
+    round, BIGINT sums only — exact, no float tolerance needed
+    (contrast _pagerank_sql's micro rounding)."""
+    parts = ["""
+        WITH e AS MATERIALIZED (
+            SELECT a.doc_id AS u, b.doc_id AS v
+            FROM documents a JOIN documents b
+              ON b.doc_id = a.doc_id * 2 AND a.doc_id > 0
+            UNION ALL
+            SELECT a.doc_id, b.doc_id
+            FROM documents a JOIN documents b
+              ON b.doc_id = a.doc_id * 3 AND a.doc_id > 0),
+        nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+            (SELECT u AS node FROM e UNION ALL SELECT v FROM e)),
+        h0 AS MATERIALIZED (SELECT node, 1::BIGINT AS w FROM nodes)"""]
+    for k in range(n_iter):
+        parts.append(f""",
+        a{k + 1} AS MATERIALIZED (
+            SELECT nd.node, coalesce(s.sm, 0)::BIGINT AS w
+            FROM nodes nd LEFT JOIN (
+                SELECT e.v AS node, sum(h.w) AS sm
+                FROM e JOIN h{k} h ON e.u = h.node GROUP BY e.v) s
+            ON nd.node = s.node),
+        h{k + 1} AS MATERIALIZED (
+            SELECT nd.node, coalesce(s.sm, 0)::BIGINT AS w
+            FROM nodes nd LEFT JOIN (
+                SELECT e.u AS node, sum(a.w) AS sm
+                FROM e JOIN a{k + 1} a ON e.v = a.node GROUP BY e.u) s
+            ON nd.node = s.node)""")
+    parts.append(f"""
+        SELECT n.node, h.w AS hub, a.w AS auth
+        FROM nodes n JOIN h{n_iter} h ON n.node = h.node
+                     JOIN a{n_iter} a ON n.node = a.node""")
+    return "".join(parts)
+
+
 def _pagerank_sql(n_iter: int = 10, damping: float = 0.85) -> str:
     """Unrolled PageRank oracle: one CTE pair (dangling mass, next rank)
     per iteration, mirroring ``stages/graph.pagerank``'s float recurrence
@@ -3491,6 +3528,66 @@ def _q_unpivot_measures(sf_dir: str):
     return li.map_batches(unp, batch_format="pyarrow")
 
 
+def _doc_graph_edges(sf_dir: str):
+    """The deterministic doc graph shared by components/pagerank/HITS:
+    edges d -> 2d and d -> 3d whenever both endpoints exist (broadcast
+    id set, per-block vectorized membership)."""
+    import pyarrow.compute as pc
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    ids_ref = ray.put(pa.array(
+        sorted(r["doc_id"] for r in ds.take_all()), pa.int64()))
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy()
+        d = d[d > 0]
+        us, vs = [], []
+        for mult in (2, 3):
+            cand = d * mult
+            ok = pc.is_in(pa.array(cand, pa.int64()),
+                          value_set=ray.get(ids_ref)).to_numpy(
+                              zero_copy_only=False)
+            us.append(d[ok])
+            vs.append(cand[ok])
+        return pa.table({"u": pa.array(np.concatenate(us), pa.int64()),
+                         "v": pa.array(np.concatenate(vs), pa.int64())})
+
+    return ds.map_batches(edges, batch_format="pyarrow")
+
+
+def _q_hits(sf_dir: str):
+    """Integer-exact HITS (stages/graph.py:hits_counts): 4 alternating
+    path-count rounds over the shared doc graph — no float parity risk
+    at all (contrast pagerank's micro-rounding); oracled by an unrolled
+    join+sum CTE chain."""
+    from vyntr_ray.stages.graph import hits_counts
+
+    return hits_counts(_doc_graph_edges(sf_dir), n_iter=4)
+
+
+def _q_weighted_sample(sf_dir: str):
+    """Efraimidis-Spirakis weighted top-100 sample of documents by
+    n_chars (stages/sampling.py:weighted_sample), md5-derived uniforms
+    so both sides compute identical selection keys."""
+    from vyntr_ray.stages.sampling import weighted_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return weighted_sample(ds, k=100)
+
+
+def _q_time_weighted_avg(sf_dir: str):
+    """TWAP per user over the events log (stages/windows.py:
+    time_weighted_avg): exact int64 centi x ms sufficient sums, one
+    shared IEEE division, (ts, event_id) LEAD tie-break on both
+    sides."""
+    from vyntr_ray.stages.windows import time_weighted_avg
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+    return time_weighted_avg(ds)
+
+
 def _q_percentile_ranks(sf_dir: str):
     """PERCENT_RANK + CUME_DIST per user over value DESC (relative-rank
     windows; stages/windows.py:percentile_ranks).  Both sides divide
@@ -3572,6 +3669,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile": _q_table_profile,
         "fuzzy_dup_pairs": _q_fuzzy_dup_pairs,
         "zonemap_export": _q_zonemap_export,
+        "hits": _q_hits,
+        "weighted_sample": _q_weighted_sample,
+        "time_weighted_avg": _q_time_weighted_avg,
         "bm25_phrase": _q_bm25_phrase,
         "search_boolean": _q_search_boolean,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -4100,6 +4200,37 @@ def oracle_sql() -> dict[str, str]:
                    levenshtein(a.p, b.p)::BIGINT AS dist
             FROM d a JOIN d b ON a.b = b.b AND a.doc_id < b.doc_id
             WHERE levenshtein(a.p, b.p) <= 8
+        """,
+        "hits": _hits_sql(4),
+        # u = (hex52(md5) + 1) / 2^52 exactly as the engine builds it;
+        # the E-S key pow(u, 1/w) is float64 on both sides — the OUTPUT
+        # has no floats and adjacent order statistics sit far above
+        # pow-ulp differences, so the selected set is stable
+        "weighted_sample": """
+            WITH d AS (SELECT doc_id, n_chars,
+                (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                 ::BIGINT + 1)::DOUBLE / 4503599627370496.0 AS u
+                FROM documents)
+            SELECT doc_id, n_chars FROM d
+            QUALIFY row_number() OVER (
+                ORDER BY pow(u, 1.0 / n_chars) DESC, doc_id) <= 100
+        """,
+        "time_weighted_avg": """
+            WITH o AS (SELECT user_id, epoch_us(ts) AS us,
+                              round(value * 100)::BIGINT AS vc,
+                              lead(epoch_us(ts)) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nus
+                       FROM events),
+            s AS (SELECT user_id,
+                         sum(vc * ((nus - us) // 1000))::BIGINT
+                             AS num_centi_ms,
+                         sum((nus - us) // 1000)::BIGINT AS den_ms
+                  FROM o WHERE nus IS NOT NULL GROUP BY user_id)
+            SELECT user_id, num_centi_ms, den_ms,
+                   round(num_centi_ms::DOUBLE / den_ms::DOUBLE, 6)
+                       AS twa_6
+            FROM s WHERE den_ms > 0
         """,
         "zonemap_export": """
             SELECT o_orderkey // 1000 AS bucket,

@@ -307,3 +307,89 @@ def test_table_profile_counts():
         "n_null": np.array([1, 1, 1], dtype="int64"),
         "n_distinct": np.array([2, 3, 3], dtype="int64")})
     pd.testing.assert_frame_equal(got, exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hits_counts_matches_dense():
+    import ray.data as rd
+
+    from vyntr_ray.stages.graph import hits_counts
+
+    rng = np.random.Generator(np.random.PCG64(13))
+    n_nodes, n_edges = 40, 150
+    u = rng.integers(0, n_nodes, n_edges).astype("int64")
+    v = rng.integers(0, n_nodes, n_edges).astype("int64")
+    got = (hits_counts(rd.from_pandas(pd.DataFrame({"u": u, "v": v}))
+                       .repartition(4), n_iter=3)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+
+    nodes = np.unique(np.concatenate([u, v]))
+    idx = {int(x): i for i, x in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)), dtype="int64")
+    for a, b in zip(u, v):
+        A[idx[int(a)], idx[int(b)]] += 1   # multi-edges count
+    h = np.ones(len(nodes), dtype="int64")
+    for _ in range(3):
+        a = A.T @ h
+        h = A @ a
+    exp = pd.DataFrame({"node": nodes, "hub": h, "auth": a})
+    pd.testing.assert_frame_equal(got.astype("int64"),
+                                  exp.astype("int64"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_sample_deterministic_and_weighted():
+    import hashlib
+
+    import ray.data as rd
+
+    from vyntr_ray.stages.sampling import weighted_sample
+
+    rng = np.random.Generator(np.random.PCG64(17))
+    n = 2000
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype="int64"),
+                       "n_chars": rng.integers(1, 500, n).astype("int64")})
+    got4 = weighted_sample(rd.from_pandas(df).repartition(4), k=50)
+    got9 = weighted_sample(rd.from_pandas(df).repartition(9), k=50)
+    # parallelism-invariant selection
+    pd.testing.assert_frame_equal(got4, got9)
+    # matches the single-process E-S computation exactly
+    hs = [hashlib.md5(str(i).encode()).hexdigest() for i in df["doc_id"]]
+    u = (np.array([int(h[:13], 16) for h in hs], np.float64) + 1) / (1 << 52)
+    es = np.power(u, 1.0 / df["n_chars"].to_numpy(np.float64))
+    order = np.lexsort((df["doc_id"].to_numpy(), -es))[:50]
+    exp = (df.iloc[order].reset_index(drop=True))
+    pd.testing.assert_frame_equal(got4, exp)
+    # heavier docs overrepresented vs uniform
+    assert got4["n_chars"].mean() > df["n_chars"].mean()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_time_weighted_avg_bruteforce():
+    import ray.data as rd
+
+    from vyntr_ray.stages.windows import time_weighted_avg
+
+    rng = np.random.Generator(np.random.PCG64(23))
+    n = 500
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype="int64"),
+        "user_id": rng.integers(0, 30, n).astype("int64"),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="s"),
+        "value": np.round(rng.uniform(-5, 5, n), 2),
+    })
+    got = (time_weighted_avg(rd.from_pandas(df).repartition(4), n_parts=5)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+
+    rows = []
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        vc = np.round(g["value"].to_numpy() * 100).astype("int64")
+        dt = (us[1:] - us[:-1]) // 1000
+        num, den = int((vc[:-1] * dt).sum()), int(dt.sum())
+        if den > 0:
+            rows.append((uid, num, den, round(num / den, 6)))
+    exp = pd.DataFrame(rows, columns=["user_id", "num_centi_ms",
+                                      "den_ms", "twa_6"])
+    pd.testing.assert_frame_equal(got, exp)

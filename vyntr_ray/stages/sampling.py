@@ -34,7 +34,7 @@ import pyarrow.compute as pc
 
 __all__ = ["hash_sample", "token_budget_sample", "weighted_mix",
            "stratified_sample", "pack_sequences", "token_budget_by_group",
-           "shuffle_export"]
+           "shuffle_export", "weighted_sample"]
 
 _WS_TOKEN = re.compile(r"\S+")
 
@@ -416,3 +416,49 @@ def shuffle_export(ds, out_dir: str, n_shards: int = 16,
     return (ds.map_batches(prep, batch_format="pyarrow")
             .groupby("shard").map_groups(write_shard,
                                          batch_format="pandas"))
+
+
+def weighted_sample(ds, k: int, key_col: str = "doc_id",
+                    weight_col: str = "n_chars"):
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis
+    & Spirakis 2006): each row gets key ``u ** (1 / w)`` with ``u`` a
+    seeded uniform derived from md5(key) (13 hex digits -> (0, 1], the
+    shuffle_export hex-cast contract), and the global top-k by key wins
+    — inclusion probability proportional to weight, reproducible at any
+    parallelism because nothing depends on row order.
+
+    Distributed as per-block top-k partials (each block ships only k
+    rows) + one driver merge — the group_topk shape with a single
+    group.  (numpy imported locally: this module is otherwise
+    arrow/hashlib-only.)  The selection key is float64 (libm ``pow`` on both engine
+    and oracle); the OUTPUT carries no floats, and adjacent order
+    statistics are separated far beyond pow's ulp differences, so the
+    selected set is stable (documented assumption, same class as the
+    pagerank micro-rounding).  Ties (identical keys) break by key_col
+    ascending.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[key_col].to_pylist()
+        hs = _md5_hex(ids)
+        u = (np.array([int(h[:13], 16) for h in hs], np.float64) + 1.0) \
+            / float(1 << 52)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        es = np.power(u, 1.0 / w)
+        df = pd.DataFrame({key_col: ids,
+                           weight_col: t[weight_col].to_numpy(
+                               zero_copy_only=False),
+                           "_es": es})
+        df = df.sort_values(["_es", key_col], ascending=[False, True],
+                            kind="mergesort").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    top = pd.DataFrame(
+        ds.map_batches(partial, batch_format="pyarrow").take_all())
+    top = (top.sort_values(["_es", key_col], ascending=[False, True],
+                           kind="mergesort").head(k)
+           .drop(columns="_es").reset_index(drop=True))
+    top[weight_col] = top[weight_col].astype("int64")
+    return top

@@ -26,7 +26,8 @@ from ..rounding import round_half_away
 
 __all__ = ["tumbling", "sliding", "sessionize", "rolling_sum", "lag_diff",
            "running_total", "group_ranks", "funnel", "retention",
-           "merge_intervals", "cumulative_distinct", "percentile_ranks"]
+           "merge_intervals", "cumulative_distinct", "percentile_ranks",
+           "time_weighted_avg"]
 
 _US = 1_000_000
 
@@ -465,6 +466,53 @@ def percentile_ranks(ds, key_col: str = "user_id",
             key_col: g[key_col].to_numpy(),
             "pr_6": round_half_away(pr, 6),
             "cd_6": round_half_away(cd, 6)})
+
+    return _by_part(ds, key_col, n_parts=n_parts).groupby("_part").map_groups(
+        lambda g: per_part(g.drop(columns="_part")), batch_format="pandas")
+
+
+def time_weighted_avg(ds, key_col: str = "user_id", ts_col: str = "ts",
+                      value_col: str = "value", id_col: str = "event_id",
+                      n_parts: int = 64):
+    """Time-weighted average value per key (TWAP): each observation
+    holds until the next one, weight = holding duration.
+
+    One hash-partition shuffle; per partition a vectorized sweep pairs
+    each event with its successor in (ts, id) order — the (ts, id)
+    tie-break makes LEAD deterministic on both sides.  All sufficient
+    statistics are EXACT int64 (value centi-scaled half-away, durations
+    in ms: centi x ms products stay well under 2^63 for year-scale
+    logs), and the final ratio is one IEEE division of identical
+    operands — round(..., 6) matches DuckDB bit-for-bit (the
+    qty_discount_corr contract).  Keys with a single event (no
+    duration) are dropped, as are zero-total-duration keys.  Returns
+    (key, num_centi_ms, den_ms, twa_6).
+    """
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        key = g[key_col].to_numpy()
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+        vc = round_half_away(
+            g[value_col].to_numpy(np.float64) * 100.0).astype("int64")
+        nxt_us = np.empty_like(us)
+        nxt_us[:-1] = us[1:]
+        nxt_us[-1] = 0
+        same = np.empty(len(key), dtype=bool)
+        same[:-1] = key[:-1] == key[1:]
+        same[-1] = False
+        dt_ms = np.where(same, (nxt_us - us) // 1000, 0)
+        agg = (pd.DataFrame({key_col: key,
+                             "num": vc * dt_ms, "den": dt_ms})
+               .groupby(key_col, as_index=False)[["num", "den"]].sum())
+        agg = agg[agg["den"] > 0]
+        num = agg["num"].to_numpy(np.float64)
+        den = agg["den"].to_numpy(np.float64)
+        return pd.DataFrame({
+            key_col: agg[key_col].to_numpy(),
+            "num_centi_ms": agg["num"].astype("int64").to_numpy(),
+            "den_ms": agg["den"].astype("int64").to_numpy(),
+            "twa_6": round_half_away(num / den, 6)})
 
     return _by_part(ds, key_col, n_parts=n_parts).groupby("_part").map_groups(
         lambda g: per_part(g.drop(columns="_part")), batch_format="pandas")

@@ -127,7 +127,12 @@ def bench_queries(repeats: int = 2) -> dict:
              "tpch_q19ish", "tpch_q22ish", "shuffle_export",
              "tpch_q8ish", "tpch_q9ish", "tpch_q11ish", "tpch_q12ish",
              "tpch_q15ish", "tpch_q20ish", "tpch_q21ish",
-             "anti_join_bloom"]
+             "anti_join_bloom",
+             "merge_intervals", "cumulative_distinct", "skyline_orders",
+             "group_regression", "unpivot_measures", "percentile_ranks",
+             "cube_counts", "table_profile", "fuzzy_dup_pairs",
+             "zonemap_export", "hits", "weighted_sample",
+             "time_weighted_avg"]
     qs = em.queries()
     out = {}
     for _ in range(max(1, repeats)):

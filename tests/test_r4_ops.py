@@ -393,3 +393,26 @@ def test_time_weighted_avg_bruteforce():
     exp = pd.DataFrame(rows, columns=["user_id", "num_centi_ms",
                                       "den_ms", "twa_6"])
     pd.testing.assert_frame_equal(got, exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_read_csv_tolerant_skips_bad_lines(tmp_path):
+    from vyntr_ray.sources.csvs import read_csv_tolerant
+
+    p = tmp_path / "t.csv"
+    p.write_text(
+        "doc_id,score,name\n"
+        "1,2.5,alpha\n"
+        "2,notafloat,beta\n"          # bad typed field -> skipped
+        "3,4.0\n"                      # wrong column count -> skipped
+        "4,,gamma\n"                   # empty typed field -> null
+        '5,1.5,"q, uoted"\n'           # RFC-4180 quoted comma
+        "garbage line\n"
+        "6,0.5,delta\n")
+    got = (read_csv_tolerant(str(tmp_path),
+                             {"doc_id": "int64", "score": "double",
+                              "name": "string"})
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == [1, 4, 5, 6]
+    assert got["name"].tolist() == ["alpha", "gamma", "q, uoted", "delta"]
+    assert pd.isna(got["score"].iloc[1])

@@ -157,3 +157,68 @@ def test_fresh_run_clears_stale_workdir_state(ray_session, small_pages_file,
     exp = exp.sort_values(["wave", "position"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(
         resumed.astype({"wave": "int64", "position": "int64"}), exp)
+
+
+class TestLogCompaction:
+    def test_compact_preserves_exact_restore(self, ray_session, tmp_path):
+        log = str(tmp_path / "clog")
+        s1 = ShardedSeenSet(4, log_dir=log)
+        for gen, tag in enumerate(["a", "b", "c", "d"]):
+            s1.check_and_add(_urls(tag, 40))
+            s1.flush_log(gen)
+        expect = s1.all_urls()
+        before = len(glob.glob(os.path.join(log, "*", "gen=*.parquet")))
+        assert before == 16                       # 4 gens x 4 shards
+
+        removed = s1.compact_log(upto_gen=3)
+        after = glob.glob(os.path.join(log, "*", "gen=*.parquet"))
+        assert removed == 12 and len(after) == 4  # one part per shard
+        # surviving part keeps the max generation name per shard
+        assert all(p.endswith("gen=000000003.parquet") for p in after)
+
+        s2 = ShardedSeenSet(4, log_dir=log)
+        assert s2.restore_from_log(upto_gen=3) == 160
+        assert s2.all_urls() == expect
+        assert not s2.check_and_add(_urls("c", 40)).any()
+
+    def test_compact_respects_upto_gen(self, ray_session, tmp_path):
+        log = str(tmp_path / "clog2")
+        s1 = ShardedSeenSet(2, log_dir=log)
+        for gen, tag in enumerate(["a", "b", "c"]):
+            s1.check_and_add(_urls(tag, 30))
+            s1.flush_log(gen)
+        # compact only gens 0-1; gen 2 (uncommitted wave) must survive
+        s1.compact_log(upto_gen=1)
+        names = sorted(os.path.basename(p) for p in
+                       glob.glob(os.path.join(log, "*", "gen=*.parquet")))
+        assert names == ["gen=000000001.parquet"] * 2 + \
+                        ["gen=000000002.parquet"] * 2
+        # a restore that excludes the lost wave sees exactly gens 0-1
+        s2 = ShardedSeenSet(2, log_dir=log)
+        assert s2.restore_from_log(upto_gen=1) == 60
+
+    def test_compact_crash_window_duplicates_harmless(self, ray_session,
+                                                      tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        # simulate a crash after the merged replace but before deletes:
+        # the merged max-gen part coexists with an already-merged part
+        log = str(tmp_path / "clog3")
+        s1 = ShardedSeenSet(1, log_dir=log)
+        s1.check_and_add(_urls("a", 20)); s1.flush_log(0)
+        s1.check_and_add(_urls("b", 20)); s1.flush_log(1)
+        shard_dir = glob.glob(os.path.join(log, "*"))[0]
+        all_urls = set()
+        for p in glob.glob(os.path.join(shard_dir, "gen=*.parquet")):
+            all_urls.update(pq.read_table(p)["url"].to_pylist())
+        pq.write_table(pa.table({"url": pa.array(sorted(all_urls))}),
+                       os.path.join(shard_dir, "gen=000000001.parquet"))
+        # gen=0 still present -> urls duplicated across parts
+        s2 = ShardedSeenSet(1, log_dir=log)
+        assert s2.restore_from_log(upto_gen=1) == 40
+        assert not s2.check_and_add(_urls("a", 20)).any()
+        # a later compact converges to one part
+        s2.compact_log(upto_gen=1)
+        assert len(glob.glob(os.path.join(shard_dir,
+                                          "gen=*.parquet"))) == 1

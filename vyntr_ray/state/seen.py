@@ -169,6 +169,47 @@ class SeenShard:
         self._pending_log = []
         return n
 
+    def compact_log(self, upto_gen: int) -> int:
+        """Merge every log part with gen <= ``upto_gen`` into ONE part —
+        bounds restore cost after long runs (a 10^10-URL crawl flushes
+        one part per wave per shard; restore stays O(history/n_shards)
+        in bytes but the per-FILE open cost grows without bound).
+
+        The merged part keeps the LARGEST merged generation as its
+        name, so ``restore_from_log``'s gen <= upto_gen filter is
+        unchanged by compaction.  Crash-safe in both windows: the merge
+        writes tmp + atomic-replace onto the max-gen part first (a
+        crash before the replace leaves the old parts intact; after it,
+        the merged part is complete), THEN deletes the subsumed parts
+        (a crash mid-delete leaves duplicate urls across parts —
+        harmless, restore unions into a set).  Returns the number of
+        parts removed.
+        """
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        if self.log_dir is None:
+            raise RuntimeError("seen log not configured (log_dir=None)")
+        if not os.path.isdir(self.log_dir):
+            return 0
+        parts = sorted(
+            name for name in os.listdir(self.log_dir)
+            if name.startswith("gen=") and name.endswith(".parquet")
+            and int(name[4:-8]) <= upto_gen)
+        if len(parts) < 2:
+            return 0
+        urls: set[str] = set()
+        for name in parts:
+            urls.update(pq.read_table(
+                os.path.join(self.log_dir, name))["url"].to_pylist())
+        target = os.path.join(self.log_dir, parts[-1])
+        tmp = f"{target}.tmp-{os.getpid()}"
+        pq.write_table(
+            pa.table({"url": pa.array(sorted(urls), pa.string())}), tmp)
+        os.replace(tmp, target)
+        for name in parts[:-1]:
+            os.remove(os.path.join(self.log_dir, name))
+        return len(parts) - 1
+
     def restore_from_log(self, upto_gen: int,
                          cuckoo_blob: bytes | None = None) -> int:
         """Rebuild the exact tier from this shard's own log partition.
@@ -269,6 +310,12 @@ class ShardedSeenSet:
     def flush_log(self, gen: int) -> int:
         import ray
         return sum(ray.get([s.flush_log.remote(gen) for s in self.shards]))
+
+    def compact_log(self, upto_gen: int) -> int:
+        """Each shard compacts its own log partition in parallel."""
+        import ray
+        return sum(ray.get([s.compact_log.remote(upto_gen)
+                            for s in self.shards]))
 
     def restore_from_log(self, upto_gen: int,
                          cuckoo_blobs: list[bytes] | None = None) -> int:

@@ -222,3 +222,26 @@ class TestLogCompaction:
         s2.compact_log(upto_gen=1)
         assert len(glob.glob(os.path.join(shard_dir,
                                           "gen=*.parquet"))) == 1
+
+    def test_compacted_run_resumes_identically(self, ray_session,
+                                               small_pages_file,
+                                               small_pages, tmp_path):
+        # compaction mid-run + resume after it must reproduce the exact
+        # uninterrupted schedule (membership is untouched by merging)
+        pages_path, seeds = small_pages_file
+        sim = _sim_result(small_pages)
+        cut = sum(1 for (wv, _p, _u, _s) in sim.schedule if wv < 2)
+        w = str(tmp_path / "run")
+        run_crawl(pages_path, seeds, w, max_pages=cut, seed=42, n_shards=4,
+                  compact_seen_every=1)
+        parts = glob.glob(os.path.join(w, "seen_log", "shard=*",
+                                       "gen=*.parquet"))
+        assert len(parts) == 4              # every wave compacted to one
+        run_crawl(pages_path, seeds, w, max_pages=BUDGET, seed=42,
+                  n_shards=4, resume=True)
+        resumed = _read_schedule(w)
+        exp = pd.DataFrame(sim.schedule,
+                           columns=["wave", "position", "url", "status"])
+        exp = exp.sort_values(["wave", "position"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            resumed.astype({"wave": "int64", "position": "int64"}), exp)

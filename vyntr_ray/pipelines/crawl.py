@@ -575,7 +575,8 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
               domain_caps: dict | None = None,
               fetch_ladder=None,
               frontier_actors: int | None = None,
-              preload_fused: bool = True) -> CrawlStats:
+              preload_fused: bool = True,
+              compact_seen_every: int | None = None) -> CrawlStats:
     """Crawl ``pages_path`` (parquet file or bucketed store) from ``seeds``.
 
     ``preload_pages=True`` materializes the (url, html) columns into the
@@ -1102,6 +1103,13 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
                                   seen_delta_files=pending_delta_files)
                 pending_delta = []
                 pending_delta_files = []
+                if (compact_seen_every and seen.log_dir is not None
+                        and (wave + 1) % compact_seen_every == 0):
+                    # AFTER the manifest rename: the merged part keeps
+                    # the max merged generation <= this manifest's wave,
+                    # so any restore that targets it (or later) is
+                    # unchanged; membership is identical by test
+                    seen.compact_log(wave)
             stats.waves = wave + 1
             wave += 1
 

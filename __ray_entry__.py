@@ -357,10 +357,10 @@ def _q_ngram_counts(sf_dir: str):
         return pa.table({"gram": pa.array(list(c.keys()), pa.string()),
                          "cnt": pa.array(list(c.values()), pa.int64())})
 
-    out = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby("gram").sum("cnt")
-           .map_batches(lambda t: t.rename_columns(["gram", "cnt"]),
-                        batch_format="pyarrow"))
+    from vyntr_ray.stages.dataset_tools import group_sum
+    # ~10^5 distinct grams: data-scaled string key -> many-groups rule
+    out = group_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                    "gram", ["cnt"], n_parts=16)
     return out.sort(["cnt", "gram"], descending=[True, False]).limit(100)
 
 
@@ -447,8 +447,9 @@ def _q_tpch_q3ish(sf_dir: str):
     r = li.map_batches(rev, batch_format="pyarrow")
     joined = r.join(o, join_type="inner", num_partitions=8,
                     on=("l_orderkey",), right_on=("o_orderkey",))
-    agg = joined.groupby("l_orderkey").aggregate(
-        Sum("rev_dmilli", alias_name="revenue_dmilli"))
+    from vyntr_ray.stages.dataset_tools import group_sum
+    agg = group_sum(joined, "l_orderkey", ["rev_dmilli"], n_parts=16,
+                    rename={"rev_dmilli": "revenue_dmilli"})
     return agg.sort(["revenue_dmilli", "l_orderkey"],
                     descending=[True, False]).limit(10)
 
@@ -817,11 +818,13 @@ def _q_tpch_q13ish(sf_dir: str):
             "n_orders": pa.array([0] * n, pa.int64()),
             "is_cust": pa.array([1] * n, pa.int64())})
 
-    merged = (orders.map_batches(opart, batch_format="pyarrow")
-              .union(cust.map_batches(cpart, batch_format="pyarrow"))
-              .groupby("c_custkey")
-              .aggregate(Sum("n_orders", alias_name="c_count"),
-                         Sum("is_cust", alias_name="is_cust")))
+    from vyntr_ray.stages.dataset_tools import group_sum
+    # custkey is data-scaled (15k/SF0.1) -> many-groups rule
+    merged = group_sum(
+        orders.map_batches(opart, batch_format="pyarrow")
+        .union(cust.map_batches(cpart, batch_format="pyarrow")),
+        "c_custkey", ["n_orders", "is_cust"], n_parts=16,
+        rename={"n_orders": "c_count"})
     per_cust = merged.map_batches(
         lambda t: t.filter(pc.greater_equal(t["is_cust"],
                                             pa.scalar(1, pa.int64())))
@@ -1216,9 +1219,11 @@ def _q_tpch_q18ish(sf_dir: str):
             "qty_centi": pc.cast(_round_ha(pc.multiply(
                 t["l_quantity"], pa.scalar(100.0))), pa.int64())})
 
-    agg = (li.map_batches(centi, batch_format="pyarrow")
-           .groupby("l_orderkey")
-           .aggregate(Sum("qty_centi", alias_name="sum_qty_centi")))
+    from vyntr_ray.stages.dataset_tools import group_sum
+    # ~15k orderkeys/SF0.1: data-scaled key -> many-groups rule
+    agg = group_sum(li.map_batches(centi, batch_format="pyarrow"),
+                    "l_orderkey", ["qty_centi"], n_parts=16,
+                    rename={"qty_centi": "sum_qty_centi"})
     qual = agg.map_batches(
         lambda t: t.filter(pc.greater(t["sum_qty_centi"],
                                       pa.scalar(15_000, pa.int64()))),
@@ -2453,8 +2458,11 @@ def _q_tpch_q10ish(sf_dir: str):
         types={"l_orderkey": pa.int64(), "o_orderkey": pa.int64(),
                "rev_dmilli": pa.int64(), "o_custkey": pa.int64()})
 
-    custrev = j.groupby("o_custkey").aggregate(
-        Sum("rev_dmilli", alias_name="revenue_dmilli"))
+    from vyntr_ray.stages.dataset_tools import group_sum
+    # ~8k active custkeys: data-scaled key -> many-groups rule, never a
+    # generic Aggregate (group_sum: combiner + ONE hash partition)
+    custrev = group_sum(j, "o_custkey", ["rev_dmilli"], n_parts=16,
+                        rename={"rev_dmilli": "revenue_dmilli"})
 
     cust = _read(sf_dir, "customer",
                  columns=["c_custkey", "c_name", "c_nationkey"])

@@ -19,7 +19,8 @@ import pyarrow.compute as pc
 __all__ = ["topk_largest", "remove_largest", "group_quantiles",
            "group_quantiles_cont", "group_topk", "group_quantiles_approx",
            "pivot_counts", "rollup_counts", "distinct_rows", "group_mode",
-           "histogram_fixed", "skyline", "cube_counts", "table_profile"]
+           "histogram_fixed", "skyline", "cube_counts", "table_profile",
+           "group_sum"]
 
 
 def topk_largest(ds, k: int = 100, length_col: str = "n_chars",
@@ -528,3 +529,36 @@ def table_profile(ds, cols: list, n_parts: int = 64):
     for c in ["n", "n_null", "n_distinct"]:
         out[c] = out[c].astype("int64")
     return out.sort_values("column").reset_index(drop=True)
+
+
+def group_sum(ds, key_col: str, cols: list, n_parts: int = 16,
+              rename: dict | None = None):
+    """Keyed int64 sums for DATA-SCALED keys — the many-groups rule
+    applied to SUM: Ray's generic Aggregate costs by GROUP COUNT (PERF
+    r3: 1.7k string-key groups ~30 s; 8k int keys measured ~4 s where
+    this shape takes ~1 s), so instead each block pre-aggregates its own
+    (key, sums) partials (combiner: shuffle carries keys-per-block rows,
+    never input rows), ONE md5 hash-partition shuffle co-locates keys,
+    and a vectorized pandas groupby folds each partition.  For
+    CONSTANT-bounded key domains prefer the zero-shuffle driver fold
+    (__ray_entry__._sum_keyed_partials)."""
+    import pandas as pd
+
+    from vyntr_ray.stages.windows import _by_part
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(key_col, as_index=False)[cols].sum()
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(key_col, as_index=False)[cols].sum()
+        for c in cols:
+            out[c] = out[c].astype("int64")
+        if rename:
+            out = out.rename(columns=rename)
+        return out
+
+    return (_by_part(ds.map_batches(partial, batch_format="pandas"),
+                     key_col, n_parts=n_parts)
+            .groupby("_part")
+            .map_groups(lambda g: fold(g.drop(columns="_part")),
+                        batch_format="pandas"))

@@ -42,6 +42,9 @@ def main() -> None:
     ap.add_argument("--all-features", action="store_true",
                     help="distributed select + checkpoints + low link "
                          "threshold (distributed link dedup)")
+    ap.add_argument("--compact-every", type=int, default=None,
+                    help="compact each seen-log shard every N waves "
+                         "(run_crawl compact_seen_every)")
     ap.add_argument("--disk", action="store_true",
                     help="disk-resident fetch (pruned parquet lookup "
                          "join) instead of object-store preload — the "
@@ -92,7 +95,8 @@ def main() -> None:
                       frontier_buckets=args.buckets,
                       frontier_mem_rows=args.mem_rows,
                       frontier_hot_rows=args.hot_rows,
-                      frontier_actors=args.frontier_actors, **feat)
+                      frontier_actors=args.frontier_actors,
+                      compact_seen_every=args.compact_every, **feat)
     dt = time.perf_counter() - t0
     # driver-process PEAK RSS over the whole crawl — the flat-driver-RSS
     # evidence for the actor-frontier tier (link feedback + frontier state
@@ -114,6 +118,7 @@ def main() -> None:
         "spill_buckets": len(spill_dirs),
         "hot_host_splits": len(host_splits),
         "frontier_actors": args.frontier_actors,
+        "compact_every": args.compact_every,
         "driver_rss_before_mb": round(rss_before_mb, 1),
         "driver_rss_peak_mb": round(rss_peak_mb, 1),
     }))

@@ -3596,6 +3596,17 @@ def _q_time_weighted_avg(sf_dir: str):
     return time_weighted_avg(ds)
 
 
+def _q_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((lang), (source)) over documents — the
+    explicit-set sibling of rollup/cube, same single fine-level pass
+    (stages/dataset_tools.py:grouping_sets)."""
+    from vyntr_ray.stages.dataset_tools import grouping_sets
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+    return grouping_sets(ds, "lang", "source", "n_chars",
+                         sets=((0,), (1,)))
+
+
 def _q_percentile_ranks(sf_dir: str):
     """PERCENT_RANK + CUME_DIST per user over value DESC (relative-rank
     windows; stages/windows.py:percentile_ranks).  Both sides divide
@@ -3674,6 +3685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot_measures": _q_unpivot_measures,
         "percentile_ranks": _q_percentile_ranks,
         "cube_counts": _q_cube_counts,
+        "grouping_sets": _q_grouping_sets,
         "table_profile": _q_table_profile,
         "fuzzy_dup_pairs": _q_fuzzy_dup_pairs,
         "zonemap_export": _q_zonemap_export,
@@ -4175,6 +4187,12 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(source, 'ALL') AS source,
                    count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS total
             FROM documents GROUP BY CUBE(lang, source)
+        """,
+        "grouping_sets": """
+            SELECT coalesce(lang, 'ALL') AS lang,
+                   coalesce(source, 'ALL') AS source,
+                   count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS total
+            FROM documents GROUP BY GROUPING SETS ((lang), (source))
         """,
         "table_profile": """
             SELECT 'o_custkey' AS "column", count(*)::BIGINT AS n,

@@ -131,7 +131,7 @@ def bench_queries(repeats: int = 2) -> dict:
              "merge_intervals", "cumulative_distinct", "skyline_orders",
              "group_regression", "unpivot_measures", "percentile_ranks",
              "cube_counts", "table_profile", "fuzzy_dup_pairs",
-             "zonemap_export", "hits", "weighted_sample",
+             "zonemap_export", "hits", "weighted_sample", "grouping_sets",
              "time_weighted_avg"]
     qs = em.queries()
     out = {}

@@ -416,3 +416,28 @@ def test_read_csv_tolerant_skips_bad_lines(tmp_path):
     assert got["doc_id"].tolist() == [1, 4, 5, 6]
     assert got["name"].tolist() == ["alpha", "gamma", "q, uoted", "delta"]
     assert pd.isna(got["score"].iloc[1])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouping_sets_matches_per_set_groupbys():
+    import ray.data as rd
+
+    from vyntr_ray.stages.dataset_tools import grouping_sets
+
+    rng = np.random.Generator(np.random.PCG64(31))
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y"], 200),
+        "b": rng.choice(["p", "q", "r"], 200),
+        "v": rng.integers(0, 9, 200),
+    })
+    got = grouping_sets(rd.from_pandas(df).repartition(3), "a", "b", "v",
+                        sets=((0, 1), (1,), ()))
+    fine = got[(got["a"] != "ALL") & (got["b"] != "ALL")]
+    assert len(fine) == df.groupby(["a", "b"]).ngroups
+    by_b = got[(got["a"] == "ALL") & (got["b"] != "ALL")]
+    exp_b = df.groupby("b")["v"].agg(["size", "sum"])
+    for _, r in by_b.iterrows():
+        assert r["n"] == exp_b.loc[r["b"], "size"]
+        assert r["total"] == exp_b.loc[r["b"], "sum"]
+    tot = got[(got["a"] == "ALL") & (got["b"] == "ALL")]
+    assert len(tot) == 1 and tot["n"].iloc[0] == 200

@@ -20,7 +20,7 @@ __all__ = ["topk_largest", "remove_largest", "group_quantiles",
            "group_quantiles_cont", "group_topk", "group_quantiles_approx",
            "pivot_counts", "rollup_counts", "distinct_rows", "group_mode",
            "histogram_fixed", "skyline", "cube_counts", "table_profile",
-           "group_sum"]
+           "group_sum", "grouping_sets"]
 
 
 def topk_largest(ds, k: int = 100, length_col: str = "n_chars",
@@ -562,3 +562,45 @@ def group_sum(ds, key_col: str, cols: list, n_parts: int = 16,
             .groupby("_part")
             .map_groups(lambda g: fold(g.drop(columns="_part")),
                         batch_format="pandas"))
+
+
+def grouping_sets(ds, col1: str, col2: str, value_col: str,
+                  sets: tuple = ((0, 1), (0,), (1,), ()),
+                  all_label: str = "ALL"):
+    """GROUP BY GROUPING SETS over (col1, col2): any subset lattice —
+    :func:`rollup_counts` and :func:`cube_counts` are the two standard
+    instances; this generalizes to an explicit set list (each set names
+    the kept column positions).  Same single-distributed-pass contract:
+    the fine level is computed once (bounded by the category-cardinality
+    product) and every requested set derives from it on the driver."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby([col1, col2], as_index=False, dropna=False)
+                .agg(n=(value_col, "size"), total=(value_col, "sum")))
+
+    fine = (ds.map_batches(partial, batch_format="pandas")
+            .groupby([col1, col2])
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("total", alias_name="total"))
+            .to_pandas())
+    out_parts = []
+    for kept in sets:
+        keep_cols = [c for i, c in enumerate((col1, col2)) if i in kept]
+        if keep_cols:
+            lvl = (fine.groupby(keep_cols, as_index=False, dropna=False)[
+                ["n", "total"]].sum())
+        else:
+            lvl = pd.DataFrame({"n": [fine["n"].sum()],
+                                "total": [fine["total"].sum()]})
+        for c in (col1, col2):
+            if c not in lvl.columns:
+                lvl[c] = all_label
+        out_parts.append(lvl[[col1, col2, "n", "total"]])
+    out = pd.concat(out_parts, ignore_index=True)
+    out[col1] = out[col1].fillna(all_label)
+    out[col2] = out[col2].fillna(all_label)
+    out["n"] = out["n"].astype("int64")
+    out["total"] = out["total"].astype("int64")
+    return out

@@ -441,3 +441,19 @@ def test_grouping_sets_matches_per_set_groupbys():
         assert r["total"] == exp_b.loc[r["b"], "sum"]
     tot = got[(got["a"] == "ALL") & (got["b"] == "ALL")]
     assert len(tot) == 1 and tot["n"].iloc[0] == 200
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_skyline_front_cap_guard():
+    import ray.data as rd
+
+    from vyntr_ray.stages.dataset_tools import skyline
+
+    # maximize x / minimize y with y rising in x: every point is on
+    # the front (higher x always costs higher y)
+    n = 300
+    df = pd.DataFrame({"x": np.arange(n, dtype="int64"),
+                       "y": np.arange(n, dtype="int64")})
+    with pytest.raises(ValueError, match="front_cap"):
+        skyline(rd.from_pandas(df).repartition(3), "x", "y",
+                front_cap=100)

@@ -385,7 +385,7 @@ def _sky_local(df, x_col: str, y_col: str):
     return df[keep]
 
 
-def skyline(ds, x_col: str, y_col: str):
+def skyline(ds, x_col: str, y_col: str, front_cap: int = 2_000_000):
     """2-D Pareto front (skyline): rows with no strict dominator when
     maximizing ``x_col`` and minimizing ``y_col`` (both int64).
 
@@ -405,6 +405,14 @@ def skyline(ds, x_col: str, y_col: str):
 
     locs = pd.DataFrame(
         ds.map_batches(partial, batch_format="pandas").take_all())
+    if len(locs) > front_cap:
+        # fully anticorrelated data: the front IS the input; raise
+        # loudly instead of silently OOMing the driver (the q18ish
+        # size-guard discipline)
+        raise ValueError(
+            f"skyline: union of local fronts has {len(locs)} rows "
+            f"(> front_cap={front_cap}); the Pareto front itself is "
+            "input-sized — this operator's driver fold does not apply")
     if locs.empty:
         return pd.DataFrame({x_col: pd.array([], dtype="int64"),
                              y_col: pd.array([], dtype="int64"),

@@ -295,7 +295,8 @@ def pivot_counts(ds, key_col: str, cat_col: str,
             .aggregate(*[Sum(name, alias_name=name) for name in cols]))
 
 
-def group_mode(ds, group_col: str, value_col: str):
+def group_mode(ds, group_col: str, value_col: str,
+               fold_cap: int = 2_000_000):
     """Most frequent value per group, ties broken by the SMALLEST value
     (a total order, so partial + fold = exact).
 
@@ -315,6 +316,11 @@ def group_mode(ds, group_col: str, value_col: str):
 
     parts = pd.DataFrame(
         ds.map_batches(partial, batch_format="pandas").take_all())
+    if len(parts) > fold_cap:
+        raise ValueError(
+            f"group_mode: {len(parts)} partial rows (> fold_cap="
+            f"{fold_cap}) — value column is data-scaled; this operator "
+            "requires bounded category cardinality (see docstring)")
     tot = parts.groupby([group_col, value_col], as_index=False)["n"].sum()
     tot = tot.sort_values([group_col, "n", value_col],
                           ascending=[True, False, True], kind="mergesort")
@@ -326,7 +332,7 @@ def group_mode(ds, group_col: str, value_col: str):
 
 
 def histogram_fixed(ds, value_col: str, width_centi: int,
-                    scale: int = 100):
+                    scale: int = 100, fold_cap: int = 2_000_000):
     """Fixed-width histogram over integer-scaled values — zero shuffle,
     the q6ish litmus shape: each block emits one partial row per
     OCCUPIED bin (bounded by value-range/width, never by rows), the
@@ -349,6 +355,11 @@ def histogram_fixed(ds, value_col: str, width_centi: int,
 
     parts = pd.DataFrame(
         ds.map_batches(partial, batch_format="pandas").take_all())
+    if len(parts) > fold_cap:
+        raise ValueError(
+            f"histogram_fixed: {len(parts)} partial rows (> fold_cap="
+            f"{fold_cap}) — widen width_centi (bins must be bounded by "
+            "range/width, not rows)")
     g = (parts.groupby("bin", as_index=False)[["n", "sum_centi"]].sum()
          .sort_values("bin").reset_index(drop=True))
     g["bin"] = g["bin"].astype("int64")

@@ -3596,6 +3596,59 @@ def _q_time_weighted_avg(sf_dir: str):
     return time_weighted_avg(ds)
 
 
+def _q_left_join_returns(sf_dir: str):
+    """Generic distributed LEFT OUTER join (stages/joins.py:hash_join
+    how="left", sentinel fill — asof-left convention): orders against
+    per-order R-flag return revenue, then per-priority counts.  Orders
+    with no returns survive with ret_dmilli = 0; fills (not nulls)
+    enter the aggregate, mirrored by coalesce in the oracle."""
+    import pyarrow.compute as pc
+
+    from vyntr_ray.stages.dataset_tools import group_sum
+    from vyntr_ray.stages.joins import hash_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                        "l_discount"])
+
+    def rrev(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        rev = pc.cast(_round_ha(pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(10_000.0))), pa.int64())
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "ret_dmilli": rev})
+
+    per_order = group_sum(li.map_batches(rrev, batch_format="pyarrow"),
+                          "l_orderkey", ["ret_dmilli"], n_parts=16)
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"])
+    j = hash_join(
+        orders, per_order, key_col="o_orderkey",
+        left_payload=["o_orderpriority"], right_payload=["ret_dmilli"],
+        right_key_col="l_orderkey", n_parts=16, how="left",
+        fill={"ret_dmilli": 0},
+        types={"o_orderkey": pa.int64(), "l_orderkey": pa.int64(),
+               "o_orderpriority": pa.string(), "ret_dmilli": pa.int64()})
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "o_orderpriority": t["o_orderpriority"].to_pylist(),
+            "n_orders": 1,
+            "n_with_returns": pc.cast(
+                pc.not_equal(t["ret_dmilli"], pa.scalar(0, pa.int64())),
+                pa.int64()).to_numpy(zero_copy_only=False),
+            "ret_dmilli": t["ret_dmilli"].to_numpy(zero_copy_only=False)})
+        return df.groupby("o_orderpriority", as_index=False).sum()
+
+    return _sum_keyed_partials(
+        j.map_batches(partial, batch_format="pyarrow"),
+        ["o_orderpriority"], ["n_orders", "n_with_returns", "ret_dmilli"])
+
+
 def _q_grouping_sets(sf_dir: str):
     """GROUP BY GROUPING SETS ((lang), (source)) over documents — the
     explicit-set sibling of rollup/cube, same single fine-level pass
@@ -3686,6 +3739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentile_ranks": _q_percentile_ranks,
         "cube_counts": _q_cube_counts,
         "grouping_sets": _q_grouping_sets,
+        "left_join_returns": _q_left_join_returns,
         "table_profile": _q_table_profile,
         "fuzzy_dup_pairs": _q_fuzzy_dup_pairs,
         "zonemap_export": _q_zonemap_export,
@@ -4187,6 +4241,20 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(source, 'ALL') AS source,
                    count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS total
             FROM documents GROUP BY CUBE(lang, source)
+        """,
+        "left_join_returns": """
+            WITH r AS (SELECT l_orderkey,
+                              sum(round(l_extendedprice
+                                        * (1 - l_discount)
+                                        * 10000)::BIGINT)::BIGINT AS ret
+                       FROM lineitem WHERE l_returnflag = 'R'
+                       GROUP BY l_orderkey)
+            SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+                   sum(CASE WHEN coalesce(r.ret, 0) <> 0
+                            THEN 1 ELSE 0 END)::BIGINT AS n_with_returns,
+                   sum(coalesce(r.ret, 0))::BIGINT AS ret_dmilli
+            FROM orders o LEFT JOIN r ON o.o_orderkey = r.l_orderkey
+            GROUP BY o_orderpriority
         """,
         "grouping_sets": """
             SELECT coalesce(lang, 'ALL') AS lang,

@@ -457,3 +457,45 @@ def test_skyline_front_cap_guard():
     with pytest.raises(ValueError, match="front_cap"):
         skyline(rd.from_pandas(df).repartition(3), "x", "y",
                 front_cap=100)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_join_left_matches_pandas():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vyntr_ray.stages.joins import hash_join
+
+    rng = np.random.Generator(np.random.PCG64(41))
+    left = pd.DataFrame({"k": rng.integers(0, 50, 300).astype("int64"),
+                         "lv": np.arange(300, dtype="int64")})
+    # right covers only some keys; some keys have multiple rows
+    right = pd.DataFrame({"k": rng.integers(0, 25, 60).astype("int64"),
+                          "rv": rng.integers(1, 9, 60).astype("int64")})
+    got = (hash_join(rd.from_pandas(left).repartition(4),
+                     rd.from_pandas(right).repartition(3),
+                     key_col="k", left_payload=["lv"],
+                     right_payload=["rv"], n_parts=5, how="left",
+                     fill={"rv": -1},
+                     types={"k": pa.int64(), "lv": pa.int64(),
+                            "rv": pa.int64()})
+           .to_pandas().sort_values(["k", "lv", "rv"])
+           .reset_index(drop=True))
+    exp = left.merge(right, on="k", how="left")
+    exp["rv"] = exp["rv"].fillna(-1).astype("int64")
+    exp = exp.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    assert (got["rv"] == -1).any()          # unmatched rows survived
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_join_left_requires_fill():
+    import ray.data as rd
+
+    from vyntr_ray.stages.joins import hash_join
+
+    df = pd.DataFrame({"k": [1], "v": [2]})
+    with pytest.raises(ValueError, match="fill"):
+        hash_join(rd.from_pandas(df), rd.from_pandas(df),
+                  key_col="k", left_payload=["v"], right_payload=[],
+                  how="left")

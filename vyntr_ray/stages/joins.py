@@ -273,7 +273,8 @@ def range_count_join(left_ds, right_ds, key_col: str, ts_col: str,
 def hash_join(left_ds, right_ds, key_col: str,
               left_payload: list[str], right_payload: list[str],
               right_key_col: str | None = None, n_parts: int = 64,
-              types: dict | None = None):
+              types: dict | None = None, how: str = "inner",
+              fill: dict | None = None):
     """Inner equi-join as tagged union + ONE hash-partition groupby +
     a vectorized pandas merge per partition.
 
@@ -296,7 +297,19 @@ def hash_join(left_ds, right_ds, key_col: str,
     the ``.schema()`` probes are SKIPPED — on a lazy map chain a schema
     probe can execute the whole upstream pipeline once just to learn
     types the caller already knows statically.
+
+    ``how="left"`` keeps unmatched left rows with ``fill`` values (one
+    per right payload column, REQUIRED) substituted for the missing
+    right side — the asof_join(how="left") sentinel convention, so
+    nulls never enter a driver value hash and int columns stay int64
+    through pandas (a NaN would float-cast them).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"hash_join: how={how!r} not supported")
+    if how == "left" and (fill is None
+                          or set(fill) != set(right_payload)):
+        raise ValueError("hash_join(how='left') requires fill= with one "
+                         "sentinel per right payload column")
     rkey = right_key_col or key_col
     if types is not None:
         l_types = {key_col: types[key_col],
@@ -352,14 +365,23 @@ def hash_join(left_ds, right_ds, key_col: str,
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         left = g[g["side"] == 1]
         right = g[g["side"] == 0]
-        if left.empty or right.empty:
+        if left.empty or (right.empty and how == "inner"):
             return pd.DataFrame({c: pd.Series(dtype=out_dtypes[c])
                                  for c in out_cols})
-        merged = pd.merge(left[[key_col] + left_payload],
-                          right[[key_col] + right_payload],
-                          on=key_col, how="inner")
+        if right.empty:                      # how == "left": all unmatched
+            merged = left[[key_col] + left_payload].copy()
+            for c in right_payload:
+                merged[c] = fill[c]
+        else:
+            merged = pd.merge(left[[key_col] + left_payload],
+                              right[[key_col] + right_payload],
+                              on=key_col, how=how)
+            if how == "left":
+                for c in right_payload:
+                    merged[c] = merged[c].fillna(fill[c])
         # tagged-union nulls upcast ints to float in the pandas frame;
-        # inner-join output has no nulls, so the cast back is exact
+        # inner output has no nulls and left output is sentinel-filled,
+        # so the cast back is exact either way
         for c in out_cols:
             merged[c] = merged[c].astype(out_dtypes[c])
         return merged[out_cols]

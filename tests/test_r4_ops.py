@@ -499,3 +499,30 @@ def test_hash_join_left_requires_fill():
         hash_join(rd.from_pandas(df), rd.from_pandas(df),
                   key_col="k", left_payload=["v"], right_payload=[],
                   how="left")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semi_join_matches_pandas_exists():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vyntr_ray.stages.joins import anti_join, semi_join
+
+    rng = np.random.Generator(np.random.PCG64(43))
+    left = pd.DataFrame({"k": rng.integers(0, 40, 200).astype("int64"),
+                         "v": np.arange(200, dtype="int64")})
+    right = pd.DataFrame({"k": rng.integers(0, 20, 70).astype("int64")})
+    kw = dict(key_col="k", left_payload=["v"], n_parts=4,
+              types={"k": pa.int64(), "v": pa.int64()})
+    semi = (semi_join(rd.from_pandas(left).repartition(3),
+                      rd.from_pandas(right).repartition(2), **kw)
+            .to_pandas().sort_values("v").reset_index(drop=True))
+    anti = (anti_join(rd.from_pandas(left).repartition(3),
+                      rd.from_pandas(right).repartition(2), **kw)
+            .to_pandas().sort_values("v").reset_index(drop=True))
+    exp = (left[left["k"].isin(set(right["k"]))]
+           .sort_values("v").reset_index(drop=True))
+    pd.testing.assert_frame_equal(semi, exp)
+    # semi + anti partition the left exactly (no dup, no loss)
+    assert len(semi) + len(anti) == len(left)
+    assert len(semi) == left["k"].isin(set(right["k"])).sum()

@@ -28,7 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["asof_join", "range_count_join", "hash_join", "anti_join",
-           "bloom_anti_join"]
+           "semi_join", "bloom_anti_join"]
 
 
 def _pa_type(t) -> pa.DataType:
@@ -393,7 +393,7 @@ def hash_join(left_ds, right_ds, key_col: str,
 def anti_join(left_ds, right_ds, key_col: str,
               left_payload: list[str],
               right_key_col: str | None = None, n_parts: int = 64,
-              types: dict | None = None):
+              types: dict | None = None, _keep_matches: bool = False):
     """LEFT ANTI equi-join (``WHERE NOT EXISTS (… right.key = left.key)``)
     as the same tagged-union + ONE hash-partition shuffle as
     :func:`hash_join` — both sides route by the same ``_part_col`` hash,
@@ -459,7 +459,8 @@ def anti_join(left_ds, right_ds, key_col: str,
             return pd.DataFrame({c: pd.Series(dtype=out_dtypes[c])
                                  for c in out_cols})
         right_keys = g.loc[g["side"] == 0, key_col]
-        out = left[~left[key_col].isin(right_keys)]
+        m = left[key_col].isin(right_keys)
+        out = left[m if _keep_matches else ~m]
         out = out[out_cols].copy()
         for c in out_cols:
             out[c] = out[c].astype(out_dtypes[c])
@@ -467,6 +468,21 @@ def anti_join(left_ds, right_ds, key_col: str,
 
     both = l_tag.union(r_tag)
     return both.groupby("part").map_groups(keep, batch_format="pandas")
+
+
+def semi_join(left_ds, right_ds, key_col: str,
+              left_payload: list[str],
+              right_key_col: str | None = None, n_parts: int = 64,
+              types: dict | None = None):
+    """LEFT SEMI equi-join (``WHERE EXISTS (… right.key = left.key)``) —
+    :func:`anti_join` with the membership test kept instead of
+    inverted: same tagged union, same ONE hash-partition shuffle, same
+    distributed-both-sides contract (use the broadcast filter J4 shape
+    when the right side is genuinely small).  Left rows are never
+    duplicated by multiple right matches (EXISTS, not a join)."""
+    return anti_join(left_ds, right_ds, key_col, left_payload,
+                     right_key_col=right_key_col, n_parts=n_parts,
+                     types=types, _keep_matches=True)
 
 
 def _bloom_positions(arr: pa.Array, m_bits: int, k: int):

@@ -3596,6 +3596,42 @@ def _q_time_weighted_avg(sf_dir: str):
     return time_weighted_avg(ds)
 
 
+def _q_daily_reconcile(sf_dir: str):
+    """FULL OUTER join (stages/joins.py:hash_join how="full"): per-day
+    event counts against per-day order counts — days alive on only one
+    side survive with the other side's count filled to 0 (sentinels,
+    never nulls, on both sides)."""
+    import pyarrow.compute as pc
+
+    from vyntr_ray.stages.dataset_tools import group_sum
+    from vyntr_ray.stages.joins import hash_join
+
+    day_us = 86_400_000_000
+
+    def daily(col: str, out: str):
+        def f(t: pa.Table) -> pa.Table:
+            d = pc.multiply(pc.divide(pc.cast(t[col], pa.int64()),
+                                      day_us), day_us)
+            return pa.table({"day_us": d,
+                             out: pa.array([1] * t.num_rows, pa.int64())})
+        return f
+
+    ev = group_sum(_read(sf_dir, "events", columns=["ts"])
+                   .map_batches(daily("ts", "n_events"),
+                                batch_format="pyarrow"),
+                   "day_us", ["n_events"], n_parts=8)
+    od = group_sum(_read(sf_dir, "orders", columns=["o_orderdate"])
+                   .map_batches(daily("o_orderdate", "n_orders"),
+                                batch_format="pyarrow"),
+                   "day_us", ["n_orders"], n_parts=8)
+    return hash_join(
+        ev, od, key_col="day_us", left_payload=["n_events"],
+        right_payload=["n_orders"], n_parts=8, how="full",
+        fill={"n_events": 0, "n_orders": 0},
+        types={"day_us": pa.int64(), "n_events": pa.int64(),
+               "n_orders": pa.int64()})
+
+
 def _q_active_customers(sf_dir: str):
     """EXISTS semi-join (stages/joins.py:semi_join): customers with at
     least one 1996-H1 order — the inverse of inactive_customers' NOT
@@ -3770,6 +3806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouping_sets": _q_grouping_sets,
         "left_join_returns": _q_left_join_returns,
         "active_customers": _q_active_customers,
+        "daily_reconcile": _q_daily_reconcile,
         "table_profile": _q_table_profile,
         "fuzzy_dup_pairs": _q_fuzzy_dup_pairs,
         "zonemap_export": _q_zonemap_export,
@@ -4271,6 +4308,20 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(source, 'ALL') AS source,
                    count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS total
             FROM documents GROUP BY CUBE(lang, source)
+        """,
+        "daily_reconcile": """
+            WITH e AS (SELECT epoch_us(ts) // 86400000000
+                              * 86400000000 AS day_us,
+                              count(*)::BIGINT AS n_events
+                       FROM events GROUP BY 1),
+            o AS (SELECT epoch_us(o_orderdate) // 86400000000
+                         * 86400000000 AS day_us,
+                         count(*)::BIGINT AS n_orders
+                  FROM orders GROUP BY 1)
+            SELECT coalesce(e.day_us, o.day_us) AS day_us,
+                   coalesce(e.n_events, 0)::BIGINT AS n_events,
+                   coalesce(o.n_orders, 0)::BIGINT AS n_orders
+            FROM e FULL OUTER JOIN o ON e.day_us = o.day_us
         """,
         "active_customers": """
             SELECT c_custkey, c_nationkey FROM customer c

@@ -132,7 +132,7 @@ def bench_queries(repeats: int = 2) -> dict:
              "group_regression", "unpivot_measures", "percentile_ranks",
              "cube_counts", "table_profile", "fuzzy_dup_pairs",
              "zonemap_export", "hits", "weighted_sample", "grouping_sets",
-             "left_join_returns", "active_customers",
+             "left_join_returns", "active_customers", "daily_reconcile",
              "time_weighted_avg"]
     qs = em.queries()
     out = {}

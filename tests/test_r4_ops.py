@@ -526,3 +526,32 @@ def test_semi_join_matches_pandas_exists():
     # semi + anti partition the left exactly (no dup, no loss)
     assert len(semi) + len(anti) == len(left)
     assert len(semi) == left["k"].isin(set(right["k"])).sum()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_join_full_matches_pandas():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vyntr_ray.stages.joins import hash_join
+
+    rng = np.random.Generator(np.random.PCG64(47))
+    left = pd.DataFrame({"k": rng.integers(0, 30, 80).astype("int64"),
+                         "lv": np.arange(80, dtype="int64")})
+    right = pd.DataFrame({"k": rng.integers(20, 50, 60).astype("int64"),
+                          "rv": np.arange(60, dtype="int64")})
+    got = (hash_join(rd.from_pandas(left).repartition(3),
+                     rd.from_pandas(right).repartition(2),
+                     key_col="k", left_payload=["lv"],
+                     right_payload=["rv"], n_parts=4, how="full",
+                     fill={"lv": -1, "rv": -1},
+                     types={"k": pa.int64(), "lv": pa.int64(),
+                            "rv": pa.int64()})
+           .to_pandas().sort_values(["k", "lv", "rv"])
+           .reset_index(drop=True))
+    exp = left.merge(right, on="k", how="outer")
+    exp["lv"] = exp["lv"].fillna(-1).astype("int64")
+    exp["rv"] = exp["rv"].fillna(-1).astype("int64")
+    exp = exp.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    assert (got["lv"] == -1).any() and (got["rv"] == -1).any()

@@ -302,14 +302,19 @@ def hash_join(left_ds, right_ds, key_col: str,
     per right payload column, REQUIRED) substituted for the missing
     right side — the asof_join(how="left") sentinel convention, so
     nulls never enter a driver value hash and int columns stay int64
-    through pandas (a NaN would float-cast them).
+    through pandas (a NaN would float-cast them).  ``how="full"`` also
+    keeps unmatched RIGHT rows (fill then covers both payload sides).
     """
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "full"):
         raise ValueError(f"hash_join: how={how!r} not supported")
     if how == "left" and (fill is None
                           or set(fill) != set(right_payload)):
         raise ValueError("hash_join(how='left') requires fill= with one "
                          "sentinel per right payload column")
+    if how == "full" and (fill is None or set(fill)
+                          != set(left_payload) | set(right_payload)):
+        raise ValueError("hash_join(how='full') requires fill= with one "
+                         "sentinel per payload column on BOTH sides")
     rkey = right_key_col or key_col
     if types is not None:
         l_types = {key_col: types[key_col],
@@ -365,19 +370,29 @@ def hash_join(left_ds, right_ds, key_col: str,
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         left = g[g["side"] == 1]
         right = g[g["side"] == 0]
-        if left.empty or (right.empty and how == "inner"):
+        one_sided_empty = ((left.empty and how != "full")
+                           or (right.empty and how == "inner"))
+        if one_sided_empty or (left.empty and right.empty):
             return pd.DataFrame({c: pd.Series(dtype=out_dtypes[c])
                                  for c in out_cols})
-        if right.empty:                      # how == "left": all unmatched
+        if right.empty and how in ("left", "full"):
             merged = left[[key_col] + left_payload].copy()
             for c in right_payload:
+                merged[c] = fill[c]
+        elif left.empty:                     # how == "full": right only
+            merged = right[[key_col] + right_payload].copy()
+            for c in left_payload:
                 merged[c] = fill[c]
         else:
             merged = pd.merge(left[[key_col] + left_payload],
                               right[[key_col] + right_payload],
-                              on=key_col, how=how)
-            if how == "left":
+                              on=key_col, how="outer" if how == "full"
+                              else how)
+            if how in ("left", "full"):
                 for c in right_payload:
+                    merged[c] = merged[c].fillna(fill[c])
+            if how == "full":
+                for c in left_payload:
                     merged[c] = merged[c].fillna(fill[c])
         # tagged-union nulls upcast ints to float in the pandas frame;
         # inner output has no nulls and left output is sentinel-filled,

@@ -3596,6 +3596,34 @@ def _q_time_weighted_avg(sf_dir: str):
     return time_weighted_avg(ds)
 
 
+def _q_active_customers_bloom(sf_dir: str):
+    """The active_customers EXISTS through the Bloom-prefiltered path
+    (stages/joins.py:bloom_semi_join): definitely-absent customers are
+    dropped before the shuffle; byte-identical result (same oracle)."""
+    import datetime
+
+    import pyarrow.compute as pc
+
+    from vyntr_ray.stages.joins import bloom_semi_join
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 7, 1)
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def ofilt(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                       pc.less(t["o_orderdate"], pa.scalar(hi)))
+        return t.filter(keep).select(["o_custkey"])
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    return bloom_semi_join(
+        cust, orders.map_batches(ofilt, batch_format="pyarrow"),
+        key_col="c_custkey", left_payload=["c_nationkey"],
+        right_key_col="o_custkey", n_parts=16,
+        types={"c_custkey": pa.int64(), "o_custkey": pa.int64(),
+               "c_nationkey": pa.int64()})
+
+
 def _q_daily_reconcile(sf_dir: str):
     """FULL OUTER join (stages/joins.py:hash_join how="full"): per-day
     event counts against per-day order counts — days alive on only one
@@ -3807,6 +3835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_join_returns": _q_left_join_returns,
         "active_customers": _q_active_customers,
         "daily_reconcile": _q_daily_reconcile,
+        "active_customers_bloom": _q_active_customers_bloom,
         "table_profile": _q_table_profile,
         "fuzzy_dup_pairs": _q_fuzzy_dup_pairs,
         "zonemap_export": _q_zonemap_export,
@@ -4308,6 +4337,13 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(source, 'ALL') AS source,
                    count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS total
             FROM documents GROUP BY CUBE(lang, source)
+        """,
+        "active_customers_bloom": """
+            SELECT c_custkey, c_nationkey FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= '1996-01-01'
+                            AND o.o_orderdate < '1996-07-01')
         """,
         "daily_reconcile": """
             WITH e AS (SELECT epoch_us(ts) // 86400000000

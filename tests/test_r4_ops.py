@@ -555,3 +555,30 @@ def test_hash_join_full_matches_pandas():
     exp = exp.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp)
     assert (got["lv"] == -1).any() and (got["rv"] == -1).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("m_bits", [64, 1 << 16])
+def test_bloom_semi_join_identical_to_semi(m_bits):
+    # m_bits=64 saturates the bitmap (every row "maybe") — the exact
+    # re-check must still produce byte-identical output
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vyntr_ray.stages.joins import bloom_semi_join, semi_join
+
+    rng = np.random.Generator(np.random.PCG64(53))
+    left = pd.DataFrame({"k": rng.integers(0, 500, 400).astype("int64"),
+                         "v": np.arange(400, dtype="int64")})
+    right = pd.DataFrame({"k": rng.integers(0, 50, 40).astype("int64")})
+    kw = dict(key_col="k", left_payload=["v"], n_parts=4,
+              types={"k": pa.int64(), "v": pa.int64()})
+    got = (bloom_semi_join(rd.from_pandas(left).repartition(3),
+                           rd.from_pandas(right).repartition(2),
+                           m_bits=m_bits, **kw)
+           .to_pandas().sort_values("v").reset_index(drop=True))
+    exp = (semi_join(rd.from_pandas(left).repartition(3),
+                     rd.from_pandas(right).repartition(2), **kw)
+           .to_pandas().sort_values("v").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(got) == left["k"].isin(set(right["k"])).sum()

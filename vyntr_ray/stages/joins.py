@@ -28,7 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["asof_join", "range_count_join", "hash_join", "anti_join",
-           "semi_join", "bloom_anti_join"]
+           "semi_join", "bloom_anti_join", "bloom_semi_join"]
 
 
 def _pa_type(t) -> pa.DataType:
@@ -520,7 +520,8 @@ def bloom_anti_join(left_ds, right_ds, key_col: str,
                     left_payload: list[str],
                     right_key_col: str | None = None, n_parts: int = 64,
                     types: dict | None = None,
-                    m_bits: int = 1 << 23, k: int = 4):
+                    m_bits: int = 1 << 23, k: int = 4,
+                    _keep_matches: bool = False):
     """:func:`anti_join` with a Bloom prefilter — the 100-TB shape.
 
     The plain anti_join shuffles BOTH sides; but in the common case most
@@ -596,9 +597,39 @@ def bloom_anti_join(left_ds, right_ds, key_col: str,
     def maybe(t: pa.Table) -> pa.Table:
         return t.filter(t["_maybe"]).drop_columns(["_maybe"])
 
+    if _keep_matches:
+        # semi mode: definitely-absent rows are DROPPED, so `flagged`
+        # is consumed exactly once — no materialize needed; only the
+        # maybe-present minority rides the exact distributed semi_join
+        # (false positives fail the exact isin, so the result is
+        # byte-identical to semi_join at any m_bits)
+        return semi_join(
+            flagged.map_batches(maybe, batch_format="pyarrow"),
+            right, key_col=key_col, left_payload=left_payload,
+            right_key_col=rkey, n_parts=n_parts, types=types)
     flagged = flagged.materialize()
     definite = flagged.map_batches(absent, batch_format="pyarrow")
     checked = anti_join(flagged.map_batches(maybe, batch_format="pyarrow"),
                         right, key_col=key_col, left_payload=left_payload,
                         right_key_col=rkey, n_parts=n_parts, types=types)
     return definite.union(checked)
+
+
+def bloom_semi_join(left_ds, right_ds, key_col: str,
+                    left_payload: list[str],
+                    right_key_col: str | None = None, n_parts: int = 64,
+                    types: dict | None = None,
+                    m_bits: int = 1 << 23, k: int = 4):
+    """:func:`semi_join` with the Bloom prefilter — EXISTS at fact
+    scale.  Definitely-absent left rows (no false negatives) are
+    dropped WITHOUT ever entering the shuffle; only the maybe-present
+    minority pays the exact distributed membership check, so when most
+    left keys miss (decontamination against a small-but-fact-scale
+    eval set, urls vs a seen shard) the shuffle moves ~FP-rate of the
+    left table instead of all of it.  Byte-identical to
+    :func:`semi_join` at any ``m_bits`` (false positives re-check
+    exactly)."""
+    return bloom_anti_join(left_ds, right_ds, key_col, left_payload,
+                           right_key_col=right_key_col, n_parts=n_parts,
+                           types=types, m_bits=m_bits, k=k,
+                           _keep_matches=True)

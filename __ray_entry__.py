@@ -3596,6 +3596,29 @@ def _q_time_weighted_avg(sf_dir: str):
     return time_weighted_avg(ds)
 
 
+def _q_value_pivot(sf_dir: str):
+    """Pivot-aggregate: per-user centi-value SUMS by event_type, wide
+    (stages/dataset_tools.py:pivot_sum — crosstab partials + the
+    group_sum many-groups fold)."""
+    import pyarrow.compute as pc
+
+    from vyntr_ray.stages.dataset_tools import pivot_sum
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "value"])
+
+    def centi(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"], "event_type": t["event_type"],
+            "v_centi": pc.cast(_round_ha(pc.multiply(
+                t["value"], pa.scalar(100.0))), pa.int64())})
+
+    return pivot_sum(ds.map_batches(centi, batch_format="pyarrow"),
+                     "user_id", "event_type", "v_centi",
+                     categories=["click", "error", "purchase",
+                                 "signup", "view"])
+
+
 def _q_active_customers_bloom(sf_dir: str):
     """The active_customers EXISTS through the Bloom-prefiltered path
     (stages/joins.py:bloom_semi_join): definitely-absent customers are
@@ -3836,6 +3859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "active_customers": _q_active_customers,
         "daily_reconcile": _q_daily_reconcile,
         "active_customers_bloom": _q_active_customers_bloom,
+        "value_pivot": _q_value_pivot,
         "table_profile": _q_table_profile,
         "fuzzy_dup_pairs": _q_fuzzy_dup_pairs,
         "zonemap_export": _q_zonemap_export,
@@ -4337,6 +4361,25 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(source, 'ALL') AS source,
                    count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS total
             FROM documents GROUP BY CUBE(lang, source)
+        """,
+        "value_pivot": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'click'
+                       THEN round(value * 100)::BIGINT ELSE 0
+                       END)::BIGINT AS sum_click,
+                   sum(CASE WHEN event_type = 'error'
+                       THEN round(value * 100)::BIGINT ELSE 0
+                       END)::BIGINT AS sum_error,
+                   sum(CASE WHEN event_type = 'purchase'
+                       THEN round(value * 100)::BIGINT ELSE 0
+                       END)::BIGINT AS sum_purchase,
+                   sum(CASE WHEN event_type = 'signup'
+                       THEN round(value * 100)::BIGINT ELSE 0
+                       END)::BIGINT AS sum_signup,
+                   sum(CASE WHEN event_type = 'view'
+                       THEN round(value * 100)::BIGINT ELSE 0
+                       END)::BIGINT AS sum_view
+            FROM events GROUP BY user_id
         """,
         "active_customers_bloom": """
             SELECT c_custkey, c_nationkey FROM customer c

@@ -20,7 +20,7 @@ __all__ = ["topk_largest", "remove_largest", "group_quantiles",
            "group_quantiles_cont", "group_topk", "group_quantiles_approx",
            "pivot_counts", "rollup_counts", "distinct_rows", "group_mode",
            "histogram_fixed", "skyline", "cube_counts", "table_profile",
-           "group_sum", "grouping_sets"]
+           "group_sum", "grouping_sets", "pivot_sum"]
 
 
 def topk_largest(ds, k: int = 100, length_col: str = "n_chars",
@@ -289,10 +289,10 @@ def pivot_counts(ds, key_col: str, cat_col: str,
             out[name] = out[name].astype("int64")
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    from ray.data.aggregate import Sum
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby(key_col)
-            .aggregate(*[Sum(name, alias_name=name) for name in cols]))
+    # key_col is data-scaled (one row per key): many-groups rule —
+    # fold the partials with group_sum, never a generic Aggregate
+    return group_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                     key_col, cols, n_parts=16)
 
 
 def group_mode(ds, group_col: str, value_col: str,
@@ -623,3 +623,34 @@ def grouping_sets(ds, col1: str, col2: str, value_col: str,
     out["n"] = out["n"].astype("int64")
     out["total"] = out["total"].astype("int64")
     return out
+
+
+
+def pivot_sum(ds, key_col: str, cat_col: str, value_col: str,
+              categories: list[str] | None = None):
+    """Wide per-key SUMS by category (pivot-aggregate): the value
+    column must already be exact int64 (centi-scale upstream).  Same
+    two bounded stages as :func:`pivot_counts` — per-batch crosstab
+    partials, then the many-groups :func:`group_sum` fold."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if categories is None:
+        categories = sorted(ds.select_columns([cat_col]).unique(cat_col))
+    cols = [f"sum_{c}" for c in categories]
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({key_col: b[key_col].to_pylist(),
+                           cat_col: b[cat_col].to_pylist(),
+                           "_v": b[value_col].to_numpy(
+                               zero_copy_only=False)})
+        ct = df.pivot_table(index=key_col, columns=cat_col, values="_v",
+                            aggfunc="sum", fill_value=0)
+        out = pd.DataFrame({key_col: ct.index})
+        for c, name in zip(categories, cols):
+            out[name] = (ct[c].to_numpy() if c in ct.columns else 0)
+            out[name] = out[name].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return group_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                     key_col, cols, n_parts=16)

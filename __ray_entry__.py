@@ -3596,6 +3596,17 @@ def _q_time_weighted_avg(sf_dir: str):
     return time_weighted_avg(ds)
 
 
+def _q_first_last(sf_dir: str):
+    """FIRST_VALUE/LAST_VALUE per user over (ts, event_id)
+    (stages/windows.py:first_last) — entry/exit observation, exact
+    centi ints, deterministic tie-break mirrored in the oracle."""
+    from vyntr_ray.stages.windows import first_last
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+    return first_last(ds)
+
+
 def _q_value_pivot(sf_dir: str):
     """Pivot-aggregate: per-user centi-value SUMS by event_type, wide
     (stages/dataset_tools.py:pivot_sum — crosstab partials + the
@@ -3860,6 +3871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_reconcile": _q_daily_reconcile,
         "active_customers_bloom": _q_active_customers_bloom,
         "value_pivot": _q_value_pivot,
+        "first_last": _q_first_last,
         "table_profile": _q_table_profile,
         "fuzzy_dup_pairs": _q_fuzzy_dup_pairs,
         "zonemap_export": _q_zonemap_export,
@@ -4361,6 +4373,22 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(source, 'ALL') AS source,
                    count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS total
             FROM documents GROUP BY CUBE(lang, source)
+        """,
+        "first_last": """
+            WITH w AS (SELECT user_id, epoch_us(ts) AS us,
+                              round(value * 100)::BIGINT AS vc,
+                              row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn_a,
+                              row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC)
+                                  AS rn_d,
+                              count(*) OVER (PARTITION BY user_id) AS cnt
+                       FROM events)
+            SELECT a.user_id, a.vc AS first_vc, d.vc AS last_vc,
+                   a.us AS first_us, d.us AS last_us,
+                   a.cnt::BIGINT AS n
+            FROM (SELECT * FROM w WHERE rn_a = 1) a
+            JOIN (SELECT * FROM w WHERE rn_d = 1) d USING (user_id)
         """,
         "value_pivot": """
             SELECT user_id,

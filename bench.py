@@ -133,7 +133,7 @@ def bench_queries(repeats: int = 2) -> dict:
              "cube_counts", "table_profile", "fuzzy_dup_pairs",
              "zonemap_export", "hits", "weighted_sample", "grouping_sets",
              "left_join_returns", "active_customers", "daily_reconcile",
-             "active_customers_bloom", "value_pivot",
+             "active_customers_bloom", "value_pivot", "first_last",
              "time_weighted_avg"]
     qs = em.queries()
     out = {}

@@ -582,3 +582,25 @@ def test_bloom_semi_join_identical_to_semi(m_bits):
            .to_pandas().sort_values("v").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, exp)
     assert len(got) == left["k"].isin(set(right["k"])).sum()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_first_last_tie_determinism():
+    import ray.data as rd
+
+    from vyntr_ray.stages.windows import first_last
+
+    # ts ties at both ends: the event_id tie-break decides
+    df = pd.DataFrame({
+        "event_id": [3, 1, 2, 10, 11],
+        "user_id": [1, 1, 1, 2, 2],
+        "ts": pd.to_datetime([100, 100, 200, 50, 50], unit="s"),
+        "value": [9.0, 7.0, 5.0, 1.0, 2.0],
+    })
+    got = (first_last(rd.from_pandas(df).repartition(2), n_parts=2)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    # user 1: first = (ts=100, id=1) -> 700; last = (ts=200, id=2) -> 500
+    # user 2: first = id 10 -> 100; last = id 11 -> 200
+    assert got["first_vc"].tolist() == [700, 100]
+    assert got["last_vc"].tolist() == [500, 200]
+    assert got["n"].tolist() == [3, 2]

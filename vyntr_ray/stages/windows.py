@@ -27,7 +27,7 @@ from ..rounding import round_half_away
 __all__ = ["tumbling", "sliding", "sessionize", "rolling_sum", "lag_diff",
            "running_total", "group_ranks", "funnel", "retention",
            "merge_intervals", "cumulative_distinct", "percentile_ranks",
-           "time_weighted_avg"]
+           "time_weighted_avg", "first_last"]
 
 _US = 1_000_000
 
@@ -513,6 +513,37 @@ def time_weighted_avg(ds, key_col: str = "user_id", ts_col: str = "ts",
             "num_centi_ms": agg["num"].astype("int64").to_numpy(),
             "den_ms": agg["den"].astype("int64").to_numpy(),
             "twa_6": round_half_away(num / den, 6)})
+
+    return _by_part(ds, key_col, n_parts=n_parts).groupby("_part").map_groups(
+        lambda g: per_part(g.drop(columns="_part")), batch_format="pandas")
+
+
+def first_last(ds, key_col: str = "user_id", ts_col: str = "ts",
+               value_col: str = "value", id_col: str = "event_id",
+               n_parts: int = 64):
+    """FIRST_VALUE / LAST_VALUE per key over (ts, id) order — the
+    entry/exit observation per entity (session entry page, latest
+    account state), deterministic under ts ties via the id tie-break.
+
+    Same one-shuffle hash-partition shape as the other per-key windows;
+    values centi-scaled half-away so the outputs are exact int64.
+    Returns (key, first_vc, last_vc, first_us, last_us, n)."""
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+        vc = round_half_away(
+            g[value_col].to_numpy(np.float64) * 100.0).astype("int64")
+        f = pd.DataFrame({key_col: g[key_col].to_numpy(),
+                          "vc": vc, "us": us})
+        agg = (f.groupby(key_col, sort=True)
+               .agg(first_vc=("vc", "first"), last_vc=("vc", "last"),
+                    first_us=("us", "first"), last_us=("us", "last"),
+                    n=("us", "size"))
+               .reset_index())
+        for c in ["first_vc", "last_vc", "first_us", "last_us", "n"]:
+            agg[c] = agg[c].astype("int64")
+        return agg
 
     return _by_part(ds, key_col, n_parts=n_parts).groupby("_part").map_groups(
         lambda g: per_part(g.drop(columns="_part")), batch_format="pandas")

@@ -20,7 +20,7 @@ __all__ = ["topk_largest", "remove_largest", "group_quantiles",
            "group_quantiles_cont", "group_topk", "group_quantiles_approx",
            "pivot_counts", "rollup_counts", "distinct_rows", "group_mode",
            "histogram_fixed", "skyline", "cube_counts", "table_profile",
-           "group_sum", "grouping_sets", "pivot_sum"]
+           "group_sum", "group_fold", "grouping_sets", "pivot_sum"]
 
 
 def topk_largest(ds, k: int = 100, length_col: str = "n_chars",
@@ -550,6 +550,36 @@ def table_profile(ds, cols: list, n_parts: int = 64):
     return out.sort_values("column").reset_index(drop=True)
 
 
+def group_fold(ds, key_col: str, cols: list, how: str = "sum",
+               n_parts: int = 16, rename: dict | None = None,
+               int_cast: bool = True):
+    """Generalized :func:`group_sum`: any associative-commutative
+    pandas fold (``sum``/``min``/``max``) over data-scaled keys with
+    the same combiner -> ONE hash partition -> vectorized fold shape.
+    ``int_cast=False`` preserves the input dtypes (string mins, etc.)."""
+    import pandas as pd
+
+    from vyntr_ray.stages.windows import _by_part
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(key_col, as_index=False)[cols].agg(how)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(key_col, as_index=False)[cols].agg(how)
+        if int_cast:
+            for c in cols:
+                out[c] = out[c].astype("int64")
+        if rename:
+            out = out.rename(columns=rename)
+        return out
+
+    return (_by_part(ds.map_batches(partial, batch_format="pandas"),
+                     key_col, n_parts=n_parts)
+            .groupby("_part")
+            .map_groups(lambda g: fold(g.drop(columns="_part")),
+                        batch_format="pandas"))
+
+
 def group_sum(ds, key_col: str, cols: list, n_parts: int = 16,
               rename: dict | None = None):
     """Keyed int64 sums for DATA-SCALED keys — the many-groups rule
@@ -560,27 +590,10 @@ def group_sum(ds, key_col: str, cols: list, n_parts: int = 16,
     never input rows), ONE md5 hash-partition shuffle co-locates keys,
     and a vectorized pandas groupby folds each partition.  For
     CONSTANT-bounded key domains prefer the zero-shuffle driver fold
-    (__ray_entry__._sum_keyed_partials)."""
-    import pandas as pd
-
-    from vyntr_ray.stages.windows import _by_part
-
-    def partial(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(key_col, as_index=False)[cols].sum()
-
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(key_col, as_index=False)[cols].sum()
-        for c in cols:
-            out[c] = out[c].astype("int64")
-        if rename:
-            out = out.rename(columns=rename)
-        return out
-
-    return (_by_part(ds.map_batches(partial, batch_format="pandas"),
-                     key_col, n_parts=n_parts)
-            .groupby("_part")
-            .map_groups(lambda g: fold(g.drop(columns="_part")),
-                        batch_format="pandas"))
+    (__ray_entry__._sum_keyed_partials).  See :func:`group_fold` for
+    min/max."""
+    return group_fold(ds, key_col, cols, how="sum", n_parts=n_parts,
+                      rename=rename)
 
 
 def grouping_sets(ds, col1: str, col2: str, value_col: str,

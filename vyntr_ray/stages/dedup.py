@@ -73,24 +73,28 @@ def add_md5(batch: pa.Table, text_col: str = "text",
 
 
 def dedup_exact(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """(content-hash, surviving-id) — first doc per identical text."""
+    """(content-hash, surviving-id) — first doc per identical text.
+    Content hashes are data-scaled keys, so the min-id fold goes
+    through group_fold (combiner + one hash partition), never a
+    generic per-group Aggregate (PERF.md many-groups rule)."""
+    from vyntr_ray.stages.dataset_tools import group_fold
     hashed = ds.map_batches(lambda b: add_md5(b, text_col),
                             batch_format="pyarrow")
-    out = hashed.groupby("text_md5").min(id_col)
-    return out.map_batches(
-        lambda t: t.rename_columns(["text_md5", "keep_id"]),
-        batch_format="pyarrow")
+    return group_fold(hashed.select_columns(["text_md5", id_col]),
+                      "text_md5", [id_col], how="min",
+                      rename={id_col: "keep_id"})
 
 
 def dedup_by_key(ds, key_fn, id_col: str = "doc_id", key_name: str = "key"):
-    """Generic first-wins dedup on a computed key (vectorized key_fn)."""
+    """Generic first-wins dedup on a computed key (vectorized key_fn);
+    same group_fold min-id shape as :func:`dedup_exact`."""
+    from vyntr_ray.stages.dataset_tools import group_fold
     keyed = ds.map_batches(
         lambda b: b.append_column(key_name, key_fn(b)),
         batch_format="pyarrow")
-    out = keyed.groupby(key_name).min(id_col)
-    return out.map_batches(
-        lambda t: t.rename_columns([key_name, "keep_id"]),
-        batch_format="pyarrow")
+    return group_fold(keyed.select_columns([key_name, id_col]),
+                      key_name, [id_col], how="min",
+                      rename={id_col: "keep_id"})
 
 
 # --------------------------------------------------------------------------

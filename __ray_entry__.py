@@ -1515,6 +1515,41 @@ def _q_rolling_sum(sf_dir: str):
     return rolling_sum(ds, k=5)
 
 
+def _q_basket_pairs(sf_dir: str):
+    """Market-basket: top-100 co-purchased part pairs by order count
+    (stages/baskets.py:basket_pairs — per-basket pair partials, one
+    pair-key hash partition fold, bounded top-k partials).  Tie-break
+    (n DESC, item_a, item_b) mirrored in the oracle's LIMIT."""
+    from vyntr_ray.stages.baskets import basket_pairs
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    return basket_pairs(ds, "l_orderkey", "l_partkey", min_count=1,
+                        k=100)
+
+
+def _q_triangle_count(sf_dir: str):
+    """Exact triangle count over the co-purchase graph (edges = part
+    pairs sharing an order; stages/graph.py:triangle_count — min-vertex
+    wedge enumeration, co-partitioned closing-edge membership join)."""
+    from vyntr_ray.stages.baskets import pair_edges
+    from vyntr_ray.stages.graph import triangle_count
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    edges = pair_edges(ds, "l_orderkey", "l_partkey", min_count=1)
+    return triangle_count(edges, u_col="item_a", v_col="item_b")
+
+
+def _q_rolling_sum_time(sf_dir: str):
+    """Per-user trailing 1-hour sum — the RANGE-frame (time-window)
+    sibling of rolling_sum (stages/windows.py:rolling_sum_time).
+    SQL RANGE semantics: equal-ts peers are in frame regardless of the
+    id tie-break, mirrored by searchsorted bounds on both sides."""
+    from vyntr_ray.stages.windows import rolling_sum_time
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+    return rolling_sum_time(ds, window_s=3600)
+
+
 def _q_group_zscores(sf_dir: str):
     """Per-event-type z-score normalization of event values (broadcast
     moments, no per-row shuffle)."""
@@ -3856,6 +3891,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4 rounding conversion touched after their last driver row.
         "crawl_flagship": _q_crawl_flagship,
         "tpch_q18ish": _q_tpch_q18ish,
+        "rolling_sum_time": _q_rolling_sum_time,
+        "basket_pairs": _q_basket_pairs,
+        "triangle_count": _q_triangle_count,
         "merge_intervals": _q_merge_intervals,
         "cumulative_distinct": _q_cumulative_distinct,
         "group_mode": _q_group_mode,
@@ -4876,6 +4914,41 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
                    )::BIGINT AS roll_centi
+            FROM events
+        """,
+        # market-basket pair counts; deterministic top-100 tie-break
+        # (n DESC, item_a, item_b) on both sides
+        "basket_pairs": """
+            WITH li AS (SELECT DISTINCT l_orderkey AS g,
+                                        l_partkey AS i FROM lineitem)
+            SELECT a.i AS item_a, b.i AS item_b, count(*)::BIGINT AS n
+            FROM li a JOIN li b ON a.g = b.g AND a.i < b.i
+            GROUP BY 1, 2
+            ORDER BY n DESC, item_a, item_b
+            LIMIT 100
+        """,
+        # triangles of the co-purchase graph: e1=(u,v) e2=(u,w)
+        # e3=(v,w) with u<v<w — each triangle matched exactly once
+        "triangle_count": """
+            WITH li AS (SELECT DISTINCT l_orderkey AS g,
+                                        l_partkey AS i FROM lineitem),
+            e AS (SELECT a.i AS u, b.i AS v
+                  FROM li a JOIN li b ON a.g = b.g AND a.i < b.i
+                  GROUP BY 1, 2)
+            SELECT count(*)::BIGINT AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.u = e1.u AND e1.v < e2.v
+            JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+        """,
+        # time-RANGE frame: the window is [ts-1h, ts] INCLUSIVE of
+        # equal-ts peers (SQL RANGE CURRENT ROW = end of peer group)
+        "rolling_sum_time": """
+            SELECT event_id, user_id,
+                   sum(round(value * 100)::BIGINT) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN 3600000000 PRECEDING
+                             AND CURRENT ROW
+                   )::BIGINT AS win_sum_centi
             FROM events
         """,
         # LAG window; sentinel 0 on each key's first row (no NULLs in

@@ -464,3 +464,40 @@ def test_bloom_anti_join_string_keys_and_empty_right():
         types={"k": pa.string(), "rk": pa.string(), "v": pa.int64()}
         ).to_pandas()
     assert sorted(got2["k"]) == sorted(f"u{i}" for i in range(1, 20, 2))
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [5, 13])
+def test_rolling_sum_time_matches_bruteforce(seed):
+    """RANGE-frame semantics: ties on ts share one frame (peers of the
+    CURRENT ROW bound are in frame even when the id tie-break orders
+    them later) — a dense ts range forces many such peer groups."""
+    import ray.data as rd
+
+    from vyntr_ray.stages.windows import rolling_sum_time
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n = 600
+    ev = pd.DataFrame({
+        "user_id": rng.integers(0, 13, n),
+        "ts": pd.to_datetime(
+            rng.integers(0, 900, n), unit="s", utc=False),  # many ties
+        "event_id": np.arange(n, dtype="int64"),
+        "value": np.round(rng.uniform(-5, 9, n), 2),
+    })
+    w_s = 120
+
+    got = (rolling_sum_time(rd.from_pandas(ev.copy(),
+                                           override_num_blocks=5),
+                            window_s=w_s)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+
+    exp = []
+    us_all = ev["ts"].astype("int64").to_numpy() // 1000  # ns -> us
+    vc_all = np.round(ev["value"].to_numpy() * 100).astype("int64")
+    for i in range(n):
+        sel = ((ev["user_id"].to_numpy() == ev["user_id"].iloc[i])
+               & (us_all >= us_all[i] - w_s * 1_000_000)
+               & (us_all <= us_all[i]))
+        exp.append(int(vc_all[sel].sum()))
+    assert got["win_sum_centi"].tolist() == exp

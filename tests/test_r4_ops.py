@@ -604,3 +604,46 @@ def test_first_last_tie_determinism():
     assert got["first_vc"].tolist() == [700, 100]
     assert got["last_vc"].tolist() == [500, 200]
     assert got["n"].tolist() == [3, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [7, 21])
+def test_basket_pairs_and_triangles_match_bruteforce(seed):
+    """Pair counts against an itertools reference; triangle count
+    against the numpy adjacency-matrix trace formula."""
+    import itertools
+
+    import ray.data as rd
+
+    from vyntr_ray.stages.baskets import basket_pairs, pair_edges
+    from vyntr_ray.stages.graph import triangle_count
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n = 800
+    df = pd.DataFrame({
+        "g": rng.integers(0, 120, n),          # ~7 items per basket
+        "i": rng.integers(0, 40, n),           # dense -> many repeats
+    })
+
+    # brute-force pair counts (dedup within basket)
+    cnt = {}
+    for _, grp in df.groupby("g"):
+        for a, b in itertools.combinations(sorted(set(grp["i"])), 2):
+            cnt[(a, b)] = cnt.get((a, b), 0) + 1
+    exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+
+    got = basket_pairs(rd.from_pandas(df.copy(), override_num_blocks=4),
+                       "g", "i", k=50)
+    assert [((r.item_a, r.item_b), r.n)
+            for r in got.itertuples()] == exp
+
+    # triangles over the support>=2 edge set, vs the adjacency cube
+    edges = pair_edges(rd.from_pandas(df.copy(), override_num_blocks=4),
+                       "g", "i", min_count=2)
+    got_t = triangle_count(edges, u_col="item_a", v_col="item_b")
+    adj = np.zeros((40, 40), dtype=np.int64)
+    for (a, b), c in cnt.items():
+        if c >= 2:
+            adj[a, b] = adj[b, a] = 1
+    exp_t = int(np.trace(adj @ adj @ adj) // 6)
+    assert got_t["n_triangles"].tolist() == [exp_t]

@@ -24,7 +24,8 @@ import pyarrow.compute as pc
 
 from ..rounding import round_half_away
 
-__all__ = ["tumbling", "sliding", "sessionize", "rolling_sum", "lag_diff",
+__all__ = ["tumbling", "sliding", "sessionize", "rolling_sum",
+           "rolling_sum_time", "lag_diff",
            "running_total", "group_ranks", "funnel", "retention",
            "merge_intervals", "cumulative_distinct", "percentile_ranks",
            "time_weighted_avg", "first_last"]
@@ -175,6 +176,46 @@ def rolling_sum(ds, k: int, key_col: str = "user_id", ts_col: str = "ts",
         return pd.DataFrame({id_col: g[id_col].to_numpy(),
                              key_col: key,
                              "roll_centi": roll})
+
+    return _by_part(ds, key_col).groupby("_part").map_groups(
+        lambda g: per_part(g.drop(columns="_part")),
+        batch_format="pandas")
+
+
+def rolling_sum_time(ds, window_s: int, key_col: str = "user_id",
+                     ts_col: str = "ts", id_col: str = "event_id",
+                     value_col: str = "value"):
+    """Per-key moving sum over a TIME window — the ``RANGE BETWEEN
+    <interval> PRECEDING AND CURRENT ROW`` frame (:func:`rolling_sum`
+    is the ROWS-frame sibling).  SQL RANGE semantics: the frame holds
+    every row of the key whose ts lies in ``[ts_i - W, ts_i]``
+    INCLUSIVE — peers (equal ts) that sort after the current row by
+    the id tie-break are still in frame, so the sweep uses
+    ``searchsorted`` bounds on the key's ts slice, not a row cursor.
+    Same hash-partition shape as :func:`rolling_sum`: one shuffle on
+    the key hash, a vectorized cumsum-difference per partition; the
+    inner loop is over the partition's KEY SLICES (two searchsorted
+    calls each), not rows.  Centi scaling keeps every sum exact int64.
+    """
+    w_us = window_s * _US
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        key = g[key_col].to_numpy()
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = round_half_away(g[value_col].to_numpy() * 100).astype(np.int64)
+        n = len(v)
+        c = np.concatenate([[0], np.cumsum(v)])
+        out = np.empty(n, np.int64)
+        starts = np.r_[0, np.flatnonzero(key[1:] != key[:-1]) + 1, n]
+        for a, b in zip(starts[:-1], starts[1:]):
+            seg = us[a:b]
+            lo = a + np.searchsorted(seg, seg - w_us, side="left")
+            hi = a + np.searchsorted(seg, seg, side="right")
+            out[a:b] = c[hi] - c[lo]
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             key_col: key,
+                             "win_sum_centi": out})
 
     return _by_part(ds, key_col).groupby("_part").map_groups(
         lambda g: per_part(g.drop(columns="_part")),

@@ -133,6 +133,34 @@ def _jaccard_pairs_sql(thr_ppm: int) -> str:
     """
 
 
+def _bfs_sql(k: int = 4) -> str:
+    """Unrolled k-round BFS oracle over the shared doc graph: one
+    (expand, min-fold) CTE pair per hop, BIGINT only — exact."""
+    parts = ["""
+        WITH e AS MATERIALIZED (
+            SELECT a.doc_id AS u, b.doc_id AS v
+            FROM documents a JOIN documents b
+              ON b.doc_id = a.doc_id * 2 AND a.doc_id > 0
+            UNION ALL
+            SELECT a.doc_id, b.doc_id
+            FROM documents a JOIN documents b
+              ON b.doc_id = a.doc_id * 3 AND a.doc_id > 0),
+        d0 AS MATERIALIZED (
+            SELECT doc_id AS node, 0::BIGINT AS hop
+            FROM documents WHERE doc_id % 100 = 1)"""]
+    for i in range(k):
+        parts.append(f""",
+        c{i + 1} AS (SELECT e.v AS node, d.hop + 1 AS hop
+                     FROM e JOIN d{i} d ON e.u = d.node),
+        d{i + 1} AS MATERIALIZED (
+            SELECT node, min(hop)::BIGINT AS hop FROM (
+                SELECT * FROM d{i} UNION ALL SELECT * FROM c{i + 1})
+            GROUP BY node)""")
+    parts.append(f"""
+        SELECT node, hop FROM d{k}""")
+    return "".join(parts)
+
+
 def _hits_sql(n_iter: int = 4) -> str:
     """Unrolled integer HITS oracle: one (auth, hub) CTE pair per
     round, BIGINT sums only — exact, no float tolerance needed
@@ -1513,6 +1541,50 @@ def _q_rolling_sum(sf_dir: str):
     ds = _read(sf_dir, "events",
                columns=["event_id", "ts", "user_id", "value"])
     return rolling_sum(ds, k=5)
+
+
+def _q_suggest_terms(sf_dir: str):
+    """Spell suggestions ("did you mean") for four misspelled query
+    terms: top-5 vocab terms within edit distance 2 by (dist, freq
+    DESC, term) (stages/search_index.py:suggest_terms — group_sum
+    vocab counts, banded-DP match per vocab block, bounded partials).
+    The oracle brute-forces DuckDB levenshtein over the same vocab."""
+    from vyntr_ray.stages.search_index import suggest_terms
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return suggest_terms(ds, ["mrege", "windwo", "custmer", "qery"],
+                         max_dist=2, k=5)
+
+
+def _q_search_snippets(sf_dir: str):
+    """Result-page snippets: first-occurrence token index + ±3-token
+    context for every doc containing 'merge'
+    (stages/text_analysis.py:search_snippets — vectorized substring
+    prefilter, per-doc window assembly on survivors only)."""
+    from vyntr_ray.stages.text_analysis import search_snippets
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return search_snippets(ds, term="merge", width=3)
+
+
+def _q_bfs_hops(sf_dir: str):
+    """k-bounded BFS (min-hop ≤ 4) from the doc_id % 100 == 1 seed set
+    over the shared doc graph (stages/graph.py:bfs_hops — per-round
+    hash_join expansion + min fold, distances never on the driver).
+    Oracled by an unrolled 4-round CTE chain (exact ints)."""
+    import pyarrow.compute as pc
+
+    from vyntr_ray.stages.graph import bfs_hops
+
+    def to_seeds(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        s = d[d % 100 == 1]
+        return pa.table({"node": pa.array(s, pa.int64()),
+                         "hop": pa.array([0] * len(s), pa.int64())})
+
+    seeds = (_read(sf_dir, "documents", columns=["doc_id"])
+             .map_batches(to_seeds, batch_format="pyarrow"))
+    return bfs_hops(_doc_graph_edges(sf_dir), seeds, k=4)
 
 
 def _q_basket_pairs(sf_dir: str):
@@ -3894,6 +3966,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_sum_time": _q_rolling_sum_time,
         "basket_pairs": _q_basket_pairs,
         "triangle_count": _q_triangle_count,
+        "bfs_hops": _q_bfs_hops,
+        "search_snippets": _q_search_snippets,
+        "suggest_terms": _q_suggest_terms,
         "merge_intervals": _q_merge_intervals,
         "cumulative_distinct": _q_cumulative_distinct,
         "group_mode": _q_group_mode,
@@ -4529,6 +4604,43 @@ def oracle_sql() -> dict[str, str]:
             WHERE levenshtein(a.p, b.p) <= 8
         """,
         "hits": _hits_sql(4),
+        "bfs_hops": _bfs_sql(4),
+        # spell suggestions: brute-force levenshtein over the vocab
+        # (the oracle may be O(V x Q); the engine length-bands + DP);
+        # tie-break (dist, freq DESC, term) mirrored exactly
+        "suggest_terms": """
+            WITH tok AS (SELECT unnest(regexp_extract_all(lower(text),
+                                    '[a-z0-9]+')) AS term
+                         FROM documents),
+            v AS (SELECT term, count(*)::BIGINT AS freq
+                  FROM tok GROUP BY term),
+            q(query) AS (VALUES ('mrege'), ('windwo'), ('custmer'),
+                                ('qery')),
+            c AS (SELECT q.query, v.term,
+                         levenshtein(q.query, v.term)::BIGINT AS dist,
+                         v.freq
+                  FROM q CROSS JOIN v
+                  WHERE levenshtein(q.query, v.term) <= 2)
+            SELECT query, term, dist, freq FROM c
+            QUALIFY row_number() OVER (
+                PARTITION BY query
+                ORDER BY dist, freq DESC, term) <= 5
+        """,
+        # snippet window: DuckDB list slice is 1-based INCLUSIVE both
+        # ends, engine mirrors with 0-based [max(i-3,0) : i+4);
+        # list_position = first occurrence, 1-based, 0 when absent
+        "search_snippets": """
+            WITH tok AS (SELECT doc_id,
+                                regexp_extract_all(lower(text),
+                                    '[a-z0-9]+') AS ws
+                         FROM documents),
+            m AS (SELECT doc_id, ws,
+                         list_position(ws, 'merge') AS idx FROM tok)
+            SELECT doc_id, idx::BIGINT AS idx,
+                   array_to_string(ws[greatest(idx - 3, 1):idx + 3],
+                                   ' ') AS snippet
+            FROM m WHERE idx > 0
+        """,
         # u = (hex52(md5) + 1) / 2^52 exactly as the engine builds it;
         # the E-S key pow(u, 1/w) is float64 on both sides — the OUTPUT
         # has no floats and adjacent order statistics sit far above

@@ -647,3 +647,91 @@ def test_basket_pairs_and_triangles_match_bruteforce(seed):
             adj[a, b] = adj[b, a] = 1
     exp_t = int(np.trace(adj @ adj @ adj) // 6)
     assert got_t["n_triangles"].tolist() == [exp_t]
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [2, 9])
+def test_bfs_hops_matches_bruteforce(seed):
+    import ray.data as rd
+
+    from vyntr_ray.stages.graph import bfs_hops
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n_nodes, n_edges = 60, 150
+    e = pd.DataFrame({
+        "u": rng.integers(0, n_nodes, n_edges),
+        "v": rng.integers(0, n_nodes, n_edges)}).drop_duplicates()
+    seeds = pd.DataFrame({"node": np.array([0, 1], dtype="int64"),
+                          "hop": np.array([0, 0], dtype="int64")})
+    k = 3
+    got = (bfs_hops(rd.from_pandas(e.copy(), override_num_blocks=4),
+                    rd.from_pandas(seeds), k=k)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+
+    # reference BFS (directed, min hop <= k)
+    adj = {}
+    for r in e.itertuples():
+        adj.setdefault(int(r.u), []).append(int(r.v))
+    dist = {0: 0, 1: 0}
+    frontier = [0, 1]
+    for h in range(1, k + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, []):
+                if v not in dist:
+                    dist[v] = h
+                    nxt.append(v)
+        frontier = nxt
+    exp = (pd.DataFrame(sorted(dist.items()), columns=["node", "hop"])
+           .astype("int64"))
+    pd.testing.assert_frame_equal(got.astype("int64"), exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_search_snippets_edges():
+    """Term at token position 0, term only as a substring (excluded),
+    term near end of doc (window clipped)."""
+    import ray.data as rd
+
+    from vyntr_ray.stages.text_analysis import search_snippets
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(5, dtype="int64"),
+        "text": [
+            "merge a b c d",                 # pos 1, right-clipped ok
+            "x y z merged things",           # substring only -> excluded
+            "a b c d e f merge",             # window left of end
+            "no hit here",                   # absent
+            "one two three merge five six seven eight",  # interior
+        ]})
+    got = (search_snippets(rd.from_pandas(docs, override_num_blocks=2),
+                           "merge")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == [0, 2, 4]
+    assert got["idx"].tolist() == [1, 7, 4]
+    assert got["snippet"].tolist() == [
+        "merge a b c",
+        "d e f merge",
+        "one two three merge five six seven",
+    ]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_suggest_terms_ranking():
+    """dist ASC beats freq DESC; freq DESC breaks dist ties; term ASC
+    breaks exact (dist, freq) ties."""
+    import ray.data as rd
+
+    from vyntr_ray.stages.search_index import suggest_terms
+
+    docs = pd.DataFrame({"text": [
+        " ".join(["cat"] * 10 + ["cart"] * 50 + ["car"] * 5
+                 + ["bat"] * 5 + ["hat"] * 5)]})
+    got = suggest_terms(rd.from_pandas(docs), ["cst"], max_dist=2, k=4)
+    # dist1: cat(10); dist2: cart(50), car(5), bat... bst? "bat"->cst=2
+    rows = list(zip(got["term"], got["dist"], got["freq"]))
+    assert rows[0] == ("cat", 1, 10)
+    assert rows[1] == ("cart", 2, 50)
+    # car/bat/hat all dist 2 freq 5 -> term ASC: bat, car
+    assert rows[2] == ("bat", 2, 5)
+    assert rows[3] == ("car", 2, 5)

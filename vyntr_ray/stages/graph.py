@@ -455,3 +455,43 @@ def triangle_count(edges_ds, u_col: str = "u", v_col: str = "v",
                          batch_format="pandas").take_all())
     total = sum(r["part_tris"] for r in parts)
     return pd.DataFrame({"n_triangles": pd.array([total], dtype="int64")})
+
+
+def bfs_hops(edges_ds, seeds_ds, k: int, u_col: str = "u",
+             v_col: str = "v"):
+    """Min-hop distance from a seed set, bounded at ``k`` hops — the
+    unweighted BFS prefix (k-bounded SSSP).  Output: (node, hop) for
+    every node reachable within k hops, hop = shortest distance.
+
+    k rounds, each fully distributed: frontier expansion is a
+    hash-partitioned equi-join of the CURRENT distance table against
+    the edge list (joins.hash_join — co-partitioned, empty-side safe),
+    then a min-fold per node (dataset_tools.group_fold) merges the
+    new candidates.  The distance table is materialized per round —
+    it is consumed twice (join input + union) and an unmaterialized
+    chain would re-execute the whole prefix each round (PERF.md r3).
+    Driver never sees node rows; per-round state is O(reached) in the
+    object store.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .dataset_tools import group_fold
+    from .joins import hash_join
+
+    types = {"node": pa.int64(), "hop": pa.int64(), v_col: pa.int64()}
+    dist = seeds_ds.materialize()
+    for _ in range(k):
+        nxt = hash_join(dist, edges_ds, key_col="node",
+                        left_payload=["hop"], right_payload=[v_col],
+                        right_key_col=u_col, types=types)
+
+        def step(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": t[v_col],
+                "hop": pc.add(t["hop"], pa.scalar(1, pa.int64()))})
+
+        cand = nxt.map_batches(step, batch_format="pyarrow")
+        dist = group_fold(dist.union(cand), "node", ["hop"],
+                          how="min").materialize()
+    return dist

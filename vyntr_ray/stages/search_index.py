@@ -524,3 +524,75 @@ def tfidf_keywords(ds, k: int = 5, id_col: str = "doc_id",
                          "score_micro": pa.array(scores, pa.int64())})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def suggest_terms(ds, queries: list[str], max_dist: int = 2, k: int = 5,
+                  text_col: str = "text") -> "pd.DataFrame":
+    """Spell suggestions ("did you mean"): for each query term, the
+    top-k corpus vocabulary terms within Levenshtein distance
+    ``max_dist``, ranked by (distance ASC, frequency DESC, term ASC).
+
+    Serving-path sibling of autocomplete (the reference's search UI
+    rewrites queries; SURVEY §2 K7 is the prefix variant, this is the
+    edit-distance variant).  Distributed shape:
+
+    1. corpus term frequencies — per-block Counter partials folded by
+       dataset_tools.group_sum (data-scaled key rule, never a generic
+       Aggregate),
+    2. the tiny query list rides into every vocab block; a vectorized
+       length-band prefilter (|len(term) - len(q)| <= max_dist) drops
+       most of the vocab before the banded DP (dedup._lev_band — the
+       same kernel fuzzy_dup_pairs oracles against DuckDB),
+    3. per-block top-k partials -> driver fold of O(queries x k x
+       blocks) rows.
+    """
+    import pandas as pd
+
+    from .dataset_tools import group_sum
+    from .dedup import _lev_band
+
+    def counts(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        c = Counter()
+        for txt in t[text_col].to_pylist():
+            c.update(TEXT_TOKEN.findall((txt or "").lower()))
+        return pa.table({"term": pa.array(list(c.keys()), pa.string()),
+                         "freq": pa.array(list(c.values()), pa.int64())})
+
+    vocab = group_sum(ds.map_batches(counts, batch_format="pyarrow"),
+                      "term", ["freq"])
+
+    def match_block(t: pa.Table) -> pa.Table:
+        import numpy as np
+        terms = t["term"].to_pylist()
+        freqs = t["freq"].to_pylist()
+        lens = np.array([len(w) for w in terms])
+        out = {"query": [], "term": [], "dist": [], "freq": []}
+        for q in queries:
+            band = np.flatnonzero(np.abs(lens - len(q)) <= max_dist)
+            cand = sorted(
+                ((d, -freqs[i], terms[i])
+                 for i in band
+                 if (d := _lev_band(q, terms[i], max_dist))
+                 <= max_dist),
+            )[:k]
+            for d, nf, w in cand:
+                out["query"].append(q)
+                out["term"].append(w)
+                out["dist"].append(d)
+                out["freq"].append(-nf)
+        return pa.table({"query": pa.array(out["query"], pa.string()),
+                         "term": pa.array(out["term"], pa.string()),
+                         "dist": pa.array(out["dist"], pa.int64()),
+                         "freq": pa.array(out["freq"], pa.int64())})
+
+    rows = vocab.map_batches(match_block,
+                             batch_format="pyarrow").take_all()
+    df = pd.DataFrame(rows, columns=["query", "term", "dist", "freq"])
+    df = (df.sort_values(["query", "dist", "freq", "term"],
+                         ascending=[True, True, False, True])
+          .groupby("query", as_index=False).head(k)
+          .reset_index(drop=True))
+    for c in ("dist", "freq"):
+        df[c] = df[c].astype("int64")
+    return df

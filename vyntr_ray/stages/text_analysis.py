@@ -541,3 +541,42 @@ def group_zscores(ds, group_col: str, value_col: str, id_col: str,
         })
 
     return ds.map_batches(standardize, batch_format="pyarrow")
+
+
+_SNIP_TOKEN = re.compile(r"[a-z0-9]+")
+
+
+def search_snippets(ds, term: str, width: int = 3,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Result-page snippet extraction: for every doc containing
+    ``term`` (lowercase token match), the 1-based token index of the
+    FIRST occurrence and a ±``width``-token context window.
+
+    Serving-path op (the reference renders previews around matches —
+    website/src/lib/server/search.ts result shaping); here as a batch
+    stage.  A vectorized ``match_substring`` prefilter drops the
+    non-matching majority before any per-row work; string assembly on
+    the surviving rows is inherently per-document (same contract as
+    extract.parse_html).  Stateless map — no shuffle at any scale.
+    """
+    def per_batch(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        low = pc.utf8_lower(t[text_col])
+        cand = t.filter(pc.match_substring(low, term))
+        ids, idxs, snips = [], [], []
+        for did, txt in zip(cand[id_col].to_pylist(),
+                            pc.utf8_lower(cand[text_col]).to_pylist()):
+            ws = _SNIP_TOKEN.findall(txt)
+            try:
+                i = ws.index(term)
+            except ValueError:
+                continue            # substring hit, not a whole token
+            lo = max(i - width, 0)
+            ids.append(did)
+            idxs.append(i + 1)      # 1-based (SQL list_position)
+            snips.append(" ".join(ws[lo:i + width + 1]))
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "idx": pa.array(idxs, pa.int64()),
+                         "snippet": pa.array(snips, pa.string())})
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

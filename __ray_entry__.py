@@ -1543,6 +1543,19 @@ def _q_rolling_sum(sf_dir: str):
     return rolling_sum(ds, k=5)
 
 
+def _q_rfm_segments(sf_dir: str):
+    """RFM segmentation over orders: per-customer recency/frequency/
+    monetary + global NTILE(4) labels per metric
+    (stages/dataset_tools.py:rfm_segments — mixed hash-partition fold,
+    then rank_select boundary rows per metric broadcast for vectorized
+    tile assignment; the driver never holds customer rows)."""
+    from vyntr_ray.stages.dataset_tools import rfm_segments
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    return rfm_segments(ds)
+
+
 def _q_suggest_terms(sf_dir: str):
     """Spell suggestions ("did you mean") for four misspelled query
     terms: top-5 vocab terms within edit distance 2 by (dist, freq
@@ -3969,6 +3982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_hops": _q_bfs_hops,
         "search_snippets": _q_search_snippets,
         "suggest_terms": _q_suggest_terms,
+        "rfm_segments": _q_rfm_segments,
         "merge_intervals": _q_merge_intervals,
         "cumulative_distinct": _q_cumulative_distinct,
         "group_mode": _q_group_mode,
@@ -4605,6 +4619,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hits": _hits_sql(4),
         "bfs_hops": _bfs_sql(4),
+        # RFM quartiles: NTILE over (metric ASC, custkey) — the same
+        # deterministic total order the engine's rank_select boundaries
+        # use; per-row centi rounding before the monetary sum
+        "rfm_segments": """
+            WITH agg AS (SELECT o_custkey AS o_custkey,
+                    max(epoch_us(o_orderdate))::BIGINT AS r_us,
+                    count(*)::BIGINT AS f,
+                    sum(round(o_totalprice * 100)::BIGINT)::BIGINT
+                        AS m_centi
+                FROM orders GROUP BY 1)
+            SELECT o_custkey, r_us, r_us_tile, f, f_tile,
+                   m_centi, m_centi_tile
+            FROM (SELECT *,
+                    ntile(4) OVER (ORDER BY r_us, o_custkey)::BIGINT
+                        AS r_us_tile,
+                    ntile(4) OVER (ORDER BY f, o_custkey)::BIGINT
+                        AS f_tile,
+                    ntile(4) OVER (ORDER BY m_centi,
+                                   o_custkey)::BIGINT AS m_centi_tile
+                  FROM agg)
+        """,
         # spell suggestions: brute-force levenshtein over the vocab
         # (the oracle may be O(V x Q); the engine length-bands + DP);
         # tie-break (dist, freq DESC, term) mirrored exactly

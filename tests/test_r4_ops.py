@@ -735,3 +735,37 @@ def test_suggest_terms_ranking():
     # car/bat/hat all dist 2 freq 5 -> term ASC: bat, car
     assert rows[2] == ("bat", 2, 5)
     assert rows[3] == ("car", 2, 5)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [4, 17])
+def test_rank_select_and_ntile_match_numpy(seed):
+    """rank_select vs a lexsort reference — heavy value ties force the
+    key tie-break; also pins Dataset.sort -> to_arrow_refs block order."""
+    import ray.data as rd
+
+    from vyntr_ray.stages.dataset_tools import (_ntile_cut_ranks,
+                                                rank_select)
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n = 700
+    df = pd.DataFrame({
+        "v": rng.integers(0, 20, n),            # many ties
+        "k": rng.permutation(n).astype("int64"),
+    })
+    order = np.lexsort((df["k"].to_numpy(), df["v"].to_numpy()))
+    ranks = [0, 1, n // 3, n // 2, n - 2, n - 1, n // 2]  # dup rank ok
+    got = rank_select(rd.from_pandas(df, override_num_blocks=6),
+                      ["v", "k"], ranks)
+    for r, row in zip(ranks, got):
+        i = order[r]
+        assert (row["v"], row["k"]) == (df["v"].iloc[i], df["k"].iloc[i])
+
+    # NTILE cut ranks: sizes ceil-then-floor, sum to n
+    for q in (2, 3, 4, 7):
+        cuts = _ntile_cut_ranks(n, q)
+        assert len(cuts) == q - 1
+        base, rem = divmod(n, q)
+        expect = np.cumsum([base + (1 if i < rem else 0)
+                            for i in range(q)])[:q - 1] - 1
+        assert cuts == [int(x) for x in expect]

@@ -667,3 +667,126 @@ def pivot_sum(ds, key_col: str, cat_col: str, value_col: str,
 
     return group_sum(ds.map_batches(partial, batch_format="pyarrow"),
                      key_col, cols, n_parts=16)
+
+def rank_select(ds, cols: list, ranks: list):
+    """Exact global order statistics: the rows sitting at the given
+    0-based ``ranks`` in lexicographic ascending ``cols`` order.
+
+    Distributed selection: ``Dataset.sort`` (Ray's range-partitioned
+    sample sort — the scale path), then the driver sees only O(blocks)
+    row COUNTS (one tiny len task per sorted block) to place each rank,
+    and one ``take`` task per hit block returns just the selected rows.
+    The data never materializes on the driver.  Output: list of row
+    dicts, in ``ranks`` order (ranks must be < count; duplicates ok).
+    """
+    import numpy as np
+    import ray
+
+    s = ds.sort(cols).materialize()
+    refs = s.to_arrow_refs()
+
+    @ray.remote
+    def _nrows(t):
+        return t.num_rows
+
+    @ray.remote
+    def _pick(t, idxs):
+        return t.take(idxs).to_pylist()
+
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    per_block: dict = {}
+    for pos, r in enumerate(ranks):
+        b = int(np.searchsorted(offs, r, side="right") - 1)
+        per_block.setdefault(b, []).append((pos, int(r - offs[b])))
+    keys = sorted(per_block)
+    got = ray.get([_pick.remote(refs[b],
+                                [i for _, i in per_block[b]])
+                   for b in keys])
+    out = [None] * len(ranks)
+    for b, rows in zip(keys, got):
+        for (pos, _), row in zip(per_block[b], rows):
+            out[pos] = row
+    return out
+
+
+def _ntile_cut_ranks(n: int, q: int) -> list:
+    """SQL NTILE boundary ranks: 0-based rank of each tile's LAST row
+    (first ``n % q`` tiles get the extra row)."""
+    base, rem = divmod(n, q)
+    sizes = [base + (1 if i < rem else 0) for i in range(q)]
+    import numpy as np
+    return [int(c) - 1 for c in np.cumsum(sizes)[:q - 1]]
+
+
+def rfm_segments(ds, key_col: str = "o_custkey",
+                 ts_col: str = "o_orderdate",
+                 price_col: str = "o_totalprice", q: int = 4):
+    """RFM customer segmentation: per-customer Recency (last order
+    epoch-us), Frequency (order count), Monetary (centi-int spend),
+    each labeled with its global NTILE(q) quartile over (metric ASC,
+    custkey) order.
+
+    Fully distributed at every step: per-batch partials -> ONE hash
+    partition mixed fold (max/sum/sum) for the aggregates; then for
+    each metric the NTILE boundary rows are found by
+    :func:`rank_select` (sorted-block counting — the driver holds only
+    3 boundary pairs per metric, never customer rows), broadcast, and
+    every tile label is a vectorized two-key comparison.  Cost: one
+    shuffle for the fold + one Dataset.sort per metric.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from ..rounding import round_half_away
+    from .windows import _by_part
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(
+            _m=round_half_away(
+                g[price_col].to_numpy() * 100).astype("int64"),
+            _r=g[ts_col].to_numpy().astype("datetime64[us]")
+            .astype("int64"))
+        return g.groupby(key_col, as_index=False).agg(
+            r_us=("_r", "max"), f=("_r", "size"), m_centi=("_m", "sum"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(key_col, as_index=False).agg(
+            r_us=("r_us", "max"), f=("f", "sum"),
+            m_centi=("m_centi", "sum"))
+        for c in ("r_us", "f", "m_centi"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    agg = (_by_part(ds.map_batches(partial, batch_format="pandas"),
+                    key_col)
+           .groupby("_part")
+           .map_groups(lambda g: fold(g.drop(columns="_part")),
+                       batch_format="pandas")
+           .materialize())
+
+    n = agg.count()
+    cuts = _ntile_cut_ranks(n, q)
+    metrics = ("r_us", "f", "m_centi")
+    bounds = {}
+    for col in metrics:
+        rows = rank_select(agg, [col, key_col], cuts)
+        bounds[col] = [(int(r[col]), int(r[key_col])) for r in rows]
+    bref = ray.put(bounds)
+
+    def tile(t: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        keys = t[key_col].to_numpy()
+        out = {key_col: t[key_col]}
+        for col in metrics:
+            x = t[col].to_numpy()
+            tl = np.ones(len(x), np.int64)
+            for bx, bk in b[col]:
+                tl += ((x > bx) | ((x == bx) & (keys > bk))) \
+                    .astype(np.int64)
+            out[col] = t[col]
+            out[col + "_tile"] = pa.array(tl, pa.int64())
+        return pa.table(out)
+
+    return agg.map_batches(tile, batch_format="pyarrow")

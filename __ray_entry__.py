@@ -1543,6 +1543,43 @@ def _q_rolling_sum(sf_dir: str):
     return rolling_sum(ds, k=5)
 
 
+def _q_monthly_growth(sf_dir: str):
+    """Period-over-period reporting: monthly centi revenue + delta vs
+    the previous calendar month (sentinel 0 on the first).  Months are
+    a CONSTANT-bounded key space -> zero-shuffle per-block partials
+    (_sum_keyed_partials rule); the lag is a driver fold over
+    O(months) rows."""
+    import pyarrow.compute as pc
+
+    def part(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy()
+        ym = (d.astype("datetime64[M]").astype(np.int64))  # months
+        cents = _round_ha(pc.multiply(t["o_totalprice"],
+                                      pa.scalar(100.0)))
+        df = pd.DataFrame({
+            "ym": ym,
+            "rev_centi": pc.cast(cents, pa.int64()).to_numpy()})
+        g = df.groupby("ym", as_index=False)["rev_centi"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    g = _sum_keyed_partials(
+        ds.map_batches(part, batch_format="pyarrow"),
+        ["ym"], ["rev_centi"])
+    g = g.sort_values("ym").reset_index(drop=True)
+    # calendar-aware lag: previous MONTH, not previous row
+    prev = dict(zip(g["ym"], g["rev_centi"]))
+    g["delta_centi"] = [
+        int(r) - int(prev.get(m - 1, r))
+        for m, r in zip(g["ym"], g["rev_centi"])]
+    # ym -> year*100 + month for a readable join key
+    years = 1970 + g["ym"] // 12
+    months = g["ym"] % 12 + 1
+    g["ym"] = (years * 100 + months).astype("int64")
+    g["delta_centi"] = g["delta_centi"].astype("int64")
+    return g
+
+
 def _q_rfm_segments(sf_dir: str):
     """RFM segmentation over orders: per-customer recency/frequency/
     monetary + global NTILE(4) labels per metric
@@ -3983,6 +4020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_snippets": _q_search_snippets,
         "suggest_terms": _q_suggest_terms,
         "rfm_segments": _q_rfm_segments,
+        "monthly_growth": _q_monthly_growth,
         "merge_intervals": _q_merge_intervals,
         "cumulative_distinct": _q_cumulative_distinct,
         "group_mode": _q_group_mode,
@@ -4619,6 +4657,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hits": _hits_sql(4),
         "bfs_hops": _bfs_sql(4),
+        # calendar-aware month-over-month delta: self join on the
+        # previous month-count (LAG by row would skip gap months);
+        # sentinel = own value -> delta 0 when no prior month
+        "monthly_growth": """
+            WITH g AS (SELECT year(o_orderdate)::BIGINT * 12
+                              + month(o_orderdate)::BIGINT - 1 AS mc,
+                              sum(round(o_totalprice * 100)::BIGINT)
+                                  ::BIGINT AS rev_centi
+                       FROM orders GROUP BY 1)
+            SELECT ((g.mc // 12) * 100 + g.mc % 12 + 1)::BIGINT AS ym,
+                   g.rev_centi,
+                   (g.rev_centi
+                    - coalesce(p.rev_centi, g.rev_centi))::BIGINT
+                       AS delta_centi
+            FROM g LEFT JOIN g p ON p.mc = g.mc - 1
+        """,
         # RFM quartiles: NTILE over (metric ASC, custkey) — the same
         # deterministic total order the engine's rank_select boundaries
         # use; per-row centi rounding before the monetary sum

@@ -769,3 +769,28 @@ def test_rank_select_and_ntile_match_numpy(seed):
         expect = np.cumsum([base + (1 if i < rem else 0)
                             for i in range(q)])[:q - 1] - 1
         assert cuts == [int(x) for x in expect]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_monthly_growth_gap_month(tmp_path):
+    """Delta is calendar-aware: a month following a GAP gets sentinel
+    delta 0 (no prior month), not the delta vs the last nonempty row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as em
+
+    orders = pa.table({
+        "o_orderdate": pa.array(
+            pd.to_datetime(["2024-01-15", "2024-01-20",
+                            "2024-02-01",
+                            "2024-04-09"]),   # March missing
+            pa.timestamp("us")),
+        "o_totalprice": pa.array([10.005, 20.0, 50.0, 5.0]),
+    })
+    pq.write_table(orders, tmp_path / "orders.parquet")
+    got = em._q_monthly_growth(str(tmp_path))
+    assert got["ym"].tolist() == [202401, 202402, 202404]
+    # 10.005 rounds half-AWAY to 1001 centi
+    assert got["rev_centi"].tolist() == [3001, 5000, 500]
+    assert got["delta_centi"].tolist() == [0, 1999, 0]

@@ -1543,6 +1543,51 @@ def _q_rolling_sum(sf_dir: str):
     return rolling_sum(ds, k=5)
 
 
+def _q_ab_ttest(sf_dir: str):
+    """Welch two-sample t statistic between the 'click' and 'purchase'
+    event values, from EXACT int64 sufficient statistics (n, sum_centi,
+    sumsq) per variant — the qty_discount_corr shape: zero-shuffle
+    per-block partials (constant-bounded keys), one driver-side IEEE
+    formula mirrored term-for-term in the oracle so round(..., 6)
+    matches bit-for-bit."""
+    import math
+
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array(["click", "purchase"]))
+        t = t.filter(keep)
+        v = pc.cast(_round_ha(pc.multiply(t["value"],
+                                          pa.scalar(100.0))), pa.int64())
+        b = pa.table({"variant": t["event_type"],
+                      "one": pa.array(np.ones(t.num_rows, np.int64)),
+                      "s": v, "ss": pc.multiply(v, v)})
+        g = b.group_by("variant").aggregate(
+            [("one", "sum"), ("s", "sum"), ("ss", "sum")])
+        return g.rename_columns(["variant", "n", "s", "ss"])
+
+    stats = _sum_keyed_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["variant"], ["n", "s", "ss"])
+    row = {r["variant"]: (int(r["n"]), int(r["s"]), int(r["ss"]))
+           for r in stats.to_dict("records")}
+    (n1, s1, ss1), (n2, s2, ss2) = row["click"], row["purchase"]
+    m1 = float(s1) / float(n1)
+    m2 = float(s2) / float(n2)
+    var1 = (float(ss1) - float(s1) * float(s1) / float(n1)) \
+        / float(n1 - 1)
+    var2 = (float(ss2) - float(s2) * float(s2) / float(n2)) \
+        / float(n2 - 1)
+    t_stat = (m1 - m2) / math.sqrt(var1 / float(n1) + var2 / float(n2))
+    return pd.DataFrame({
+        "n_click": pd.array([n1], dtype="int64"),
+        "n_purchase": pd.array([n2], dtype="int64"),
+        "t_welch": [round(t_stat, 6)]})
+
+
 def _q_monthly_growth(sf_dir: str):
     """Period-over-period reporting: monthly centi revenue + delta vs
     the previous calendar month (sentinel 0 on the first).  Months are
@@ -4021,6 +4066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_terms": _q_suggest_terms,
         "rfm_segments": _q_rfm_segments,
         "monthly_growth": _q_monthly_growth,
+        "ab_ttest": _q_ab_ttest,
         "merge_intervals": _q_merge_intervals,
         "cumulative_distinct": _q_cumulative_distinct,
         "group_mode": _q_group_mode,
@@ -4657,6 +4703,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hits": _hits_sql(4),
         "bfs_hops": _bfs_sql(4),
+        # Welch t from exact int sufficient stats; the double formula
+        # is evaluated in the SAME operation order as the engine
+        # (division before subtraction inside each var term)
+        "ab_ttest": """
+            WITH s AS (SELECT event_type AS variant,
+                    count(*)::BIGINT AS n,
+                    sum(round(value * 100)::BIGINT)::BIGINT AS s,
+                    sum(round(value * 100)::BIGINT
+                        * round(value * 100)::BIGINT)::BIGINT AS ss
+                FROM events
+                WHERE event_type IN ('click', 'purchase')
+                GROUP BY 1),
+            c AS (SELECT * FROM s WHERE variant = 'click'),
+            p AS (SELECT * FROM s WHERE variant = 'purchase')
+            SELECT c.n AS n_click, p.n AS n_purchase,
+                   round(((c.s::DOUBLE / c.n::DOUBLE)
+                          - (p.s::DOUBLE / p.n::DOUBLE))
+                         / sqrt(((c.ss::DOUBLE - c.s::DOUBLE * c.s::DOUBLE
+                                  / c.n::DOUBLE) / (c.n - 1)::DOUBLE)
+                                / c.n::DOUBLE
+                                + ((p.ss::DOUBLE
+                                    - p.s::DOUBLE * p.s::DOUBLE
+                                    / p.n::DOUBLE) / (p.n - 1)::DOUBLE)
+                                / p.n::DOUBLE),
+                         6) AS t_welch
+            FROM c, p
+        """,
         # calendar-aware month-over-month delta: self join on the
         # previous month-count (LAG by row would skip gap months);
         # sentinel = own value -> delta 0 when no prior month

@@ -484,7 +484,7 @@ def bfs_hops(edges_ds, seeds_ds, k: int, u_col: str = "u",
     for _ in range(k):
         nxt = hash_join(dist, edges_ds, key_col="node",
                         left_payload=["hop"], right_payload=[v_col],
-                        right_key_col=u_col, types=types)
+                        right_key_col=u_col, types=types, n_parts=16)
 
         def step(t: pa.Table) -> pa.Table:
             return pa.table({
@@ -492,6 +492,12 @@ def bfs_hops(edges_ds, seeds_ds, k: int, u_col: str = "u",
                 "hop": pc.add(t["hop"], pa.scalar(1, pa.int64()))})
 
         cand = nxt.map_batches(step, batch_format="pyarrow")
-        dist = group_fold(dist.union(cand), "node", ["hop"],
-                          how="min").materialize()
+        # repartition BEFORE materializing: without it the per-round
+        # block count multiplies (union + per-partition map_groups emit
+        # one block per upstream block — measured 66 -> 196 -> 456
+        # blocks over 3 rounds, and per-block fixed cost turned round 3
+        # into 67 s for 137 rows).  Iterative Dataset loops must bound
+        # their state's block count every round.
+        dist = (group_fold(dist.union(cand), "node", ["hop"], how="min")
+                .repartition(16).materialize())
     return dist

@@ -1588,6 +1588,90 @@ def _q_ab_ttest(sf_dir: str):
         "t_welch": [round(t_stat, 6)]})
 
 
+def _q_gaps_islands(sf_dir: str):
+    """Consecutive-day activity islands per user (gaps-and-islands on
+    the distinct activity-day set) — one key-hash shuffle, vectorized
+    run-break sweep per partition."""
+    from vyntr_ray.stages.windows import gaps_islands
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return gaps_islands(ds, key_col="user_id", ts_col="ts")
+
+
+def _q_event_throttle(sf_dir: str):
+    """LAG-based duplicate suppression: keep events whose previous
+    (user, type) sibling is >300 s older (alert-throttle semantics)."""
+    from vyntr_ray.stages.windows import event_throttle
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "ts"])
+    return event_throttle(ds, gap_s=300)
+
+
+def _q_scd2_intervals(sf_dir: str):
+    """SCD-2 validity intervals: one row per run of equal event_type per
+    user, valid_from = run start, valid_to = next run's start (sentinel
+    9999-12-31 on the open run — the asof-left NULL convention)."""
+    from vyntr_ray.stages.windows import scd2_intervals
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "ts"])
+    return scd2_intervals(ds)
+
+
+def _q_group_median(sf_dir: str):
+    """Exact per-user discrete median of event values (quantile_disc
+    selection rule ceil(q*n)-1, centi-int exact) — the keyed sibling of
+    value_quantiles; data-scaled key domain through ONE hash shuffle."""
+    from vyntr_ray.stages.windows import group_median
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+    return group_median(ds, key_col="user_id", value_col="value")
+
+
+def _q_weekday_bitmap(sf_dir: str):
+    """Per-user weekday-activity bitmask (bit d set iff the user has an
+    event on DuckDB weekday d, 0=Sunday) + distinct-weekday count.
+    DISTINCT (user, dow) via the hash-partition dedup, then mask =
+    sum of distinct bits (OR == SUM after dedup) through group_sum —
+    no generic Aggregate, two bounded shuffles total."""
+    import pyarrow.compute as pc
+
+    from vyntr_ray.stages.dataset_tools import distinct_rows, group_sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def dow(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        # epoch day 0 = Thursday = DuckDB dayofweek 4 -> (day+4) % 7
+        d = (us // 86_400_000_000 + 4) % 7
+        return pa.table({"user_id": t["user_id"],
+                         "dow": pa.array(d, pa.int64())})
+
+    dd = distinct_rows(ds.map_batches(dow, batch_format="pyarrow"),
+                       ["user_id", "dow"])
+
+    def bits(t: pa.Table) -> pa.Table:
+        t = pa.table(t) if not isinstance(t, pa.Table) else t
+        return pa.table({
+            "user_id": t["user_id"],
+            "dow_mask": pc.shift_left(pa.scalar(1, pa.int64()), t["dow"]),
+            "n_dows": pa.array(np.ones(t.num_rows, np.int64))})
+
+    return group_sum(dd.map_batches(bits, batch_format="pyarrow"),
+                     "user_id", ["dow_mask", "n_dows"])
+
+
+def _q_embedding_norms(sf_dir: str):
+    """Top-20 vectors by exact integer-scaled squared-L2 norm — the
+    list<float> math litmus: per-element x1e4 half-away scaling makes
+    the norm an exact int64 the oracle replays with unnest."""
+    from vyntr_ray.stages.embed import embedding_norms
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_norms(ds, k=20)
+
+
 def _q_monthly_growth(sf_dir: str):
     """Period-over-period reporting: monthly centi revenue + delta vs
     the previous calendar month (sentinel 0 on the first).  Months are
@@ -4067,6 +4151,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": _q_rfm_segments,
         "monthly_growth": _q_monthly_growth,
         "ab_ttest": _q_ab_ttest,
+        "gaps_islands": _q_gaps_islands,
+        "event_throttle": _q_event_throttle,
+        "scd2_intervals": _q_scd2_intervals,
+        "group_median": _q_group_median,
+        "weekday_bitmap": _q_weekday_bitmap,
+        "embedding_norms": _q_embedding_norms,
         "merge_intervals": _q_merge_intervals,
         "cumulative_distinct": _q_cumulative_distinct,
         "group_mode": _q_group_mode,
@@ -4703,6 +4793,75 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hits": _hits_sql(4),
         "bfs_hops": _bfs_sql(4),
+        # gaps-and-islands: day-number arithmetic vs ROW_NUMBER delta;
+        # DATE - DATE is BIGINT days in DuckDB (verified)
+        "gaps_islands": """
+            WITH d AS (SELECT DISTINCT user_id,
+                    (CAST(ts AS DATE) - DATE '1970-01-01')::BIGINT AS day
+                FROM events),
+            r AS (SELECT user_id, day,
+                    day - ROW_NUMBER() OVER (PARTITION BY user_id
+                                             ORDER BY day) AS grp
+                  FROM d)
+            SELECT user_id, min(day)::BIGINT AS start_day,
+                   max(day)::BIGINT AS end_day,
+                   count(*)::BIGINT AS n_days
+            FROM r GROUP BY user_id, grp
+        """,
+        "event_throttle": """
+            SELECT event_id, user_id, event_type FROM (
+                SELECT event_id, user_id, event_type, ts,
+                       lag(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS pts
+                FROM events)
+            WHERE pts IS NULL
+               OR epoch_us(ts) - epoch_us(pts) > 300000000
+        """,
+        # change points by LAG(type) over (ts, id), LEAD over the SAME
+        # deterministic order; sentinel 9999-12-31 = asof-left convention
+        "scd2_intervals": """
+            WITH s AS (SELECT user_id, event_type, ts, event_id,
+                    lag(event_type) OVER w AS ptype
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            c AS (SELECT user_id, event_type, ts, event_id FROM s
+                  WHERE ptype IS NULL OR ptype <> event_type)
+            SELECT user_id, event_type,
+                   epoch_us(ts)::BIGINT AS valid_from_us,
+                   coalesce(epoch_us(lead(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)),
+                        253402300799000000)::BIGINT AS valid_to_us
+            FROM c
+        """,
+        # quantile_disc = sorted index ceil(q*n)-1 (verified: n=4 -> 2,
+        # n=5 -> 3) — the value_quantiles selection rule, per key
+        "group_median": """
+            SELECT user_id, count(*)::BIGINT AS n,
+                   quantile_disc(round(value * 100)::BIGINT,
+                                 0.5)::BIGINT AS median_centi
+            FROM events GROUP BY user_id
+        """,
+        # dayofweek: 0=Sunday (1970-01-01 -> 4, verified); OR of distinct
+        # one-hot bits == SUM DISTINCT
+        "weekday_bitmap": """
+            SELECT user_id,
+                   sum(DISTINCT (1::BIGINT <<
+                       dayofweek(CAST(ts AS DATE))))::BIGINT AS dow_mask,
+                   count(DISTINCT
+                       dayofweek(CAST(ts AS DATE)))::BIGINT AS n_dows
+            FROM events GROUP BY user_id
+        """,
+        "embedding_norms": """
+            WITH u AS (SELECT vec_id, unnest(embedding) AS x
+                       FROM embeddings),
+            n AS (SELECT vec_id, count(*)::BIGINT AS dim,
+                    sum((round(CAST(x AS DOUBLE) * 10000)::BIGINT)
+                        * (round(CAST(x AS DOUBLE)
+                                 * 10000)::BIGINT))::BIGINT AS norm_sq
+                  FROM u GROUP BY vec_id)
+            SELECT vec_id, dim, norm_sq FROM n
+            ORDER BY norm_sq DESC, vec_id LIMIT 20
+        """,
         # Welch t from exact int sufficient stats; the double formula
         # is evaluated in the SAME operation order as the engine
         # (division before subtraction inside each var term)

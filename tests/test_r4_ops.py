@@ -794,3 +794,161 @@ def test_monthly_growth_gap_month(tmp_path):
     # 10.005 rounds half-AWAY to 1001 centi
     assert got["rev_centi"].tolist() == [3001, 5000, 500]
     assert got["delta_centi"].tolist() == [0, 1999, 0]
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [11, 12])
+def test_gaps_islands_matches_bruteforce(seed):
+    import ray.data as rd
+
+    from vyntr_ray.stages.windows import gaps_islands
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n = 800
+    day = rng.integers(19700, 19760, n).astype("int64")
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 23, n).astype("int64"),
+        "ts": pd.to_datetime(day * 86_400_000_000
+                             + rng.integers(0, 86_400_000_000, n),
+                             unit="us"),
+    })
+    got = (gaps_islands(rd.from_pandas(df.copy()), n_parts=5)
+           .to_pandas().sort_values(["user_id", "start_day"])
+           .reset_index(drop=True))
+
+    rows = []
+    for u, g in df.groupby("user_id"):
+        ds = sorted(set((g["ts"].astype("int64") // (86_400 * 10**9))
+                        .tolist()))
+        s = e = ds[0]
+        for d in ds[1:]:
+            if d == e + 1:
+                e = d
+            else:
+                rows.append((u, s, e, e - s + 1))
+                s = e = d
+        rows.append((u, s, e, e - s + 1))
+    exp = (pd.DataFrame(rows,
+                        columns=["user_id", "start_day", "end_day",
+                                 "n_days"])
+           .astype("int64").sort_values(["user_id", "start_day"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype("int64"), exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_event_throttle_gap_semantics():
+    import ray.data as rd
+
+    from vyntr_ray.stages.windows import event_throttle
+
+    # one user/type stream with gaps straddling the threshold; a second
+    # type interleaved to prove grouping is per (user, type)
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        (1, 10, "a", base),                                   # keep (first)
+        (2, 10, "a", base + pd.Timedelta(seconds=100)),       # drop (<=300)
+        (3, 10, "a", base + pd.Timedelta(seconds=400)),       # drop (gap == 300 exactly, NOT > 300)
+        (4, 10, "a", base + pd.Timedelta(seconds=700, microseconds=1)),  # keep (gap > 300 from LAG row #3)
+        (5, 10, "b", base + pd.Timedelta(seconds=150)),       # keep (first of b)
+        (6, 11, "a", base + pd.Timedelta(seconds=150)),       # keep (other user)
+        (7, 10, "a", base + pd.Timedelta(seconds=1000, microseconds=1)),  # drop (gap == 300 exactly from #4)
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id",
+                                     "event_type", "ts"])
+    got = (event_throttle(rd.from_pandas(df), gap_s=300, n_parts=3)
+           .to_pandas())
+    assert sorted(got["event_id"].tolist()) == [1, 4, 5, 6]
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [21, 22])
+def test_scd2_intervals_matches_bruteforce(seed):
+    import ray.data as rd
+
+    from vyntr_ray.stages.windows import scd2_intervals
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n = 600
+    SENT = 253_402_300_799_000_000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype="int64"),
+        "user_id": rng.integers(0, 19, n).astype("int64"),
+        "event_type": rng.choice(list("xyz"), n),
+        # coarse ts -> deliberate ties exercised through the id tie-break
+        "ts": pd.to_datetime(rng.integers(0, 40, n) * 10**6, unit="us"),
+    })
+    got = (scd2_intervals(rd.from_pandas(df.copy()), n_parts=5)
+           .to_pandas()
+           .sort_values(["user_id", "valid_from_us", "event_type"])
+           .reset_index(drop=True))
+
+    rows = []
+    for u, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        runs = []
+        for t, ty in zip(g["ts"].astype("int64") // 1000, g["event_type"]):
+            if not runs or runs[-1][1] != ty:
+                runs.append([t, ty])
+        for i, (t, ty) in enumerate(runs):
+            vt = runs[i + 1][0] if i + 1 < len(runs) else SENT
+            rows.append((u, ty, t, vt))
+    exp = (pd.DataFrame(rows, columns=["user_id", "event_type",
+                                       "valid_from_us", "valid_to_us"])
+           .sort_values(["user_id", "valid_from_us", "event_type"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got, exp.astype({"user_id": "int64", "valid_from_us": "int64",
+                         "valid_to_us": "int64"}))
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [31, 32])
+def test_group_median_matches_quantile_disc(seed):
+    import ray.data as rd
+
+    from vyntr_ray.stages.windows import group_median
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n = 700
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 29, n).astype("int64"),
+        # .005 boundaries land exactly -> rounding ties exercised
+        "value": rng.integers(-400, 400, n) / 200.0,
+    })
+    got = (group_median(rd.from_pandas(df.copy()), n_parts=5)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+
+    from vyntr_ray.rounding import round_half_away
+    rows = []
+    for u, g in df.groupby("user_id"):
+        v = np.sort(round_half_away(
+            g["value"].to_numpy() * 100).astype("int64"))
+        idx = int(np.ceil(0.5 * len(v))) - 1
+        rows.append((u, len(v), v[idx]))
+    exp = (pd.DataFrame(rows, columns=["user_id", "n", "median_centi"])
+           .astype("int64"))
+    pd.testing.assert_frame_equal(got.astype("int64"), exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_norms_exact():
+    import ray.data as rd
+
+    from vyntr_ray.stages.embed import embedding_norms
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    vecs = [rng.normal(size=8).astype("float32") for _ in range(40)]
+    df = pd.DataFrame({"vec_id": np.arange(40, dtype="int64"),
+                       "embedding": [v.tolist() for v in vecs]})
+    got = embedding_norms(rd.from_pandas(df), k=10).to_pandas()
+
+    from vyntr_ray.rounding import round_half_away
+    norm = np.array([
+        (round_half_away(np.asarray(v, np.float64) * 1e4)
+         .astype("int64") ** 2).sum()
+        for v in vecs])
+    order = np.lexsort((np.arange(40), -norm))[:10]
+    assert got["vec_id"].tolist() == [int(i) for i in order]
+    assert got["norm_sq"].tolist() == [int(norm[i]) for i in order]
+    assert got["dim"].tolist() == [8] * 10

@@ -29,6 +29,7 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["chunk_tokens", "Chunker", "StubEncoder", "HFEncoder",
+           "embedding_norms",
            "chunk_documents",
            "embed_chunks", "mean_pool", "CHUNK_DEFAULTS"]
 
@@ -302,3 +303,38 @@ def mean_pool(ds, key_col: str = "label", vec_col: str = "embedding",
             .groupby("_part")
             .map_groups(lambda g: pool_part(g.drop(columns="_part")),
                         batch_format="pandas"))
+
+
+def embedding_norms(ds, id_col: str = "vec_id", vec_col: str = "embedding",
+                    k: int = 20, scale: int = 10_000):
+    """Exact integer-scaled squared-L2 norms over a ``list<float>``
+    column, top-``k`` by magnitude — the vector-math litmus the oracle
+    can replay with ``unnest``: each element is scaled per-value
+    (×``scale``, half-away like DuckDB ``round``) so the squared norm is
+    an exact int64 and no float summation order can diverge.
+
+    Zero-copy arrow list access: one ``values`` buffer + offsets per
+    batch, squared and segment-summed with a cumsum difference — no
+    per-row Python, no ``np.stack`` materialization of a ragged copy.
+    The top-k is Ray's distributed sort + limit (per-block partial sort,
+    only k rows leave each block).  Returns (id, dim, norm_sq)."""
+    from ..rounding import round_half_away
+
+    def norms(t: pa.Table) -> pa.Table:
+        col = t[vec_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = round_half_away(
+            col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+            * float(scale)).astype(np.int64)
+        csum = np.concatenate([np.zeros(1, np.int64), np.cumsum(flat * flat)])
+        return pa.table({
+            id_col: t[id_col],
+            "dim": pa.array(offs[1:] - offs[:-1], pa.int64()),
+            "norm_sq": pa.array(csum[offs[1:]] - csum[offs[:-1]],
+                                pa.int64())})
+
+    return (ds.map_batches(norms, batch_format="pyarrow")
+            .sort(["norm_sq", id_col], descending=[True, False])
+            .limit(k))

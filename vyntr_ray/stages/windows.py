@@ -28,7 +28,8 @@ __all__ = ["tumbling", "sliding", "sessionize", "rolling_sum",
            "rolling_sum_time", "lag_diff",
            "running_total", "group_ranks", "funnel", "retention",
            "merge_intervals", "cumulative_distinct", "percentile_ranks",
-           "time_weighted_avg", "first_last"]
+           "time_weighted_avg", "first_last", "gaps_islands",
+           "event_throttle", "scd2_intervals", "group_median"]
 
 _US = 1_000_000
 
@@ -585,6 +586,151 @@ def first_last(ds, key_col: str = "user_id", ts_col: str = "ts",
         for c in ["first_vc", "last_vc", "first_us", "last_us", "n"]:
             agg[c] = agg[c].astype("int64")
         return agg
+
+    return _by_part(ds, key_col, n_parts=n_parts).groupby("_part").map_groups(
+        lambda g: per_part(g.drop(columns="_part")), batch_format="pandas")
+
+
+def gaps_islands(ds, key_col: str = "user_id", ts_col: str = "ts",
+                 n_parts: int = 64):
+    """Consecutive-day activity islands per key — the classic
+    gaps-and-islands over the DISTINCT (key, day) activity set (the
+    date-grain sibling of :func:`sessionize`, which islands on event-time
+    gaps).  Returns (key, start_day, end_day, n_days) with days as int64
+    day-numbers since epoch, one row per maximal run of consecutive
+    active days.
+
+    One shuffle: hash-partition on the key, then per partition a
+    vectorized drop_duplicates + sorted run-break sweep (day not equal to
+    prev day + 1, or key change) + ONE pandas groupby over island ids —
+    never a Ray group per key or per island.  The reference has no
+    calendar analytics (SURVEY §2.9); training-pipeline addition."""
+
+    def days(t: pa.Table) -> pa.Table:
+        # normalize to us first: a ns-resolution source (pandas default)
+        # would otherwise shift the day arithmetic by 1000x
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        return pa.table({key_col: t[key_col],
+                         "day": pc.divide(us, pa.scalar(
+                             86_400_000_000, pa.int64()))})
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop_duplicates(subset=[key_col, "day"])
+             .sort_values([key_col, "day"], kind="mergesort"))
+        key = g[key_col].to_numpy()
+        day = g["day"].to_numpy()
+        newkey = np.r_[True, key[1:] != key[:-1]]
+        brk = np.r_[True, (day[1:] - day[:-1]) != 1] | newkey
+        isl = np.cumsum(brk) - 1
+        out = (pd.DataFrame({key_col: key, "_i": isl, "day": day})
+               .groupby("_i", sort=True)
+               .agg(**{key_col: (key_col, "first"),
+                       "start_day": ("day", "min"),
+                       "end_day": ("day", "max"),
+                       "n_days": ("day", "size")})
+               .reset_index(drop=True))
+        for c in ["start_day", "end_day", "n_days"]:
+            out[c] = out[c].astype("int64")
+        return out
+
+    d = ds.map_batches(days, batch_format="pyarrow")
+    return _by_part(d, key_col, n_parts=n_parts).groupby("_part").map_groups(
+        lambda g: per_part(g.drop(columns="_part")), batch_format="pandas")
+
+
+def event_throttle(ds, gap_s: int, key_col: str = "user_id",
+                   type_col: str = "event_type", ts_col: str = "ts",
+                   id_col: str = "event_id", n_parts: int = 64):
+    """LAG-based duplicate suppression: keep an event iff the previous
+    event of the same (key, type) — in (ts, id) order — is more than
+    ``gap_s`` older (or absent).  The streaming-dedup shape: alert
+    throttling, client-retry collapse.  NOT the chained variant (gap
+    measured from the previous KEPT row); LAG semantics keep it
+    SQL-expressible and vectorized.
+
+    One shuffle on the key hash; the composite (key, type) grouping
+    nests inside the partition sort, so one sweep covers all pairs.
+    Returns the kept (id, key, type) rows."""
+    gap_us = gap_s * _US
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, type_col, ts_col, id_col],
+                          kind="mergesort")
+        key = g[key_col].to_numpy()
+        typ = g[type_col].to_numpy()
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+        newgrp = np.r_[True, (key[1:] != key[:-1]) | (typ[1:] != typ[:-1])]
+        far = np.r_[True, (us[1:] - us[:-1]) > gap_us]
+        keep = newgrp | far
+        return pd.DataFrame({id_col: g[id_col].to_numpy()[keep],
+                             key_col: key[keep],
+                             type_col: typ[keep]})
+
+    return _by_part(ds, key_col, n_parts=n_parts).groupby("_part").map_groups(
+        lambda g: per_part(g.drop(columns="_part")), batch_format="pandas")
+
+
+def scd2_intervals(ds, key_col: str = "user_id", type_col: str = "event_type",
+                   ts_col: str = "ts", id_col: str = "event_id",
+                   n_parts: int = 64, sentinel_us: int = 253_402_300_799_000_000):
+    """Slowly-changing-dimension (type 2) interval builder: collapse a
+    keyed event log into validity intervals — one row per run of equal
+    ``type_col`` values per key, valid from the run's first event to the
+    start of the next run (sentinel 9999-12-31T23:59:59 on the last run,
+    so no NULL enters the value hash; the asof-left convention).
+
+    Change points are detected on the (ts, id)-sorted stream (LAG(type)
+    is distinct from type), then the next change's ts arrives by a
+    shifted-array LEAD inside the same vectorized sweep — one shuffle,
+    no second window pass.  Returns (key, type, valid_from_us,
+    valid_to_us)."""
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        key = g[key_col].to_numpy()
+        typ = g[type_col].to_numpy()
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+        newkey = np.r_[True, key[1:] != key[:-1]]
+        chg = newkey | np.r_[True, typ[1:] != typ[:-1]]
+        k, t, v = key[chg], typ[chg], us[chg]
+        nk = np.r_[k[1:] != k[:-1], True]
+        valid_to = np.r_[v[1:], np.int64(sentinel_us)]
+        valid_to[nk] = sentinel_us
+        return pd.DataFrame({key_col: k, type_col: t,
+                             "valid_from_us": v, "valid_to_us": valid_to})
+
+    return _by_part(ds, key_col, n_parts=n_parts).groupby("_part").map_groups(
+        lambda g: per_part(g.drop(columns="_part")), batch_format="pandas")
+
+
+def group_median(ds, key_col: str = "user_id", value_col: str = "value",
+                 n_parts: int = 64, scale: int = 100):
+    """Exact per-key discrete median for DATA-SCALED key domains — the
+    keyed sibling of the global ``value_quantiles`` (same selection rule:
+    quantile_disc picks sorted index ceil(q*n)-1).  Values are
+    integer-scaled per row (half-away like DuckDB ``round``) so the
+    output is exact int64; groups co-locate under one key-hash shuffle
+    and each partition answers all of its keys with one sort + one
+    vectorized groupby — never a Ray group per key.
+
+    Returns (key, n, median_centi)."""
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        v = round_half_away(
+            g[value_col].to_numpy(np.float64) * scale).astype("int64")
+        f = pd.DataFrame({key_col: g[key_col].to_numpy(), "v": v})
+        f = f.sort_values([key_col, "v"], kind="mergesort")
+        key = f[key_col].to_numpy()
+        vv = f["v"].to_numpy()
+        n = len(vv)
+        newkey = np.r_[True, key[1:] != key[:-1]]
+        starts = np.flatnonzero(newkey)
+        counts = np.diff(np.r_[starts, n])
+        # quantile_disc(0.5): index ceil(0.5*n)-1 within each key slice
+        idx = starts + np.ceil(0.5 * counts).astype("int64") - 1
+        return pd.DataFrame({key_col: key[starts],
+                             "n": counts.astype("int64"),
+                             "median_centi": vv[idx]})
 
     return _by_part(ds, key_col, n_parts=n_parts).groupby("_part").map_groups(
         lambda g: per_part(g.drop(columns="_part")), batch_format="pandas")

@@ -1672,6 +1672,63 @@ def _q_embedding_norms(sf_dir: str):
     return embedding_norms(ds, k=20)
 
 
+def _q_readability(sf_dir: str):
+    """Flesch-Kincaid grades from exact RE2 counts (words / vowel-group
+    syllables / sentence runs) + a shared-IEEE formula — streaming, no
+    shuffle."""
+    from vyntr_ray.stages.text_analysis import readability
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return readability(ds)
+
+
+def _q_group_mad(sf_dir: str):
+    """Per-user median absolute deviation (robust dispersion), exact
+    centi-int via two discrete-median passes inside one hash
+    partition."""
+    from vyntr_ray.stages.windows import group_mad
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+    return group_mad(ds, key_col="user_id", value_col="value")
+
+
+def _q_last_touch(sf_dir: str):
+    """Last-touch attribution: every purchase joined to the latest
+    strictly-preceding click of the same user (sentinel -1 when none)."""
+    from vyntr_ray.stages.windows import last_touch
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "ts"])
+    return last_touch(ds, touch="click", target="purchase")
+
+
+def _q_watermark_filter(sf_dir: str):
+    """Streaming late-data gate: watermark = running max event-time over
+    the arrival order (event_id), 600 s allowed lateness; per-type
+    kept/dropped counts.  Distributed prefix-max (O(n_buckets) driver
+    array), zero-shuffle count fold."""
+    import pyarrow.compute as pc
+
+    from vyntr_ray.stages.windows import watermark_filter
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "ts"])
+    wf = watermark_filter(ds, allowed_s=600)
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = pa.table({"event_type": t["event_type"],
+                      "k": pc.cast(t["kept"], pa.int64()),
+                      "one": pa.array(np.ones(t.num_rows, np.int64))})
+        g = b.group_by("event_type").aggregate(
+            [("k", "sum"), ("one", "sum")])
+        return g.rename_columns(["event_type", "n_kept", "n_total"])
+
+    agg = _sum_keyed_partials(
+        wf.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], ["n_kept", "n_total"])
+    agg["n_dropped"] = (agg["n_total"] - agg["n_kept"]).astype("int64")
+    return agg.drop(columns=["n_total"])
+
+
 def _q_monthly_growth(sf_dir: str):
     """Period-over-period reporting: monthly centi revenue + delta vs
     the previous calendar month (sentinel 0 on the first).  Months are
@@ -4157,6 +4214,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_median": _q_group_median,
         "weekday_bitmap": _q_weekday_bitmap,
         "embedding_norms": _q_embedding_norms,
+        "readability": _q_readability,
+        "group_mad": _q_group_mad,
+        "last_touch": _q_last_touch,
+        "watermark_filter": _q_watermark_filter,
         "merge_intervals": _q_merge_intervals,
         "cumulative_distinct": _q_cumulative_distinct,
         "group_mode": _q_group_mode,
@@ -4850,6 +4911,64 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT
                        dayofweek(CAST(ts AS DATE)))::BIGINT AS n_dows
             FROM events GROUP BY user_id
+        """,
+        # RE2 on both sides (pc.count_substring_regex / regexp_extract_all),
+        # grade = shared IEEE formula in identical term order
+        "readability": """
+            WITH c AS (SELECT doc_id,
+                    length(regexp_extract_all(
+                        text, '[A-Za-z]+'))::BIGINT AS n_words,
+                    greatest(length(regexp_extract_all(
+                        text, '[.!?]+')), 1)::BIGINT AS n_sents,
+                    length(regexp_extract_all(
+                        text, '[aeiouyAEIOUY]+'))::BIGINT AS n_syll
+                FROM documents)
+            SELECT doc_id, n_words, n_sents, n_syll,
+                   round(0.39 * (n_words::DOUBLE / n_sents::DOUBLE)
+                         + 11.8 * (n_syll::DOUBLE / n_words::DOUBLE)
+                         - 15.59, 6) AS fk_grade
+            FROM c WHERE n_words > 0
+        """,
+        "group_mad": """
+            WITH v AS (SELECT user_id, round(value * 100)::BIGINT AS vc
+                       FROM events),
+            m AS (SELECT user_id, count(*)::BIGINT AS n,
+                    quantile_disc(vc, 0.5)::BIGINT AS median_centi
+                  FROM v GROUP BY user_id)
+            SELECT m.user_id, m.n, m.median_centi,
+                   quantile_disc(abs(v.vc - m.median_centi),
+                                 0.5)::BIGINT AS mad_centi
+            FROM v JOIN m ON v.user_id = m.user_id
+            GROUP BY m.user_id, m.n, m.median_centi
+        """,
+        "last_touch": """
+            SELECT event_id AS target_id, user_id,
+                   coalesce(lt, -1)::BIGINT AS touch_id
+            FROM (
+                SELECT event_id, user_id, event_type,
+                       last_value(CASE WHEN event_type = 'click'
+                                       THEN event_id END IGNORE NULLS)
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS lt
+                FROM events)
+            WHERE event_type = 'purchase'
+        """,
+        # watermark = running max event-time over arrival order
+        # (UNBOUNDED PRECEDING .. 1 PRECEDING); late iff ts < wm - 600 s
+        "watermark_filter": """
+            WITH w AS (SELECT event_id, event_type, epoch_us(ts) AS tus,
+                    max(epoch_us(ts)) OVER (ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS wm
+                FROM events)
+            SELECT event_type,
+                   sum(CASE WHEN wm IS NULL OR tus >= wm - 600000000
+                            THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+                   sum(CASE WHEN wm IS NOT NULL AND tus < wm - 600000000
+                            THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+            FROM w GROUP BY event_type
         """,
         "embedding_norms": """
             WITH u AS (SELECT vec_id, unnest(embedding) AS x

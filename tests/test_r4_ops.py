@@ -952,3 +952,122 @@ def test_embedding_norms_exact():
     assert got["vec_id"].tolist() == [int(i) for i in order]
     assert got["norm_sq"].tolist() == [int(norm[i]) for i in order]
     assert got["dim"].tolist() == [8] * 10
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [41, 42])
+def test_group_mad_matches_bruteforce(seed):
+    import ray.data as rd
+
+    from vyntr_ray.rounding import round_half_away
+    from vyntr_ray.stages.windows import group_mad
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n = 600
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 21, n).astype("int64"),
+        "value": rng.integers(-300, 300, n) / 200.0,  # .005 ties
+    })
+    got = (group_mad(rd.from_pandas(df.copy()), n_parts=5)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+
+    def disc_med(a):
+        a = np.sort(a)
+        return a[int(np.ceil(0.5 * len(a))) - 1]
+
+    rows = []
+    for u, g in df.groupby("user_id"):
+        v = round_half_away(g["value"].to_numpy() * 100).astype("int64")
+        med = disc_med(v)
+        rows.append((u, len(v), med, disc_med(np.abs(v - med))))
+    exp = pd.DataFrame(rows, columns=["user_id", "n", "median_centi",
+                                      "mad_centi"]).astype("int64")
+    pd.testing.assert_frame_equal(got.astype("int64"), exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [51, 52])
+def test_last_touch_matches_bruteforce(seed):
+    import ray.data as rd
+
+    from vyntr_ray.stages.windows import last_touch
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n = 500
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype="int64"),
+        "user_id": rng.integers(0, 13, n).astype("int64"),
+        "event_type": rng.choice(["click", "purchase", "view"], n),
+        # coarse ts -> ties resolved by the event_id tie-break
+        "ts": pd.to_datetime(rng.integers(0, 60, n) * 10**6, unit="us"),
+    })
+    got = (last_touch(rd.from_pandas(df.copy()), n_parts=4)
+           .to_pandas().sort_values("target_id").reset_index(drop=True))
+
+    rows = []
+    for u, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        last_click = -1
+        for eid, ty in zip(g["event_id"], g["event_type"]):
+            if ty == "purchase":
+                rows.append((eid, u, last_click))
+            if ty == "click":
+                last_click = eid
+    exp = (pd.DataFrame(rows, columns=["target_id", "user_id", "touch_id"])
+           .astype("int64").sort_values("target_id")
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype("int64"), exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [61, 62])
+def test_watermark_filter_matches_bruteforce(seed):
+    import ray.data as rd
+
+    from vyntr_ray.stages.windows import watermark_filter
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n = 700
+    # sparse, shuffled arrival ids + heavily out-of-order event times
+    ids = np.sort(rng.choice(10 * n, n, replace=False)).astype("int64")
+    df = pd.DataFrame({
+        "event_id": ids,
+        "ts": pd.to_datetime(rng.integers(0, 3600, n) * 10**6, unit="us"),
+    })
+    got = (watermark_filter(rd.from_pandas(df.copy()), allowed_s=600,
+                            n_buckets=7)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+
+    g = df.sort_values("event_id")
+    tus = g["ts"].astype("int64").to_numpy() // 1000
+    wm = np.r_[np.int64(-2**62), np.maximum.accumulate(tus)[:-1]]
+    exp_kept = tus >= wm - 600 * 10**6
+    assert got["kept"].to_numpy().tolist() == exp_kept.tolist()
+    assert (~exp_kept).sum() > 0          # the shape actually drops rows
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_readability_counts_and_edges():
+    import re
+
+    import ray.data as rd
+
+    from vyntr_ray.stages.text_analysis import readability
+
+    docs = ["Hello world. How are you?! Fine",
+            "a b c",          # no sentence punctuation -> n_sents floors at 1
+            "12345 --- !!!",   # zero words -> dropped
+            "Rhythm myth"]     # y-only vowels
+    df = pd.DataFrame({"doc_id": np.arange(4, dtype="int64"),
+                       "text": docs})
+    got = (readability(rd.from_pandas(df)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == [0, 1, 3]
+    for _, r in got.iterrows():
+        t = docs[int(r["doc_id"])]
+        assert r["n_words"] == len(re.findall(r"[A-Za-z]+", t))
+        assert r["n_syll"] == len(re.findall(r"[aeiouyAEIOUY]+", t))
+        assert r["n_sents"] == max(len(re.findall(r"[.!?]+", t)), 1)
+        w, s, sy = float(r["n_words"]), float(r["n_sents"]), float(r["n_syll"])
+        assert abs(r["fk_grade"]
+                   - (0.39 * (w / s) + 11.8 * (sy / w) - 15.59)) < 1e-6

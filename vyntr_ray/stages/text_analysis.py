@@ -17,6 +17,8 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+
 from ..rounding import iround_half_away, round_half_away
 
 __all__ = ["token_stats_batch", "token_totals", "quality_batch",
@@ -24,7 +26,7 @@ __all__ = ["token_stats_batch", "token_totals", "quality_batch",
            "benchmark_ngrams", "contamination_report", "decontaminate",
            "repetition_batch", "unigram_fit", "unigram_logprob",
            "normalize_batch", "normalize_text", "dsir_weights",
-           "group_zscores"]
+           "group_zscores", "readability"]
 
 _WS_TOKEN = re.compile(r"\S+")
 # BPE-ish word/number/symbol splitter (public GPT-2-style pattern, simplified)
@@ -578,5 +580,40 @@ def search_snippets(ds, term: str, width: int = 3,
         return pa.table({id_col: pa.array(ids, pa.int64()),
                          "idx": pa.array(idxs, pa.int64()),
                          "snippet": pa.array(snips, pa.string())})
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def readability(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Flesch-Kincaid grade from EXACT integer counts: words =
+    ``[A-Za-z]+`` matches, syllables = vowel-group ``[aeiouyAEIOUY]+``
+    matches (the standard public heuristic), sentences =
+    ``[.!?]+`` runs (floored at 1).  Counting is Arrow
+    ``count_substring_regex`` — RE2, the same dialect DuckDB's
+    ``regexp_extract_all`` uses, so the oracle reproduces every count
+    bit-for-bit; the grade double is then a SHARED IEEE formula
+    (0.39*(w/s) + 11.8*(sy/w) - 15.59, evaluated in this exact term
+    order on both sides) rounded to 6.  Zero-word docs are dropped (the
+    formula is undefined).  Fully streaming, no shuffle."""
+    from ..rounding import round_half_away
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        w = pc.count_substring_regex(txt, "[A-Za-z]+")
+        sy = pc.count_substring_regex(txt, "[aeiouyAEIOUY]+")
+        se = pc.max_element_wise(
+            pc.count_substring_regex(txt, "[.!?]+"),
+            pa.scalar(1, pa.int32()))
+        out = pa.table({id_col: t[id_col],
+                        "n_words": pc.cast(w, pa.int64()),
+                        "n_sents": pc.cast(se, pa.int64()),
+                        "n_syll": pc.cast(sy, pa.int64())})
+        out = out.filter(pc.greater(out["n_words"], 0))
+        wf = out["n_words"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sf = out["n_sents"].to_numpy(zero_copy_only=False).astype(np.float64)
+        syf = out["n_syll"].to_numpy(zero_copy_only=False).astype(np.float64)
+        grade = 0.39 * (wf / sf) + 11.8 * (syf / wf) - 15.59
+        return out.append_column(
+            "fk_grade", pa.array(round_half_away(grade, 6), pa.float64()))
 
     return ds.map_batches(per_batch, batch_format="pyarrow")

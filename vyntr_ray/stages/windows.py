@@ -29,7 +29,8 @@ __all__ = ["tumbling", "sliding", "sessionize", "rolling_sum",
            "running_total", "group_ranks", "funnel", "retention",
            "merge_intervals", "cumulative_distinct", "percentile_ranks",
            "time_weighted_avg", "first_last", "gaps_islands",
-           "event_throttle", "scd2_intervals", "group_median"]
+           "event_throttle", "scd2_intervals", "group_median",
+           "group_mad", "last_touch", "watermark_filter"]
 
 _US = 1_000_000
 
@@ -734,3 +735,142 @@ def group_median(ds, key_col: str = "user_id", value_col: str = "value",
 
     return _by_part(ds, key_col, n_parts=n_parts).groupby("_part").map_groups(
         lambda g: per_part(g.drop(columns="_part")), batch_format="pandas")
+
+
+def group_mad(ds, key_col: str = "user_id", value_col: str = "value",
+              n_parts: int = 64, scale: int = 100):
+    """Per-key median absolute deviation (the robust dispersion
+    statistic), exact in centi-ints: med = discrete median
+    (:func:`group_median` selection rule ceil(q*n)-1), mad = discrete
+    median of |v - med|.  Both passes run inside ONE key-hash
+    partition — the second sort sees only the partition's rows, so no
+    extra shuffle.  Returns (key, n, median_centi, mad_centi)."""
+
+    def _disc_median(key: np.ndarray, v: np.ndarray):
+        order = np.lexsort((v, key))
+        key, v = key[order], v[order]
+        newkey = np.r_[True, key[1:] != key[:-1]]
+        starts = np.flatnonzero(newkey)
+        counts = np.diff(np.r_[starts, len(v)])
+        idx = starts + np.ceil(0.5 * counts).astype("int64") - 1
+        return key[starts], counts.astype("int64"), v[idx]
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        v = round_half_away(
+            g[value_col].to_numpy(np.float64) * scale).astype("int64")
+        key = g[key_col].to_numpy()
+        uk, n, med = _disc_median(key, v)
+        # scatter med back per row via searchsorted on the sorted uniques
+        pos = np.searchsorted(uk, key)
+        dev = np.abs(v - med[pos])
+        _, _, mad = _disc_median(key, dev)
+        return pd.DataFrame({key_col: uk, "n": n,
+                             "median_centi": med, "mad_centi": mad})
+
+    return _by_part(ds, key_col, n_parts=n_parts).groupby("_part").map_groups(
+        lambda g: per_part(g.drop(columns="_part")), batch_format="pandas")
+
+
+def last_touch(ds, key_col: str = "user_id", type_col: str = "event_type",
+               ts_col: str = "ts", id_col: str = "event_id",
+               touch: str = "click", target: str = "purchase",
+               n_parts: int = 64):
+    """Last-touch attribution: for every ``target`` event, the id of the
+    latest STRICTLY-PRECEDING ``touch`` event of the same key in
+    (ts, id) order (sentinel -1 when none — the asof-left convention).
+
+    One key-hash shuffle; the per-partition sweep is a shifted running
+    maximum over touch positions (reset at key boundaries), so ties and
+    interleavings resolve exactly like the SQL
+    ``last_value(... IGNORE NULLS) OVER (... ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)`` frame.  Returns
+    (target_id, key, touch_id)."""
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        key = g[key_col].to_numpy()
+        typ = g[type_col].to_numpy()
+        ids = g[id_col].to_numpy()
+        n = len(ids)
+        pos = np.arange(n)
+        newkey = np.r_[True, key[1:] != key[:-1]]
+        key_start = np.maximum.accumulate(np.where(newkey, pos, 0))
+        touch_pos = np.where(typ == touch, pos, -1)
+        run = np.maximum.accumulate(touch_pos)
+        prev = np.r_[np.int64(-1), run[:-1]]          # strictly preceding
+        prev = np.where(prev >= key_start, prev, -1)  # same-key only
+        tgt = typ == target
+        touch_ids = np.where(prev[tgt] >= 0, ids[prev[tgt]],
+                             np.int64(-1))
+        return pd.DataFrame({"target_id": ids[tgt],
+                             key_col: key[tgt],
+                             "touch_id": touch_ids})
+
+    return _by_part(ds, key_col, n_parts=n_parts).groupby("_part").map_groups(
+        lambda g: per_part(g.drop(columns="_part")), batch_format="pandas")
+
+
+def watermark_filter(ds, allowed_s: int, order_col: str = "event_id",
+                     ts_col: str = "ts", n_buckets: int = 64):
+    """Streaming late-data gate: processing order is ``order_col``
+    (arrival sequence), the watermark before arrival i is the running
+    MAX event-time over all strictly earlier arrivals, and a row is late
+    iff ``ts < watermark - allowed_s`` (flink-style bounded lateness).
+
+    Distributed prefix-max, never a driver scan: arrivals bucket by
+    order-id range (pass 0 finds the id bounds), pass 1 folds per-bucket
+    max event-times into an O(n_buckets) driver array whose EXCLUSIVE
+    prefix-max is broadcast, pass 2 co-locates each bucket (bounded
+    group count) and resolves the in-bucket running max vectorized.
+    Returns the input rows + a ``kept`` bool column."""
+    import ray
+
+    allowed_us = allowed_s * _US
+
+    lo = ds.min(order_col)
+    hi = ds.max(order_col)
+    span = max(int(hi) - int(lo) + 1, 1)
+
+    def bucket_of(t: pa.Table) -> pa.Table:
+        oid = pc.cast(t[order_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        b = (oid - lo) * n_buckets // span
+        return t.append_column("_bkt", pa.array(b, pa.int32()))
+
+    bds = ds.map_batches(bucket_of, batch_format="pyarrow")
+
+    def bmax(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                     pa.int64())
+        g = pa.table({"_bkt": t["_bkt"], "us": us}).group_by(
+            "_bkt").aggregate([("us", "max")])
+        return g.rename_columns(["_bkt", "mx"])
+
+    # -inf stand-in far below any real event-time but safe to subtract
+    # allowed_us from without int64 wraparound
+    NEG = np.int64(-(2**62))
+
+    parts = bds.map_batches(bmax, batch_format="pyarrow").to_pandas()
+    mx = np.full(n_buckets, NEG, np.int64)
+    for b, m in zip(parts["_bkt"], parts["mx"]):
+        mx[int(b)] = max(mx[int(b)], int(m))
+    excl = np.empty(n_buckets, np.int64)
+    excl[0] = NEG
+    np.maximum.accumulate(mx[:-1], out=mx[:-1])
+    excl[1:] = mx[:-1]
+    pre_ref = ray.put(excl)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        pre = ray.get(pre_ref)
+        g = g.sort_values(order_col, kind="mergesort")
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+        run = np.r_[NEG, np.maximum.accumulate(us)[:-1]]
+        wm = np.maximum(run, pre[int(g["_bkt"].iloc[0])])
+        # the first arrival's watermark is the -inf stand-in -> never late
+        kept = us >= wm - allowed_us
+        out = g.drop(columns="_bkt").copy()
+        out["kept"] = kept
+        return out
+
+    return bds.groupby("_bkt").map_groups(per_bucket,
+                                          batch_format="pandas")

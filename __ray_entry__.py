@@ -1729,6 +1729,66 @@ def _q_watermark_filter(sf_dir: str):
     return agg.drop(columns=["n_total"])
 
 
+def _q_next_event_gap(sf_dir: str):
+    """Per-user time-to-next-event (LEAD gap, churn feature), sentinel
+    -1 on each user's last event."""
+    from vyntr_ray.stages.windows import next_event_gap
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return next_event_gap(ds)
+
+
+def _q_session_paths(sf_dir: str):
+    """Top-20 session journey paths (first 3 event types per 1800 s-gap
+    session).  Path domain is |event types|^3-bounded, so partials fold
+    driver-side — the shuffle never carries event rows."""
+    from vyntr_ray.stages.windows import session_path_partials
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "ts"])
+    parts = session_path_partials(ds, gap_s=1800, k_steps=3)
+    g = _sum_keyed_partials(parts, ["path"], ["n"])
+    g = g.rename(columns={"n": "n_sessions"})
+    g = g.sort_values(["n_sessions", "path"],
+                      ascending=[False, True]).head(20)
+    return g.reset_index(drop=True)
+
+
+def _q_gap_fill_months(sf_dir: str):
+    """Calendar-spine zero fill: monthly order counts with EVERY month
+    between min and max present (gap months = 0).  Counts fold as
+    bounded keyed partials; the spine is an O(months) driver array —
+    nothing here scales with row count except the scan."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"]
+        ym = pc.add(pc.multiply(pc.year(d), pa.scalar(100, pa.int64())),
+                    pc.cast(pc.month(d), pa.int64()))
+        b = pa.table({"ym": ym,
+                      "one": pa.array(np.ones(t.num_rows, np.int64))})
+        g = b.group_by("ym").aggregate([("one", "sum")])
+        return g.rename_columns(["ym", "n"])
+
+    got = _sum_keyed_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), ["ym"], ["n"])
+    counts = dict(zip(got["ym"], got["n"]))
+    lo, hi = int(got["ym"].min()), int(got["ym"].max())
+    spine = []
+    y, m = divmod(lo, 100)
+    while y * 100 + m <= hi:
+        spine.append(y * 100 + m)
+        m += 1
+        if m == 13:
+            y, m = y + 1, 1
+    return pd.DataFrame({
+        "ym": pd.array(spine, dtype="int64"),
+        "n_orders": pd.array([int(counts.get(s, 0)) for s in spine],
+                             dtype="int64")})
+
+
 def _q_monthly_growth(sf_dir: str):
     """Period-over-period reporting: monthly centi revenue + delta vs
     the previous calendar month (sentinel 0 on the first).  Months are
@@ -4215,6 +4275,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekday_bitmap": _q_weekday_bitmap,
         "embedding_norms": _q_embedding_norms,
         "readability": _q_readability,
+        "next_event_gap": _q_next_event_gap,
+        "session_paths": _q_session_paths,
+        "gap_fill_months": _q_gap_fill_months,
         "group_mad": _q_group_mad,
         "last_touch": _q_last_touch,
         "watermark_filter": _q_watermark_filter,
@@ -4928,6 +4991,53 @@ def oracle_sql() -> dict[str, str]:
                          + 11.8 * (n_syll::DOUBLE / n_words::DOUBLE)
                          - 15.59, 6) AS fk_grade
             FROM c WHERE n_words > 0
+        """,
+        "next_event_gap": """
+            SELECT event_id, user_id,
+                   coalesce(lead(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                       - epoch_us(ts), -1)::BIGINT AS next_gap_us
+            FROM events
+        """,
+        # sessionize rule (pause > 1800 s, (ts, id) tie-break), path =
+        # first 3 event types; ORDER BY inside string_agg pins the order
+        "session_paths": """
+            WITH e AS (SELECT user_id, ts, event_id, event_type,
+                    CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                            > 1800000000
+                         THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid FROM e),
+            r AS (SELECT user_id, sid, event_type, ts, event_id,
+                    row_number() OVER (PARTITION BY user_id, sid
+                                       ORDER BY ts, event_id) AS rn
+                  FROM s),
+            p AS (SELECT user_id, sid,
+                    string_agg(event_type, '>' ORDER BY rn) AS path
+                  FROM r WHERE rn <= 3 GROUP BY user_id, sid)
+            SELECT path, count(*)::BIGINT AS n_sessions
+            FROM p GROUP BY path
+            ORDER BY n_sessions DESC, path LIMIT 20
+        """,
+        "gap_fill_months": """
+            WITH b AS (SELECT date_trunc('month', min(o_orderdate)) AS mn,
+                              date_trunc('month', max(o_orderdate)) AS mx
+                       FROM orders),
+            spine AS (SELECT unnest(generate_series(mn, mx,
+                          INTERVAL 1 MONTH))::DATE AS month FROM b),
+            c AS (SELECT (year(o_orderdate) * 100
+                          + month(o_orderdate))::BIGINT AS ym,
+                         count(*)::BIGINT AS n
+                  FROM orders GROUP BY 1)
+            SELECT (year(spine.month) * 100
+                    + month(spine.month))::BIGINT AS ym,
+                   coalesce(c.n, 0)::BIGINT AS n_orders
+            FROM spine LEFT JOIN c
+              ON (year(spine.month) * 100 + month(spine.month)) = c.ym
         """,
         "group_mad": """
             WITH v AS (SELECT user_id, round(value * 100)::BIGINT AS vc

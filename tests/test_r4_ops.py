@@ -1071,3 +1071,91 @@ def test_readability_counts_and_edges():
         w, s, sy = float(r["n_words"]), float(r["n_sents"]), float(r["n_syll"])
         assert abs(r["fk_grade"]
                    - (0.39 * (w / s) + 11.8 * (sy / w) - 15.59)) < 1e-6
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [71, 72])
+def test_next_event_gap_matches_bruteforce(seed):
+    import ray.data as rd
+
+    from vyntr_ray.stages.windows import next_event_gap
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n = 500
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype="int64"),
+        "user_id": rng.integers(0, 17, n).astype("int64"),
+        "ts": pd.to_datetime(rng.integers(0, 50, n) * 10**6, unit="us"),
+    })
+    got = (next_event_gap(rd.from_pandas(df.copy()), n_parts=4)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+
+    exp = []
+    for u, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        tus = (g["ts"].astype("int64") // 1000).to_numpy()
+        for i, eid in enumerate(g["event_id"]):
+            gap = tus[i + 1] - tus[i] if i + 1 < len(tus) else -1
+            exp.append((eid, u, gap))
+    expd = (pd.DataFrame(exp, columns=["event_id", "user_id",
+                                       "next_gap_us"])
+            .astype("int64").sort_values("event_id")
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype("int64"), expd)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_session_paths_bruteforce():
+    import ray.data as rd
+
+    from vyntr_ray.stages.windows import session_path_partials
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    n = 600
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype="int64"),
+        "user_id": rng.integers(0, 11, n).astype("int64"),
+        "event_type": rng.choice(list("abc"), n),
+        "ts": pd.to_datetime(rng.integers(0, 400, n) * 10**6, unit="us"),
+    })
+    parts = (session_path_partials(rd.from_pandas(df.copy()), gap_s=60,
+                                   k_steps=3, n_parts=4)
+             .to_pandas())
+    got = (parts.groupby("path", as_index=False)["n"].sum()
+           .sort_values("path").reset_index(drop=True))
+
+    from collections import Counter
+    c = Counter()
+    for u, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        tus = (g["ts"].astype("int64") // 1000).to_numpy()
+        sessions, cur = [], []
+        for i, et in enumerate(g["event_type"]):
+            if cur and tus[i] - tus[i - 1] > 60 * 10**6:
+                sessions.append(cur)
+                cur = []
+            cur.append(et)
+        sessions.append(cur)
+        for s in sessions:
+            c[">".join(s[:3])] += 1
+    exp = (pd.DataFrame(sorted(c.items()), columns=["path", "n"])
+           .astype({"n": "int64"}))
+    pd.testing.assert_frame_equal(got, exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gap_fill_months_zero_rows(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as em
+
+    orders = pa.table({
+        "o_orderdate": pa.array(
+            pd.to_datetime(["2023-11-02", "2024-02-20", "2024-02-21"]),
+            pa.timestamp("us")),
+    })
+    pq.write_table(orders, tmp_path / "orders.parquet")
+    got = em._q_gap_fill_months(str(tmp_path))
+    assert got["ym"].tolist() == [202311, 202312, 202401, 202402]
+    assert got["n_orders"].tolist() == [1, 0, 0, 2]

@@ -30,7 +30,8 @@ __all__ = ["tumbling", "sliding", "sessionize", "rolling_sum",
            "merge_intervals", "cumulative_distinct", "percentile_ranks",
            "time_weighted_avg", "first_last", "gaps_islands",
            "event_throttle", "scd2_intervals", "group_median",
-           "group_mad", "last_touch", "watermark_filter"]
+           "group_mad", "last_touch", "watermark_filter",
+           "next_event_gap", "session_path_partials"]
 
 _US = 1_000_000
 
@@ -874,3 +875,60 @@ def watermark_filter(ds, allowed_s: int, order_col: str = "event_id",
 
     return bds.groupby("_bkt").map_groups(per_bucket,
                                           batch_format="pandas")
+
+
+def next_event_gap(ds, key_col: str = "user_id", ts_col: str = "ts",
+                   id_col: str = "event_id", n_parts: int = 64):
+    """Time-to-next-event per key (the LEAD sibling of :func:`lag_diff`;
+    a churn / inter-arrival feature): gap_us to the key's next event in
+    (ts, id) order, sentinel -1 on each key's last event so no NULL
+    enters the value hash.  Same one-shuffle hash-partition sweep."""
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        key = g[key_col].to_numpy()
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+        gap = np.r_[us[1:] - us[:-1], np.int64(-1)]
+        lastkey = np.r_[key[1:] != key[:-1], True]
+        gap[lastkey] = -1
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             key_col: key,
+                             "next_gap_us": gap})
+
+    return _by_part(ds, key_col, n_parts=n_parts).groupby("_part").map_groups(
+        lambda g: per_part(g.drop(columns="_part")), batch_format="pandas")
+
+
+def session_path_partials(ds, gap_s: int, k_steps: int = 3,
+                          key_col: str = "user_id", ts_col: str = "ts",
+                          id_col: str = "event_id",
+                          type_col: str = "event_type",
+                          n_parts: int = 64):
+    """Per-partition partial counts of session journey paths: sessions
+    split at >``gap_s`` pauses (the :func:`sessionize` rule with the
+    (ts, id) tie-break), a session's path is its first ``k_steps`` event
+    types joined by ``>``.  Emits one (path, n) partial row per distinct
+    path per partition — the path domain is bounded by
+    |event types|^k_steps, so the caller folds partials driver-side
+    (the `_sum_keyed_partials` contract) and the shuffle never carries
+    event rows."""
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        key = g[key_col].to_numpy()
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+        newkey = np.r_[True, key[1:] != key[:-1]]
+        brk = newkey | np.r_[True, (us[1:] - us[:-1]) > gap_s * _US]
+        sid = np.cumsum(brk) - 1
+        # rank within session, vectorized: position minus session start
+        pos = np.arange(len(sid))
+        sstart = np.maximum.accumulate(np.where(brk, pos, 0))
+        rn = pos - sstart
+        f = pd.DataFrame({"sid": sid[rn < k_steps],
+                          "et": g[type_col].to_numpy()[rn < k_steps]})
+        paths = f.groupby("sid", sort=True)["et"].agg(">".join)
+        out = paths.value_counts().rename_axis("path").rename("n")
+        return out.reset_index().astype({"n": "int64"})
+
+    return _by_part(ds, key_col, n_parts=n_parts).groupby("_part").map_groups(
+        lambda g: per_part(g.drop(columns="_part")), batch_format="pandas")

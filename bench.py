@@ -134,7 +134,15 @@ def bench_queries(repeats: int = 2) -> dict:
              "zonemap_export", "hits", "weighted_sample", "grouping_sets",
              "left_join_returns", "active_customers", "daily_reconcile",
              "active_customers_bloom", "value_pivot", "first_last",
-             "time_weighted_avg"]
+             "time_weighted_avg",
+             "ab_ttest", "gaps_islands", "event_throttle",
+             "scd2_intervals", "group_median", "weekday_bitmap",
+             "embedding_norms", "readability", "group_mad", "last_touch",
+             "watermark_filter", "next_event_gap", "session_paths",
+             "gap_fill_months", "monthly_growth", "rank_select",
+             "rfm_segments", "bfs_hops", "triangle_count",
+             "rolling_sum_time", "basket_pairs", "search_snippets",
+             "suggest_terms"]
     qs = em.queries()
     out = {}
     for _ in range(max(1, repeats)):

@@ -1789,6 +1789,58 @@ def _q_gap_fill_months(sf_dir: str):
                              dtype="int64")})
 
 
+def _q_fk_check(sf_dir: str):
+    """Referential-integrity audit: per FK edge, total rows + orphans
+    (facts whose key misses the dimension).  Fact->fact edges run the
+    distributed-both-sides ``anti_join`` (the exclusion side scales);
+    the constant nation dim is a broadcast probe with zero-shuffle count
+    partials.  Output is O(edges) rows."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    from vyntr_ray.stages.joins import anti_join
+
+    def edge_anti(fact, fcol, dim, dcol):
+        f = _read(sf_dir, fact, columns=[fcol])
+        d = _read(sf_dir, dim, columns=[dcol])
+        n = f.count()
+        orph = anti_join(f, d, fcol, [], right_key_col=dcol,
+                         types={fcol: pa.int64()}).count()
+        return int(n), int(orph)
+
+    rows = []
+    for fact, fcol, dim, dcol, edge in [
+            ("lineitem", "l_orderkey", "orders", "o_orderkey",
+             "lineitem->orders"),
+            ("orders", "o_custkey", "customer", "c_custkey",
+             "orders->customer"),
+            ("lineitem", "l_suppkey", "supplier", "s_suppkey",
+             "lineitem->supplier")]:
+        n, o = edge_anti(fact, fcol, dim, dcol)
+        rows.append((edge, n, o))
+
+    nat = sorted(r["n_nationkey"] for r in _read(
+        sf_dir, "nation", columns=["n_nationkey"]).take_all())
+    nref = ray.put(nat)
+
+    def part(t: pa.Table) -> pa.Table:
+        ks = ray.get(nref)
+        ok = pc.is_in(pc.cast(t["c_nationkey"], pa.int64()),
+                      value_set=pa.array(ks, pa.int64()))
+        bad = int(t.num_rows
+                  - (pc.sum(pc.cast(ok, pa.int64())).as_py() or 0))
+        return pa.table({"n": pa.array([t.num_rows], pa.int64()),
+                         "orph": pa.array([bad], pa.int64())})
+
+    parts = _read(sf_dir, "customer", columns=["c_nationkey"]) \
+        .map_batches(part, batch_format="pyarrow").to_pandas()
+    rows.append(("customer->nation", int(parts["n"].sum()),
+                 int(parts["orph"].sum())))
+    return pd.DataFrame(rows, columns=["edge", "n_rows", "n_orphans"]) \
+        .astype({"n_rows": "int64", "n_orphans": "int64"})
+
+
 def _q_monthly_growth(sf_dir: str):
     """Period-over-period reporting: monthly centi revenue + delta vs
     the previous calendar month (sentinel 0 on the first).  Months are
@@ -4275,6 +4327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekday_bitmap": _q_weekday_bitmap,
         "embedding_norms": _q_embedding_norms,
         "readability": _q_readability,
+        "fk_check": _q_fk_check,
         "next_event_gap": _q_next_event_gap,
         "session_paths": _q_session_paths,
         "gap_fill_months": _q_gap_fill_months,
@@ -4991,6 +5044,32 @@ def oracle_sql() -> dict[str, str]:
                          + 11.8 * (n_syll::DOUBLE / n_words::DOUBLE)
                          - 15.59, 6) AS fk_grade
             FROM c WHERE n_words > 0
+        """,
+        "fk_check": """
+            SELECT 'lineitem->orders' AS edge,
+                   (SELECT count(*) FROM lineitem)::BIGINT AS n_rows,
+                   (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                      (SELECT 1 FROM orders o
+                       WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+                       AS n_orphans
+            UNION ALL
+            SELECT 'orders->customer',
+                   (SELECT count(*) FROM orders)::BIGINT,
+                   (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                      (SELECT 1 FROM customer c
+                       WHERE c.c_custkey = o.o_custkey))::BIGINT
+            UNION ALL
+            SELECT 'lineitem->supplier',
+                   (SELECT count(*) FROM lineitem)::BIGINT,
+                   (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                      (SELECT 1 FROM supplier s
+                       WHERE s.s_suppkey = l.l_suppkey))::BIGINT
+            UNION ALL
+            SELECT 'customer->nation',
+                   (SELECT count(*) FROM customer)::BIGINT,
+                   (SELECT count(*) FROM customer c WHERE NOT EXISTS
+                      (SELECT 1 FROM nation n
+                       WHERE n.n_nationkey = c.c_nationkey))::BIGINT
         """,
         "next_event_gap": """
             SELECT event_id, user_id,

@@ -1159,3 +1159,36 @@ def test_gap_fill_months_zero_rows(tmp_path):
     got = em._q_gap_fill_months(str(tmp_path))
     assert got["ym"].tolist() == [202311, 202312, 202401, 202402]
     assert got["n_orders"].tolist() == [1, 0, 0, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fk_check_counts_orphans(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as em
+
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 9, 9, 9], pa.int64()),
+        "l_suppkey": pa.array([100, 100, 101, 100, 555, 101], pa.int64()),
+    }), tmp_path / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([10, 11, 77], pa.int64()),
+    }), tmp_path / "orders.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([10, 11], pa.int64()),
+        "c_nationkey": pa.array([0, 6], pa.int32()),
+    }), tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([100, 101], pa.int64()),
+    }), tmp_path / "supplier.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1, 2], pa.int32()),
+    }), tmp_path / "nation.parquet")
+
+    got = em._q_fk_check(str(tmp_path)).set_index("edge")
+    assert got.loc["lineitem->orders"].tolist() == [6, 3]   # 9,9,9 orphan
+    assert got.loc["orders->customer"].tolist() == [3, 1]   # custkey 77
+    assert got.loc["lineitem->supplier"].tolist() == [6, 1]  # 555
+    assert got.loc["customer->nation"].tolist() == [2, 1]   # nationkey 6

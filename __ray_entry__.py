@@ -4302,9 +4302,73 @@ def _q_zonemap_export(sf_dir: str):
     return zonemap_export(ds, out, "o_orderkey", width=1000)
 
 
+def _q_token_entropy(sf_dir: str):
+    """Per-doc unigram token entropy in exact integer micro-nats
+    (stages/text_analysis.py:token_entropy) — the Shannon-diversity
+    quality signal; n·L(n) − Σ c·L(c) with L = floor(ln·1e6), order-free
+    int64 sums on both sides."""
+    from vyntr_ray.stages.text_analysis import token_entropy
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return token_entropy(ds)
+
+
+def _q_ohlc_bars(sf_dir: str):
+    """Daily OHLC candles per event type (stages/windows.py:ohlc_bars):
+    bounded-key driver fold with argmin/argmax merge, centi-int values,
+    (ts, event_id) tie order."""
+    from vyntr_ray.stages.windows import ohlc_bars
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "event_type", "value"])
+    return ohlc_bars(ds, key_col="event_type", bucket_s=86_400)
+
+
+def _q_iqr_outliers(sf_dir: str):
+    """Tukey-fence outlier audit of n_chars per language
+    (stages/dataset_tools.py:iqr_outliers): quantile_disc q1/q3, the
+    cross-multiplied 2x/5-3 integer fence, zero-shuffle count fold."""
+    from vyntr_ray.stages.dataset_tools import iqr_outliers
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    return iqr_outliers(ds, "lang", "n_chars")
+
+
+def _q_degree_histogram(sf_dir: str):
+    """Degree distribution of the co-purchase graph
+    (stages/graph.py:degree_histogram): two group_sum folds — node
+    degrees (data-scaled key) then degree counts (bounded by max
+    degree)."""
+    from vyntr_ray.stages.baskets import pair_edges
+    from vyntr_ray.stages.graph import degree_histogram
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    edges = pair_edges(ds, "l_orderkey", "l_partkey", min_count=1)
+    return degree_histogram(edges, u_col="item_a", v_col="item_b")
+
+
+_RERANK_TERMS = ["merge", "window", "spark", "hash"]
+
+
+def _q_jaccard_rerank(sf_dir: str):
+    """OR-recall + exact token-set-Jaccard rerank, top-20
+    (stages/search_query.py:jaccard_rerank): integer score_micro =
+    inter·1e6 // union, doc-id tie-break."""
+    from vyntr_ray.stages.search_query import jaccard_rerank
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return jaccard_rerank(ds, _RERANK_TERMS, k=20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- driver-checked window (first 50): the r4 rotation ---
+        # 5 third-continuation queries lead (never driver-checked)
+        "token_entropy": _q_token_entropy,
+        "ohlc_bars": _q_ohlc_bars,
+        "iqr_outliers": _q_iqr_outliers,
+        "degree_histogram": _q_degree_histogram,
+        "jaccard_rerank": _q_jaccard_rerank,
         # never-driver-checked entries (incl. the 7 new r4 queries)
         # first, then the riskiest previously-green rows: r3-only
         # single-data-point entries and the money-scaling queries the
@@ -4502,6 +4566,107 @@ def oracle_sql() -> dict[str, str]:
     trim = lambda e: f"regexp_replace({e}, '^\\s+|\\s+$', '', 'g')"  # noqa: E731
     cleaned = trim(clean_sql)
     return {
+        # integer micro-nat entropy: L(k)=floor(ln(k)*1e6) — math.log
+        # and DuckDB ln share libm doubles (bigram_pmi precedent);
+        # int64 sums are order-free so no IEEE-summation drift
+        "token_entropy": r"""
+            WITH w AS (SELECT doc_id,
+                              unnest(regexp_extract_all(
+                                  lower(coalesce(text, '')),
+                                  '[a-z0-9]+')) AS tok
+                       FROM documents),
+            c AS (SELECT doc_id, tok, count(*)::BIGINT AS cnt
+                  FROM w GROUP BY 1, 2),
+            d AS (SELECT doc_id, sum(cnt)::BIGINT AS n,
+                         sum(cnt * CAST(floor(ln(cnt) * 1000000)
+                                        AS BIGINT))::BIGINT AS s
+                  FROM c GROUP BY 1)
+            SELECT doc.doc_id,
+                   coalesce(d.n, 0)::BIGINT AS n_tokens,
+                   coalesce(d.n * CAST(floor(ln(d.n) * 1000000)
+                                       AS BIGINT) - d.s,
+                            0)::BIGINT AS entropy_micro
+            FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id
+        """,
+        # open/close = value at min/max (ts, event_id) of the bucket
+        # (row_number/cnt window), centi half-away like the engine
+        "ohlc_bars": """
+            WITH v AS (SELECT event_type,
+                              epoch_us(ts) // 86400000000 AS bucket,
+                              epoch_us(ts) AS tu, event_id,
+                              round(value * 100)::BIGINT AS c
+                       FROM events),
+            w AS (SELECT *,
+                         row_number() OVER (PARTITION BY event_type,
+                             bucket ORDER BY tu, event_id) AS rn,
+                         count(*) OVER (PARTITION BY event_type,
+                             bucket) AS cnt
+                  FROM v),
+            a AS (SELECT event_type, bucket,
+                         min(c)::BIGINT AS low_centi,
+                         max(c)::BIGINT AS high_centi,
+                         count(*)::BIGINT AS n,
+                         sum(c)::BIGINT AS sum_centi
+                  FROM v GROUP BY 1, 2)
+            SELECT a.event_type, a.bucket,
+                   o.c::BIGINT AS open_centi, a.high_centi, a.low_centi,
+                   cl.c::BIGINT AS close_centi, a.n, a.sum_centi
+            FROM a
+            JOIN w o ON o.event_type = a.event_type
+                    AND o.bucket = a.bucket AND o.rn = 1
+            JOIN w cl ON cl.event_type = a.event_type
+                     AND cl.bucket = a.bucket AND cl.rn = cl.cnt
+        """,
+        # cross-multiplied Tukey fence: 2v vs 5q1-3q3 / 5q3-3q1 — all
+        # int64, quantile_disc = the group_quantiles selection rule
+        "iqr_outliers": """
+            WITH q AS (SELECT lang,
+                              quantile_disc(n_chars, 0.25)::BIGINT AS q1,
+                              quantile_disc(n_chars, 0.75)::BIGINT AS q3
+                       FROM documents GROUP BY 1)
+            SELECT d.lang,
+                   5*q1 - 3*q3 AS lo2, 5*q3 - 3*q1 AS hi2,
+                   count(*)::BIGINT AS n,
+                   sum(CASE WHEN 2*d.n_chars < 5*q1 - 3*q3
+                             OR 2*d.n_chars > 5*q3 - 3*q1
+                            THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+            FROM documents d JOIN q ON d.lang = q.lang
+            GROUP BY 1, 2, 3
+        """,
+        # degree = endpoint count over the distinct a<b edge set
+        "degree_histogram": """
+            WITH li AS (SELECT DISTINCT l_orderkey AS g,
+                                        l_partkey AS i FROM lineitem),
+            e AS (SELECT a.i AS u, b.i AS v
+                  FROM li a JOIN li b ON a.g = b.g AND a.i < b.i
+                  GROUP BY 1, 2),
+            nn AS (SELECT u AS node FROM e
+                   UNION ALL SELECT v FROM e),
+            d AS (SELECT node, count(*)::BIGINT AS degree
+                  FROM nn GROUP BY 1)
+            SELECT degree, count(*)::BIGINT AS n_nodes
+            FROM d GROUP BY 1
+        """,
+        # rerank: inter/union Jaccard as floored micro-ratio (BIGINT //),
+        # OR-candidates, (score desc, doc_id) total order at the k cut
+        "jaccard_rerank": """
+            WITH toks AS (SELECT doc_id,
+                                 unnest(list_distinct(regexp_extract_all(
+                                     lower(coalesce(text, '')),
+                                     '[a-z0-9]+'))) AS tok
+                          FROM documents),
+            nd AS (SELECT doc_id, count(*)::BIGINT AS n
+                   FROM toks GROUP BY 1),
+            i AS (SELECT doc_id, count(*)::BIGINT AS inter FROM toks
+                  WHERE tok IN ('merge', 'window', 'spark', 'hash')
+                  GROUP BY 1)
+            SELECT i.doc_id, i.inter, nd.n + 4 - i.inter AS uni,
+                   (i.inter * 1000000) // (nd.n + 4 - i.inter)
+                       AS score_micro
+            FROM i JOIN nd ON i.doc_id = nd.doc_id
+            ORDER BY score_micro DESC, i.doc_id
+            LIMIT 20
+        """,
         # cross-artifact consistency oracle: the schedule log (written by
         # the driver loop) must reproduce the parse stage's analyses
         # projection, with partition recomputed from scratch as

@@ -139,10 +139,12 @@ def bench_queries(repeats: int = 2) -> dict:
              "scd2_intervals", "group_median", "weekday_bitmap",
              "embedding_norms", "readability", "group_mad", "last_touch",
              "watermark_filter", "next_event_gap", "session_paths",
-             "gap_fill_months", "monthly_growth", "rank_select",
+             "gap_fill_months", "monthly_growth",
              "rfm_segments", "bfs_hops", "triangle_count",
              "rolling_sum_time", "basket_pairs", "search_snippets",
-             "suggest_terms"]
+             "suggest_terms",
+             "token_entropy", "ohlc_bars", "iqr_outliers",
+             "degree_histogram", "jaccard_rerank"]
     qs = em.queries()
     out = {}
     for _ in range(max(1, repeats)):

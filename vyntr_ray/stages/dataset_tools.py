@@ -20,7 +20,8 @@ __all__ = ["topk_largest", "remove_largest", "group_quantiles",
            "group_quantiles_cont", "group_topk", "group_quantiles_approx",
            "pivot_counts", "rollup_counts", "distinct_rows", "group_mode",
            "histogram_fixed", "skyline", "cube_counts", "table_profile",
-           "group_sum", "group_fold", "grouping_sets", "pivot_sum"]
+           "group_sum", "group_fold", "grouping_sets", "pivot_sum",
+           "iqr_outliers"]
 
 
 def topk_largest(ds, k: int = 100, length_col: str = "n_chars",
@@ -790,3 +791,55 @@ def rfm_segments(ds, key_col: str = "o_custkey",
         return pa.table(out)
 
     return agg.map_batches(tile, batch_format="pyarrow")
+
+
+def iqr_outliers(ds, group_col: str, value_col: str):
+    """Tukey-fence outlier audit per group: count values outside
+    ``[q1 - 1.5·IQR, q3 + 1.5·IQR]`` with q1/q3 the ``quantile_disc``
+    order statistics — the standard robust anomaly screen (column
+    profiling, sensor QA).
+
+    All-integer exactness: the 1.5 factor would force floats, so both
+    sides compare the CROSS-MULTIPLIED fence — ``2·v < 5·q1 - 3·q3`` /
+    ``2·v > 5·q3 - 3·q1`` (identical int64 algebra in the SQL oracle;
+    values must be integral, as n_chars is).  Two passes over the
+    input: one quantile selection (:func:`group_quantiles` — per-group
+    sort bounded by the group-fits-a-worker contract), then fences
+    broadcast once via ``ray.put`` and a zero-shuffle partial-count
+    fold whose driver rows are O(groups × blocks), never input rows."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    q = group_quantiles(ds, group_col, value_col, qs=(0.25, 0.75))
+    fences = {}
+    for r in q.take_all():  # bounded: one row per group
+        q1, q3 = int(r["q25"]), int(r["q75"])
+        fences[r[group_col]] = (5 * q1 - 3 * q3, 5 * q3 - 3 * q1)
+    fref = ray.put(fences)
+
+    def partial(t: pa.Table) -> pa.Table:
+        f = ray.get(fref)
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        v2 = 2 * t[value_col].to_numpy(zero_copy_only=False).astype("int64")
+        codes, uniq = pd.factorize(g)  # fence lookup per DISTINCT group
+        lo = np.array([f[k][0] for k in uniq], np.int64)[codes]
+        hi = np.array([f[k][1] for k in uniq], np.int64)[codes]
+        out = ((v2 < lo) | (v2 > hi)).astype("int64")
+        agg = (pd.DataFrame({group_col: g, "n": 1, "n_outliers": out})
+               .groupby(group_col, as_index=False).sum())
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    acc: dict = {}
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        k = r[group_col]
+        n, o = acc.get(k, (0, 0))
+        acc[k] = (n + int(r["n"]), o + int(r["n_outliers"]))
+    keys = sorted(acc)
+    return pa.table({
+        group_col: pa.array(keys),
+        "lo2": pa.array([fences[k][0] for k in keys], pa.int64()),
+        "hi2": pa.array([fences[k][1] for k in keys], pa.int64()),
+        "n": pa.array([acc[k][0] for k in keys], pa.int64()),
+        "n_outliers": pa.array([acc[k][1] for k in keys], pa.int64()),
+    })

@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["connected_components", "pagerank", "hits_counts",
-           "triangle_count"]
+           "triangle_count", "degree_histogram"]
 
 
 def _hash_part(ds, key_col: str, n_parts: int = 64):
@@ -501,3 +501,38 @@ def bfs_hops(edges_ds, seeds_ds, k: int, u_col: str = "u",
         dist = (group_fold(dist.union(cand), "node", ["hop"], how="min")
                 .repartition(16).materialize())
     return dist
+
+
+def degree_histogram(edges_ds, u_col: str = "u", v_col: str = "v"):
+    """Degree distribution of an undirected edge list: (degree,
+    n_nodes) — the first thing anyone plots about a graph, and the
+    skew audit that decides whether pagerank/triangle keys need
+    salting.
+
+    Two folds, both the many-groups :func:`~.dataset_tools.group_sum`
+    shape: endpoints flatten to a node stream (each distinct edge
+    contributes 1 to both ends), per-node degree sums through a
+    combiner + ONE hash partition (node ids are data-scaled), then the
+    degree VALUES — whose distinct count is bounded by the max degree,
+    far below the node count on any real graph — fold the same way.
+    No driver materialization at either level."""
+    from .dataset_tools import group_sum
+
+    def ends(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.concat_arrays([
+                t[u_col].combine_chunks().cast(pa.int64()),
+                t[v_col].combine_chunks().cast(pa.int64())]),
+            "one": pa.array(np.ones(2 * len(t), np.int64)),
+        })
+
+    deg = group_sum(edges_ds.map_batches(ends, batch_format="pyarrow"),
+                    "node", ["one"], rename={"one": "degree"})
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({"degree": t["degree"],
+                         "one": pa.array(np.ones(len(t), np.int64))})
+
+    hist = group_sum(deg.map_batches(ones, batch_format="pyarrow"),
+                     "degree", ["one"], rename={"one": "n_nodes"})
+    return hist.sort("degree")

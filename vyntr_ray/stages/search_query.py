@@ -47,6 +47,7 @@ from .search_index import (CACHE_DIR, DEFAULT_BLOCK_SPAN, TEXT_TOKEN,
                            _read_shards, _shard_of)
 
 __all__ = ["build_positional_index", "parse_query", "phrase_match",
+           "jaccard_rerank",
            "boolean_search"]
 
 
@@ -399,3 +400,47 @@ def boolean_search(index_dir: str, query: str, k: int = 10,
                           batch_format="pandas"))
     return scored.sort(["score_micro", id_col],
                        descending=[True, False]).limit(k)
+
+
+def jaccard_rerank(ds, query_terms: list[str], k: int = 20,
+                   id_col: str = "doc_id", text_col: str = "text"):
+    """Retrieve-wide / rerank-exact: OR-candidate recall (any query term
+    present) then top-k by exact token-set Jaccard — the classical
+    second-stage reranker shape (a cross-encoder would slot into the
+    same stage; this scorer is deterministic so the oracle can replay
+    it).
+
+    Integer exactness: Jaccard = inter/union is a ratio of small ints,
+    so both sides rank on ``score_micro = (inter · 1e6) // union``
+    (DuckDB ``//`` floors identically on non-negative BIGINTs), ties
+    broken by doc id — a total order, stable at the k boundary.
+    Candidate generation is a stateless vectorized-per-doc map (set
+    intersection against the broadcast-in-closure query set — O(|Q|)
+    per doc, never per pair); only matching docs enter the distributed
+    ``sort().limit(k)``, whose input is bounded by the posting mass of
+    the query terms, not the corpus."""
+    qset = frozenset(t.lower() for t in query_terms)
+    qn = len(qset)
+
+    def score(t: pa.Table) -> pa.Table:
+        ids, inters, unis, scores = [], [], [], []
+        for i, txt in enumerate(t[text_col].to_pylist()):
+            toks = set(TEXT_TOKEN.findall((txt or "").lower()))
+            inter = len(qset & toks)
+            if inter == 0:
+                continue
+            uni = len(toks) + qn - inter
+            ids.append(i)
+            inters.append(inter)
+            unis.append(uni)
+            scores.append(inter * 1_000_000 // uni)
+        return pa.table({
+            id_col: t[id_col].take(pa.array(ids, pa.int64())),
+            "inter": pa.array(inters, pa.int64()),
+            "uni": pa.array(unis, pa.int64()),
+            "score_micro": pa.array(scores, pa.int64()),
+        })
+
+    return (ds.map_batches(score, batch_format="pyarrow")
+            .sort(["score_micro", id_col], descending=[True, False])
+            .limit(k))

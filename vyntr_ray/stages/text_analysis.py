@@ -26,7 +26,7 @@ __all__ = ["token_stats_batch", "token_totals", "quality_batch",
            "benchmark_ngrams", "contamination_report", "decontaminate",
            "repetition_batch", "unigram_fit", "unigram_logprob",
            "normalize_batch", "normalize_text", "dsir_weights",
-           "group_zscores", "readability"]
+           "group_zscores", "readability", "token_entropy"]
 
 _WS_TOKEN = re.compile(r"\S+")
 # BPE-ish word/number/symbol splitter (public GPT-2-style pattern, simplified)
@@ -615,5 +615,58 @@ def readability(ds, id_col: str = "doc_id", text_col: str = "text"):
         grade = 0.39 * (wf / sf) + 11.8 * (syf / wf) - 15.59
         return out.append_column(
             "fk_grade", pa.array(round_half_away(grade, 6), pa.float64()))
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def token_entropy(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document unigram token entropy — the Shannon-diversity
+    quality signal (low entropy = boilerplate/repetition, the
+    complement of ``repetition_batch``'s n-gram ratios).
+
+    Exactness contract: the float entropy ``ln(n) - (1/n)·Σ c·ln(c)``
+    is order-dependent under IEEE summation, so instead both sides
+    compute the INTEGER micro-nat form
+
+        ``entropy_micro = n·L(n) - Σ_token c·L(c)``,
+        ``L(k) = floor(ln(k) · 1e6)``  (int64)
+
+    whose summation is exact and order-free; ``math.log`` here and
+    DuckDB ``ln`` share the same libm doubles (the ``bigram_pmi``
+    precedent), and ``floor`` needs no rounding-mode care since
+    ``ln(k) >= 0``.  Tokenization is the shared ``[a-z0-9]+`` /
+    ``regexp_extract_all`` contract (``ngram_counts``).  Zero-token
+    docs emit (0, 0).  Stateless vectorized-per-doc map — no shuffle,
+    embarrassingly parallel at any corpus size; the ``L`` memo is
+    per-task, bounded by the distinct count values seen."""
+    import math
+    from collections import Counter
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        memo: dict = {}
+
+        def lmicro(k: int) -> int:
+            v = memo.get(k)
+            if v is None:
+                v = math.floor(math.log(k) * 1_000_000.0)
+                memo[k] = v
+            return v
+
+        ns, ents = [], []
+        for txt in t[text_col].to_pylist():
+            ws = _GRAM_TOKEN.findall((txt or "").lower())
+            n = len(ws)
+            if n == 0:
+                ns.append(0)
+                ents.append(0)
+                continue
+            s = 0
+            for c in Counter(ws).values():
+                s += c * lmicro(c)
+            ns.append(n)
+            ents.append(n * lmicro(n) - s)
+        return pa.table({id_col: t[id_col],
+                         "n_tokens": pa.array(ns, pa.int64()),
+                         "entropy_micro": pa.array(ents, pa.int64())})
 
     return ds.map_batches(per_batch, batch_format="pyarrow")

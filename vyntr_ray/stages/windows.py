@@ -31,7 +31,7 @@ __all__ = ["tumbling", "sliding", "sessionize", "rolling_sum",
            "time_weighted_avg", "first_last", "gaps_islands",
            "event_throttle", "scd2_intervals", "group_median",
            "group_mad", "last_touch", "watermark_filter",
-           "next_event_gap", "session_path_partials"]
+           "next_event_gap", "session_path_partials", "ohlc_bars"]
 
 _US = 1_000_000
 
@@ -932,3 +932,79 @@ def session_path_partials(ds, gap_s: int, k_steps: int = 3,
 
     return _by_part(ds, key_col, n_parts=n_parts).groupby("_part").map_groups(
         lambda g: per_part(g.drop(columns="_part")), batch_format="pandas")
+
+
+def ohlc_bars(ds, key_col: str = "event_type", ts_col: str = "ts",
+              id_col: str = "event_id", val_col: str = "value",
+              bucket_s: int = 86_400):
+    """OHLC candles per (key, time bucket): open/close = value at the
+    min/max (ts, id) of the bucket (deterministic under ts ties via the
+    id tie-break, the :func:`first_last` convention), plus low/high/n/
+    sum.  The time-series resampling primitive (metrics rollups, price
+    bars).
+
+    Shape: the key domain is CONSTANT-bounded (event types × the data's
+    calendar span — independent of row count), so this is the
+    ``_sum_keyed_partials`` driver-fold shape extended with argmin/
+    argmax merges: each block emits one row per (key, bucket) it
+    touches, the driver folds O(keys × blocks) partial rows, input rows
+    never leave the cluster.  For data-scaled keys use the
+    :func:`first_last` hash-partition shape instead.  Values
+    centi-scaled half-away (exact int64); ts normalized to us before
+    bucketing (the ns-resolution gotcha, see :func:`gaps_islands`)."""
+    bucket_us = bucket_s * _US
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        vc = round_half_away(
+            t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            * 100.0).astype("int64")
+        df = pd.DataFrame({
+            "k": t[key_col].to_numpy(zero_copy_only=False),
+            "bucket": us // bucket_us,
+            "us": us,
+            "id": t[id_col].to_numpy(zero_copy_only=False),
+            "vc": vc,
+        }).sort_values(["us", "id"], kind="mergesort")
+        agg = (df.groupby(["k", "bucket"], sort=False)
+               .agg(o_us=("us", "first"), o_id=("id", "first"),
+                    open_vc=("vc", "first"),
+                    c_us=("us", "last"), c_id=("id", "last"),
+                    close_vc=("vc", "last"),
+                    low_vc=("vc", "min"), high_vc=("vc", "max"),
+                    n=("vc", "size"), sum_vc=("vc", "sum"))
+               .reset_index())
+        for c in agg.columns.drop("k"):
+            agg[c] = agg[c].astype("int64")
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    # driver fold over bounded partial rows (keys × blocks)
+    acc: dict = {}
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        key = (r["k"], r["bucket"])
+        cur = acc.get(key)
+        if cur is None:
+            acc[key] = dict(r)
+            continue
+        if (r["o_us"], r["o_id"]) < (cur["o_us"], cur["o_id"]):
+            cur["o_us"], cur["o_id"] = r["o_us"], r["o_id"]
+            cur["open_vc"] = r["open_vc"]
+        if (r["c_us"], r["c_id"]) > (cur["c_us"], cur["c_id"]):
+            cur["c_us"], cur["c_id"] = r["c_us"], r["c_id"]
+            cur["close_vc"] = r["close_vc"]
+        cur["low_vc"] = min(cur["low_vc"], r["low_vc"])
+        cur["high_vc"] = max(cur["high_vc"], r["high_vc"])
+        cur["n"] += r["n"]
+        cur["sum_vc"] += r["sum_vc"]
+    rows = [acc[k] for k in sorted(acc, key=lambda kb: (str(kb[0]), kb[1]))]
+    return pa.table({
+        key_col: pa.array([r["k"] for r in rows]),
+        "bucket": pa.array([r["bucket"] for r in rows], pa.int64()),
+        "open_centi": pa.array([r["open_vc"] for r in rows], pa.int64()),
+        "high_centi": pa.array([r["high_vc"] for r in rows], pa.int64()),
+        "low_centi": pa.array([r["low_vc"] for r in rows], pa.int64()),
+        "close_centi": pa.array([r["close_vc"] for r in rows], pa.int64()),
+        "n": pa.array([r["n"] for r in rows], pa.int64()),
+        "sum_centi": pa.array([r["sum_vc"] for r in rows], pa.int64()),
+    })

@@ -4347,6 +4347,68 @@ def _q_degree_histogram(sf_dir: str):
     return degree_histogram(edges, u_col="item_a", v_col="item_b")
 
 
+def _q_rolling_outliers(sf_dir: str):
+    """Trailing-50-row 3-sigma anomaly flags per user
+    (stages/windows.py:rolling_outliers): cross-multiplied variance
+    inequality (n·v − s)² > 9(n·q − s²), all centi-int64."""
+    from vyntr_ray.stages.windows import rolling_outliers
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+    return rolling_outliers(ds, k=50, z=3)
+
+
+def _q_kcore(sf_dir: str):
+    """3-core of the co-purchase graph (stages/graph.py:kcore_nodes):
+    6 synchronized peel rounds, pinned-block raw tasks + broadcast
+    alive mask; oracle = the identical unrolled materialized-CTE peel."""
+    from vyntr_ray.stages.baskets import pair_edges
+    from vyntr_ray.stages.graph import kcore_nodes
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    edges = pair_edges(ds, "l_orderkey", "l_partkey", min_count=1)
+    return kcore_nodes(edges, k=3, u_col="item_a", v_col="item_b",
+                       n_rounds=6)
+
+
+def _q_cdc_apply(sf_dir: str):
+    """CDC merge (stages/joins.py:cdc_apply): customer balances as the
+    base snapshot, orders as the changelog (status F = delete, else
+    upsert to the order total), last (orderdate, orderkey) change wins;
+    keys with no changes keep the snapshot value."""
+    import pyarrow.compute as pc
+
+    from vyntr_ray.stages.joins import cdc_apply
+
+    base = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    chg = _read(sf_dir, "orders",
+                columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                         "o_totalprice", "o_orderdate"])
+
+    def prep_base(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "val_centi": pc.cast(_round_ha(pc.multiply(
+                t["c_acctbal"], pa.scalar(100.0))), pa.int64())})
+
+    def prep_chg(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                     pa.int64())
+        return pa.table({
+            "c_custkey": t["o_custkey"],
+            "val_centi": pc.cast(_round_ha(pc.multiply(
+                t["o_totalprice"], pa.scalar(100.0))), pa.int64()),
+            "op": pc.if_else(pc.equal(t["o_orderstatus"],
+                                      pa.scalar("F")),
+                             pa.scalar("D"), pa.scalar("U")),
+            "seq_us": us,
+            "seq_id": t["o_orderkey"]})
+
+    return cdc_apply(base.map_batches(prep_base, batch_format="pyarrow"),
+                     chg.map_batches(prep_chg, batch_format="pyarrow"),
+                     key_col="c_custkey", val_col="val_centi")
+
+
 _RERANK_TERMS = ["merge", "window", "spark", "hash"]
 
 
@@ -4363,12 +4425,15 @@ def _q_jaccard_rerank(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- driver-checked window (first 50): the r4 rotation ---
-        # 5 third-continuation queries lead (never driver-checked)
+        # 8 third-continuation queries lead (never driver-checked)
         "token_entropy": _q_token_entropy,
         "ohlc_bars": _q_ohlc_bars,
         "iqr_outliers": _q_iqr_outliers,
         "degree_histogram": _q_degree_histogram,
         "jaccard_rerank": _q_jaccard_rerank,
+        "rolling_outliers": _q_rolling_outliers,
+        "kcore": _q_kcore,
+        "cdc_apply": _q_cdc_apply,
         # never-driver-checked entries (incl. the 7 new r4 queries)
         # first, then the riskiest previously-green rows: r3-only
         # single-data-point entries and the money-scaling queries the
@@ -4565,7 +4630,79 @@ def oracle_sql() -> dict[str, str]:
     """
     trim = lambda e: f"regexp_replace({e}, '^\\s+|\\s+$', '', 'g')"  # noqa: E731
     cleaned = trim(clean_sql)
+    # kcore: unrolled 6-round synchronized peel — MATERIALIZED or DuckDB
+    # inlines each level twice per round -> exponential blowup (the
+    # pagerank CTE lesson); round r keeps nodes with degree >= 3 in
+    # e{r-1} and filters e{r-1} to the survivors
+    kcore_rounds = 6
+    kcore_cte = ["li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i"
+                 " FROM lineitem)",
+                 "e0 AS MATERIALIZED (SELECT a.i AS u, b.i AS v"
+                 " FROM li a JOIN li b ON a.g = b.g AND a.i < b.i"
+                 " GROUP BY 1, 2)"]
+    for r in range(1, kcore_rounds + 1):
+        kcore_cte.append(
+            f"n{r} AS MATERIALIZED (SELECT node FROM"
+            f" (SELECT u AS node FROM e{r-1}"
+            f"  UNION ALL SELECT v FROM e{r-1})"
+            f" GROUP BY node HAVING count(*) >= 3)")
+        kcore_cte.append(
+            f"e{r} AS MATERIALIZED (SELECT e.u, e.v FROM e{r-1} e"
+            f" JOIN n{r} a ON e.u = a.node"
+            f" JOIN n{r} b ON e.v = b.node)")
+    R = kcore_rounds
+    kcore_sql = (
+        "WITH " + ",\n".join(kcore_cte) + f"""
+        SELECT n.node, coalesce(d.degree, 0)::BIGINT AS degree
+        FROM n{R} n LEFT JOIN
+             (SELECT node, count(*)::BIGINT AS degree FROM
+                  (SELECT u AS node FROM e{R}
+                   UNION ALL SELECT v FROM e{R})
+              GROUP BY 1) d ON n.node = d.node
+        """)
     return {
+        # trailing-50-row 3-sigma flags: integer variance inequality
+        # (n*c - s)^2 > 9*(n*q - s^2) over the same ROWS frame
+        "rolling_outliers": """
+            WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS tu,
+                              round(value * 100)::BIGINT AS c
+                       FROM events),
+            w AS (SELECT *,
+                         sum(c) OVER win AS s,
+                         sum(c * c) OVER win AS q,
+                         count(*) OVER win AS n
+                  FROM v
+                  WINDOW win AS (PARTITION BY user_id
+                                 ORDER BY tu, event_id
+                                 ROWS BETWEEN 49 PRECEDING
+                                 AND CURRENT ROW))
+            SELECT event_id, user_id, c AS v_centi, n::BIGINT AS n_win
+            FROM w
+            WHERE (n*c - s)*(n*c - s) > 9*(n*q - s*s)
+        """,
+        "kcore": kcore_sql,
+        # CDC merge: last (orderdate, orderkey) change per customer wins,
+        # status-F deletes; FULL JOIN keeps pure inserts AND untouched
+        # base keys
+        "cdc_apply": """
+            WITH b AS (SELECT c_custkey AS k,
+                              round(c_acctbal * 100)::BIGINT AS val
+                       FROM customer),
+            c AS (SELECT o_custkey AS k,
+                         CASE WHEN o_orderstatus = 'F' THEN 'D'
+                              ELSE 'U' END AS op,
+                         round(o_totalprice * 100)::BIGINT AS val,
+                         epoch_us(o_orderdate) AS seq_us,
+                         o_orderkey AS seq_id
+                  FROM orders),
+            l AS (SELECT k, op, val FROM c
+                  QUALIFY row_number() OVER (PARTITION BY k
+                      ORDER BY seq_us DESC, seq_id DESC) = 1)
+            SELECT coalesce(b.k, l.k) AS c_custkey,
+                   coalesce(l.val, b.val) AS val_centi
+            FROM b FULL JOIN l ON b.k = l.k
+            WHERE coalesce(l.op, 'U') <> 'D'
+        """,
         # integer micro-nat entropy: L(k)=floor(ln(k)*1e6) — math.log
         # and DuckDB ln share libm doubles (bigram_pmi precedent);
         # int64 sums are order-free so no IEEE-summation drift

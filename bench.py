@@ -144,7 +144,8 @@ def bench_queries(repeats: int = 2) -> dict:
              "rolling_sum_time", "basket_pairs", "search_snippets",
              "suggest_terms",
              "token_entropy", "ohlc_bars", "iqr_outliers",
-             "degree_histogram", "jaccard_rerank"]
+             "degree_histogram", "jaccard_rerank",
+             "rolling_outliers", "kcore", "cdc_apply"]
     qs = em.queries()
     out = {}
     for _ in range(max(1, repeats)):

@@ -184,3 +184,121 @@ def test_jaccard_rerank_matches_bruteforce():
                                             "score_micro"])
            .sort_values("doc_id").reset_index(drop=True).astype("int64"))
     pd.testing.assert_frame_equal(got.astype("int64"), exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rolling_outliers_matches_bruteforce():
+    import ray.data as rd
+
+    from vyntr_ray.stages.windows import rolling_outliers
+
+    rng = np.random.Generator(np.random.PCG64(17))
+    n = 800
+    df = pd.DataFrame({
+        "event_id": rng.permutation(n).astype("int64"),
+        "ts": pd.to_datetime(rng.integers(0, 3000, n) * 1_000_000,
+                             unit="us"),
+        "user_id": rng.integers(0, 12, n).astype("int64"),
+        # mostly flat with injected spikes so outliers actually exist
+        "value": np.where(rng.random(n) < 0.03,
+                          rng.normal(0, 500, n),
+                          rng.normal(10, 1, n)).round(2),
+    })
+    k = 20
+
+    got = (rolling_outliers(rd.from_pandas(df.copy()), k=k, z=3,
+                            n_parts=5)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+
+    b = df.copy()
+    b["us"] = b["ts"].astype("datetime64[us]").astype("int64")
+    b["c"] = np.round(b["value"] * 100).astype("int64")
+    rows = []
+    for uid, g in b.groupby("user_id"):
+        g = g.sort_values(["us", "event_id"], kind="mergesort")
+        c = g["c"].to_numpy()
+        for i in range(len(c)):
+            w = c[max(0, i - k + 1):i + 1]
+            nw, s, q = len(w), int(w.sum()), int((w * w).sum())
+            if (nw * int(c[i]) - s) ** 2 > 9 * (nw * q - s * s):
+                rows.append((int(g["event_id"].iloc[i]), int(uid),
+                             int(c[i]), nw))
+    exp = (pd.DataFrame(rows, columns=["event_id", "user_id", "v_centi",
+                                       "n_win"])
+           .sort_values("event_id").reset_index(drop=True).astype("int64"))
+    assert len(exp) > 0            # the spikes must produce flags
+    pd.testing.assert_frame_equal(got.astype("int64"), exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("k,seed", [(2, 29), (3, 31)])
+def test_kcore_matches_bruteforce(k, seed):
+    import ray.data as rd
+
+    from vyntr_ray.stages.graph import kcore_nodes
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    e = {(int(a), int(b)) for a, b in rng.integers(0, 80, (400, 2))
+         if a < b}
+    df = pd.DataFrame(sorted(e), columns=["u", "v"]).astype("int64")
+
+    stats = {}
+    got = (kcore_nodes(rd.from_pandas(df.copy()), k=k, n_rounds=30,
+                       _stats=stats)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+
+    # reference: peel to the true fixpoint
+    edges = set(e)
+    while True:
+        deg = Counter()
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        bad = {x for x in deg if deg[x] < k}
+        if not bad:
+            break
+        edges = {(a, b) for a, b in edges
+                 if a not in bad and b not in bad}
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    exp = (pd.DataFrame(sorted(deg.items()), columns=["node", "degree"])
+           .astype("int64"))
+    assert stats["rounds"] < 30    # converged inside the round budget
+    pd.testing.assert_frame_equal(got.astype("int64"), exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cdc_apply_matches_bruteforce():
+    import ray.data as rd
+
+    from vyntr_ray.stages.joins import cdc_apply
+
+    rng = np.random.Generator(np.random.PCG64(41))
+    base = pd.DataFrame({"k": np.arange(50, dtype=np.int64),
+                         "val": rng.integers(0, 1000, 50).astype("int64")})
+    nc = 300
+    chg = pd.DataFrame({
+        # keys 40..69: 40-49 update/delete base rows, 50-69 are inserts
+        "k": rng.integers(40, 70, nc).astype("int64"),
+        "val": rng.integers(1000, 2000, nc).astype("int64"),
+        "op": rng.choice(["U", "D"], nc),
+        "seq_us": rng.integers(0, 40, nc).astype("int64"),  # many ties
+        "seq_id": np.arange(nc, dtype=np.int64),
+    })
+
+    got = (cdc_apply(rd.from_pandas(base.copy()),
+                     rd.from_pandas(chg.copy()),
+                     key_col="k", val_col="val", n_parts=7)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+
+    state = dict(zip(base["k"], base["val"]))
+    for _, r in chg.sort_values(["seq_us", "seq_id"]).iterrows():
+        if r["op"] == "D":
+            state.pop(int(r["k"]), None)
+        else:
+            state[int(r["k"])] = int(r["val"])
+    exp = pd.DataFrame(sorted(state.items()),
+                       columns=["k", "val"]).astype("int64")
+    pd.testing.assert_frame_equal(got.astype("int64"), exp)

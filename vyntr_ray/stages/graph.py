@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["connected_components", "pagerank", "hits_counts",
-           "triangle_count", "degree_histogram"]
+           "triangle_count", "degree_histogram", "kcore_nodes"]
 
 
 def _hash_part(ds, key_col: str, n_parts: int = 64):
@@ -536,3 +536,79 @@ def degree_histogram(edges_ds, u_col: str = "u", v_col: str = "v"):
     hist = group_sum(deg.map_batches(ones, batch_format="pyarrow"),
                      "degree", ["one"], rename={"one": "n_nodes"})
     return hist.sort("degree")
+
+
+def kcore_nodes(edges_ds, k: int = 3, u_col: str = "u", v_col: str = "v",
+                n_rounds: int = 6, _stats: dict | None = None):
+    """k-core of an undirected graph by ``n_rounds`` of SYNCHRONIZED
+    peeling: each round drops every node whose degree in the surviving
+    induced subgraph is < k (Matula & Beck 1983, public algorithm) —
+    the standard "dense part of the dup/link graph" extractor.
+
+    Determinism contract: both this function and its SQL oracle compute
+    exactly ``n_rounds`` synchronized peel rounds (the oracle as an
+    unrolled materialized-CTE chain, the pagerank precedent).  A
+    converged peel is a fixpoint — extra rounds are no-ops — so the
+    bound only matters on pathological long-chain graphs; local strict
+    checks verify convergence at the tested scales (the loop breaks
+    early at the fixpoint, which equals running the remaining no-op
+    rounds).
+
+    Execution is the :func:`pagerank` fixed-point shape: edge blocks
+    pinned ONCE via ``to_arrow_refs``, one raw task per block per round
+    (a Dataset job per round would pay ~0.4 s launch each, PERF.md
+    "rounds are the enemy"), the alive mask riding as one ``ray.put``
+    per round.  Per-task returns are (distinct-slot, count) partials —
+    bounded by the block's distinct nodes, never O(V).  Driver state:
+    the sorted node array + two O(V) vectors (the pagerank contract;
+    shard the mask across actors past ~10^9 nodes).  Output: (node,
+    degree) over the surviving induced subgraph, degree = its edge
+    count there."""
+    import ray
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table({"u": t[u_col].cast(pa.int64()),
+                         "v": t[v_col].cast(pa.int64())})
+
+    edges = edges_ds.map_batches(norm, batch_format="pyarrow").materialize()
+
+    def nodes_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.array(np.unique(np.concatenate(
+            [t["u"].to_numpy(), t["v"].to_numpy()])), pa.int64())})
+
+    nodes = np.unique(
+        edges.map_batches(nodes_partial, batch_format="pyarrow")
+        .to_pandas()["node"].to_numpy()).astype(np.int64)
+    V = len(nodes)
+    nref = ray.put(nodes)
+    refs = edges.to_arrow_refs()
+
+    @ray.remote(num_cpus=0.5)
+    def deg_task(block, nodes_b, alive_b):
+        iu = np.searchsorted(nodes_b, block["u"].to_numpy())
+        iv = np.searchsorted(nodes_b, block["v"].to_numpy())
+        m = alive_b[iu] & alive_b[iv]
+        idx, cnt = np.unique(np.concatenate([iu[m], iv[m]]),
+                             return_counts=True)
+        return idx, cnt
+
+    def sweep(alive):
+        aref = ray.put(alive)
+        deg = np.zeros(V, np.int64)
+        for idx, cnt in ray.get(
+                [deg_task.remote(b, nref, aref) for b in refs]):
+            np.add.at(deg, idx, cnt)
+        return deg
+
+    alive = np.ones(V, bool)
+    for r in range(n_rounds):
+        new_alive = sweep(alive) >= k
+        if _stats is not None:
+            _stats["rounds"] = r + 1
+        if (new_alive == alive).all():
+            break                       # fixpoint: remaining rounds no-op
+        alive = new_alive
+
+    deg = sweep(alive)                  # degree over the final subgraph
+    return pa.table({"node": pa.array(nodes[alive], pa.int64()),
+                     "degree": pa.array(deg[alive], pa.int64())})

@@ -28,7 +28,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["asof_join", "range_count_join", "hash_join", "anti_join",
-           "semi_join", "bloom_anti_join", "bloom_semi_join"]
+           "semi_join", "bloom_anti_join", "bloom_semi_join",
+           "cdc_apply"]
 
 
 def _pa_type(t) -> pa.DataType:
@@ -633,3 +634,64 @@ def bloom_semi_join(left_ds, right_ds, key_col: str,
                            right_key_col=right_key_col, n_parts=n_parts,
                            types=types, m_bits=m_bits, k=k,
                            _keep_matches=True)
+
+
+def cdc_apply(base_ds, changes_ds, key_col: str, val_col: str,
+              seq_cols: list | None = None, op_col: str = "op",
+              n_parts: int = 64):
+    """Apply a CDC changelog to a base snapshot: per key, the
+    highest-``seq_cols`` change wins — an upsert ('U') replaces the
+    value, a delete ('D') removes the key; keys with no changes keep
+    their base value.  The materialized-view maintenance primitive
+    (Debezium-style op streams), generalizing the S9/S10 upsert sinks
+    with delete semantics.
+
+    One distributed pass: base rows are tagged with seq = -inf (any
+    change outranks the snapshot), both sides align to one typed
+    schema, and ONE hash-partition shuffle co-locates each key; per
+    partition a vectorized sort + keep-last + drop-deletes sweep covers
+    all of its keys (the many-groups rule — never a group per key).
+    ``seq_cols`` must totally order each key's changes (e.g.
+    (ts, change_id)); base and changes never tie (-inf).  Output:
+    (key, val) — the final state."""
+    seq_cols = seq_cols or ["seq_us", "seq_id"]
+
+    def tag_base(t: pa.Table) -> pa.Table:
+        cols = {key_col: t[key_col].cast(pa.int64()),
+                val_col: t[val_col].cast(pa.int64()),
+                op_col: pa.array(["U"] * len(t), pa.string())}
+        for c in seq_cols:
+            cols[c] = pa.nulls(len(t), pa.int64())   # -inf rank (sorts first)
+        return pa.table(cols)
+
+    def tag_change(t: pa.Table) -> pa.Table:
+        cols = {key_col: t[key_col].cast(pa.int64()),
+                val_col: t[val_col].cast(pa.int64()),
+                op_col: t[op_col].cast(pa.string())}
+        for c in seq_cols:
+            cols[c] = t[c].cast(pa.int64())
+        return pa.table(cols)
+
+    both = (base_ds.map_batches(tag_base, batch_format="pyarrow")
+            .union(changes_ds.map_batches(tag_change,
+                                          batch_format="pyarrow")))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column("_part", _part_col(t[key_col], n_parts))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        # nulls (the base tag) sort FIRST -> last row per key is the
+        # max-seq change, or the base row when no change exists
+        g = g.sort_values([key_col, *seq_cols], kind="mergesort",
+                          na_position="first")
+        # whole-row keep-last (groupby.last() is per-column last-non-null
+        # and would stitch base seq-nulls with change payloads)
+        last = g.drop_duplicates(subset=[key_col], keep="last")
+        last = last[last[op_col] != "D"]
+        return pd.DataFrame({key_col: last[key_col].to_numpy(np.int64),
+                             val_col: last[val_col].to_numpy(np.int64)})
+
+    return (both.map_batches(add_part, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(lambda g: per_part(g.drop(columns="_part")),
+                        batch_format="pandas"))

@@ -31,7 +31,8 @@ __all__ = ["tumbling", "sliding", "sessionize", "rolling_sum",
            "time_weighted_avg", "first_last", "gaps_islands",
            "event_throttle", "scd2_intervals", "group_median",
            "group_mad", "last_touch", "watermark_filter",
-           "next_event_gap", "session_path_partials", "ohlc_bars"]
+           "next_event_gap", "session_path_partials", "ohlc_bars",
+           "rolling_outliers"]
 
 _US = 1_000_000
 
@@ -1008,3 +1009,45 @@ def ohlc_bars(ds, key_col: str = "event_type", ts_col: str = "ts",
         "n": pa.array([r["n"] for r in rows], pa.int64()),
         "sum_centi": pa.array([r["sum_vc"] for r in rows], pa.int64()),
     })
+
+
+def rolling_outliers(ds, k: int = 50, z: int = 3, key_col: str = "user_id",
+                     ts_col: str = "ts", id_col: str = "event_id",
+                     value_col: str = "value", n_parts: int = 64):
+    """Trailing-window anomaly flags: rows whose value sits more than
+    ``z`` population standard deviations from the mean of their own
+    ROWS-(k-1)-PRECEDING window — streaming sensor/metrics QA, the
+    windowed sibling of :func:`~.dataset_tools.iqr_outliers`.
+
+    The z-test needs a sqrt, which would break exact comparison; both
+    sides instead test the CROSS-MULTIPLIED square ``(n·v - s)² >
+    z²·(n·q - s²)`` (s/q = window sum / sum of squares, all centi-int64
+    — the variance inequality scaled by n²; n=1 windows have both sides
+    0, never outliers).  Same one-shuffle hash-partition shape and
+    cumsum-difference sweep as :func:`rolling_sum`, with a second
+    cumsum for q.  Emits ONLY the flagged rows."""
+    z2 = z * z
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        key = g[key_col].to_numpy()
+        v = round_half_away(g[value_col].to_numpy() * 100).astype(np.int64)
+        n = len(v)
+        newkey = np.r_[True, key[1:] != key[:-1]]
+        key_start = np.maximum.accumulate(np.where(newkey, np.arange(n), 0))
+        cs = np.concatenate([[0], np.cumsum(v)])
+        cq = np.concatenate([[0], np.cumsum(v * v)])
+        lo = np.maximum(key_start, np.arange(1, n + 1) - k)
+        s = cs[1:] - cs[lo]
+        q = cq[1:] - cq[lo]
+        nw = np.arange(1, n + 1) - lo
+        lhs = (nw * v - s) ** 2
+        rhs = z2 * (nw * q - s * s)
+        m = lhs > rhs
+        return pd.DataFrame({id_col: g[id_col].to_numpy()[m],
+                             key_col: key[m],
+                             "v_centi": v[m],
+                             "n_win": nw[m].astype("int64")})
+
+    return _by_part(ds, key_col, n_parts=n_parts).groupby("_part").map_groups(
+        lambda g: per_part(g.drop(columns="_part")), batch_format="pandas")

@@ -4409,6 +4409,74 @@ def _q_cdc_apply(sf_dir: str):
                      key_col="c_custkey", val_col="val_centi")
 
 
+_OLD_SNAPSHOT_SOURCES = [f"src{i}" for i in range(10)]
+
+
+def _q_dedup_incremental(sf_dir: str):
+    """Incremental-crawl dedup: drop re-crawled docs whose content
+    fingerprint the previous snapshot (sources src0-src9) already
+    holds — fingerprint_batch (M-series md5 contract) + the distributed
+    anti_join, both sides fact-scaled (stages/joins.py:anti_join)."""
+    import pyarrow.compute as pc
+
+    from vyntr_ray.stages.joins import anti_join
+    from vyntr_ray.stages.text_analysis import fingerprint_batch
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    fp = docs.map_batches(fingerprint_batch, batch_format="pyarrow")
+    old_set = pa.array(_OLD_SNAPSHOT_SOURCES, pa.string())
+
+    def only_old(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["source"], value_set=old_set))
+
+    old = fp.map_batches(only_old, batch_format="pyarrow")
+    return anti_join(fp, old, key_col="fingerprint",
+                     left_payload=["doc_id", "source"],
+                     types={"fingerprint": pa.string(),
+                            "doc_id": pa.int64(),
+                            "source": pa.string()})
+
+
+def _q_key_skew(sf_dir: str):
+    """Shuffle-key skew audit of events.user_id
+    (stages/dataset_tools.py:key_skew): top-10 heavy keys + global
+    collision mass sum(cnt^2) — the salting decision input."""
+    from vyntr_ray.stages.dataset_tools import key_skew
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    return key_skew(ds, "user_id", topk=10)
+
+
+def _q_zorder_export(sf_dir: str):
+    """Morton-interleaved 2-D layout export of orders on (custkey,
+    orderdate-day) (sources/zonemap.py:zorder_export): one sorted
+    parquet per z-bucket via tmp+atomic-rename, manifest prunes on
+    EITHER dimension.  Result = the manifest; the oracle replays the
+    identical bit-interleave arithmetic."""
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from vyntr_ray.sources.zonemap import zorder_export
+
+    out = os.path.join("/tmp/vyntr_ray_cache",
+                       f"zorder_orders_{os.path.basename(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                     pa.int64())
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "x": t["o_custkey"],
+            "y": pc.divide(us, pa.scalar(86_400_000_000, pa.int64()))})
+
+    return zorder_export(ds.map_batches(prep, batch_format="pyarrow"),
+                         out, "x", "y", bits=21, width=1 << 20)
+
+
 _RERANK_TERMS = ["merge", "window", "spark", "hash"]
 
 
@@ -4434,6 +4502,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_outliers": _q_rolling_outliers,
         "kcore": _q_kcore,
         "cdc_apply": _q_cdc_apply,
+        "dedup_incremental": _q_dedup_incremental,
+        "key_skew": _q_key_skew,
+        "zorder_export": _q_zorder_export,
         # never-driver-checked entries (incl. the 7 new r4 queries)
         # first, then the riskiest previously-green rows: r3-only
         # single-data-point entries and the money-scaling queries the
@@ -4660,7 +4731,49 @@ def oracle_sql() -> dict[str, str]:
                    UNION ALL SELECT v FROM e{R})
               GROUP BY 1) d ON n.node = d.node
         """)
+    from vyntr_ray.sources.zonemap import zorder_sql_expr
+    zexpr = zorder_sql_expr("x", "y", bits=21)
+    old_src = ", ".join(f"'{s}'" for s in _OLD_SNAPSHOT_SOURCES)
     return {
+        # same md5 normalization as the fingerprints oracle; NOT IN is
+        # null-safe here (md5 of non-null text is never null)
+        "dedup_incremental": f"""
+            WITH f AS (SELECT doc_id, source,
+                              md5(lower(regexp_replace(text, '\\s+', ' ',
+                                                       'g')))
+                                  AS fingerprint
+                       FROM documents)
+            SELECT fingerprint, doc_id, source FROM f
+            WHERE fingerprint NOT IN
+                  (SELECT fingerprint FROM f
+                   WHERE source IN ({old_src}))
+        """,
+        "key_skew": """
+            WITH c AS (SELECT user_id, count(*)::BIGINT AS cnt
+                       FROM events GROUP BY 1),
+            s AS (SELECT sum(cnt)::BIGINT AS n_rows,
+                         count(*)::BIGINT AS n_keys,
+                         max(cnt)::BIGINT AS max_cnt,
+                         sum(cnt * cnt)::BIGINT AS sum_sq
+                  FROM c)
+            SELECT c.user_id, c.cnt, s.n_rows, s.n_keys, s.max_cnt,
+                   s.sum_sq
+            FROM c, s ORDER BY c.cnt DESC, c.user_id LIMIT 10
+        """,
+        # manifest replay: the identical Morton interleave (generated
+        # 2x21-term bit arithmetic, sources/zonemap.py:zorder_sql_expr)
+        "zorder_export": f"""
+            WITH v AS (SELECT o_custkey AS x,
+                              epoch_us(o_orderdate) // 86400000000 AS y
+                       FROM orders),
+            z AS (SELECT x, y, {zexpr} AS z FROM v)
+            SELECT z // {1 << 20} AS bucket,
+                   min(z)::BIGINT AS min_z, max(z)::BIGINT AS max_z,
+                   min(x)::BIGINT AS min_x, max(x)::BIGINT AS max_x,
+                   min(y)::BIGINT AS min_y, max(y)::BIGINT AS max_y,
+                   count(*)::BIGINT AS n
+            FROM z GROUP BY 1
+        """,
         # trailing-50-row 3-sigma flags: integer variance inequality
         # (n*c - s)^2 > 9*(n*q - s^2) over the same ROWS frame
         "rolling_outliers": """

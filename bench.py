@@ -145,7 +145,8 @@ def bench_queries(repeats: int = 2) -> dict:
              "suggest_terms",
              "token_entropy", "ohlc_bars", "iqr_outliers",
              "degree_histogram", "jaccard_rerank",
-             "rolling_outliers", "kcore", "cdc_apply"]
+             "rolling_outliers", "kcore", "cdc_apply",
+             "dedup_incremental", "key_skew", "zorder_export"]
     qs = em.queries()
     out = {}
     for _ in range(max(1, repeats)):

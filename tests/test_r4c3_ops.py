@@ -302,3 +302,98 @@ def test_cdc_apply_matches_bruteforce():
     exp = pd.DataFrame(sorted(state.items()),
                        columns=["k", "val"]).astype("int64")
     pd.testing.assert_frame_equal(got.astype("int64"), exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_zorder_export_roundtrip_and_pruning(tmp_path):
+    import ray.data as rd
+
+    from vyntr_ray.sources.zonemap import (_interleave_bits, zorder_export,
+                                           zorder_lookup)
+
+    rng = np.random.Generator(np.random.PCG64(47))
+    n = 4000
+    df = pd.DataFrame({
+        "rid": np.arange(n, dtype=np.int64),
+        "x": rng.integers(0, 1 << 10, n).astype("int64"),
+        "y": rng.integers(0, 1 << 10, n).astype("int64"),
+    })
+    out = str(tmp_path / "zorder")
+    man = zorder_export(rd.from_pandas(df.copy()), out, "x", "y",
+                        bits=10, width=1 << 8)
+
+    # manifest is exact: per-bucket min/max of z and both dims
+    z = _interleave_bits(df["x"].to_numpy(), df["y"].to_numpy(), 10)
+    b = df.assign(z=z, bucket=z // (1 << 8))
+    exp = (b.groupby("bucket").agg(min_z=("z", "min"), max_z=("z", "max"),
+                                   min_x=("x", "min"), max_x=("x", "max"),
+                                   min_y=("y", "min"), max_y=("y", "max"),
+                                   n=("z", "size"))
+           .reset_index().astype("int64"))
+    pd.testing.assert_frame_equal(
+        man.sort_values("bucket").reset_index(drop=True), exp)
+
+    # rectangle probe: correct rows AND actually pruned files
+    stats = {}
+    got = (zorder_lookup(out, "x", "y", (100, 160), (300, 360),
+                         _stats=stats)
+           .sort_values("rid").reset_index(drop=True))
+    ref = (df[(df["x"].between(100, 160)) & (df["y"].between(300, 360))]
+           .sort_values("rid").reset_index(drop=True))
+    assert list(got["rid"]) == list(ref["rid"])
+    assert stats["files_read"] < stats["files_total"] * 0.5, stats
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_key_skew_matches_bruteforce():
+    import ray.data as rd
+
+    from vyntr_ray.stages.dataset_tools import key_skew
+
+    rng = np.random.Generator(np.random.PCG64(53))
+    # zipf-ish skew so the top-k is meaningful; ties at the cut
+    keys = np.concatenate([
+        np.repeat(np.arange(5), 80),
+        rng.integers(5, 200, 1500),
+    ]).astype("int64")
+    df = pd.DataFrame({"k": rng.permutation(keys)})
+
+    got = (key_skew(rd.from_pandas(df.copy()), "k", topk=10)
+           .to_pandas().reset_index(drop=True))
+
+    c = df["k"].value_counts()
+    top = sorted(((int(cnt), int(k)) for k, cnt in c.items()),
+                 key=lambda t: (-t[0], t[1]))[:10]
+    assert list(got["k"]) == [k for _, k in top]
+    assert list(got["cnt"]) == [cnt for cnt, _ in top]
+    assert got["n_rows"].iloc[0] == len(df)
+    assert got["n_keys"].iloc[0] == c.size
+    assert got["max_cnt"].iloc[0] == int(c.max())
+    assert got["sum_sq"].iloc[0] == int((c.to_numpy() ** 2).sum())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_incremental_drops_snapshot_matches():
+    import ray.data as rd
+
+    from vyntr_ray.stages.joins import anti_join
+    from vyntr_ray.stages.text_analysis import fingerprint_batch
+
+    import pyarrow as pa
+
+    # new crawl re-fetches 30 old docs (same content, new ids) + 20 new
+    old = pd.DataFrame({"doc_id": np.arange(30, dtype=np.int64),
+                        "text": [f"old doc {i}  spaced" for i in range(30)]})
+    new = pd.DataFrame({
+        "doc_id": np.arange(100, 150, dtype=np.int64),
+        "text": ([f"old DOC {i}  spaced" for i in range(30)]  # case/ws dup
+                 + [f"fresh doc {i}" for i in range(20)]),
+    })
+    fp = lambda d: rd.from_pandas(d).map_batches(  # noqa: E731
+        fingerprint_batch, batch_format="pyarrow")
+    got = (anti_join(fp(new.copy()), fp(old.copy()),
+                     key_col="fingerprint", left_payload=["doc_id"],
+                     types={"fingerprint": pa.string(),
+                            "doc_id": pa.int64()})
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(got["doc_id"]) == list(range(130, 150))

@@ -28,7 +28,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-__all__ = ["zonemap_export", "zonemap_lookup"]
+__all__ = ["zonemap_export", "zonemap_lookup",
+           "zorder_export", "zorder_lookup", "zorder_sql_expr"]
 
 
 def zonemap_export(ds, out_dir: str, key_col: str, width: int):
@@ -93,3 +94,104 @@ def zonemap_lookup(out_dir: str, key_col: str, keys: list[int]):
         return pd.DataFrame()
     return (pd.concat(out, ignore_index=True)
             .sort_values(key_col, kind="mergesort").reset_index(drop=True))
+
+
+def _interleave_bits(x: np.ndarray, y: np.ndarray, bits: int) -> np.ndarray:
+    """Morton/Z-order interleave of two ``bits``-wide non-negative int64
+    arrays: x occupies even bit slots, y odd — vectorized, 2·bits ≤ 62."""
+    z = np.zeros(len(x), np.int64)
+    one = np.int64(1)
+    for i in range(bits):
+        z |= ((x >> np.int64(i)) & one) << np.int64(2 * i)
+        z |= ((y >> np.int64(i)) & one) << np.int64(2 * i + 1)
+    return z
+
+
+def zorder_sql_expr(xcol: str, ycol: str, bits: int) -> str:
+    """The identical interleave as a SQL expression (oracle parity)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({xcol} >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"(({ycol} >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_export(ds, out_dir: str, x_col: str, y_col: str,
+                  bits: int = 21, width: int = 1 << 26):
+    """Two-dimensional sibling of :func:`zonemap_export`: rows sort on
+    the Morton (Z-order) interleave of two int columns, bucket by
+    ``z // width``, one atomically-renamed parquet per bucket, manifest
+    = (bucket, min/max z, min/max of BOTH dims, n).  Z-order keeps
+    2-D-close rows file-close, so the manifest prunes on EITHER
+    dimension — the Delta/Iceberg ``ZORDER BY`` layout primitive,
+    which a 100-TB multi-tenant table needs where 1-D zone maps only
+    serve one predicate column.
+
+    Same bounded-group write shape as zonemap_export (bucket IS the
+    partition).  Inputs must fit ``bits`` (raises loudly — widen bits,
+    2·bits ≤ 62, rather than silently wrapping)."""
+    os.makedirs(out_dir, exist_ok=True)
+    lim = np.int64(1) << np.int64(bits)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(x) and (x.min() < 0 or y.min() < 0 or x.max() >= lim
+                       or y.max() >= lim):
+            raise ValueError(f"zorder_export: values exceed {bits} bits")
+        z = _interleave_bits(x, y, bits)
+        return (t.append_column("_z", pa.array(z, pa.int64()))
+                .append_column("_bucket", pa.array(z // width, pa.int64())))
+
+    def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["_bucket"].iloc[0])
+        g = g.sort_values("_z", kind="mergesort")
+        path = os.path.join(out_dir, f"zbucket={b:08d}.parquet")
+        tmp = path + f".tmp{os.getpid()}"
+        pq.write_table(pa.Table.from_pandas(
+            g.drop(columns="_bucket"), preserve_index=False), tmp)
+        os.replace(tmp, path)
+        return pd.DataFrame({
+            "bucket": np.array([b], dtype="int64"),
+            "min_z": [int(g["_z"].min())], "max_z": [int(g["_z"].max())],
+            "min_x": [int(g[x_col].min())], "max_x": [int(g[x_col].max())],
+            "min_y": [int(g[y_col].min())], "max_y": [int(g[y_col].max())],
+            "n": np.array([len(g)], dtype="int64")})
+
+    man = (ds.map_batches(bucketize, batch_format="pyarrow")
+           .groupby("_bucket")
+           .map_groups(write_bucket, batch_format="pandas")
+           .to_pandas().sort_values("bucket").reset_index(drop=True))
+    for c in man.columns:
+        man[c] = man[c].astype("int64")
+    mpath = os.path.join(out_dir, "_manifest.parquet")
+    tmp = mpath + f".tmp{os.getpid()}"
+    pq.write_table(pa.Table.from_pandas(man, preserve_index=False), tmp)
+    os.replace(tmp, mpath)
+    return man
+
+
+def zorder_lookup(out_dir: str, x_col: str, y_col: str,
+                  x_range: tuple, y_range: tuple,
+                  _stats: dict | None = None) -> pd.DataFrame:
+    """Rectangle probe: read ONLY bucket files whose (min/max x, min/max
+    y) box intersects the query rectangle — either dimension prunes.
+    ``_stats`` (tests) receives files_total / files_read."""
+    man = pq.read_table(
+        os.path.join(out_dir, "_manifest.parquet")).to_pandas()
+    hit = man[(man["max_x"] >= x_range[0]) & (man["min_x"] <= x_range[1])
+              & (man["max_y"] >= y_range[0]) & (man["min_y"] <= y_range[1])]
+    if _stats is not None:
+        _stats["files_total"] = len(man)
+        _stats["files_read"] = len(hit)
+    out = []
+    for b in hit["bucket"]:
+        t = pq.read_table(
+            os.path.join(out_dir, f"zbucket={int(b):08d}.parquet"))
+        df = t.to_pandas()
+        out.append(df[(df[x_col] >= x_range[0]) & (df[x_col] <= x_range[1])
+                      & (df[y_col] >= y_range[0])
+                      & (df[y_col] <= y_range[1])])
+    if not out:
+        return pd.DataFrame()
+    return pd.concat(out, ignore_index=True)

@@ -21,7 +21,7 @@ __all__ = ["topk_largest", "remove_largest", "group_quantiles",
            "pivot_counts", "rollup_counts", "distinct_rows", "group_mode",
            "histogram_fixed", "skyline", "cube_counts", "table_profile",
            "group_sum", "group_fold", "grouping_sets", "pivot_sum",
-           "iqr_outliers"]
+           "iqr_outliers", "key_skew"]
 
 
 def topk_largest(ds, k: int = 100, length_col: str = "n_chars",
@@ -842,4 +842,56 @@ def iqr_outliers(ds, group_col: str, value_col: str):
         "hi2": pa.array([fences[k][1] for k in keys], pa.int64()),
         "n": pa.array([acc[k][0] for k in keys], pa.int64()),
         "n_outliers": pa.array([acc[k][1] for k in keys], pa.int64()),
+    })
+
+
+def key_skew(ds, key_col: str, topk: int = 10):
+    """Shuffle-key skew audit: the top-``topk`` heaviest keys plus the
+    global concentration stats every row repeats — n_rows, n_keys,
+    max_cnt, and the collision mass ``sum_sq = Σ cnt²`` (the expected
+    same-key pair count × 2, and the quantity that decides whether a
+    groupby needs salting).  This is the diagnostic to run BEFORE
+    keying a 100-TB shuffle on a column.
+
+    Counts come from :func:`group_sum` (data-scaled keys — combiner +
+    one hash partition); the summary folds per-block partials of the
+    counts table (O(blocks) driver rows); the top-k is a distributed
+    ``sort().limit()``.  All int64, exactly SQL-replicable."""
+    import pyarrow as pa
+
+    def ones(t):
+        import numpy as np
+        return pa.table({key_col: t[key_col],
+                         "one": pa.array(np.ones(len(t), np.int64))})
+
+    counts = group_sum(ds.map_batches(ones, batch_format="pyarrow"),
+                       key_col, ["one"], rename={"one": "cnt"})
+    counts = counts.materialize()      # consumed twice (summary + topk)
+
+    def summary_partial(t: pa.Table) -> pa.Table:
+        c = t["cnt"].to_numpy(zero_copy_only=False)
+        return pa.table({"n_rows": pa.array([int(c.sum())], pa.int64()),
+                         "n_keys": pa.array([len(c)], pa.int64()),
+                         "max_cnt": pa.array(
+                             [int(c.max()) if len(c) else 0], pa.int64()),
+                         "sum_sq": pa.array([int((c * c).sum())],
+                                            pa.int64())})
+
+    n_rows = n_keys = max_cnt = sum_sq = 0
+    for r in counts.map_batches(summary_partial,
+                                batch_format="pyarrow").take_all():
+        n_rows += r["n_rows"]
+        n_keys += r["n_keys"]
+        max_cnt = max(max_cnt, r["max_cnt"])
+        sum_sq += r["sum_sq"]
+
+    top = (counts.sort(["cnt", key_col], descending=[True, False])
+           .limit(topk).to_pandas())
+    return pa.table({
+        key_col: pa.array(top[key_col].to_numpy()),
+        "cnt": pa.array(top["cnt"].to_numpy(), pa.int64()),
+        "n_rows": pa.array([n_rows] * len(top), pa.int64()),
+        "n_keys": pa.array([n_keys] * len(top), pa.int64()),
+        "max_cnt": pa.array([max_cnt] * len(top), pa.int64()),
+        "sum_sq": pa.array([sum_sq] * len(top), pa.int64()),
     })

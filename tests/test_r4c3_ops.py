@@ -397,3 +397,24 @@ def test_dedup_incremental_drops_snapshot_matches():
                             "doc_id": pa.int64()})
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert list(got["doc_id"]) == list(range(130, 150))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bfs_hops_block_tasks_parity():
+    import ray.data as rd
+
+    from vyntr_ray.stages.graph import bfs_hops
+
+    rng = np.random.Generator(np.random.PCG64(61))
+    e = pd.DataFrame({"u": rng.integers(0, 80, 300),
+                      "v": rng.integers(0, 80, 300)}).drop_duplicates()
+    seeds = pd.DataFrame({"node": np.array([3, 7, 500], dtype="int64"),
+                          "hop": np.array([0, 0, 0], dtype="int64")})
+    a = (bfs_hops(rd.from_pandas(e.copy(), override_num_blocks=4),
+                  rd.from_pandas(seeds.copy()), k=3, block_tasks=True)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    b = (bfs_hops(rd.from_pandas(e.copy(), override_num_blocks=4),
+                  rd.from_pandas(seeds.copy()), k=3, block_tasks=False)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a.astype("int64"), b.astype("int64"))
+    assert 500 in set(a["node"])   # isolated seed survives both paths

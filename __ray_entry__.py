@@ -4409,6 +4409,53 @@ def _q_cdc_apply(sf_dir: str):
                      key_col="c_custkey", val_col="val_centi")
 
 
+def _q_assoc_rules(sf_dir: str):
+    """Association rules over the top-50 co-purchased pairs
+    (stages/baskets.py:assoc_rules): floored micro confidence both
+    directions + cross-multiplied lift, supports fetched only for the
+    winning pairs' items."""
+    from vyntr_ray.stages.baskets import assoc_rules
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    return assoc_rules(ds, "l_orderkey", "l_partkey", k=50, min_count=1)
+
+
+def _q_range_export(sf_dir: str):
+    """Balanced range-partitioned export of orders by centi price
+    (sources/zonemap.py:range_export): exact NTILE splitters via
+    distributed rank_select, skew-proof ~n/8 buckets; result = the
+    manifest, oracled by the quantile_disc splitter replay."""
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from vyntr_ray.sources.zonemap import range_export
+
+    out = os.path.join("/tmp/vyntr_ray_cache",
+                       f"range_orders_{os.path.basename(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "price_centi": pc.cast(_round_ha(pc.multiply(
+                t["o_totalprice"], pa.scalar(100.0))), pa.int64())})
+
+    return range_export(ds.map_batches(prep, batch_format="pyarrow"),
+                        out, "price_centi", n_buckets=8)
+
+
+def _q_group_topk_ties(sf_dir: str):
+    """Top-5 longest docs per language WITH TIES (RANK, not row_number
+    — stages/dataset_tools.py:group_topk_ties), vs the QUALIFY rank()
+    oracle."""
+    from vyntr_ray.stages.dataset_tools import group_topk_ties
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars", "doc_id"])
+    return group_topk_ties(ds, "lang", "n_chars", "doc_id", k=5)
+
+
 _OLD_SNAPSHOT_SOURCES = [f"src{i}" for i in range(10)]
 
 
@@ -4505,6 +4552,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": _q_dedup_incremental,
         "key_skew": _q_key_skew,
         "zorder_export": _q_zorder_export,
+        "assoc_rules": _q_assoc_rules,
+        "range_export": _q_range_export,
+        "group_topk_ties": _q_group_topk_ties,
         # never-driver-checked entries (incl. the 7 new r4 queries)
         # first, then the riskiest previously-green rows: r3-only
         # single-data-point entries and the money-scaling queries the
@@ -4735,6 +4785,51 @@ def oracle_sql() -> dict[str, str]:
     zexpr = zorder_sql_expr("x", "y", bits=21)
     old_src = ", ".join(f"'{s}'" for s in _OLD_SNAPSHOT_SOURCES)
     return {
+        # top-50 pair cut mirrors basket_pairs' (n DESC, a, b) order;
+        # all ratios floored micro-ints, lift cross-multiplied
+        "assoc_rules": """
+            WITH li AS (SELECT DISTINCT l_orderkey AS g,
+                                        l_partkey AS i FROM lineitem),
+            p AS (SELECT a.i AS item_a, b.i AS item_b,
+                         count(*)::BIGINT AS n_ab
+                  FROM li a JOIN li b ON a.g = b.g AND a.i < b.i
+                  GROUP BY 1, 2),
+            t AS (SELECT * FROM p
+                  ORDER BY n_ab DESC, item_a, item_b LIMIT 50),
+            s AS (SELECT i, count(*)::BIGINT AS n_i FROM li GROUP BY 1),
+            nb AS (SELECT count(DISTINCT g)::BIGINT AS n FROM li)
+            SELECT t.item_a, t.item_b, t.n_ab,
+                   sa.n_i AS n_a, sb.n_i AS n_b,
+                   (t.n_ab * 1000000) // sa.n_i AS conf_ab_micro,
+                   (t.n_ab * 1000000) // sb.n_i AS conf_ba_micro,
+                   (t.n_ab * nb.n * 1000000) // (sa.n_i * sb.n_i)
+                       AS lift_micro
+            FROM t JOIN s sa ON t.item_a = sa.i
+                   JOIN s sb ON t.item_b = sb.i, nb
+        """,
+        # splitters = quantile_disc(i/8) (the ceil(q*n)-1 selection the
+        # engine computes as (i*n + B-1)//B - 1); bucket = #splitters<k
+        "range_export": """
+            WITH v AS (SELECT round(o_totalprice * 100)::BIGINT AS k
+                       FROM orders),
+            s AS (SELECT unnest(quantile_disc(k, [0.125, 0.25, 0.375,
+                                                  0.5, 0.625, 0.75,
+                                                  0.875])) AS sk
+                  FROM v),
+            b AS (SELECT k, (SELECT count(*) FROM s
+                             WHERE s.sk < v.k)::BIGINT AS bucket
+                  FROM v)
+            SELECT bucket, min(k)::BIGINT AS min_key,
+                   max(k)::BIGINT AS max_key, count(*)::BIGINT AS n
+            FROM b GROUP BY 1
+        """,
+        "group_topk_ties": """
+            SELECT lang, n_chars, doc_id,
+                   rank() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC)::BIGINT AS rank
+            FROM documents
+            QUALIFY rank <= 5
+        """,
         # same md5 normalization as the fingerprints oracle; NOT IN is
         # null-safe here (md5 of non-null text is never null)
         "dedup_incremental": f"""

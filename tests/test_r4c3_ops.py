@@ -418,3 +418,106 @@ def test_bfs_hops_block_tasks_parity():
          .to_pandas().sort_values("node").reset_index(drop=True))
     pd.testing.assert_frame_equal(a.astype("int64"), b.astype("int64"))
     assert 500 in set(a["node"])   # isolated seed survives both paths
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_topk_ties_includes_boundary_ties():
+    import ray.data as rd
+
+    from vyntr_ray.stages.dataset_tools import group_topk_ties
+
+    rng = np.random.Generator(np.random.PCG64(71))
+    n = 500
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], n),
+        # tiny value domain -> massive ties, incl. at the k boundary
+        "v": rng.integers(0, 6, n).astype("int64"),
+        "i": np.arange(n, dtype=np.int64),
+    })
+    k = 3
+    got = (group_topk_ties(rd.from_pandas(df.copy()), "g", "v", "i", k=k)
+           .to_pandas().sort_values(["g", "i"]).reset_index(drop=True))
+
+    keep = []
+    for g, sub in df.groupby("g"):
+        r = sub["v"].rank(method="min", ascending=False)
+        s = sub[r <= k].copy()
+        s["rank"] = r[r <= k].astype("int64")
+        keep.append(s)
+    exp = (pd.concat(keep).sort_values(["g", "i"])
+           .reset_index(drop=True)[["g", "v", "i", "rank"]])
+    assert len(exp) > 3 * k          # ties actually exceeded k rows
+    pd.testing.assert_frame_equal(
+        got[["g", "v", "i", "rank"]].astype({"v": "int64", "i": "int64",
+                                             "rank": "int64"}), exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_range_export_balanced_under_skew(tmp_path):
+    import ray.data as rd
+
+    from vyntr_ray.sources.zonemap import range_export
+
+    rng = np.random.Generator(np.random.PCG64(73))
+    # pathological skew: 70% of keys inside one narrow band — fixed
+    # width bucketing would put them all in one file
+    k = np.concatenate([
+        rng.integers(1000, 1010, 7000),
+        rng.integers(0, 100_000, 3000)]).astype("int64")
+    df = pd.DataFrame({"rid": np.arange(len(k), dtype=np.int64), "k": k})
+    out = str(tmp_path / "range")
+    man = range_export(rd.from_pandas(df.copy()), out, "k", n_buckets=8)
+
+    assert len(man) == 8
+    # ties can pool at a splitter; still no bucket beyond tie mass
+    assert man["n"].max() <= int((df["k"].value_counts().max())
+                                 + len(df) / 8 + 1)
+    assert man["n"].sum() == len(df)
+    # round-trip: buckets are disjoint, sorted, cover everything
+    import pyarrow.parquet as pq
+    allk = []
+    prev_max = None
+    for _, r in man.iterrows():
+        t = pq.read_table(out + f"/rbucket={int(r['bucket']):08d}.parquet")
+        kk = t["k"].to_numpy()
+        assert kk.min() == r["min_key"] and kk.max() == r["max_key"]
+        if prev_max is not None:
+            assert kk.min() >= prev_max
+        prev_max = kk.max()
+        allk.append(kk)
+    assert sorted(np.concatenate(allk)) == sorted(df["k"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_assoc_rules_matches_bruteforce():
+    import ray.data as rd
+
+    from vyntr_ray.stages.baskets import assoc_rules
+
+    rng = np.random.Generator(np.random.PCG64(79))
+    n = 1200
+    df = pd.DataFrame({"g": rng.integers(0, 150, n).astype("int64"),
+                       "i": rng.integers(0, 25, n).astype("int64")})
+
+    got = (assoc_rules(rd.from_pandas(df.copy()), "g", "i", k=20)
+           .to_pandas().reset_index(drop=True))
+
+    d = df.drop_duplicates()
+    N = d["g"].nunique()
+    supp = d.groupby("i").size().to_dict()
+    pairs = Counter()
+    for _, basket in d.groupby("g"):
+        items = sorted(basket["i"])
+        for x in range(len(items)):
+            for y in range(x + 1, len(items)):
+                if items[x] != items[y]:
+                    pairs[(items[x], items[y])] += 1
+    top = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    exp = pd.DataFrame([
+        {"item_a": a, "item_b": b, "n_ab": c,
+         "n_a": supp[a], "n_b": supp[b],
+         "conf_ab_micro": c * 1_000_000 // supp[a],
+         "conf_ba_micro": c * 1_000_000 // supp[b],
+         "lift_micro": c * N * 1_000_000 // (supp[a] * supp[b])}
+        for (a, b), c in top]).astype("int64")
+    pd.testing.assert_frame_equal(got.astype("int64"), exp)

@@ -29,7 +29,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 __all__ = ["zonemap_export", "zonemap_lookup",
-           "zorder_export", "zorder_lookup", "zorder_sql_expr"]
+           "zorder_export", "zorder_lookup", "zorder_sql_expr",
+           "range_export"]
 
 
 def zonemap_export(ds, out_dir: str, key_col: str, width: int):
@@ -195,3 +196,57 @@ def zorder_lookup(out_dir: str, x_col: str, y_col: str,
     if not out:
         return pd.DataFrame()
     return pd.concat(out, ignore_index=True)
+
+
+def range_export(ds, out_dir: str, key_col: str, n_buckets: int = 8):
+    """Balanced range-partitioned sorted export — the sampled-splitter
+    TeraSort layout made EXACT: splitters are the true NTILE boundary
+    keys (``quantile_disc(i/B)``, selected distributedly by
+    ``rank_select`` — the driver sees B-1 rows), so bucket sizes stay
+    ~n/B regardless of key skew, where :func:`zonemap_export`'s fixed
+    ``key // width`` buckets balloon under a hot key range.  Bucket
+    membership is a pure function of the key (count of splitters < key,
+    ties stay low) so a SQL oracle replays the manifest exactly.
+
+    Same atomic per-bucket write + (bucket, min, max, n) manifest
+    contract as zonemap_export."""
+    from vyntr_ray.stages.dataset_tools import rank_select
+
+    os.makedirs(out_dir, exist_ok=True)
+    base = ds.materialize()               # count + sort + bucket passes
+    n = base.count()
+    # ceil(i*n/B) - 1 == the quantile_disc(i/B) selection rank
+    ranks = [(i * n + n_buckets - 1) // n_buckets - 1
+             for i in range(1, n_buckets)]
+    splits = np.array([r[key_col] for r in
+                       rank_select(base, [key_col], ranks)], np.int64)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.searchsorted(splits, k, side="left")  # = #(splits < k)
+        return t.append_column("_bucket", pa.array(b, pa.int64()))
+
+    def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["_bucket"].iloc[0])
+        g = (g.drop(columns="_bucket")
+             .sort_values(key_col, kind="mergesort"))
+        path = os.path.join(out_dir, f"rbucket={b:08d}.parquet")
+        tmp = path + f".tmp{os.getpid()}"
+        pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
+        os.replace(tmp, path)
+        k = g[key_col].to_numpy()
+        return pd.DataFrame({
+            "bucket": np.array([b], dtype="int64"),
+            "min_key": np.array([k.min()], dtype="int64"),
+            "max_key": np.array([k.max()], dtype="int64"),
+            "n": np.array([len(g)], dtype="int64")})
+
+    man = (base.map_batches(bucketize, batch_format="pyarrow")
+           .groupby("_bucket")
+           .map_groups(write_bucket, batch_format="pandas")
+           .to_pandas().sort_values("bucket").reset_index(drop=True))
+    mpath = os.path.join(out_dir, "_manifest.parquet")
+    tmp = mpath + f".tmp{os.getpid()}"
+    pq.write_table(pa.Table.from_pandas(man, preserve_index=False), tmp)
+    os.replace(tmp, mpath)
+    return man

@@ -29,7 +29,7 @@ import pyarrow as pa
 
 from .windows import _by_part
 
-__all__ = ["basket_pairs", "pair_edges"]
+__all__ = ["basket_pairs", "pair_edges", "assoc_rules"]
 
 
 def pair_edges(ds, group_col: str, item_col: str, min_count: int = 1,
@@ -82,3 +82,83 @@ def basket_pairs(ds, group_col: str, item_col: str, min_count: int = 1,
         ascending=[False, True, True]).head(k).reset_index(drop=True)
     df["n"] = df["n"].astype("int64")
     return df
+
+
+def assoc_rules(ds, group_col: str, item_col: str, k: int = 50,
+                min_count: int = 1):
+    """Association rules over the top-``k`` co-occurring pairs:
+    support, both directed confidences, and lift — the Apriori
+    output stage (Agrawal & Srikant 1994) downstream of
+    :func:`pair_edges`.
+
+    Integer exactness: confidence and lift are ratios, so both sides
+    emit floored micro-ratios — ``conf(a→b) = n_ab·1e6 // n_a`` and
+    ``lift = n_ab·N·1e6 // (n_a·n_b)`` (N = distinct baskets; the
+    cross-multiplied form keeps everything int64 — overflow headroom:
+    n_ab·N ≤ N², fine below ~3·10⁶ baskets per partition scope).
+
+    Shape: pair counts and the top-k cut are the bounded
+    :func:`basket_pairs` path; only the k winning pairs (driver rows =
+    k) need item supports, fetched with ONE more pass over the distinct
+    (basket, item) table filtered by the broadcast needed-item set —
+    item supports are never computed for the full catalog."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from .dataset_tools import group_sum
+
+    base = ds.materialize()      # consumed three times below
+    top = basket_pairs(base, group_col, item_col,
+                       min_count=min_count, k=k)
+    need = np.unique(np.concatenate([top["item_a"].to_numpy(),
+                                     top["item_b"].to_numpy()]))
+    need_ref = ray.put(pa.array(need, pa.int64()))
+
+    # distinct-basket count N: per-block distinct partials -> one dedup
+    def gpart(t: pa.Table) -> pa.Table:
+        import numpy as _np
+        return pa.table({"g": pa.array(_np.unique(
+            t[group_col].to_numpy(zero_copy_only=False)), pa.int64())})
+
+    from .dataset_tools import distinct_rows
+    n_baskets = distinct_rows(
+        base.map_batches(gpart, batch_format="pyarrow"), ["g"]).count()
+
+    # supports of the needed items only: distinct (basket, item) FIRST
+    # (a basket split across blocks would double-count otherwise —
+    # distinct_rows routes by basket), then a count fold per item
+    def bi_rows(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t[item_col], value_set=ray.get(need_ref))
+        f = t.filter(m)
+        return pa.table({"g": f[group_col], "i": f[item_col]})
+
+    bi = distinct_rows(base.map_batches(bi_rows, batch_format="pyarrow"),
+                       ["g", "i"], part_key="g")
+
+    def ones(t: pa.Table) -> pa.Table:
+        import numpy as _np
+        return pa.table({"i": t["i"],
+                         "one": pa.array(_np.ones(len(t), _np.int64))})
+
+    supp = (group_sum(bi.map_batches(ones, batch_format="pyarrow"),
+                      "i", ["one"], rename={"one": "n_item"})
+            .to_pandas())                      # |needed items| ≤ 2k rows
+    smap = dict(zip(supp["i"].astype("int64"), supp["n_item"].astype("int64")))
+
+    a = top["item_a"].to_numpy().astype("int64")
+    b = top["item_b"].to_numpy().astype("int64")
+    nab = top["n"].to_numpy().astype("int64")
+    na = np.array([smap[x] for x in a], np.int64)
+    nb = np.array([smap[x] for x in b], np.int64)
+    return pa.table({
+        "item_a": pa.array(a, pa.int64()),
+        "item_b": pa.array(b, pa.int64()),
+        "n_ab": pa.array(nab, pa.int64()),
+        "n_a": pa.array(na, pa.int64()),
+        "n_b": pa.array(nb, pa.int64()),
+        "conf_ab_micro": pa.array(nab * 1_000_000 // na, pa.int64()),
+        "conf_ba_micro": pa.array(nab * 1_000_000 // nb, pa.int64()),
+        "lift_micro": pa.array(
+            nab * int(n_baskets) * 1_000_000 // (na * nb), pa.int64()),
+    })

@@ -21,7 +21,7 @@ __all__ = ["topk_largest", "remove_largest", "group_quantiles",
            "pivot_counts", "rollup_counts", "distinct_rows", "group_mode",
            "histogram_fixed", "skyline", "cube_counts", "table_profile",
            "group_sum", "group_fold", "grouping_sets", "pivot_sum",
-           "iqr_outliers", "key_skew"]
+           "iqr_outliers", "key_skew", "group_topk_ties"]
 
 
 def topk_largest(ds, k: int = 100, length_col: str = "n_chars",
@@ -895,3 +895,36 @@ def key_skew(ds, key_col: str, topk: int = 10):
         "max_cnt": pa.array([max_cnt] * len(top), pa.int64()),
         "sum_sq": pa.array([sum_sq] * len(top), pa.int64()),
     })
+
+
+def group_topk_ties(ds, group_col: str, value_col: str, id_col: str,
+                    k: int = 3):
+    """Top-k per group WITH TIES — SQL ``QUALIFY rank() OVER
+    (PARTITION BY g ORDER BY v DESC) <= k`` (every row tied with the
+    k-th survives), vs :func:`group_topk`'s row_number cut.
+
+    Partial safety without a ties bound: a block can't emit only k
+    rows (a globally-tied row might sit behind k equal values), so
+    each block keeps rows whose BLOCK-LOCAL rank ≤ k — a superset of
+    the global survivors (fewer strictly-greater values exist in the
+    block than globally) that still prunes the shuffle to
+    O(groups-per-block × (k + tie mass)).  The merge recomputes the
+    exact rank per group."""
+    import pandas as pd
+
+    def local_rank(df: pd.DataFrame) -> pd.Series:
+        return (df.groupby(group_col, sort=False)[value_col]
+                .rank(method="min", ascending=False))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b[local_rank(b) <= k]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        r = g[value_col].rank(method="min", ascending=False)
+        out = g[r <= k].copy()
+        out["rank"] = r[r <= k].astype("int64")
+        return out.sort_values([value_col, id_col],
+                               ascending=[False, True], kind="mergesort")
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby(group_col).map_groups(merge, batch_format="pandas"))

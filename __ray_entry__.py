@@ -4456,6 +4456,17 @@ def _q_group_topk_ties(sf_dir: str):
     return group_topk_ties(ds, "lang", "n_chars", "doc_id", k=5)
 
 
+def _q_srp_partition(sf_dir: str):
+    """SimHash-for-vectors bucket assignment over the embeddings table
+    (stages/similarity.py:srp_partition): 16 md5-parity ±1 hyperplanes,
+    int-scaled order-free dots — the bit-exact vector-LSH shuffle
+    key."""
+    from vyntr_ray.stages.similarity import srp_partition
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return srp_partition(ds, n_planes=16, dim=64)
+
+
 _OLD_SNAPSHOT_SOURCES = [f"src{i}" for i in range(10)]
 
 
@@ -4555,6 +4566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assoc_rules": _q_assoc_rules,
         "range_export": _q_range_export,
         "group_topk_ties": _q_group_topk_ties,
+        "srp_partition": _q_srp_partition,
         # never-driver-checked entries (incl. the 7 new r4 queries)
         # first, then the riskiest previously-green rows: r3-only
         # single-data-point entries and the money-scaling queries the
@@ -4785,6 +4797,28 @@ def oracle_sql() -> dict[str, str]:
     zexpr = zorder_sql_expr("x", "y", bits=21)
     old_src = ", ".join(f"'{s}'" for s in _OLD_SNAPSHOT_SOURCES)
     return {
+        # SRP: per-dim int-scaling, md5-parity planes, order-free int
+        # dots -> sign bits; the engine's srp_planes replayed in SQL
+        "srp_partition": """
+            WITH e AS (SELECT vec_id, unnest(embedding) AS x,
+                              generate_subscripts(embedding, 1) AS ds
+                       FROM embeddings),
+            v AS (SELECT vec_id, ds - 1 AS d,
+                         round(x::DOUBLE * 1000000)::BIGINT AS vm
+                  FROM e),
+            p AS (SELECT t.p, s.d,
+                         CASE WHEN (('0x' || substr(md5(t.p::VARCHAR
+                                    || '_' || s.d::VARCHAR), 1, 1))::INT
+                                    % 2) = 1
+                              THEN 1 ELSE -1 END AS w
+                  FROM generate_series(0, 15) t(p),
+                       generate_series(0, 63) s(d)),
+            dots AS (SELECT v.vec_id, p.p, sum(v.vm * p.w)::BIGINT AS dot
+                     FROM v JOIN p ON v.d = p.d GROUP BY 1, 2)
+            SELECT vec_id, sum(CASE WHEN dot >= 0 THEN 1::BIGINT << p
+                                    ELSE 0 END)::BIGINT AS bucket
+            FROM dots GROUP BY 1
+        """,
         # top-50 pair cut mirrors basket_pairs' (n DESC, a, b) order;
         # all ratios floored micro-ints, lift cross-multiplied
         "assoc_rules": """

@@ -147,7 +147,8 @@ def bench_queries(repeats: int = 2) -> dict:
              "degree_histogram", "jaccard_rerank",
              "rolling_outliers", "kcore", "cdc_apply",
              "dedup_incremental", "key_skew", "zorder_export",
-             "assoc_rules", "range_export", "group_topk_ties"]
+             "assoc_rules", "range_export", "group_topk_ties",
+             "srp_partition"]
     qs = em.queries()
     out = {}
     for _ in range(max(1, repeats)):

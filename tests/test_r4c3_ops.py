@@ -521,3 +521,40 @@ def test_assoc_rules_matches_bruteforce():
          "lift_micro": c * N * 1_000_000 // (supp[a] * supp[b])}
         for (a, b), c in top]).astype("int64")
     pd.testing.assert_frame_equal(got.astype("int64"), exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_srp_partition_matches_bruteforce_and_collides_similar():
+    import ray.data as rd
+
+    from vyntr_ray.stages.similarity import srp_partition, srp_planes
+
+    rng = np.random.Generator(np.random.PCG64(83))
+    n, dim, planes = 120, 16, 8
+    base = rng.normal(0, 1, (n, dim)).astype(np.float32)
+    # rows 2i+1 are tiny perturbations of rows 2i -> should mostly collide
+    base[1::2] = base[0::2] + rng.normal(0, 1e-4, (n // 2, dim)) \
+        .astype(np.float32)
+    import pyarrow as pa
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(base.reshape(-1), pa.float32()), dim).cast(
+                pa.list_(pa.float32())),
+    })
+
+    got = (srp_partition(rd.from_arrow(tbl), n_planes=planes,
+                         dim=dim)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+
+    w = srp_planes(planes, dim)
+    from vyntr_ray.rounding import round_half_away
+    vm = round_half_away(base.astype(np.float64) * 1e6).astype(np.int64)
+    dots = vm @ w
+    exp_bucket = ((dots >= 0).astype(np.int64)
+                  * (1 << np.arange(planes))).sum(axis=1)
+    assert list(got["bucket"]) == list(exp_bucket)
+
+    # near-duplicates land together almost always
+    same = (exp_bucket[0::2] == exp_bucket[1::2]).mean()
+    assert same > 0.9, same

@@ -25,7 +25,8 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["query_vector", "cosine_topk", "ivf_topk", "build_ivf_layout",
-           "kmeans_cells", "assign_cells", "knn_join"]
+           "kmeans_cells", "assign_cells", "knn_join",
+           "srp_planes", "srp_partition"]
 
 CACHE_DIR = "/tmp/vyntr_ray_cache/ivf"
 
@@ -325,3 +326,52 @@ def knn_join(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 5,
 
     return (ds.map_batches(partial_topk, batch_format="pyarrow")
             .groupby("query_id").map_groups(merge, batch_format="pandas"))
+
+
+def srp_planes(n_planes: int = 16, dim: int = 64) -> np.ndarray:
+    """Deterministic ±1 random-hyperplane weights (dim × n_planes):
+    ``w[d, p] = +1`` iff the first hex char of ``md5(f"{p}_{d}")`` is
+    odd — reproducible anywhere, including in SQL (the shuffle_export
+    '0x'||hex cast precedent)."""
+    import hashlib
+    w = np.empty((dim, n_planes), np.int64)
+    for p in range(n_planes):
+        for d in range(dim):
+            h = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[0], 16)
+            w[d, p] = 1 if h % 2 == 1 else -1
+    return w
+
+
+def srp_partition(ds, n_planes: int = 16, dim: int = 64,
+                  id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Signed-random-projection (SimHash-for-vectors, Charikar 2002)
+    bucket assignment: bit p of a vector's bucket = sign of its dot
+    product with deterministic ±1 hyperplane p.  Cosine-similar vectors
+    collide — THE shuffle key for embedding near-dup blocking and ANN
+    bucketing at 100 TB (ship each bucket to one partition, compare
+    only within).
+
+    Integer exactness end-to-end: embeddings int-scale per component
+    (``round_half_away(x·1e6)`` — float32 is exact in float64, so the
+    product matches SQL's ``x::DOUBLE * 1000000``), planes are ±1 from
+    md5 parity, and each dot is an order-free int64 sum — the sign (and
+    so the bucket) is bit-exactly SQL-replicable, unlike float SRP.
+    One vectorized int64 matmul per batch, no shuffle (the bucket IS
+    the later shuffle key)."""
+    w = srp_planes(n_planes, dim)
+    pw2 = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        col = t[vec_col].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        if len(flat) != len(t) * dim:   # ragged lists would misalign
+            raise ValueError(f"srp_partition: expected fixed dim {dim}")
+        E = flat.reshape(len(t), dim)
+        vm = round_half_away(E * 1_000_000.0).astype(np.int64)
+        dots = vm @ w                       # (n, planes) int64
+        bucket = ((dots >= 0).astype(np.int64) * pw2).sum(axis=1)
+        return pa.table({id_col: t[id_col],
+                         "bucket": pa.array(bucket, pa.int64())})
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

@@ -4467,6 +4467,31 @@ def _q_srp_partition(sf_dir: str):
     return srp_partition(ds, n_planes=16, dim=64)
 
 
+def _q_window_join(sf_dir: str):
+    """Stream-stream interval join (stages/joins.py:window_join):
+    every (purchase, view) pair of the same user with the view in the
+    hour before the purchase — pairs, not counts (range_count_join)
+    nor latest-only (asof_join)."""
+    import pyarrow.compute as pc
+
+    from vyntr_ray.stages.joins import window_join
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+
+    def keep(kind: str):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["event_type"], pa.scalar(kind)))
+        return f
+
+    return window_join(ev.map_batches(keep("purchase"),
+                                      batch_format="pyarrow"),
+                       ev.map_batches(keep("view"),
+                                      batch_format="pyarrow"),
+                       key_col="user_id", ts_col="ts",
+                       id_col="event_id", window_s=3600)
+
+
 _OLD_SNAPSHOT_SOURCES = [f"src{i}" for i in range(10)]
 
 
@@ -4567,6 +4592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_export": _q_range_export,
         "group_topk_ties": _q_group_topk_ties,
         "srp_partition": _q_srp_partition,
+        "window_join": _q_window_join,
         # never-driver-checked entries (incl. the 7 new r4 queries)
         # first, then the riskiest previously-green rows: r3-only
         # single-data-point entries and the money-scaling queries the
@@ -4797,6 +4823,17 @@ def oracle_sql() -> dict[str, str]:
     zexpr = zorder_sql_expr("x", "y", bits=21)
     old_src = ", ".join(f"'{s}'" for s in _OLD_SNAPSHOT_SOURCES)
     return {
+        "window_join": """
+            WITH p AS (SELECT event_id, epoch_us(ts) AS us, user_id
+                       FROM events WHERE event_type = 'purchase'),
+            v AS (SELECT event_id, epoch_us(ts) AS us, user_id
+                  FROM events WHERE event_type = 'view')
+            SELECT p.user_id, p.event_id AS left_id,
+                   v.event_id AS right_id,
+                   (p.us - v.us)::BIGINT AS gap_us
+            FROM p JOIN v ON p.user_id = v.user_id
+                         AND v.us BETWEEN p.us - 3600000000 AND p.us
+        """,
         # SRP: per-dim int-scaling, md5-parity planes, order-free int
         # dots -> sign bits; the engine's srp_planes replayed in SQL
         "srp_partition": """

@@ -148,7 +148,7 @@ def bench_queries(repeats: int = 2) -> dict:
              "rolling_outliers", "kcore", "cdc_apply",
              "dedup_incremental", "key_skew", "zorder_export",
              "assoc_rules", "range_export", "group_topk_ties",
-             "srp_partition"]
+             "srp_partition", "window_join"]
     qs = em.queries()
     out = {}
     for _ in range(max(1, repeats)):

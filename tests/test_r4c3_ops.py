@@ -558,3 +558,49 @@ def test_srp_partition_matches_bruteforce_and_collides_similar():
     # near-duplicates land together almost always
     same = (exp_bucket[0::2] == exp_bucket[1::2]).mean()
     assert same > 0.9, same
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [5, 11])
+def test_window_join_matches_bruteforce(seed):
+    import ray.data as rd
+
+    from vyntr_ray.stages.joins import window_join
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n = 400
+    mk = lambda off: pd.DataFrame({  # noqa: E731
+        "event_id": np.arange(off, off + n, dtype=np.int64),
+        "ts": pd.to_datetime(rng.integers(0, 500, n) * 1_000_000,
+                             unit="us"),
+        "user_id": rng.integers(0, 15, n).astype("int64"),
+    })
+    left, right = mk(0), mk(10_000)
+    win = 60
+
+    got = (window_join(rd.from_pandas(left.copy()),
+                       rd.from_pandas(right.copy()),
+                       key_col="user_id", ts_col="ts",
+                       id_col="event_id", window_s=win, n_parts=6)
+           .to_pandas().sort_values(["left_id", "right_id"])
+           .reset_index(drop=True))
+
+    lu = left.assign(us=left["ts"].astype("datetime64[us]")
+                     .astype("int64"))
+    ru = right.assign(us=right["ts"].astype("datetime64[us]")
+                      .astype("int64"))
+    rows = []
+    for _, lr in lu.iterrows():
+        m = ru[(ru["user_id"] == lr["user_id"])
+               & (ru["us"] >= lr["us"] - win * 1_000_000)
+               & (ru["us"] <= lr["us"])]
+        for _, rr in m.iterrows():
+            rows.append((int(lr["user_id"]), int(lr["event_id"]),
+                         int(rr["event_id"]),
+                         int(lr["us"] - rr["us"])))
+    exp = (pd.DataFrame(rows, columns=["user_id", "left_id", "right_id",
+                                       "gap_us"])
+           .sort_values(["left_id", "right_id"])
+           .reset_index(drop=True).astype("int64"))
+    assert len(exp) > 100          # dense ts grid -> real pair volume
+    pd.testing.assert_frame_equal(got.astype("int64"), exp)

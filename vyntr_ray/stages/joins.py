@@ -29,7 +29,7 @@ import pyarrow.compute as pc
 
 __all__ = ["asof_join", "range_count_join", "hash_join", "anti_join",
            "semi_join", "bloom_anti_join", "bloom_semi_join",
-           "cdc_apply"]
+           "cdc_apply", "window_join"]
 
 
 def _pa_type(t) -> pa.DataType:
@@ -694,4 +694,91 @@ def cdc_apply(base_ds, changes_ds, key_col: str, val_col: str,
     return (both.map_batches(add_part, batch_format="pyarrow")
             .groupby("_part")
             .map_groups(lambda g: per_part(g.drop(columns="_part")),
+                        batch_format="pandas"))
+
+
+def window_join(left_ds, right_ds, key_col: str, ts_col: str,
+                id_col: str, window_s: int, n_parts: int = 64):
+    """Stream-stream interval join: every (left, right) pair with the
+    same key and ``right.ts ∈ [left.ts − window, left.ts]`` — "views
+    within the hour before each purchase", the bounded-time sibling of
+    :func:`asof_join` (which keeps only the LATEST match) and
+    ``range_count_join`` (which keeps only the COUNT).
+
+    Same one-shuffle tagged-union shape as the other temporal joins;
+    per partition both sides sort once by (key, ts, id) and each left
+    row's match range comes from two vectorized ``searchsorted``
+    bounds, expanded with ``np.repeat`` — pair volume is bounded by
+    window density (a skew contract the caller owns: window_s times
+    the hottest key's rate must fit a partition).  Output: (key,
+    left id, right id, gap_us ≥ 0), exactly the SQL BETWEEN join."""
+    win_us = window_s * 1_000_000
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                         pa.int64())
+            out = pa.table({key_col: pc.cast(t[key_col], pa.int64()),
+                            "us": us,
+                            "id": pc.cast(t[id_col], pa.int64()),
+                            "side": pa.array(
+                                np.full(len(t), side, np.int8))})
+            return out.append_column(
+                "part", _part_col(out[key_col], n_parts))
+        return f
+
+    both = (left_ds.map_batches(tag(0), batch_format="pyarrow")
+            .union(right_ds.map_batches(tag(1), batch_format="pyarrow")))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({key_col: np.array([], np.int64),
+                              "left_id": np.array([], np.int64),
+                              "right_id": np.array([], np.int64),
+                              "gap_us": np.array([], np.int64)})
+        l = g[g["side"] == 0].sort_values([key_col, "us", "id"],
+                                          kind="mergesort")
+        r = g[g["side"] == 1].sort_values([key_col, "us", "id"],
+                                          kind="mergesort")
+        if not len(l) or not len(r):
+            return empty
+        lk, lu = l[key_col].to_numpy(), l["us"].to_numpy()
+        rk, ru = r[key_col].to_numpy(), r["us"].to_numpy()
+        lo = np.zeros(len(l), np.int64)
+        hi = np.zeros(len(l), np.int64)
+        # both sides are key-sorted: one searchsorted pair per DISTINCT
+        # key (the md5-per-distinct-key granularity), vectorized over
+        # all of that key's left rows
+        l_keys, l_starts = np.unique(lk, return_index=True)
+        l_ends = np.r_[l_starts[1:], len(lk)]
+        r_keys, r_starts = np.unique(rk, return_index=True)
+        r_ends = np.r_[r_starts[1:], len(rk)]
+        pos = np.searchsorted(r_keys, l_keys)
+        for j in range(len(l_keys)):
+            p = pos[j]
+            if p >= len(r_keys) or r_keys[p] != l_keys[j]:
+                continue
+            ls, le = l_starts[j], l_ends[j]
+            rs, re = r_starts[p], r_ends[p]
+            lo[ls:le] = rs + np.searchsorted(ru[rs:re],
+                                             lu[ls:le] - win_us, "left")
+            hi[ls:le] = rs + np.searchsorted(ru[rs:re], lu[ls:le],
+                                             "right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        li = np.repeat(np.arange(len(l)), cnt)
+        # right indices: per-pair offset within its left row's range
+        base = np.repeat(lo, cnt)
+        within = np.arange(total) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt)
+        ri = base + within
+        return pd.DataFrame({
+            key_col: lk[li],
+            "left_id": l["id"].to_numpy()[li],
+            "right_id": r["id"].to_numpy()[ri],
+            "gap_us": lu[li] - ru[ri]})
+
+    return (both.groupby("part")
+            .map_groups(lambda g: per_part(g.drop(columns="part")),
                         batch_format="pandas"))

@@ -4492,6 +4492,27 @@ def _q_window_join(sf_dir: str):
                        id_col="event_id", window_s=3600)
 
 
+def _q_dataset_split(sf_dir: str):
+    """Leakage-proof deterministic train/val/test assignment
+    (stages/sampling.py:dataset_split): 80/10/10 of md5 hash space,
+    zero-padded-hex compare — stable under reruns and corpus growth."""
+    from vyntr_ray.stages.sampling import dataset_split
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    return dataset_split(ds, "doc_id")
+
+
+def _q_chi2_independence(sf_dir: str):
+    """Chi-square independence contributions for lang × source
+    (stages/dataset_tools.py:chi2_independence): full grid incl. zero
+    cells, per-cell floored micro (O·N − R·C)²/(N·R·C) — Python-int
+    exact vs the HUGEINT oracle."""
+    from vyntr_ray.stages.dataset_tools import chi2_independence
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+    return chi2_independence(ds, "lang", "source")
+
+
 _OLD_SNAPSHOT_SOURCES = [f"src{i}" for i in range(10)]
 
 
@@ -4593,6 +4614,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_topk_ties": _q_group_topk_ties,
         "srp_partition": _q_srp_partition,
         "window_join": _q_window_join,
+        "dataset_split": _q_dataset_split,
+        "chi2_independence": _q_chi2_independence,
         # never-driver-checked entries (incl. the 7 new r4 queries)
         # first, then the riskiest previously-green rows: r3-only
         # single-data-point entries and the money-scaling queries the
@@ -4823,6 +4846,38 @@ def oracle_sql() -> dict[str, str]:
     zexpr = zorder_sql_expr("x", "y", bits=21)
     old_src = ", ".join(f"'{s}'" for s in _OLD_SNAPSHOT_SOURCES)
     return {
+        # 0.8/0.9 of 2^32 as zero-padded hex (the hash_sample idiom)
+        "dataset_split": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8)
+                             < 'cccccccc' THEN 'train'
+                        WHEN substr(md5(doc_id::VARCHAR), 1, 8)
+                             < 'e6666666' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        # full grid (zero cells kept); HUGEINT before the square so
+        # (O*N)^2*1e6 never wraps; floor-div then back to BIGINT
+        "chi2_independence": """
+            WITH ct AS (SELECT lang, source, count(*)::BIGINT AS o
+                        FROM documents GROUP BY 1, 2),
+            rt AS (SELECT lang, sum(o)::BIGINT AS rr FROM ct GROUP BY 1),
+            cs AS (SELECT source, sum(o)::BIGINT AS cc
+                   FROM ct GROUP BY 1),
+            nt AS (SELECT sum(o)::BIGINT AS nn FROM ct)
+            SELECT rt.lang, cs.source,
+                   coalesce(ct.o, 0)::BIGINT AS o,
+                   rt.rr AS r, cs.cc AS c, nt.nn AS n,
+                   (((coalesce(ct.o, 0) * nt.nn
+                      - rt.rr * cs.cc)::HUGEINT
+                     * (coalesce(ct.o, 0) * nt.nn - rt.rr * cs.cc)
+                     * 1000000)
+                    // (nt.nn::HUGEINT * rt.rr * cs.cc))::BIGINT
+                       AS contrib_micro
+            FROM rt CROSS JOIN cs
+            LEFT JOIN ct ON ct.lang = rt.lang AND ct.source = cs.source,
+            nt
+        """,
         "window_join": """
             WITH p AS (SELECT event_id, epoch_us(ts) AS us, user_id
                        FROM events WHERE event_type = 'purchase'),

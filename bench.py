@@ -148,7 +148,8 @@ def bench_queries(repeats: int = 2) -> dict:
              "rolling_outliers", "kcore", "cdc_apply",
              "dedup_incremental", "key_skew", "zorder_export",
              "assoc_rules", "range_export", "group_topk_ties",
-             "srp_partition", "window_join"]
+             "srp_partition", "window_join",
+             "dataset_split", "chi2_independence"]
     qs = em.queries()
     out = {}
     for _ in range(max(1, repeats)):

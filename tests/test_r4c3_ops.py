@@ -604,3 +604,60 @@ def test_window_join_matches_bruteforce(seed):
            .reset_index(drop=True).astype("int64"))
     assert len(exp) > 100          # dense ts grid -> real pair volume
     pd.testing.assert_frame_equal(got.astype("int64"), exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dataset_split_stable_under_corpus_growth():
+    import ray.data as rd
+
+    from vyntr_ray.stages.sampling import dataset_split
+
+    small = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64)})
+    big = pd.DataFrame({"doc_id": np.arange(500, dtype=np.int64)})
+    a = (dataset_split(rd.from_pandas(small)).to_pandas()
+         .set_index("doc_id")["split"])
+    b = (dataset_split(rd.from_pandas(big)).to_pandas()
+         .set_index("doc_id")["split"])
+    # growth never reassigns an existing key (the leakage guarantee)
+    pd.testing.assert_series_equal(a, b.loc[a.index])
+    frac = (b == "train").mean()
+    assert 0.7 < frac < 0.9, frac
+    assert set(b.unique()) == {"train", "val", "test"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_chi2_independence_matches_bruteforce():
+    import ray.data as rd
+
+    from vyntr_ray.stages.dataset_tools import chi2_independence
+
+    rng = np.random.Generator(np.random.PCG64(89))
+    n = 800
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], n, p=[0.6, 0.3, 0.1]),
+        # dependence + a combo that never occurs (zero cell)
+        "b": rng.choice(["p", "q"], n),
+    })
+    df.loc[(df["a"] == "z") & (df["b"] == "q"), "b"] = "p"  # zero cell
+
+    got = (chi2_independence(rd.from_pandas(df.copy()), "a", "b")
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+
+    ct = df.groupby(["a", "b"]).size()
+    rt = df.groupby("a").size()
+    cs = df.groupby("b").size()
+    N = len(df)
+    rows = []
+    for a in sorted(rt.index):
+        for b in sorted(cs.index):
+            o = int(ct.get((a, b), 0))
+            rr, cc = int(rt[a]), int(cs[b])
+            rows.append((a, b, o, rr, cc, N,
+                         (o * N - rr * cc) ** 2 * 1_000_000
+                         // (N * rr * cc)))
+    exp = pd.DataFrame(rows, columns=["a", "b", "o", "r", "c", "n",
+                                      "contrib_micro"])
+    assert (exp["o"] == 0).any()       # the zero cell is in the grid
+    for c in ["o", "r", "c", "n", "contrib_micro"]:
+        exp[c] = exp[c].astype("int64")
+    pd.testing.assert_frame_equal(got, exp)

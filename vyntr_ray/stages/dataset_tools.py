@@ -21,7 +21,8 @@ __all__ = ["topk_largest", "remove_largest", "group_quantiles",
            "pivot_counts", "rollup_counts", "distinct_rows", "group_mode",
            "histogram_fixed", "skyline", "cube_counts", "table_profile",
            "group_sum", "group_fold", "grouping_sets", "pivot_sum",
-           "iqr_outliers", "key_skew", "group_topk_ties"]
+           "iqr_outliers", "key_skew", "group_topk_ties",
+           "chi2_independence"]
 
 
 def topk_largest(ds, k: int = 100, length_col: str = "n_chars",
@@ -928,3 +929,49 @@ def group_topk_ties(ds, group_col: str, value_col: str, id_col: str,
 
     return (ds.map_batches(partial, batch_format="pandas")
             .groupby(group_col).map_groups(merge, batch_format="pandas"))
+
+
+def chi2_independence(ds, col1: str, col2: str):
+    """Chi-square-of-independence contributions over the FULL
+    (col1 × col2) contingency grid (zero cells included) — the
+    categorical sibling of ``ab_ttest``.
+
+    Exactness: each cell's contribution is the floored micro-value of
+    ``(O·N − R·C)² / (N·R·C)`` — the (O−E)²/E term cross-multiplied so
+    the numerator stays integral; the per-cell floor makes any
+    downstream sum order-free.  Arithmetic is Python ints here (no
+    overflow at any N) and HUGEINT in the SQL oracle ((O·N)² passes
+    int64 around N≈3·10⁵).  One distributed pass: per-block pandas
+    crosstab partials, O(|col1|·|col2| × blocks) driver rows."""
+    import pandas as pd
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby([col1, col2], as_index=False, dropna=False)
+                .size().rename(columns={"size": "o"}))
+
+    acc: dict = {}
+    for r in ds.map_batches(partial, batch_format="pandas").take_all():
+        k = (r[col1], r[col2])
+        acc[k] = acc.get(k, 0) + int(r["o"])
+    rows_tot: dict = {}
+    cols_tot: dict = {}
+    for (a, b), o in acc.items():
+        rows_tot[a] = rows_tot.get(a, 0) + o
+        cols_tot[b] = cols_tot.get(b, 0) + o
+    n = sum(acc.values())
+    out = []
+    for a in sorted(rows_tot):
+        for b in sorted(cols_tot):          # full grid, zeros included
+            o = acc.get((a, b), 0)
+            rr, cc = rows_tot[a], cols_tot[b]
+            num = (o * n - rr * cc) ** 2 * 1_000_000
+            out.append((a, b, o, rr, cc, num // (n * rr * cc)))
+    return pa.table({
+        col1: pa.array([r[0] for r in out]),
+        col2: pa.array([r[1] for r in out]),
+        "o": pa.array([r[2] for r in out], pa.int64()),
+        "r": pa.array([r[3] for r in out], pa.int64()),
+        "c": pa.array([r[4] for r in out], pa.int64()),
+        "n": pa.array([n] * len(out), pa.int64()),
+        "contrib_micro": pa.array([r[5] for r in out], pa.int64()),
+    })

@@ -34,7 +34,7 @@ import pyarrow.compute as pc
 
 __all__ = ["hash_sample", "token_budget_sample", "weighted_mix",
            "stratified_sample", "pack_sequences", "token_budget_by_group",
-           "shuffle_export", "weighted_sample"]
+           "shuffle_export", "weighted_sample", "dataset_split"]
 
 _WS_TOKEN = re.compile(r"\S+")
 
@@ -462,3 +462,26 @@ def weighted_sample(ds, k: int, key_col: str = "doc_id",
            .drop(columns="_es").reset_index(drop=True))
     top[weight_col] = top[weight_col].astype("int64")
     return top
+
+
+def dataset_split(ds, key_col: str = "doc_id",
+                  train_ppm: int = 800_000, val_ppm: int = 100_000):
+    """Deterministic train/val/test assignment by md5(key) — the
+    leakage-proof split every training pipeline needs: membership is a
+    pure function of the key (stable across reruns, resharding and
+    corpus growth; a random split would reshuffle docs between splits
+    every run).  Train gets the first ``train_ppm``/1e6 of hash space,
+    val the next ``val_ppm``/1e6, test the rest — the
+    :func:`hash_sample` zero-padded-hex compare, so the SQL oracle
+    replays it byte-for-byte.  Stateless map, no shuffle."""
+    t1 = _ppm_hex(train_ppm)
+    t2 = _ppm_hex(train_ppm + val_ppm)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        h8 = [h[:8] for h in _md5_hex(batch[key_col].to_pylist())]
+        lab = ["train" if h < t1 else ("val" if h < t2 else "test")
+               for h in h8]
+        return pa.table({key_col: batch[key_col],
+                         "split": pa.array(lab, pa.string())})
+
+    return ds.map_batches(assign, batch_format="pyarrow")

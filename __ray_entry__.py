@@ -4513,6 +4513,36 @@ def _q_chi2_independence(sf_dir: str):
     return chi2_independence(ds, "lang", "source")
 
 
+def _q_copartition_join(sf_dir: str):
+    """Shuffle-free bucket-aligned join (sources/zonemap.py:
+    copartition_join): customer and orders exported range-partitioned
+    on ONE shared custkey splitter set, then joined one raw task per
+    bucket pair — the storage-partitioned join; oracled vs the plain
+    SQL equi-join."""
+    import shutil
+
+    from vyntr_ray.sources.zonemap import (copartition_join,
+                                           export_splitters, range_export)
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def okey(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "c_custkey": t["o_custkey"]})
+
+    tag = os.path.basename(sf_dir)
+    dir_a = os.path.join("/tmp/vyntr_ray_cache", f"copart_cust_{tag}")
+    dir_b = os.path.join("/tmp/vyntr_ray_cache", f"copart_ord_{tag}")
+    shutil.rmtree(dir_a, ignore_errors=True)
+    shutil.rmtree(dir_b, ignore_errors=True)
+    splits = export_splitters(cust, "c_custkey", n_buckets=8)
+    range_export(cust, dir_a, "c_custkey", splits=splits)
+    range_export(orders.map_batches(okey, batch_format="pyarrow"),
+                 dir_b, "c_custkey", splits=splits)
+    return copartition_join(dir_a, dir_b, "c_custkey")
+
+
 _OLD_SNAPSHOT_SOURCES = [f"src{i}" for i in range(10)]
 
 
@@ -4616,6 +4646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_join": _q_window_join,
         "dataset_split": _q_dataset_split,
         "chi2_independence": _q_chi2_independence,
+        "copartition_join": _q_copartition_join,
         # never-driver-checked entries (incl. the 7 new r4 queries)
         # first, then the riskiest previously-green rows: r3-only
         # single-data-point entries and the money-scaling queries the
@@ -4846,6 +4877,10 @@ def oracle_sql() -> dict[str, str]:
     zexpr = zorder_sql_expr("x", "y", bits=21)
     old_src = ", ".join(f"'{s}'" for s in _OLD_SNAPSHOT_SOURCES)
     return {
+        "copartition_join": """
+            SELECT c.c_custkey, c.c_nationkey, o.o_orderkey
+            FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        """,
         # 0.8/0.9 of 2^32 as zero-padded hex (the hash_sample idiom)
         "dataset_split": """
             SELECT doc_id,

@@ -149,7 +149,7 @@ def bench_queries(repeats: int = 2) -> dict:
              "dedup_incremental", "key_skew", "zorder_export",
              "assoc_rules", "range_export", "group_topk_ties",
              "srp_partition", "window_join",
-             "dataset_split", "chi2_independence"]
+             "dataset_split", "chi2_independence", "copartition_join"]
     qs = em.queries()
     out = {}
     for _ in range(max(1, repeats)):

@@ -661,3 +661,34 @@ def test_chi2_independence_matches_bruteforce():
     for c in ["o", "r", "c", "n", "contrib_micro"]:
         exp[c] = exp[c].astype("int64")
     pd.testing.assert_frame_equal(got, exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_copartition_join_matches_pandas(tmp_path):
+    import ray.data as rd
+
+    from vyntr_ray.sources.zonemap import (copartition_join,
+                                           export_splitters, range_export)
+
+    rng = np.random.Generator(np.random.PCG64(97))
+    dim = pd.DataFrame({"k": np.arange(100, dtype=np.int64),
+                        "attr": rng.integers(0, 9, 100).astype("int64")})
+    fact = pd.DataFrame({
+        "fid": np.arange(1500, dtype=np.int64),
+        "k": rng.integers(0, 120, 1500).astype("int64"),  # some miss
+    })
+    da, db = str(tmp_path / "dim"), str(tmp_path / "fact")
+    splits = export_splitters(rd.from_pandas(dim.copy()), "k",
+                              n_buckets=5)
+    range_export(rd.from_pandas(dim.copy()), da, "k", splits=splits)
+    range_export(rd.from_pandas(fact.copy()), db, "k", splits=splits)
+
+    stats = {}
+    got = (copartition_join(da, db, "k", _stats=stats)
+           .to_pandas().sort_values(["fid"]).reset_index(drop=True))
+    exp = (dim.merge(fact, on="k").sort_values(["fid"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["k", "attr", "fid"]].astype("int64"),
+        exp[["k", "attr", "fid"]].astype("int64"))
+    assert stats["bucket_pairs"] <= 5     # one task per aligned bucket

@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 __all__ = ["zonemap_export", "zonemap_lookup",
            "zorder_export", "zorder_lookup", "zorder_sql_expr",
-           "range_export"]
+           "range_export", "export_splitters", "copartition_join"]
 
 
 def zonemap_export(ds, out_dir: str, key_col: str, width: int):
@@ -198,7 +198,8 @@ def zorder_lookup(out_dir: str, x_col: str, y_col: str,
     return pd.concat(out, ignore_index=True)
 
 
-def range_export(ds, out_dir: str, key_col: str, n_buckets: int = 8):
+def range_export(ds, out_dir: str, key_col: str, n_buckets: int = 8,
+                 splits: "np.ndarray | None" = None):
     """Balanced range-partitioned sorted export — the sampled-splitter
     TeraSort layout made EXACT: splitters are the true NTILE boundary
     keys (``quantile_disc(i/B)``, selected distributedly by
@@ -214,12 +215,17 @@ def range_export(ds, out_dir: str, key_col: str, n_buckets: int = 8):
 
     os.makedirs(out_dir, exist_ok=True)
     base = ds.materialize()               # count + sort + bucket passes
-    n = base.count()
-    # ceil(i*n/B) - 1 == the quantile_disc(i/B) selection rank
-    ranks = [(i * n + n_buckets - 1) // n_buckets - 1
-             for i in range(1, n_buckets)]
-    splits = np.array([r[key_col] for r in
-                       rank_select(base, [key_col], ranks)], np.int64)
+    if splits is None:
+        n = base.count()
+        # ceil(i*n/B) - 1 == the quantile_disc(i/B) selection rank
+        ranks = [(i * n + n_buckets - 1) // n_buckets - 1
+                 for i in range(1, n_buckets)]
+        splits = np.array([r[key_col] for r in
+                           rank_select(base, [key_col], ranks)], np.int64)
+    else:
+        # caller-shared splitters: two tables exported with the SAME
+        # splits are bucket-aligned -> copartition_join needs no shuffle
+        splits = np.asarray(splits, np.int64)
 
     def bucketize(t: pa.Table) -> pa.Table:
         k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -250,3 +256,56 @@ def range_export(ds, out_dir: str, key_col: str, n_buckets: int = 8):
     pq.write_table(pa.Table.from_pandas(man, preserve_index=False), tmp)
     os.replace(tmp, mpath)
     return man
+
+
+def export_splitters(ds, key_col: str, n_buckets: int = 8) -> np.ndarray:
+    """The exact NTILE splitter keys :func:`range_export` would derive —
+    exposed so several tables can export BUCKET-ALIGNED on one shared
+    key space (the co-partitioned-layout contract)."""
+    from vyntr_ray.stages.dataset_tools import rank_select
+
+    base = ds.materialize()
+    n = base.count()
+    ranks = [(i * n + n_buckets - 1) // n_buckets - 1
+             for i in range(1, n_buckets)]
+    return np.array([r[key_col] for r in
+                     rank_select(base, [key_col], ranks)], np.int64)
+
+
+def copartition_join(dir_a: str, dir_b: str, key_col: str,
+                     _stats: dict | None = None):
+    """SHUFFLE-FREE equi-join of two :func:`range_export` layouts built
+    with the SAME splitters: bucket i of A can only match bucket i of
+    B, so the join is one raw task per bucket pair reading exactly two
+    files — the co-partitioned-table join every warehouse ships
+    (bucketed tables / storage-partitioned joins), here explicit.  At
+    100 TB this is the difference between re-shuffling both fact
+    tables per join and paying the shuffle ONCE at layout time.
+
+    Inner semantics; buckets present on one side only are skipped
+    (nothing to match).  Returns a Dataset of the pandas-merged rows;
+    ``_stats`` (tests) receives the bucket-pair count."""
+    import ray
+    import ray.data as rd
+
+    ma = pq.read_table(os.path.join(dir_a, "_manifest.parquet")) \
+        .to_pandas()
+    mb = pq.read_table(os.path.join(dir_b, "_manifest.parquet")) \
+        .to_pandas()
+    common = sorted(set(ma["bucket"].astype(int))
+                    & set(mb["bucket"].astype(int)))
+    if _stats is not None:
+        _stats["bucket_pairs"] = len(common)
+
+    @ray.remote(num_cpus=0.5)
+    def join_bucket(fa: str, fb: str):
+        a = pq.read_table(fa).to_pandas()
+        b = pq.read_table(fb).to_pandas()
+        return pa.Table.from_pandas(a.merge(b, on=key_col),
+                                    preserve_index=False)
+
+    refs = [join_bucket.remote(
+        os.path.join(dir_a, f"rbucket={b:08d}.parquet"),
+        os.path.join(dir_b, f"rbucket={b:08d}.parquet"))
+        for b in common]
+    return rd.from_arrow_refs(refs)

@@ -4543,6 +4543,17 @@ def _q_copartition_join(sf_dir: str):
     return copartition_join(dir_a, dir_b, "c_custkey")
 
 
+def _q_novelty_scores(sf_dir: str):
+    """Per-doc trigram novelty (stages/text_analysis.py:novelty_scores):
+    fraction of the doc's distinct trigrams appearing nowhere else,
+    floored micro — distinct flat-map -> gram df -> df joined back and
+    folded per doc."""
+    from vyntr_ray.stages.text_analysis import novelty_scores
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return novelty_scores(ds, n=3)
+
+
 _OLD_SNAPSHOT_SOURCES = [f"src{i}" for i in range(10)]
 
 
@@ -4647,6 +4658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": _q_dataset_split,
         "chi2_independence": _q_chi2_independence,
         "copartition_join": _q_copartition_join,
+        "novelty_scores": _q_novelty_scores,
         # never-driver-checked entries (incl. the 7 new r4 queries)
         # first, then the riskiest previously-green rows: r3-only
         # single-data-point entries and the money-scaling queries the
@@ -4877,6 +4889,28 @@ def oracle_sql() -> dict[str, str]:
     zexpr = zorder_sql_expr("x", "y", bits=21)
     old_src = ", ".join(f"'{s}'" for s in _OLD_SNAPSHOT_SOURCES)
     return {
+        # distinct per doc (a doc is one row), df via groupby, inner
+        # join drops <n-token docs on both sides
+        "novelty_scores": r"""
+            WITH w AS (SELECT doc_id,
+                              regexp_extract_all(lower(coalesce(text,
+                                  '')), '[a-z0-9]+') AS ws
+                       FROM documents),
+            g AS (SELECT DISTINCT doc_id,
+                         array_to_string(ws[i:i+2], ' ') AS gram
+                  FROM (SELECT doc_id, ws,
+                               unnest(range(1, len(ws) - 1)) AS i
+                        FROM w)),
+            d AS (SELECT gram, count(*)::BIGINT AS df
+                  FROM g GROUP BY 1),
+            s AS (SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+                         sum(CASE WHEN d.df = 1 THEN 1
+                                  ELSE 0 END)::BIGINT AS n_unique
+                  FROM g JOIN d USING (gram) GROUP BY 1)
+            SELECT doc_id, n_grams, n_unique,
+                   (n_unique * 1000000) // n_grams AS novelty_micro
+            FROM s
+        """,
         "copartition_join": """
             SELECT c.c_custkey, c.c_nationkey, o.o_orderkey
             FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey

@@ -149,7 +149,8 @@ def bench_queries(repeats: int = 2) -> dict:
              "dedup_incremental", "key_skew", "zorder_export",
              "assoc_rules", "range_export", "group_topk_ties",
              "srp_partition", "window_join",
-             "dataset_split", "chi2_independence", "copartition_join"]
+             "dataset_split", "chi2_independence", "copartition_join",
+             "novelty_scores"]
     qs = em.queries()
     out = {}
     for _ in range(max(1, repeats)):

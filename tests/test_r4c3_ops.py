@@ -692,3 +692,38 @@ def test_copartition_join_matches_pandas(tmp_path):
         got[["k", "attr", "fid"]].astype("int64"),
         exp[["k", "attr", "fid"]].astype("int64"))
     assert stats["bucket_pairs"] <= 5     # one task per aligned bucket
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_novelty_scores_matches_bruteforce():
+    import ray.data as rd
+
+    from vyntr_ray.stages.text_analysis import novelty_scores
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [
+            "a b c d e",          # shares 'a b c'/'b c d' with doc 1
+            "a b c d x",
+            "p q r s t",          # fully novel
+            "a b",                # too short for trigrams -> dropped
+            "",                   # empty -> dropped
+            "a b c a b c a b",    # repeated grams count once per doc
+        ],
+    })
+    got = (novelty_scores(rd.from_pandas(docs.copy()), n=3)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    tri = lambda t: {" ".join(t.split()[i:i + 3])  # noqa: E731
+                     for i in range(len(t.split()) - 2)}
+    sets = {i: tri(t) for i, t in zip(docs["doc_id"], docs["text"])
+            if tri(t)}
+    from collections import Counter
+    dfc = Counter(g for s in sets.values() for g in s)
+    rows = [(i, len(s), sum(dfc[g] == 1 for g in s),
+             sum(dfc[g] == 1 for g in s) * 1_000_000 // len(s))
+            for i, s in sorted(sets.items())]
+    exp = pd.DataFrame(rows, columns=["doc_id", "n_grams", "n_unique",
+                                      "novelty_micro"]).astype("int64")
+    assert 3 not in set(got["doc_id"]) and 4 not in set(got["doc_id"])
+    pd.testing.assert_frame_equal(got.astype("int64"), exp)

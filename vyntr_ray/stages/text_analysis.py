@@ -26,7 +26,8 @@ __all__ = ["token_stats_batch", "token_totals", "quality_batch",
            "benchmark_ngrams", "contamination_report", "decontaminate",
            "repetition_batch", "unigram_fit", "unigram_logprob",
            "normalize_batch", "normalize_text", "dsir_weights",
-           "group_zscores", "readability", "token_entropy"]
+           "group_zscores", "readability", "token_entropy",
+           "novelty_scores"]
 
 _WS_TOKEN = re.compile(r"\S+")
 # BPE-ish word/number/symbol splitter (public GPT-2-style pattern, simplified)
@@ -670,3 +671,64 @@ def token_entropy(ds, id_col: str = "doc_id", text_col: str = "text"):
                          "entropy_micro": pa.array(ents, pa.int64())})
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def novelty_scores(ds, n: int = 3, id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """Per-doc n-gram novelty: the fraction of a doc's DISTINCT word
+    n-grams that appear in no other document — the corpus-uniqueness
+    quality signal (boilerplate scores ~0, original text ~1; the
+    Dolma/RefinedWeb "uniqueness" family).  ``novelty_micro =
+    n_unique·1e6 // n_grams`` (floored — exact int).
+
+    Three legitimately-wide steps, each the established shape: (1) a
+    stateless flat-map to DISTINCT (doc, gram) rows (a doc is one row,
+    so a per-row set IS globally distinct — no dedup shuffle); (2)
+    gram document-frequency via :func:`~.dataset_tools.group_sum`
+    (data-scaled string key); (3) df joined back per (doc, gram) with
+    the distributed :func:`~.joins.hash_join` and folded per doc.
+    Docs with no n-gram (fewer than n tokens) drop out — mirrored by
+    the oracle's inner join."""
+    from .dataset_tools import group_sum
+    from .joins import hash_join
+
+    def grams(t: pa.Table) -> pa.Table:
+        ids, gs = [], []
+        did = t[id_col].to_pylist()
+        for i, txt in enumerate(t[text_col].to_pylist()):
+            ws = _GRAM_TOKEN.findall((txt or "").lower())
+            for g in set(" ".join(ws[j:j + n])
+                         for j in range(len(ws) - n + 1)):
+                ids.append(did[i])
+                gs.append(g)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "gram": pa.array(gs, pa.string()),
+                         "one": pa.array(np.ones(len(ids), np.int64))})
+
+    dg = ds.map_batches(grams, batch_format="pyarrow").materialize()
+    df = group_sum(dg, "gram", ["one"], rename={"one": "df"})
+    joined = hash_join(dg, df, key_col="gram",
+                       left_payload=[id_col], right_payload=["df"],
+                       types={"gram": pa.string(), id_col: pa.int64(),
+                              "df": pa.int64()})
+
+    def fold_prep(t: pa.Table) -> pa.Table:
+        uniq = pc.cast(pc.equal(t["df"], pa.scalar(1, pa.int64())),
+                       pa.int64())
+        return pa.table({id_col: t[id_col],
+                         "n_grams": pa.array(
+                             np.ones(len(t), np.int64)),
+                         "n_unique": uniq})
+
+    per_doc = group_sum(joined.map_batches(fold_prep,
+                                           batch_format="pyarrow"),
+                        id_col, ["n_grams", "n_unique"])
+
+    def ratio(t: pa.Table) -> pa.Table:
+        ng = t["n_grams"].to_numpy(zero_copy_only=False)
+        nu = t["n_unique"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "novelty_micro",
+            pa.array(nu * 1_000_000 // ng, pa.int64()))
+
+    return per_doc.map_batches(ratio, batch_format="pyarrow")

@@ -4554,6 +4554,41 @@ def _q_novelty_scores(sf_dir: str):
     return novelty_scores(ds, n=3)
 
 
+def _q_winsorized_stats(sf_dir: str):
+    """Per-lang winsorized n_chars stats
+    (stages/dataset_tools.py:winsorized_stats): clip to the [q05, q95]
+    quantile_disc selections, exact int64 clipped sums."""
+    from vyntr_ray.stages.dataset_tools import winsorized_stats
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    return winsorized_stats(ds, "lang", "n_chars")
+
+
+def _q_nearest_join(sf_dir: str):
+    """Closest-view alignment per purchase (stages/joins.py:
+    nearest_join): smallest |gap| either direction, ties to the
+    earlier view then smaller id — the sensor-alignment join asof
+    can't express."""
+    import pyarrow.compute as pc
+
+    from vyntr_ray.stages.joins import nearest_join
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+
+    def keep(kind: str):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["event_type"], pa.scalar(kind)))
+        return f
+
+    return nearest_join(ev.map_batches(keep("purchase"),
+                                       batch_format="pyarrow"),
+                        ev.map_batches(keep("view"),
+                                       batch_format="pyarrow"),
+                        key_col="user_id", ts_col="ts",
+                        id_col="event_id")
+
+
 _OLD_SNAPSHOT_SOURCES = [f"src{i}" for i in range(10)]
 
 
@@ -4659,6 +4694,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_independence": _q_chi2_independence,
         "copartition_join": _q_copartition_join,
         "novelty_scores": _q_novelty_scores,
+        "winsorized_stats": _q_winsorized_stats,
+        "nearest_join": _q_nearest_join,
         # never-driver-checked entries (incl. the 7 new r4 queries)
         # first, then the riskiest previously-green rows: r3-only
         # single-data-point entries and the money-scaling queries the
@@ -4889,6 +4926,21 @@ def oracle_sql() -> dict[str, str]:
     zexpr = zorder_sql_expr("x", "y", bits=21)
     old_src = ", ".join(f"'{s}'" for s in _OLD_SNAPSHOT_SOURCES)
     return {
+        # clip bounds are quantile_disc SELECTIONS (input values), so
+        # the clipped sum is exact int64
+        "winsorized_stats": """
+            WITH q AS (SELECT lang,
+                              quantile_disc(n_chars, 0.05)::BIGINT AS lo,
+                              quantile_disc(n_chars, 0.95)::BIGINT AS hi
+                       FROM documents GROUP BY 1)
+            SELECT d.lang, q.lo, q.hi, count(*)::BIGINT AS n,
+                   sum(CASE WHEN d.n_chars < q.lo OR d.n_chars > q.hi
+                            THEN 1 ELSE 0 END)::BIGINT AS n_clipped,
+                   sum(greatest(q.lo, least(q.hi,
+                                            d.n_chars)))::BIGINT AS wsum
+            FROM documents d JOIN q USING (lang)
+            GROUP BY 1, 2, 3
+        """,
         # distinct per doc (a doc is one row), df via groupby, inner
         # join drops <n-token docs on both sides
         "novelty_scores": r"""
@@ -4946,6 +4998,21 @@ def oracle_sql() -> dict[str, str]:
             FROM rt CROSS JOIN cs
             LEFT JOIN ct ON ct.lang = rt.lang AND ct.source = cs.source,
             nt
+        """,
+        "nearest_join": """
+            WITH p AS (SELECT event_id, epoch_us(ts) AS us, user_id
+                       FROM events WHERE event_type = 'purchase'),
+            v AS (SELECT event_id, epoch_us(ts) AS us, user_id
+                  FROM events WHERE event_type = 'view'),
+            j AS (SELECT p.user_id, p.event_id AS left_id,
+                         v.event_id AS right_id,
+                         (p.us - v.us)::BIGINT AS gap_us,
+                         row_number() OVER (PARTITION BY p.event_id
+                             ORDER BY abs(p.us - v.us), v.us,
+                                      v.event_id) AS rn
+                  FROM p JOIN v ON p.user_id = v.user_id)
+            SELECT user_id, left_id, right_id, gap_us
+            FROM j WHERE rn = 1
         """,
         "window_join": """
             WITH p AS (SELECT event_id, epoch_us(ts) AS us, user_id

@@ -727,3 +727,80 @@ def test_novelty_scores_matches_bruteforce():
                                       "novelty_micro"]).astype("int64")
     assert 3 not in set(got["doc_id"]) and 4 not in set(got["doc_id"])
     pd.testing.assert_frame_equal(got.astype("int64"), exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [7, 19])
+def test_nearest_join_matches_bruteforce(seed):
+    import ray.data as rd
+
+    from vyntr_ray.stages.joins import nearest_join
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n = 350
+    mk = lambda off: pd.DataFrame({  # noqa: E731
+        # coarse grid -> exact-equal ts, equidistant ties, dup right ts
+        "event_id": np.arange(off, off + n, dtype=np.int64),
+        "ts": pd.to_datetime(rng.integers(0, 60, n) * 1_000_000,
+                             unit="us"),
+        "user_id": rng.integers(0, 10, n).astype("int64"),
+    })
+    left, right = mk(0), mk(10_000)
+
+    got = (nearest_join(rd.from_pandas(left.copy()),
+                        rd.from_pandas(right.copy()),
+                        key_col="user_id", ts_col="ts",
+                        id_col="event_id", n_parts=5)
+           .to_pandas().sort_values("left_id").reset_index(drop=True))
+
+    lu = left.assign(us=left["ts"].astype("datetime64[us]")
+                     .astype("int64"))
+    ru = right.assign(us=right["ts"].astype("datetime64[us]")
+                      .astype("int64"))
+    rows = []
+    for _, lr in lu.iterrows():
+        m = ru[ru["user_id"] == lr["user_id"]]
+        if not len(m):
+            continue
+        best = min(m.itertuples(),
+                   key=lambda rr: (abs(int(lr["us"]) - rr.us), rr.us,
+                                   rr.event_id))
+        rows.append((int(lr["user_id"]), int(lr["event_id"]),
+                     int(best.event_id), int(lr["us"]) - int(best.us)))
+    exp = (pd.DataFrame(rows, columns=["user_id", "left_id", "right_id",
+                                       "gap_us"])
+           .sort_values("left_id").reset_index(drop=True).astype("int64"))
+    pd.testing.assert_frame_equal(got.astype("int64"), exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_winsorized_stats_matches_bruteforce():
+    import math
+
+    import ray.data as rd
+
+    from vyntr_ray.stages.dataset_tools import winsorized_stats
+
+    rng = np.random.Generator(np.random.PCG64(101))
+    n = 700
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], n),
+        "v": rng.integers(-1000, 100_000, n).astype("int64"),
+    })
+    got = (winsorized_stats(rd.from_pandas(df.copy()), "g", "v")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+
+    rows = []
+    for g, sub in df.groupby("g"):
+        v = np.sort(sub["v"].to_numpy())
+        m = len(v)
+        sel = lambda q: int(v[min(m - 1, max(0, math.ceil(q * m) - 1))])  # noqa: E731
+        lo, hi = sel(0.05), sel(0.95)
+        w = np.clip(sub["v"].to_numpy(), lo, hi)
+        rows.append((g, lo, hi, m, int((w != sub["v"].to_numpy()).sum()),
+                     int(w.sum())))
+    exp = pd.DataFrame(rows, columns=["g", "lo", "hi", "n", "n_clipped",
+                                      "wsum"])
+    for c in exp.columns.drop("g"):
+        exp[c] = exp[c].astype("int64")
+    pd.testing.assert_frame_equal(got, exp)

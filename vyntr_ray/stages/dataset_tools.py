@@ -22,7 +22,7 @@ __all__ = ["topk_largest", "remove_largest", "group_quantiles",
            "histogram_fixed", "skyline", "cube_counts", "table_profile",
            "group_sum", "group_fold", "grouping_sets", "pivot_sum",
            "iqr_outliers", "key_skew", "group_topk_ties",
-           "chi2_independence"]
+           "chi2_independence", "winsorized_stats"]
 
 
 def topk_largest(ds, k: int = 100, length_col: str = "n_chars",
@@ -974,4 +974,54 @@ def chi2_independence(ds, col1: str, col2: str):
         "c": pa.array([r[4] for r in out], pa.int64()),
         "n": pa.array([n] * len(out), pa.int64()),
         "contrib_micro": pa.array([r[5] for r in out], pa.int64()),
+    })
+
+
+def winsorized_stats(ds, group_col: str, value_col: str,
+                     lo_q: float = 0.05, hi_q: float = 0.95):
+    """Per-group winsorized sum/count — the robust mean's exact-int
+    core: values clip to the group's [q_lo, q_hi] ``quantile_disc``
+    order statistics (selections, so clipping bounds are input values
+    and the clipped sum stays exact int64), then a zero-shuffle
+    partial-count fold (the :func:`iqr_outliers` shape).  Returns
+    (group, lo, hi, n, n_clipped, wsum)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    q = group_quantiles(ds, group_col, value_col, qs=(lo_q, hi_q))
+    c_lo = f"q{int(round(lo_q * 100))}"
+    c_hi = f"q{int(round(hi_q * 100))}"
+    bounds = {r[group_col]: (int(r[c_lo]), int(r[c_hi]))
+              for r in q.take_all()}        # one row per group
+    bref = ray.put(bounds)
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype("int64")
+        codes, uniq = pd.factorize(g)
+        lo = np.array([b[k][0] for k in uniq], np.int64)[codes]
+        hi = np.array([b[k][1] for k in uniq], np.int64)[codes]
+        w = np.clip(v, lo, hi)
+        agg = (pd.DataFrame({group_col: g, "n": 1,
+                             "n_clipped": (w != v).astype("int64"),
+                             "wsum": w})
+               .groupby(group_col, as_index=False).sum())
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    acc: dict = {}
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        k = r[group_col]
+        n, c, s = acc.get(k, (0, 0, 0))
+        acc[k] = (n + int(r["n"]), c + int(r["n_clipped"]),
+                  s + int(r["wsum"]))
+    keys = sorted(acc)
+    return pa.table({
+        group_col: pa.array(keys),
+        "lo": pa.array([bounds[k][0] for k in keys], pa.int64()),
+        "hi": pa.array([bounds[k][1] for k in keys], pa.int64()),
+        "n": pa.array([acc[k][0] for k in keys], pa.int64()),
+        "n_clipped": pa.array([acc[k][1] for k in keys], pa.int64()),
+        "wsum": pa.array([acc[k][2] for k in keys], pa.int64()),
     })

@@ -29,7 +29,7 @@ import pyarrow.compute as pc
 
 __all__ = ["asof_join", "range_count_join", "hash_join", "anti_join",
            "semi_join", "bloom_anti_join", "bloom_semi_join",
-           "cdc_apply", "window_join"]
+           "cdc_apply", "window_join", "nearest_join"]
 
 
 def _pa_type(t) -> pa.DataType:
@@ -652,8 +652,10 @@ def cdc_apply(base_ds, changes_ds, key_col: str, val_col: str,
     partition a vectorized sort + keep-last + drop-deletes sweep covers
     all of its keys (the many-groups rule — never a group per key).
     ``seq_cols`` must totally order each key's changes (e.g.
-    (ts, change_id)); base and changes never tie (-inf).  Output:
-    (key, val) — the final state."""
+    (ts, change_id)); base and changes never tie (-inf).  Contract:
+    the base snapshot holds at most one row per key (a snapshot by
+    definition — duplicate base keys would resolve by union arrival
+    order).  Output: (key, val) — the final state."""
     seq_cols = seq_cols or ["seq_us", "seq_id"]
 
     def tag_base(t: pa.Table) -> pa.Table:
@@ -778,6 +780,91 @@ def window_join(left_ds, right_ds, key_col: str, ts_col: str,
             "left_id": l["id"].to_numpy()[li],
             "right_id": r["id"].to_numpy()[ri],
             "gap_us": lu[li] - ru[ri]})
+
+    return (both.groupby("part")
+            .map_groups(lambda g: per_part(g.drop(columns="part")),
+                        batch_format="pandas"))
+
+
+def nearest_join(left_ds, right_ds, key_col: str, ts_col: str,
+                 id_col: str, n_parts: int = 64):
+    """Nearest-event join: for every left row, the single same-key
+    right row with the smallest ``|left.ts − right.ts|`` — sensor/log
+    alignment where :func:`asof_join`'s backward-only match loses the
+    closer FUTURE observation.  Ties (equidistant before/after, or
+    duplicate right ts) resolve to the earlier right ts then the
+    smaller right id — a total order, mirrored by the oracle's
+    ``ORDER BY abs(gap), r.ts, r.id``.
+
+    Same one-shuffle tagged-union shape as :func:`window_join`; per
+    partition, each DISTINCT key's left rows binary-search the key's
+    sorted right run once (prev/next candidate, vectorized choice).
+    Inner semantics: left rows whose key has no right rows drop.
+    Output: (key, left_id, right_id, gap_us) with gap signed
+    (left − right)."""
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                         pa.int64())
+            out = pa.table({key_col: pc.cast(t[key_col], pa.int64()),
+                            "us": us,
+                            "id": pc.cast(t[id_col], pa.int64()),
+                            "side": pa.array(
+                                np.full(len(t), side, np.int8))})
+            return out.append_column(
+                "part", _part_col(out[key_col], n_parts))
+        return f
+
+    both = (left_ds.map_batches(tag(0), batch_format="pyarrow")
+            .union(right_ds.map_batches(tag(1), batch_format="pyarrow")))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({key_col: np.array([], np.int64),
+                              "left_id": np.array([], np.int64),
+                              "right_id": np.array([], np.int64),
+                              "gap_us": np.array([], np.int64)})
+        l = g[g["side"] == 0].sort_values([key_col, "us", "id"],
+                                          kind="mergesort")
+        r = g[g["side"] == 1].sort_values([key_col, "us", "id"],
+                                          kind="mergesort")
+        if not len(l) or not len(r):
+            return empty
+        lk, lu = l[key_col].to_numpy(), l["us"].to_numpy()
+        rk, ru = r[key_col].to_numpy(), r["us"].to_numpy()
+        ridx = np.full(len(l), -1, np.int64)
+        l_keys, l_starts = np.unique(lk, return_index=True)
+        l_ends = np.r_[l_starts[1:], len(lk)]
+        r_keys, r_starts = np.unique(rk, return_index=True)
+        r_ends = np.r_[r_starts[1:], len(rk)]
+        pos = np.searchsorted(r_keys, l_keys)
+        for j in range(len(l_keys)):
+            p = pos[j]
+            if p >= len(r_keys) or r_keys[p] != l_keys[j]:
+                continue
+            ls, le = l_starts[j], l_ends[j]
+            rs, re = r_starts[p], r_ends[p]
+            run = ru[rs:re]
+            x = lu[ls:le]
+            nxt = np.searchsorted(run, x, "left")     # run[nxt-1] < x
+            prv = nxt - 1
+            big = np.int64(1) << np.int64(62)
+            d_prev = np.where(prv >= 0, x - run[np.maximum(prv, 0)], big)
+            d_next = np.where(nxt < len(run),
+                              run[np.minimum(nxt, len(run) - 1)] - x, big)
+            # tie -> earlier ts = the prev side (d_prev==d_next>0)
+            use_prev = d_prev <= d_next
+            chosen_us = np.where(use_prev, run[np.maximum(prv, 0)],
+                                 run[np.minimum(nxt, len(run) - 1)])
+            # first row of the chosen-us run = the smallest right id
+            ridx[ls:le] = rs + np.searchsorted(run, chosen_us, "left")
+        m = ridx >= 0
+        if not m.any():
+            return empty
+        return pd.DataFrame({
+            key_col: lk[m],
+            "left_id": l["id"].to_numpy()[m],
+            "right_id": r["id"].to_numpy()[ridx[m]],
+            "gap_us": lu[m] - ru[ridx[m]]})
 
     return (both.groupby("part")
             .map_groups(lambda g: per_part(g.drop(columns="part")),

@@ -4589,6 +4589,17 @@ def _q_nearest_join(sf_dir: str):
                         id_col="event_id")
 
 
+def _q_rolling_median(sf_dir: str):
+    """Per-user trailing-5 median (stages/windows.py:rolling_median):
+    pandas rolling 'lower' quantile == DuckDB windowed
+    quantile_disc(0.5) selection, centi-int exact."""
+    from vyntr_ray.stages.windows import rolling_median
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+    return rolling_median(ds, k=5)
+
+
 _OLD_SNAPSHOT_SOURCES = [f"src{i}" for i in range(10)]
 
 
@@ -4696,6 +4707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "novelty_scores": _q_novelty_scores,
         "winsorized_stats": _q_winsorized_stats,
         "nearest_join": _q_nearest_join,
+        "rolling_median": _q_rolling_median,
         # never-driver-checked entries (incl. the 7 new r4 queries)
         # first, then the riskiest previously-green rows: r3-only
         # single-data-point entries and the money-scaling queries the
@@ -4998,6 +5010,15 @@ def oracle_sql() -> dict[str, str]:
             FROM rt CROSS JOIN cs
             LEFT JOIN ct ON ct.lang = rt.lang AND ct.source = cs.source,
             nt
+        """,
+        "rolling_median": """
+            SELECT event_id, user_id,
+                   quantile_disc(round(value * 100)::BIGINT, 0.5)
+                       OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id
+                             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+                       )::BIGINT AS med_centi
+            FROM events
         """,
         "nearest_join": """
             WITH p AS (SELECT event_id, epoch_us(ts) AS us, user_id

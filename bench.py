@@ -150,7 +150,8 @@ def bench_queries(repeats: int = 2) -> dict:
              "assoc_rules", "range_export", "group_topk_ties",
              "srp_partition", "window_join",
              "dataset_split", "chi2_independence", "copartition_join",
-             "novelty_scores", "winsorized_stats", "nearest_join"]
+             "novelty_scores", "winsorized_stats", "nearest_join",
+             "rolling_median"]
     qs = em.queries()
     out = {}
     for _ in range(max(1, repeats)):

@@ -804,3 +804,41 @@ def test_winsorized_stats_matches_bruteforce():
     for c in exp.columns.drop("g"):
         exp[c] = exp[c].astype("int64")
     pd.testing.assert_frame_equal(got, exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rolling_median_matches_bruteforce():
+    import ray.data as rd
+
+    from vyntr_ray.stages.windows import rolling_median
+
+    rng = np.random.Generator(np.random.PCG64(103))
+    n = 600
+    df = pd.DataFrame({
+        "event_id": rng.permutation(n).astype("int64"),
+        "ts": pd.to_datetime(rng.integers(0, 2000, n) * 1_000_000,
+                             unit="us"),
+        "user_id": rng.integers(0, 9, n).astype("int64"),
+        "value": np.round(rng.normal(0, 40, n), 2),
+    })
+    k = 4          # even window -> lower-median selection exercised
+
+    got = (rolling_median(rd.from_pandas(df.copy()), k=k, n_parts=5)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+
+    b = df.copy()
+    b["us"] = b["ts"].astype("datetime64[us]").astype("int64")
+    b["vc"] = np.round(b["value"] * 100).astype("int64")
+    rows = []
+    for uid, g in b.groupby("user_id"):
+        g = g.sort_values(["us", "event_id"], kind="mergesort")
+        vc = g["vc"].to_numpy()
+        for i in range(len(vc)):
+            w = np.sort(vc[max(0, i - k + 1):i + 1])
+            m = len(w)
+            rows.append((int(g["event_id"].iloc[i]), int(uid),
+                         int(w[-(-m // 2) - 1])))   # ceil(m/2)-1
+    exp = (pd.DataFrame(rows, columns=["event_id", "user_id",
+                                       "med_centi"])
+           .sort_values("event_id").reset_index(drop=True).astype("int64"))
+    pd.testing.assert_frame_equal(got.astype("int64"), exp)

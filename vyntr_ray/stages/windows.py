@@ -32,7 +32,7 @@ __all__ = ["tumbling", "sliding", "sessionize", "rolling_sum",
            "event_throttle", "scd2_intervals", "group_median",
            "group_mad", "last_touch", "watermark_filter",
            "next_event_gap", "session_path_partials", "ohlc_bars",
-           "rolling_outliers"]
+           "rolling_outliers", "rolling_median"]
 
 _US = 1_000_000
 
@@ -1048,6 +1048,38 @@ def rolling_outliers(ds, k: int = 50, z: int = 3, key_col: str = "user_id",
                              key_col: key[m],
                              "v_centi": v[m],
                              "n_win": nw[m].astype("int64")})
+
+    return _by_part(ds, key_col, n_parts=n_parts).groupby("_part").map_groups(
+        lambda g: per_part(g.drop(columns="_part")), batch_format="pandas")
+
+
+def rolling_median(ds, k: int = 5, key_col: str = "user_id",
+                   ts_col: str = "ts", id_col: str = "event_id",
+                   value_col: str = "value", n_parts: int = 64):
+    """Per-key moving MEDIAN over the last ``k`` rows ((ts, id) order) —
+    the robust-baseline window (spike-insensitive where
+    :func:`rolling_sum`'s mean is not).
+
+    Exactness: pandas ``rolling(...).quantile(0.5, 'lower')`` selects
+    index ``floor((n−1)/2)`` of the window's sorted values, which
+    equals DuckDB's windowed ``quantile_disc(0.5)`` selection
+    ``ceil(n/2)−1`` for every n — a pure selection over centi-ints, so
+    the oracle compares exactly.  Same one-shuffle hash-partition
+    shape as the other per-key windows; the sweep is pandas' C
+    rolling kernel per partition."""
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        vc = round_half_away(
+            g[value_col].to_numpy(np.float64) * 100.0).astype("int64")
+        f = pd.DataFrame({key_col: g[key_col].to_numpy(),
+                          id_col: g[id_col].to_numpy(), "vc": vc})
+        med = (f.groupby(key_col, sort=False)["vc"]
+               .rolling(k, min_periods=1)
+               .quantile(0.5, interpolation="lower")
+               .reset_index(drop=True))
+        return pd.DataFrame({id_col: f[id_col].to_numpy(),
+                             key_col: f[key_col].to_numpy(),
+                             "med_centi": med.to_numpy().astype("int64")})
 
     return _by_part(ds, key_col, n_parts=n_parts).groupby("_part").map_groups(
         lambda g: per_part(g.drop(columns="_part")), batch_format="pandas")

@@ -4684,7 +4684,7 @@ def _q_jaccard_rerank(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- driver-checked window (first 50): the r4 rotation ---
-        # 8 third-continuation queries lead (never driver-checked)
+        # 23 third-continuation queries lead (never driver-checked)
         "token_entropy": _q_token_entropy,
         "ohlc_bars": _q_ohlc_bars,
         "iqr_outliers": _q_iqr_outliers,

@@ -296,6 +296,9 @@ def copartition_join(dir_a: str, dir_b: str, key_col: str,
                     & set(mb["bucket"].astype(int)))
     if _stats is not None:
         _stats["bucket_pairs"] = len(common)
+    if not common:                       # disjoint layouts: empty join
+        import ray.data as rd
+        return rd.from_items([])
 
     @ray.remote(num_cpus=0.5)
     def join_bucket(fa: str, fb: str):

@@ -653,22 +653,21 @@ def _q_frequent_tokens(sf_dir: str):
     return frequent_tokens(ds, text_col="text", r=50)
 
 
-def _q_event_transitions(sf_dir: str):
-    """Per-user behavior bigrams: counts of consecutive (event_type →
-    next event_type) transitions ordered by (ts, id) — the Markov-chain
-    table a session-model fit starts from.  Hash-partitioned, one
-    vectorized shift per partition (never a Ray group per user)."""
-    import hashlib
-
+def _transitions_counts(sf_dir: str):
+    """Shared bigram-count pipeline for event_transitions/event_markov:
+    (src, dst, n) Dataset, hash-partitioned, one vectorized shift per
+    partition (never a Ray group per user).  Routing is one md5 per
+    DISTINCT user per batch (joins._part_col — the r3 perf rule; the
+    original per-row Python loop cost 16 s at sf0.1)."""
     import pandas as pd
+
+    from vyntr_ray.stages.joins import _part_col
 
     ds = _read(sf_dir, "events",
                columns=["event_id", "user_id", "ts", "event_type"])
 
     def add_part(t: pa.Table) -> pa.Table:
-        parts = [int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % 32
-                 for v in t["user_id"].to_pylist()]
-        return t.append_column("_part", pa.array(parts, pa.int32()))
+        return t.append_column("_part", _part_col(t["user_id"], 32))
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -697,6 +696,36 @@ def _q_event_transitions(sf_dir: str):
     return out.map_batches(
         lambda t: t.rename_columns(["src", "dst", "n"]),
         batch_format="pyarrow")
+
+
+def _q_event_transitions(sf_dir: str):
+    """Per-user behavior bigrams: counts of consecutive (event_type →
+    next event_type) transitions ordered by (ts, id) — the Markov-chain
+    table a session-model fit starts from."""
+    return _transitions_counts(sf_dir)
+
+
+def _q_event_markov(sf_dir: str):
+    """Markov transition PROBABILITIES from the behavior bigrams:
+    P(dst|src) in exact floored micro units (n·10⁶ // row_total) — the
+    normalized chain a next-event model samples from.  The bigram vocab
+    is constant-bounded (|event_type|²), so the normalize step is one
+    driver fold over the distributed counts; no float enters the
+    result (DuckDB ``//`` floors identically on positive BIGINTs)."""
+    import pandas as pd
+
+    counts = pd.DataFrame(_transitions_counts(sf_dir).take_all())
+    if counts.empty:
+        return pd.DataFrame({"src": pd.Series(dtype="object"),
+                             "dst": pd.Series(dtype="object"),
+                             "n": pd.array([], dtype="int64"),
+                             "row_total": pd.array([], dtype="int64"),
+                             "prob_micro": pd.array([], dtype="int64")})
+    counts["row_total"] = counts.groupby("src")["n"].transform("sum")
+    counts["prob_micro"] = (counts["n"] * 1_000_000) // counts["row_total"]
+    for c in ("n", "row_total", "prob_micro"):
+        counts[c] = counts[c].astype("int64")
+    return counts.sort_values(["src", "dst"]).reset_index(drop=True)
 
 
 def _q_bigram_pmi(sf_dir: str):
@@ -3849,6 +3878,41 @@ def _q_merge_intervals(sf_dir: str):
                            key_col="user_id")
 
 
+def _q_interval_coverage(sf_dir: str):
+    """Per-user busy-time after interval union (same spans as
+    merge_intervals): total covered duration, island count, longest
+    island — one hash-partition shuffle, per-key aggregate exact inside
+    the sweep (stages/windows.py:interval_coverage)."""
+    import pyarrow.compute as pc
+
+    from vyntr_ray.stages.windows import interval_coverage
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def iv(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        dur = pc.cast(_round_ha(pc.multiply(pc.abs(t["value"]),
+                                            pa.scalar(1_000_000.0))),
+                      pa.int64())
+        return pa.table({"user_id": t["user_id"], "s_us": us,
+                         "e_us": pc.add(us, dur)})
+
+    return interval_coverage(ds.map_batches(iv, batch_format="pyarrow"),
+                             key_col="user_id")
+
+
+def _q_window_distinct(sf_dir: str):
+    """Rolling 7-day distinct users per day (rolling MAU): contribution
+    expansion of deduped (user, day) pairs ×7, one global pair dedup,
+    O(#days) driver fold (stages/windows.py:window_distinct) — the
+    COUNT(DISTINCT) OVER RANGE no window engine can express."""
+    from vyntr_ray.stages.windows import window_distinct
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return window_distinct(ds, key_col="user_id", ts_col="ts",
+                           n_periods=7)
+
+
 def _q_cumulative_distinct(sf_dir: str):
     """Running distinct-user curve by day: first-seen-day per user via
     hash-partition min-fold (users are data-scaled — never a per-key
@@ -4684,7 +4748,11 @@ def _q_jaccard_rerank(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- driver-checked window (first 50): the r4 rotation ---
-        # 23 third-continuation queries lead (never driver-checked)
+        # r4c4 queries lead (never driver-checked), then the 23
+        # third-continuation queries
+        "event_markov": _q_event_markov,
+        "interval_coverage": _q_interval_coverage,
+        "window_distinct": _q_window_distinct,
         "token_entropy": _q_token_entropy,
         "ohlc_bars": _q_ohlc_bars,
         "iqr_outliers": _q_iqr_outliers,
@@ -5539,6 +5607,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(s) AS start_us, max(e) AS end_us,
                    count(*)::BIGINT AS n_iv
             FROM g GROUP BY user_id, grp
+        """,
+        # same island CTE as merge_intervals, then per-user aggregates
+        "interval_coverage": """
+            WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                               epoch_us(ts)
+                               + round(abs(value) * 1000000)::BIGINT AS e
+                        FROM events),
+            m AS (SELECT user_id, s, e,
+                         CASE WHEN max(e) OVER (PARTITION BY user_id
+                                  ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) >= s
+                              THEN 0 ELSE 1 END AS is_new
+                  FROM iv),
+            g AS (SELECT user_id, s, e,
+                         sum(is_new) OVER (PARTITION BY user_id
+                             ORDER BY s, e
+                             ROWS UNBOUNDED PRECEDING) AS grp
+                  FROM m),
+            isl AS (SELECT user_id, max(e) - min(s) AS len
+                    FROM g GROUP BY user_id, grp)
+            SELECT user_id, count(*)::BIGINT AS n_iv,
+                   sum(len)::BIGINT AS covered_us,
+                   max(len)::BIGINT AS max_iv_us
+            FROM isl GROUP BY user_id
+        """,
+        # contribution expansion: each (user, day) pair counts toward
+        # windows day..day+6; the engine mirrors the same expansion
+        # (including the 6-day tail past the last data day)
+        "window_distinct": """
+            WITH p AS (SELECT DISTINCT user_id,
+                              epoch_us(ts) // 86400000000 AS d
+                       FROM events),
+            e AS (SELECT DISTINCT user_id, p.d + i.i AS day
+                  FROM p, (SELECT unnest(generate_series(0, 6)) AS i) i)
+            SELECT day * 86400000000 AS day_us,
+                   count(*)::BIGINT AS n_keys
+            FROM e GROUP BY day
         """,
         "cumulative_distinct": """
             WITH f AS (SELECT user_id,
@@ -6825,6 +6931,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type AS src, nxt AS dst, count(*)::BIGINT AS n
             FROM o WHERE nxt IS NOT NULL
             GROUP BY src, dst
+        """,
+        # floored integer micro probabilities; // floors on positive
+        # BIGINTs exactly like pandas int64 //
+        "event_markov": """
+            WITH o AS (
+                SELECT user_id, event_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS nxt
+                FROM events),
+            c AS (SELECT event_type AS src, nxt AS dst,
+                         count(*)::BIGINT AS n
+                  FROM o WHERE nxt IS NOT NULL
+                  GROUP BY src, dst)
+            SELECT src, dst, n,
+                   sum(n) OVER (PARTITION BY src)::BIGINT AS row_total,
+                   (n * 1000000)
+                       // sum(n) OVER (PARTITION BY src)::BIGINT
+                       AS prob_micro
+            FROM c
         """,
         "ntile_buckets": """
             SELECT event_id, event_type,

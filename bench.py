@@ -151,7 +151,8 @@ def bench_queries(repeats: int = 2) -> dict:
              "srp_partition", "window_join",
              "dataset_split", "chi2_independence", "copartition_join",
              "novelty_scores", "winsorized_stats", "nearest_join",
-             "rolling_median"]
+             "rolling_median",
+             "event_markov", "interval_coverage", "window_distinct"]
     qs = em.queries()
     out = {}
     for _ in range(max(1, repeats)):

@@ -1,0 +1,83 @@
+"""Randomized (seeded) brute-force parity for the round-4c4 operators:
+interval coverage, rolling-window distinct counts.
+
+Adversarial shapes: dense starts (many ties), zero-length spans,
+singleton keys, multi-day gaps — against row-at-a-time references.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [0, 7])
+def test_interval_coverage_matches_bruteforce(seed):
+    import ray.data as rd
+
+    from vyntr_ray.stages.windows import interval_coverage
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n = 600
+    df = pd.DataFrame({
+        "k": rng.integers(0, 17, n),
+        "s_us": rng.integers(0, 50, n).astype("int64"),
+    })
+    df["e_us"] = df["s_us"] + rng.integers(0, 9, n).astype("int64")
+
+    got = (interval_coverage(rd.from_pandas(df.copy()), key_col="k",
+                             n_parts=5)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+
+    rows = []
+    for k, g in df.groupby("k"):
+        ivs = sorted(zip(g["s_us"], g["e_us"]))
+        islands = []
+        cur_s, cur_e = ivs[0]
+        for s, e in ivs[1:]:
+            if s <= cur_e:
+                cur_e = max(cur_e, e)
+            else:
+                islands.append((cur_s, cur_e))
+                cur_s, cur_e = s, e
+        islands.append((cur_s, cur_e))
+        lens = [e - s for s, e in islands]
+        rows.append((k, len(islands), sum(lens), max(lens)))
+    exp = (pd.DataFrame(rows, columns=["k", "n_iv", "covered_us",
+                                       "max_iv_us"])
+           .astype("int64").sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype("int64"), exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_window_distinct_matches_bruteforce():
+    import ray.data as rd
+
+    from vyntr_ray.stages.windows import window_distinct
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    n = 500
+    day = 86_400_000_000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 40, n),
+        "ts": pd.to_datetime(
+            rng.integers(0, 20 * day, n), unit="us"),
+    })
+
+    got = window_distinct(rd.from_pandas(df.copy()), key_col="user_id",
+                          ts_col="ts", n_periods=7)
+
+    us = df["ts"].astype("int64") // 1000  # ns -> us
+    d = us // day
+    exp_rows = {}
+    pairs = set(zip(df["user_id"], d))
+    all_days = sorted({dd + i for _, dd in pairs for i in range(7)})
+    for day_i in all_days:
+        exp_rows[day_i] = len({u for u, dd in pairs
+                               if day_i - 6 <= dd <= day_i})
+    exp = pd.DataFrame({
+        "day_us": np.array(all_days, dtype="int64") * day,
+        "n_keys": np.array([exp_rows[x] for x in all_days],
+                           dtype="int64")})
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp)

@@ -34,7 +34,7 @@ from ..rounding import iround_half_away
 
 __all__ = ["hll_sketch_batch", "hll_count_distinct", "group_count_distinct",
            "tdigest_batch", "tdigest_merge", "tdigest_quantile",
-           "group_quantiles_tdigest", "frequent_tokens"]
+           "group_quantiles_tdigest", "frequent_tokens", "cms_estimates"]
 
 
 def _alpha(m: int) -> float:

@@ -32,7 +32,8 @@ __all__ = ["tumbling", "sliding", "sessionize", "rolling_sum",
            "event_throttle", "scd2_intervals", "group_median",
            "group_mad", "last_touch", "watermark_filter",
            "next_event_gap", "session_path_partials", "ohlc_bars",
-           "rolling_outliers", "rolling_median"]
+           "rolling_outliers", "rolling_median", "interval_coverage",
+           "window_distinct"]
 
 _US = 1_000_000
 
@@ -443,6 +444,105 @@ def merge_intervals(ds, key_col: str = "user_id",
 
     return _by_part(ds, key_col, n_parts=n_parts).groupby("_part").map_groups(
         lambda g: per_part(g.drop(columns="_part")), batch_format="pandas")
+
+
+def interval_coverage(ds, key_col: str = "user_id",
+                      start_col: str = "s_us", end_col: str = "e_us",
+                      n_parts: int = 64):
+    """Per-key coverage stats after interval union: total covered
+    duration, island count, and longest island — "how much wall time
+    was this host actually busy" over overlapping fetch spans.
+
+    Same single hash-partition shuffle + int64 sweep as
+    :func:`merge_intervals` (a key's intervals are co-resident in one
+    partition, so the per-key aggregate is exact inside the sweep —
+    no second shuffle).  Returns (key, n_iv, covered_us, max_iv_us)
+    with one row per key.  No reference counterpart (SURVEY §2.9).
+    """
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, start_col, end_col], kind="mergesort")
+        key = g[key_col].to_numpy()
+        s = g[start_col].to_numpy().astype("int64")
+        e = g[end_col].to_numpy().astype("int64")
+        kid = np.cumsum(np.r_[True, key[1:] != key[:-1]]) - 1
+        cm = pd.Series(e).groupby(kid).cummax().to_numpy()
+        prev = np.empty_like(cm)
+        prev[0] = np.iinfo(np.int64).min
+        prev[1:] = cm[:-1]
+        first_of_key = np.r_[True, kid[1:] != kid[:-1]]
+        new = first_of_key | (s > prev)
+        isl = np.cumsum(new) - 1
+        iv = (pd.DataFrame({key_col: key, "_i": isl, "s": s, "e": e})
+              .groupby("_i", sort=True)
+              .agg(**{key_col: (key_col, "first"),
+                      "s": ("s", "min"), "e": ("e", "max")})
+              .reset_index(drop=True))
+        iv["len"] = iv["e"] - iv["s"]
+        out = (iv.groupby(key_col, as_index=False, sort=True)
+               .agg(n_iv=("len", "size"), covered_us=("len", "sum"),
+                    max_iv_us=("len", "max")))
+        for c in ("n_iv", "covered_us", "max_iv_us"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return _by_part(ds, key_col, n_parts=n_parts).groupby("_part").map_groups(
+        lambda g: per_part(g.drop(columns="_part")), batch_format="pandas")
+
+
+def window_distinct(ds, key_col: str = "user_id", ts_col: str = "ts",
+                    n_periods: int = 7,
+                    period_us: int = 86_400_000_000):
+    """Trailing-window distinct-key count per period: for each day D,
+    how many distinct keys appeared in [D-(n-1), D] — the rolling-MAU
+    curve.  COUNT(DISTINCT) OVER a RANGE frame is inexpressible as a
+    plain window; the distributed shape is contribution expansion:
+
+    1. per block, dedupe to (key, period) pairs and fan each out to the
+       ``n_periods`` windows it contributes to (bounded ×n blowup of an
+       already-deduped pair set);
+    2. one hash-partition global dedup of (key, window) pairs
+       (:func:`..dataset_tools.distinct_rows` — keys are data-scaled);
+    3. per-window counts fold on the driver (O(#periods) rows).
+
+    Every expanded window emits a row (including the ``n-1`` tail past
+    the last data day) — the oracle mirrors the same expansion.
+    Returns (day_us, n_keys) sorted by day.
+    """
+    from .dataset_tools import distinct_rows
+
+    def pairs(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        d = pc.divide(us, pa.scalar(period_us, pa.int64()))
+        up = pa.table({key_col: t[key_col], "_d": d}) \
+            .group_by([key_col, "_d"]).aggregate([])
+        k = up[key_col].to_numpy(zero_copy_only=False)
+        dv = up["_d"].to_numpy(zero_copy_only=False).astype("int64")
+        keys = np.repeat(k, n_periods)
+        days = (np.repeat(dv, n_periods)
+                + np.tile(np.arange(n_periods, dtype="int64"), len(dv)))
+        return pa.table({key_col: pa.array(keys),
+                         "day": pa.array(days, pa.int64())})
+
+    uniq = distinct_rows(ds.map_batches(pairs, batch_format="pyarrow"),
+                         [key_col, "day"], part_key=key_col)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = pa.table({"day": t["day"]}).group_by("day") \
+            .aggregate([("day", "count")])
+        return pa.table({"day": c["day"],
+                         "n": pc.cast(c["day_count"], pa.int64())})
+
+    rows = pd.DataFrame(
+        uniq.map_batches(partial, batch_format="pyarrow").take_all())
+    if rows.empty:
+        return pd.DataFrame({"day_us": pd.array([], dtype="int64"),
+                             "n_keys": pd.array([], dtype="int64")})
+    g = (rows.groupby("day", as_index=False)["n"].sum()
+         .sort_values("day").reset_index(drop=True))
+    return pd.DataFrame({
+        "day_us": (g["day"] * period_us).astype("int64"),
+        "n_keys": g["n"].astype("int64")})
 
 
 def cumulative_distinct(ds, key_col: str = "user_id", ts_col: str = "ts",

@@ -698,6 +698,21 @@ def _transitions_counts(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_cms_freq(sf_dir: str):
+    """Count-min sketch point queries over document tokens
+    (stages/sketches.py:cms_estimates): d=4 md5-salted rows × w=1024
+    buckets, per-block partial sketches folded on the driver (O(d·w)),
+    probe set = the 24 smallest distinct ≥4-char tokens, exact recount
+    alongside.  The SQL oracle REBUILDS the identical sketch via
+    md5_number_upper bucket arithmetic (the distinct_users_hll
+    pattern), so est_cnt matches value-for-value including collisions."""
+    from vyntr_ray.stages.sketches import cms_estimates
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return cms_estimates(ds, text_col="text", d=4, w=1024,
+                         n_probes=24, min_len=4)
+
+
 def _q_event_transitions(sf_dir: str):
     """Per-user behavior bigrams: counts of consecutive (event_type →
     next event_type) transitions ordered by (ts, id) — the Markov-chain
@@ -4753,6 +4768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_markov": _q_event_markov,
         "interval_coverage": _q_interval_coverage,
         "window_distinct": _q_window_distinct,
+        "cms_freq": _q_cms_freq,
         "token_entropy": _q_token_entropy,
         "ohlc_bars": _q_ohlc_bars,
         "iqr_outliers": _q_iqr_outliers,
@@ -6909,6 +6925,38 @@ def oracle_sql() -> dict[str, str]:
             FROM s ORDER BY l_returnflag
         """,
         # exact heavy hitters: integer support predicate on both sides
+        # SQL replica of the d=4 x w=1024 count-min sketch: bucket =
+        # md5_number_upper('r:token') % 1024 (the engine's _hash64),
+        # bucket sums = the sketch row, estimate = min over rows —
+        # identical arithmetic, so collisions overestimate identically
+        "cms_freq": """
+            WITH toks AS (
+                SELECT unnest(string_split_regex(text, '\\s+')) AS token
+                FROM documents),
+            t AS (SELECT token, count(*)::BIGINT AS cnt FROM toks
+                  WHERE token <> '' GROUP BY token),
+            probes AS (SELECT token FROM t WHERE length(token) >= 4
+                       ORDER BY token LIMIT 24),
+            r AS (SELECT unnest(generate_series(0, 3)) AS r),
+            b AS (SELECT r.r,
+                         (md5_number_upper(r.r::VARCHAR || ':' || t.token)
+                          % 1024)::BIGINT AS b,
+                         t.cnt
+                  FROM t, r),
+            bs AS (SELECT r, b, sum(cnt)::BIGINT AS s
+                   FROM b GROUP BY r, b),
+            pb AS (SELECT p.token, r.r,
+                          (md5_number_upper(r.r::VARCHAR || ':'
+                                            || p.token)
+                           % 1024)::BIGINT AS b
+                   FROM probes p, r)
+            SELECT pb.token,
+                   min(bs.s)::BIGINT AS est_cnt,
+                   min(t.cnt)::BIGINT AS true_cnt
+            FROM pb JOIN bs ON bs.r = pb.r AND bs.b = pb.b
+                 JOIN t ON t.token = pb.token
+            GROUP BY pb.token
+        """,
         "frequent_tokens": """
             WITH toks AS (
                 SELECT unnest(string_split_regex(text, '\\s+')) AS token

@@ -152,7 +152,8 @@ def bench_queries(repeats: int = 2) -> dict:
              "dataset_split", "chi2_independence", "copartition_join",
              "novelty_scores", "winsorized_stats", "nearest_join",
              "rolling_median",
-             "event_markov", "interval_coverage", "window_distinct"]
+             "event_markov", "interval_coverage", "window_distinct",
+             "cms_freq"]
     qs = em.queries()
     out = {}
     for _ in range(max(1, repeats)):

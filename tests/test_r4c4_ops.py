@@ -81,3 +81,41 @@ def test_window_distinct_matches_bruteforce():
                            dtype="int64")})
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cms_estimates_matches_bruteforce():
+    import ray.data as rd
+
+    from vyntr_ray.state.filters import _hash64
+    from vyntr_ray.stages.sketches import cms_estimates
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    vocab = [f"tok{i:03d}" for i in range(120)] + ["a", "xy"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(1, 30)))
+             for _ in range(300)] + ["", None]
+    ds = rd.from_pandas(pd.DataFrame({"text": texts})).repartition(7)
+
+    d, w = 3, 64                       # tiny w -> force collisions
+    got = cms_estimates(ds, d=d, w=w, n_probes=16, min_len=4)
+
+    from collections import Counter
+    cnt = Counter()
+    for t in texts:
+        cnt.update((t or "").split())
+    sketch = np.zeros((d, w), np.int64)
+    for tok, c in cnt.items():
+        for r in range(d):
+            b = int(_hash64([f"{r}:{tok}"])[0] % np.uint64(w))
+            sketch[r][b] += c
+    probes = sorted(t for t in cnt if len(t) >= 4)[:16]
+    exp = pd.DataFrame({
+        "token": probes,
+        "est_cnt": pd.array(
+            [min(int(sketch[r][int(_hash64([f'{r}:{t}'])[0]
+                                   % np.uint64(w))])
+                 for r in range(d)) for t in probes], dtype="int64"),
+        "true_cnt": pd.array([cnt[t] for t in probes], dtype="int64")})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+    assert (got["est_cnt"] >= got["true_cnt"]).all()
+    assert (got["est_cnt"] > got["true_cnt"]).any()   # collisions seen

@@ -34,7 +34,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["connected_components", "pagerank", "hits_counts",
-           "triangle_count", "degree_histogram", "kcore_nodes"]
+           "triangle_count", "degree_histogram", "kcore_nodes",
+           "sssp_rounds"]
 
 
 def _hash_part(ds, key_col: str, n_parts: int = 64):

@@ -308,3 +308,93 @@ def frequent_tokens(ds, text_col: str = "text", r: int = 50):
             pa.scalar(n, pa.int64()))),
         batch_format="pyarrow")
     return out.sort(["cnt", "token"], descending=[True, False])
+
+
+def cms_estimates(ds, text_col: str = "text", d: int = 4, w: int = 1024,
+                  n_probes: int = 24, min_len: int = 4):
+    """Count-min sketch (Cormode & Muthukrishnan 2005, public algorithm)
+    over whitespace tokens, with exact point-query verification.
+
+    The mergeable-sketch shape again: every block condenses its token
+    stream to ONE (d × w) counter array (partial CMS — sketch sum is
+    associative/commutative, so partial + driver fold is deterministic),
+    then point queries read ``min_r sketch[r][h_r(token)]``.  Row hashes
+    are md5-derived (``_hash64`` of ``"r:token"`` — the same md5 upper-64
+    DuckDB exposes as ``md5_number_upper``), which is what lets a SQL
+    replica rebuild the identical sketch and match estimates exactly.
+
+    Probe tokens are data-derived but deterministic: the ``n_probes``
+    lexicographically-smallest distinct tokens of length ≥ ``min_len``
+    (each block emits at most ``n_probes`` candidates, driver merges —
+    bounded rows, never the token set).  Alongside each estimate the
+    exact count of the broadcast probes is recounted (one bounded
+    groupby), so the result exposes the CMS overestimate directly:
+    ``est_cnt >= true_cnt`` always, equal when no bucket collision.
+    Driver state is O(d·w + n_probes) — scale-safe at any corpus size.
+    Returns (token, est_cnt, true_cnt) sorted by token.
+    """
+    import ray
+
+    def _tokens(t: pa.Table) -> pa.Array:
+        toks = pc.list_flatten(pc.utf8_split_whitespace(t[text_col]))
+        return toks.filter(pc.not_equal(toks, "")).combine_chunks()
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = _tokens(t)
+        counts = (pa.table({"token": toks}).group_by("token")
+                  .aggregate([("token", "count")]))
+        tok = counts["token"].combine_chunks().cast(pa.string())
+        cnt = counts["token_count"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        sk = np.zeros((d, w), np.int64)
+        tl = tok.to_pylist()
+        for r in range(d):
+            b = (_hash64([f"{r}:{s}" for s in tl])
+                 % np.uint64(w)).astype(np.int64)
+            np.add.at(sk[r], b, cnt)
+        # probe candidates: block's n_probes smallest long-enough tokens
+        longs = sorted(s for s in set(tl) if len(s) >= min_len)[:n_probes]
+        return pa.table({
+            "kind": pa.array([0] * d + [1] * len(longs), pa.int8()),
+            "row": pa.array(list(range(d)) + [0] * len(longs), pa.int32()),
+            "counters": pa.array([sk[r].tolist() for r in range(d)]
+                                 + [[]] * len(longs),
+                                 pa.list_(pa.int64())),
+            "token": pa.array([""] * d + longs, pa.string()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    sketch = np.zeros((d, w), np.int64)
+    cand = set()
+    for row in parts:
+        if row["kind"] == 0:
+            sketch[row["row"]] += np.asarray(row["counters"], np.int64)
+        else:
+            cand.add(row["token"])
+    probes = sorted(cand)[:n_probes]
+    probe_ref = ray.put(pa.array(probes, pa.string()))
+
+    def recount(t: pa.Table) -> pa.Table:
+        toks = _tokens(t)
+        toks = toks.filter(pc.is_in(toks, value_set=ray.get(probe_ref)))
+        g = (pa.table({"token": toks}).group_by("token")
+             .aggregate([("token", "count")]))
+        return pa.table({
+            "token": g["token"].combine_chunks().cast(pa.string()),
+            "cnt": g["token_count"].combine_chunks().cast(pa.int64())})
+
+    true_cnt: dict = {}
+    for row in ds.map_batches(recount,
+                              batch_format="pyarrow").take_all():
+        true_cnt[row["token"]] = true_cnt.get(row["token"], 0) + row["cnt"]
+
+    ests = []
+    for s in probes:
+        b = (_hash64([f"{r}:{s}" for r in range(d)])
+             % np.uint64(w)).astype(np.int64)
+        ests.append(int(min(sketch[r][b[r]] for r in range(d))))
+    return pd.DataFrame({
+        "token": probes,
+        "est_cnt": pd.array(ests, dtype="int64"),
+        "true_cnt": pd.array([int(true_cnt.get(s, 0)) for s in probes],
+                             dtype="int64")})

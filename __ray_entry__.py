@@ -4450,6 +4450,31 @@ def _q_kcore(sf_dir: str):
                        n_rounds=6)
 
 
+def _q_sssp(sf_dir: str):
+    """Weighted shortest paths on the co-purchase graph
+    (stages/graph.py:sssp_rounds): 6 synchronized Bellman-Ford rounds,
+    pinned edge blocks + broadcast distance vector, source = smallest
+    item, edge weight = (a+b)%9+1 (integer, derivable in SQL).  Oracle
+    = the identical unrolled materialized-CTE relaxation."""
+    import numpy as np
+
+    from vyntr_ray.stages.baskets import pair_edges
+    from vyntr_ray.stages.graph import sssp_rounds
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    edges = pair_edges(ds, "l_orderkey", "l_partkey", min_count=1)
+
+    def wcol(t: pa.Table) -> pa.Table:
+        a = t["item_a"].to_numpy(zero_copy_only=False).astype("int64")
+        b = t["item_b"].to_numpy(zero_copy_only=False).astype("int64")
+        return pa.table({"item_a": pa.array(a, pa.int64()),
+                         "item_b": pa.array(b, pa.int64()),
+                         "w": pa.array((a + b) % 9 + 1, pa.int64())})
+
+    return sssp_rounds(edges.map_batches(wcol, batch_format="pyarrow"),
+                       k=6, u_col="item_a", v_col="item_b", w_col="w")
+
+
 def _q_cdc_apply(sf_dir: str):
     """CDC merge (stages/joins.py:cdc_apply): customer balances as the
     base snapshot, orders as the changelog (status F = delete, else
@@ -4769,6 +4794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_coverage": _q_interval_coverage,
         "window_distinct": _q_window_distinct,
         "cms_freq": _q_cms_freq,
+        "sssp": _q_sssp,
         "token_entropy": _q_token_entropy,
         "ohlc_bars": _q_ohlc_bars,
         "iqr_outliers": _q_iqr_outliers,
@@ -5018,6 +5044,27 @@ def oracle_sql() -> dict[str, str]:
                    UNION ALL SELECT v FROM e{R})
               GROUP BY 1) d ON n.node = d.node
         """)
+    # sssp: unrolled 6-round Bellman-Ford relaxation (MATERIALIZED for
+    # the same exponential-inlining reason as kcore/pagerank); round r
+    # = min(d[r-1], d[r-1] + edge) over the doubled directed edge table
+    sssp_cte = [
+        "li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i"
+        " FROM lineitem)",
+        "p AS MATERIALIZED (SELECT a.i AS u, b.i AS v"
+        " FROM li a JOIN li b ON a.g = b.g AND a.i < b.i GROUP BY 1, 2)",
+        "e AS MATERIALIZED (SELECT u, v, (u + v) % 9 + 1 AS w FROM p"
+        " UNION ALL SELECT v, u, (u + v) % 9 + 1 FROM p)",
+        "d0 AS MATERIALIZED (SELECT min(u)::BIGINT AS node,"
+        " 0::BIGINT AS dist FROM e)"]
+    for r in range(1, 7):
+        sssp_cte.append(
+            f"d{r} AS MATERIALIZED (SELECT node, min(dist)::BIGINT AS dist"
+            f" FROM (SELECT node, dist FROM d{r-1}"
+            f"       UNION ALL SELECT e.v AS node, d.dist + e.w AS dist"
+            f"       FROM d{r-1} d JOIN e ON e.u = d.node)"
+            f" GROUP BY node)")
+    sssp_sql = "WITH " + ",\n".join(sssp_cte) + \
+        "\nSELECT node, dist FROM d6"
     from vyntr_ray.sources.zonemap import zorder_sql_expr
     zexpr = zorder_sql_expr("x", "y", bits=21)
     old_src = ", ".join(f"'{s}'" for s in _OLD_SNAPSHOT_SOURCES)
@@ -5256,6 +5303,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE (n*c - s)*(n*c - s) > 9*(n*q - s*s)
         """,
         "kcore": kcore_sql,
+        "sssp": sssp_sql,
         # CDC merge: last (orderdate, orderkey) change per customer wins,
         # status-F deletes; FULL JOIN keeps pure inserts AND untouched
         # base keys

@@ -119,3 +119,39 @@ def test_cms_estimates_matches_bruteforce():
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
     assert (got["est_cnt"] >= got["true_cnt"]).all()
     assert (got["est_cnt"] > got["true_cnt"]).any()   # collisions seen
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [1, 5])
+def test_sssp_rounds_matches_bruteforce(seed):
+    import ray.data as rd
+
+    from vyntr_ray.stages.graph import sssp_rounds
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n_edges, n_nodes = 400, 60
+    df = pd.DataFrame({
+        "u": rng.integers(0, n_nodes, n_edges).astype("int64"),
+        "v": rng.integers(0, n_nodes, n_edges).astype("int64"),
+        "w": rng.integers(1, 10, n_edges).astype("int64"),
+    })
+    df = df[df["u"] != df["v"]].reset_index(drop=True)
+
+    got = (sssp_rounds(rd.from_pandas(df.copy()).repartition(5), k=6)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+
+    INF = 1 << 62
+    nodes = sorted(set(df["u"]) | set(df["v"]))
+    dist = {x: INF for x in nodes}
+    dist[min(nodes)] = 0
+    for _ in range(6):                      # synchronized rounds
+        snap = dict(dist)
+        for u, v, w in df.itertuples(index=False):
+            if snap[u] < INF:
+                dist[v] = min(dist[v], snap[u] + w)
+            if snap[v] < INF:
+                dist[u] = min(dist[u], snap[v] + w)
+    exp = pd.DataFrame(
+        [(x, d) for x, d in sorted(dist.items()) if d < INF],
+        columns=["node", "dist"]).astype("int64")
+    pd.testing.assert_frame_equal(got.astype("int64"), exp)

@@ -729,3 +729,88 @@ def kcore_nodes(edges_ds, k: int = 3, u_col: str = "u", v_col: str = "v",
     deg = sweep(alive)                  # degree over the final subgraph
     return pa.table({"node": pa.array(nodes[alive], pa.int64()),
                      "degree": pa.array(deg[alive], pa.int64())})
+
+
+def sssp_rounds(edges_ds, k: int = 6, u_col: str = "u", v_col: str = "v",
+                w_col: str = "w", source: int | None = None):
+    """Weighted single-source shortest paths, ``k`` synchronized
+    Bellman-Ford rounds over UNDIRECTED integer-weighted edges — the
+    weighted companion of :func:`bfs_hops` (after round r, dist[v] is
+    the exact shortest distance among paths of ≤ r edges, so a fixed
+    round count is a deterministic contract an unrolled SQL CTE can
+    replay).
+
+    Same fixed-point shape as :func:`pagerank` / :func:`kcore_nodes`:
+    edge blocks pinned once via ``to_arrow_refs``, one raw task per
+    block per round (each relaxes its edges in both directions against
+    the broadcast distance vector and returns per-node candidate
+    minima — bounded by the block's distinct nodes), driver state =
+    the sorted node array + one int64 vector (the pagerank O(V)
+    contract).  Min-fold is order-independent, so the result is
+    deterministic at any parallelism.  Source defaults to the smallest
+    node id.  Returns (node, dist) for nodes reached within k edges.
+    """
+    import ray
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table({"u": t[u_col].cast(pa.int64()),
+                         "v": t[v_col].cast(pa.int64()),
+                         "w": t[w_col].cast(pa.int64())})
+
+    # coalesce before pinning: each ROUND pays one task launch per
+    # block (~0.5 s/wave floor, PERF.md), so k rounds over many small
+    # map_groups output blocks are pure overhead — 2×CPU blocks keep
+    # every core busy while bounding the per-round launch count
+    import ray as _ray
+
+    n_blocks = max(1, 2 * int(_ray.cluster_resources().get("CPU", 8)))
+    edges = (edges_ds.map_batches(norm, batch_format="pyarrow")
+             .repartition(n_blocks).materialize())
+
+    def ends(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.array(np.unique(np.concatenate(
+            [t["u"].to_numpy(), t["v"].to_numpy()])), pa.int64())})
+
+    nodes = np.unique(
+        edges.map_batches(ends, batch_format="pyarrow")
+        .to_pandas()["node"].to_numpy()).astype(np.int64)
+    if len(nodes) == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "dist": pa.array([], pa.int64())})
+    V = len(nodes)
+    INF = np.int64(1) << np.int64(62)
+    dist = np.full(V, INF, np.int64)
+    src = int(nodes.min()) if source is None else int(source)
+    dist[int(np.searchsorted(nodes, src))] = 0
+
+    nref = ray.put(nodes)
+    refs = edges.to_arrow_refs()
+
+    @ray.remote(num_cpus=0.5)
+    def relax(block, nodes_b, dist_b):
+        if block.num_rows == 0:         # empty blocks carry no schema
+            return np.array([], np.int64), np.array([], np.int64)
+        iu = np.searchsorted(nodes_b, block["u"].to_numpy())
+        iv = np.searchsorted(nodes_b, block["v"].to_numpy())
+        w = block["w"].to_numpy().astype(np.int64)
+        big = np.int64(1) << np.int64(62)
+        tgt = np.concatenate([iv, iu])
+        src_d = np.concatenate([dist_b[iu], dist_b[iv]])
+        ok = src_d < big
+        tgt, cand = tgt[ok], src_d[ok] + np.concatenate([w, w])[ok]
+        if len(tgt) == 0:
+            return np.array([], np.int64), np.array([], np.int64)
+        uniq, inv = np.unique(tgt, return_inverse=True)
+        best = np.full(len(uniq), big, np.int64)
+        np.minimum.at(best, inv, cand)
+        return uniq, best
+
+    for _ in range(k):
+        dref = ray.put(dist)
+        for idx, val in ray.get([relax.remote(b, nref, dref)
+                                 for b in refs]):
+            np.minimum.at(dist, idx, val)
+
+    m = dist < INF
+    return pa.table({"node": pa.array(nodes[m], pa.int64()),
+                     "dist": pa.array(dist[m], pa.int64())})

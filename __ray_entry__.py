@@ -698,6 +698,17 @@ def _transitions_counts(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_systematic_sample(sf_dir: str):
+    """Every 10th document in md5(doc_id) order
+    (stages/sampling.py:systematic_sample): fixed-interval sampling via
+    the bucket prefix-sum rank machinery — evenly spaced through the
+    hash order, exactly ceil(n/10) rows, parallelism-invariant."""
+    from vyntr_ray.stages.sampling import systematic_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return systematic_sample(ds, k=10, key_col="doc_id")
+
+
 def _q_cms_freq(sf_dir: str):
     """Count-min sketch point queries over document tokens
     (stages/sketches.py:cms_estimates): d=4 md5-salted rows × w=1024
@@ -4795,6 +4806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_distinct": _q_window_distinct,
         "cms_freq": _q_cms_freq,
         "sssp": _q_sssp,
+        "systematic_sample": _q_systematic_sample,
         "token_entropy": _q_token_entropy,
         "ohlc_bars": _q_ohlc_bars,
         "iqr_outliers": _q_iqr_outliers,
@@ -7337,6 +7349,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         # hash-threshold sampling: 300000 ppm -> int(0.3 * 2^32) = hex
         # 4ccccccc; lowercase-hex string compare == numeric compare
+        # fixed-interval selection in md5 order; (h, doc_id) tiebreak
+        # on both sides (md5 collisions are the only tie source)
+        "systematic_sample": """
+            SELECT doc_id, lang, n_chars FROM documents
+            QUALIFY (row_number() OVER (
+                ORDER BY md5(doc_id::VARCHAR), doc_id) - 1) % 10 = 0
+        """,
         "hash_sample": """
             SELECT doc_id FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '4ccccccc'

@@ -155,3 +155,31 @@ def test_sssp_rounds_matches_bruteforce(seed):
         [(x, d) for x, d in sorted(dist.items()) if d < INF],
         columns=["node", "dist"]).astype("int64")
     pd.testing.assert_frame_equal(got.astype("int64"), exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_systematic_sample_parallelism_invariant():
+    import hashlib
+
+    import ray.data as rd
+
+    from vyntr_ray.stages.sampling import systematic_sample
+
+    n, k = 517, 10
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype="int64"),
+                       "x": np.arange(n, dtype="int64") * 3})
+
+    outs = []
+    for parts in (1, 7):
+        got = (systematic_sample(rd.from_pandas(df.copy())
+                                 .repartition(parts), k=k)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        outs.append(got)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    order = sorted(df["doc_id"],
+                   key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(),
+                                  v))
+    exp = sorted(order[::k])
+    assert outs[0]["doc_id"].tolist() == exp
+    assert len(outs[0]) == (n + k - 1) // k

@@ -34,7 +34,8 @@ import pyarrow.compute as pc
 
 __all__ = ["hash_sample", "token_budget_sample", "weighted_mix",
            "stratified_sample", "pack_sequences", "token_budget_by_group",
-           "shuffle_export", "weighted_sample", "dataset_split"]
+           "shuffle_export", "weighted_sample", "dataset_split",
+           "systematic_sample"]
 
 _WS_TOKEN = re.compile(r"\S+")
 
@@ -485,3 +486,52 @@ def dataset_split(ds, key_col: str = "doc_id",
                          "split": pa.array(lab, pa.string())})
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def systematic_sample(ds, k: int = 10, key_col: str = "doc_id",
+                      n_buckets: int = 64):
+    """Every k-th row in deterministic md5(key) order — the systematic
+    (fixed-interval) sampling design: exactly ``ceil(n/k)`` rows, evenly
+    spaced through the hash-shuffled population (better variance than
+    Bernoulli :func:`hash_sample` for ordered estimators, and
+    parallelism-invariant because the order is data-derived, not
+    scheduler-derived).
+
+    Global ranks come from the :func:`token_budget_sample` prefix-sum
+    shape: bucket = md5 high bits (a true PREFIX, so bucket order IS
+    hash order), per-bucket COUNTS fold to O(n_buckets) driver offsets,
+    then one hash-group pass sorts each bucket locally by (h, key) and
+    keeps rows whose ``offset + local_index ≡ 0 (mod k)``.  No global
+    sort, no driver row set.  Returns the sampled rows (all input
+    columns).
+    """
+    import numpy as np
+    import ray
+
+    def meta(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        hs = _md5_hex(keys)
+        buckets = [int(h[:4], 16) // (65536 // n_buckets) for h in hs]
+        return (batch.append_column("_h", pa.array(hs, pa.string()))
+                .append_column("_bucket", pa.array(buckets, pa.int32())))
+
+    assert 65536 % n_buckets == 0, "n_buckets must divide 65536"
+    withh = ds.map_batches(meta, batch_format="pyarrow").materialize()
+
+    counts = {int(r["_bucket"]): int(r["count()"])
+              for r in withh.groupby("_bucket").count().take_all()}
+    offsets, acc = {}, 0
+    for b in range(n_buckets):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+    off_ref = ray.put(offsets)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["_bucket"].iloc[0])
+        g = g.sort_values(["_h", key_col], kind="mergesort")
+        idx = np.arange(len(g), dtype=np.int64) + ray.get(off_ref)[b]
+        return (g[(idx % k) == 0]
+                .drop(columns=["_h", "_bucket"]).reset_index(drop=True))
+
+    return withh.groupby("_bucket").map_groups(per_bucket,
+                                               batch_format="pandas")

@@ -698,6 +698,32 @@ def _transitions_counts(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_lift_table(sf_dir: str):
+    """Decile gains table over orders: NTILE(10) by (total price DESC,
+    orderkey), per-decile exact order count / centi revenue / urgent
+    count (stages/dataset_tools.py:lift_table — rank_select boundary
+    broadcast, O(q×blocks) driver partials)."""
+    import pyarrow.compute as pc
+
+    from vyntr_ray.stages.dataset_tools import lift_table
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_totalprice", "o_orderpriority"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "centi": pc.cast(_round_ha(pc.multiply(
+                t["o_totalprice"], pa.scalar(100.0))), pa.int64()),
+            "urgent": pc.cast(pc.equal(t["o_orderpriority"],
+                                       pa.scalar("1-URGENT")),
+                              pa.int64())})
+
+    return lift_table(ds.map_batches(prep, batch_format="pyarrow"),
+                      value_col="centi", flag_col="urgent",
+                      key_col="o_orderkey", q=10)
+
+
 def _q_systematic_sample(sf_dir: str):
     """Every 10th document in md5(doc_id) order
     (stages/sampling.py:systematic_sample): fixed-interval sampling via
@@ -4807,6 +4833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_freq": _q_cms_freq,
         "sssp": _q_sssp,
         "systematic_sample": _q_systematic_sample,
+        "lift_table": _q_lift_table,
         "token_entropy": _q_token_entropy,
         "ohlc_bars": _q_ohlc_bars,
         "iqr_outliers": _q_iqr_outliers,
@@ -7349,6 +7376,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         # hash-threshold sampling: 300000 ppm -> int(0.3 * 2^32) = hex
         # 4ccccccc; lowercase-hex string compare == numeric compare
+        # NTILE(10) over (price DESC, key) — identical tie handling via
+        # the orderkey tiebreak; exact centi-int revenue per decile
+        "lift_table": """
+            WITH o AS (SELECT o_orderkey,
+                              round(o_totalprice * 100)::BIGINT AS centi,
+                              CASE WHEN o_orderpriority = '1-URGENT'
+                                   THEN 1 ELSE 0 END AS urgent
+                       FROM orders),
+            t AS (SELECT *, ntile(10) OVER (
+                      ORDER BY centi DESC, o_orderkey) AS tile
+                  FROM o)
+            SELECT tile::BIGINT AS tile, count(*)::BIGINT AS n,
+                   sum(centi)::BIGINT AS sum_value,
+                   sum(urgent)::BIGINT AS n_flag
+            FROM t GROUP BY tile
+        """,
         # fixed-interval selection in md5 order; (h, doc_id) tiebreak
         # on both sides (md5 collisions are the only tie source)
         "systematic_sample": """

@@ -153,7 +153,7 @@ def bench_queries(repeats: int = 2) -> dict:
              "novelty_scores", "winsorized_stats", "nearest_join",
              "rolling_median",
              "event_markov", "interval_coverage", "window_distinct",
-             "cms_freq", "sssp", "systematic_sample"]
+             "cms_freq", "sssp", "systematic_sample", "lift_table"]
     qs = em.queries()
     out = {}
     for _ in range(max(1, repeats)):

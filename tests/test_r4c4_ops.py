@@ -183,3 +183,34 @@ def test_systematic_sample_parallelism_invariant():
     exp = sorted(order[::k])
     assert outs[0]["doc_id"].tolist() == exp
     assert len(outs[0]) == (n + k - 1) // k
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lift_table_matches_bruteforce():
+    import ray.data as rd
+
+    from vyntr_ray.stages.dataset_tools import lift_table
+
+    rng = np.random.Generator(np.random.PCG64(21))
+    n, q = 503, 10                      # non-divisible -> uneven tiles
+    df = pd.DataFrame({
+        "k": np.arange(n, dtype="int64"),
+        "v": rng.integers(0, 40, n).astype("int64"),   # heavy ties
+        "f": rng.integers(0, 2, n).astype("int64"),
+    })
+
+    got = lift_table(rd.from_pandas(df.copy()).repartition(7),
+                     value_col="v", flag_col="f", key_col="k", q=q)
+
+    o = df.sort_values(["v", "k"], ascending=[False, True]) \
+        .reset_index(drop=True)
+    base, rem = divmod(n, q)
+    tiles = np.concatenate([np.full(base + (1 if i < rem else 0), i + 1)
+                            for i in range(q)])
+    o["tile"] = tiles
+    exp = (o.groupby("tile", as_index=False)
+           .agg(n=("v", "size"), sum_value=("v", "sum"),
+                n_flag=("f", "sum")))
+    for c in exp.columns:
+        exp[c] = exp[c].astype("int64")
+    pd.testing.assert_frame_equal(got, exp)

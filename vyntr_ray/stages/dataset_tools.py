@@ -22,7 +22,7 @@ __all__ = ["topk_largest", "remove_largest", "group_quantiles",
            "histogram_fixed", "skyline", "cube_counts", "table_profile",
            "group_sum", "group_fold", "grouping_sets", "pivot_sum",
            "iqr_outliers", "key_skew", "group_topk_ties",
-           "chi2_independence", "winsorized_stats"]
+           "chi2_independence", "winsorized_stats", "lift_table"]
 
 
 def topk_largest(ds, k: int = 100, length_col: str = "n_chars",
@@ -1025,3 +1025,62 @@ def winsorized_stats(ds, group_col: str, value_col: str,
         "n_clipped": pa.array([acc[k][1] for k in keys], pa.int64()),
         "wsum": pa.array([acc[k][2] for k in keys], pa.int64()),
     })
+
+
+def lift_table(ds, value_col: str, flag_col: str, key_col: str,
+               q: int = 10):
+    """Decile lift/gains table: global NTILE(q) by (value DESC, key
+    ASC), then exact per-tile (n, sum_value, n_flag) — the model-eval
+    table behind gains charts and campaign-targeting cuts ("the top
+    decile holds X% of conversions").
+
+    Fully distributed at every step (the :func:`rfm_segments` shape):
+    NTILE boundary rows come from :func:`rank_select` over (−value,
+    key) — the driver holds only q−1 boundary pairs, never data rows —
+    then every tile label is a vectorized two-key comparison and the
+    per-tile sums fold as O(q × blocks) bounded partials.  value/flag
+    must already be exact int64 (centi-scaled money, 0/1 flags).
+    Returns (tile, n, sum_value, n_flag) sorted by tile, one row per
+    non-empty tile.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    def neg(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: t[key_col].cast(pa.int64()),
+            "_neg": pc.multiply(t[value_col].cast(pa.int64()),
+                                pa.scalar(-1, pa.int64())),
+            "_flag": t[flag_col].cast(pa.int64())})
+
+    prep = ds.map_batches(neg, batch_format="pyarrow").materialize()
+    n = prep.count()
+    if n == 0:
+        return pd.DataFrame({c: pd.array([], dtype="int64")
+                             for c in ("tile", "n", "sum_value",
+                                       "n_flag")})
+    cuts = _ntile_cut_ranks(n, q)
+    rows = rank_select(prep, ["_neg", key_col], cuts)
+    bounds = [(int(r["_neg"]), int(r[key_col])) for r in rows]
+    bref = ray.put(bounds)
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        x = t["_neg"].to_numpy()
+        k = t[key_col].to_numpy()
+        tl = np.ones(len(x), np.int64)
+        for bx, bk in b:
+            tl += ((x > bx) | ((x == bx) & (k > bk))).astype(np.int64)
+        agg = (pd.DataFrame({"tile": tl, "n": 1, "sum_value": -x,
+                             "n_flag": t["_flag"].to_numpy()})
+               .groupby("tile", as_index=False).sum())
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts = pd.DataFrame(
+        prep.map_batches(partial, batch_format="pyarrow").take_all())
+    out = (parts.groupby("tile", as_index=False).sum()
+           .sort_values("tile").reset_index(drop=True))
+    for c in ("tile", "n", "sum_value", "n_flag"):
+        out[c] = out[c].astype("int64")
+    return out

@@ -698,6 +698,33 @@ def _transitions_counts(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_hll_intersect(sf_dir: str):
+    """Viewer∩purchaser overlap via HLL inclusion-exclusion
+    (stages/sketches.py:hll_intersect): three p=12 register partials
+    per block, driver max-fold O(3·4096) — the overlap question with
+    no distinct-pair shuffle.  SQL rebuilds all three estimates from
+    md5_number_upper bit tests (the distinct_users_hll replica)."""
+    from vyntr_ray.stages.sketches import hll_intersect
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return hll_intersect(ds, "event_type", "user_id",
+                         ga="view", gb="purchase")
+
+
+def _q_locf_fill(sf_dir: str):
+    """Daily LOCF resample of event values per user
+    (stages/windows.py:locf_fill): spine from first to last observed
+    day, centi value carried forward from the latest (ts, id)-ordered
+    event — exact ints, one hash-partition shuffle, vectorized spine +
+    searchsorted sweep."""
+    from vyntr_ray.stages.windows import locf_fill
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+    return locf_fill(ds, key_col="user_id", ts_col="ts",
+                     id_col="event_id", val_col="value")
+
+
 def _q_lift_table(sf_dir: str):
     """Decile gains table over orders: NTILE(10) by (total price DESC,
     orderkey), per-decile exact order count / centi revenue / urgent
@@ -2014,6 +2041,17 @@ def _q_bfs_hops(sf_dir: str):
     seeds = (_read(sf_dir, "documents", columns=["doc_id"])
              .map_batches(to_seeds, batch_format="pyarrow"))
     return bfs_hops(_doc_graph_edges(sf_dir), seeds, k=4)
+
+
+def _q_itemsets3(sf_dir: str):
+    """Apriori level 3: top-50 co-purchased part TRIPLES
+    (stages/baskets.py:itemsets3 — per-basket triple partials, one
+    first-item hash-partition fold, bounded top-k partials).  Tie-break
+    (n DESC, a, b, c) mirrored in the oracle's LIMIT."""
+    from vyntr_ray.stages.baskets import itemsets3
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    return itemsets3(ds, "l_orderkey", "l_partkey", min_count=1, k=50)
 
 
 def _q_basket_pairs(sf_dir: str):
@@ -4834,6 +4872,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp": _q_sssp,
         "systematic_sample": _q_systematic_sample,
         "lift_table": _q_lift_table,
+        "locf_fill": _q_locf_fill,
+        "itemsets3": _q_itemsets3,
+        "hll_intersect": _q_hll_intersect,
         "token_entropy": _q_token_entropy,
         "ohlc_bars": _q_ohlc_bars,
         "iqr_outliers": _q_iqr_outliers,
@@ -5083,6 +5124,52 @@ def oracle_sql() -> dict[str, str]:
                    UNION ALL SELECT v FROM e{R})
               GROUP BY 1) d ON n.node = d.node
         """)
+    # hll_intersect: the distinct_users_hll register replica (p=12),
+    # parameterized by WHERE clause and evaluated three times (A, B,
+    # union) for the inclusion-exclusion overlap
+    def _hll_est(where: str) -> str:
+        return f"""(WITH h AS (
+                SELECT DISTINCT md5_number_upper(user_id::VARCHAR) AS hv
+                FROM events WHERE {where}),
+            r AS (
+                SELECT (hv >> 52)::BIGINT AS idx,
+                       CASE WHEN (hv & ((1::UBIGINT << 52) - 1)) = 0
+                            THEN 53
+                            ELSE 52 - (SELECT max(b.b)
+                                       FROM (SELECT unnest(
+                                            generate_series(0, 51)) AS b) b
+                                       WHERE ((hv & ((1::UBIGINT << 52)
+                                                     - 1))
+                                              >> b.b) & 1 = 1)
+                       END AS rank
+                FROM h),
+            regs AS (SELECT idx, max(rank) AS reg FROM r GROUP BY idx),
+            den AS (SELECT sum(power(2.0::DOUBLE, -reg))
+                               + (4096 - count(*))::DOUBLE AS denom,
+                           (4096 - count(*))::BIGINT AS zeros
+                    FROM regs),
+            est AS (SELECT (0.7213::DOUBLE / (1.0::DOUBLE
+                                + 1.079::DOUBLE / 4096.0::DOUBLE))
+                               * 4096.0::DOUBLE * 4096.0::DOUBLE / denom
+                               AS raw,
+                           zeros
+                    FROM den)
+            SELECT CAST(round(CASE WHEN raw <= 2.5::DOUBLE
+                                        * 4096.0::DOUBLE
+                                        AND zeros > 0
+                                   THEN 4096.0::DOUBLE
+                                        * ln(4096.0::DOUBLE / zeros)
+                                   ELSE raw END) AS BIGINT)
+            FROM est)"""
+
+    hll_intersect_sql = f"""
+        SELECT ea AS est_a, eb AS est_b, eu AS est_union,
+               ea + eb - eu AS est_intersect
+        FROM (SELECT {_hll_est("event_type = 'view'")} AS ea,
+                     {_hll_est("event_type = 'purchase'")} AS eb,
+                     {_hll_est("event_type IN ('view', 'purchase')")}
+                         AS eu)
+    """
     # sssp: unrolled 6-round Bellman-Ford relaxation (MATERIALIZED for
     # the same exponential-inlining reason as kcore/pagerank); round r
     # = min(d[r-1], d[r-1] + edge) over the doubled directed edge table
@@ -5343,6 +5430,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore": kcore_sql,
         "sssp": sssp_sql,
+        "hll_intersect": hll_intersect_sql,
         # CDC merge: last (orderdate, orderkey) change per customer wins,
         # status-F deletes; FULL JOIN keeps pure inserts AND untouched
         # base keys
@@ -5710,6 +5798,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(s) AS start_us, max(e) AS end_us,
                    count(*)::BIGINT AS n_iv
             FROM g GROUP BY user_id, grp
+        """,
+        # LOCF daily spine: last event per (user, day) by (ts, id),
+        # generate_series span, IGNORE NULLS running carry-forward
+        "locf_fill": """
+            WITH e AS (SELECT user_id,
+                              epoch_us(ts) // 86400000000 AS d,
+                              ts, event_id,
+                              round(value * 100)::BIGINT AS centi
+                       FROM events),
+            led AS (SELECT user_id, d, centi FROM e
+                    QUALIFY row_number() OVER (
+                        PARTITION BY user_id, d
+                        ORDER BY ts DESC, event_id DESC) = 1),
+            span AS (SELECT user_id, min(d) AS lo, max(d) AS hi
+                     FROM led GROUP BY user_id),
+            spine AS (SELECT user_id,
+                             unnest(generate_series(lo, hi)) AS d
+                      FROM span),
+            j AS (SELECT sp.user_id, sp.d, l.centi
+                  FROM spine sp LEFT JOIN led l
+                       ON sp.user_id = l.user_id AND sp.d = l.d)
+            SELECT user_id, d * 86400000000 AS day_us,
+                   last_value(centi IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY d
+                       ROWS UNBOUNDED PRECEDING)::BIGINT AS centi
+            FROM j
         """,
         # same island CTE as merge_intervals, then per-user aggregates
         "interval_coverage": """
@@ -6661,6 +6775,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         # market-basket pair counts; deterministic top-100 tie-break
         # (n DESC, item_a, item_b) on both sides
+        "itemsets3": """
+            WITH li AS (SELECT DISTINCT l_orderkey AS g,
+                                        l_partkey AS i FROM lineitem)
+            SELECT a.i AS item_a, b.i AS item_b, c.i AS item_c,
+                   count(*)::BIGINT AS n
+            FROM li a JOIN li b ON a.g = b.g AND a.i < b.i
+                 JOIN li c ON b.g = c.g AND b.i < c.i
+            GROUP BY 1, 2, 3
+            ORDER BY n DESC, item_a, item_b, item_c
+            LIMIT 50
+        """,
         "basket_pairs": """
             WITH li AS (SELECT DISTINCT l_orderkey AS g,
                                         l_partkey AS i FROM lineitem)

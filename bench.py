@@ -153,7 +153,8 @@ def bench_queries(repeats: int = 2) -> dict:
              "novelty_scores", "winsorized_stats", "nearest_join",
              "rolling_median",
              "event_markov", "interval_coverage", "window_distinct",
-             "cms_freq", "sssp", "systematic_sample", "lift_table"]
+             "cms_freq", "sssp", "systematic_sample", "lift_table",
+             "locf_fill", "itemsets3", "hll_intersect"]
     qs = em.queries()
     out = {}
     for _ in range(max(1, repeats)):

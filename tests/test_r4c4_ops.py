@@ -214,3 +214,109 @@ def test_lift_table_matches_bruteforce():
     for c in exp.columns:
         exp[c] = exp[c].astype("int64")
     pd.testing.assert_frame_equal(got, exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [2, 9])
+def test_locf_fill_matches_bruteforce(seed):
+    import ray.data as rd
+
+    from vyntr_ray.stages.windows import locf_fill
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n, day = 400, 86_400_000_000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype="int64"),
+        "user_id": rng.integers(0, 25, n).astype("int64"),
+        "ts": pd.to_datetime(rng.integers(0, 15 * day, n), unit="us"),
+        "value": rng.normal(0, 3, n),
+    })
+    # ts ties forcing the id tie-break
+    df.loc[1, "ts"] = df.loc[0, "ts"]
+    df.loc[1, "user_id"] = df.loc[0, "user_id"]
+
+    got = (locf_fill(rd.from_pandas(df.copy()).repartition(6),
+                     n_parts=5)
+           .to_pandas().sort_values(["user_id", "day_us"])
+           .reset_index(drop=True))
+
+    rows = []
+    for u, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        us = g["ts"].astype("int64") // 1000
+        d = (us // day).to_numpy()
+        centi = np.array([round(abs(v) * 100) * (1 if v >= 0 else -1)
+                          for v in g["value"]], dtype="int64")
+        last = {}
+        for dd, vc in zip(d, centi):
+            last[dd] = vc                      # (ts, id)-last wins
+        cur = None
+        for dd in range(d.min(), d.max() + 1):
+            if dd in last:
+                cur = last[dd]
+            rows.append((u, dd * day, cur))
+    exp = (pd.DataFrame(rows, columns=["user_id", "day_us", "centi"])
+           .astype("int64").sort_values(["user_id", "day_us"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype("int64"), exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_itemsets3_matches_bruteforce():
+    from collections import Counter
+    from itertools import combinations
+
+    import ray.data as rd
+
+    from vyntr_ray.stages.baskets import itemsets3
+
+    rng = np.random.Generator(np.random.PCG64(13))
+    n = 800
+    df = pd.DataFrame({
+        "g": rng.integers(0, 120, n).astype("int64"),
+        "i": rng.integers(0, 30, n).astype("int64"),
+    })
+
+    got = itemsets3(rd.from_pandas(df.copy()).repartition(6),
+                    "g", "i", min_count=1, k=40)
+
+    cnt = Counter()
+    for _, grp in df.groupby("g"):
+        for tri in combinations(sorted(set(grp["i"])), 3):
+            cnt[tri] += 1
+    rows = sorted(((n_, a, b, c) for (a, b, c), n_ in cnt.items()),
+                  key=lambda t: (-t[0], t[1], t[2], t[3]))[:40]
+    exp = pd.DataFrame({
+        "item_a": pd.array([r[1] for r in rows], dtype="int64"),
+        "item_b": pd.array([r[2] for r in rows], dtype="int64"),
+        "item_c": pd.array([r[3] for r in rows], dtype="int64"),
+        "n": pd.array([r[0] for r in rows], dtype="int64")})
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_intersect_accuracy_and_invariance():
+    import ray.data as rd
+
+    from vyntr_ray.stages.sketches import hll_intersect
+
+    rng = np.random.Generator(np.random.PCG64(4))
+    # A = 0..2999, B = 2000..4999 -> true intersection 1000
+    a = rng.permutation(np.arange(3000))
+    b = rng.permutation(np.arange(2000, 5000))
+    df = pd.DataFrame({
+        "t": ["A"] * len(a) + ["B"] * len(b),
+        "v": np.concatenate([a, b]).astype("int64")})
+
+    outs = []
+    for parts in (1, 9):
+        outs.append(hll_intersect(
+            rd.from_pandas(df.copy()).repartition(parts),
+            "t", "v", ga="A", gb="B"))
+    pd.testing.assert_frame_equal(outs[0], outs[1])  # blocking-invariant
+
+    r = outs[0].iloc[0]
+    assert abs(r["est_a"] - 3000) < 3000 * 0.06
+    assert abs(r["est_b"] - 3000) < 3000 * 0.06
+    assert abs(r["est_union"] - 5000) < 5000 * 0.06
+    assert r["est_intersect"] == r["est_a"] + r["est_b"] - r["est_union"]

@@ -29,7 +29,8 @@ import pyarrow as pa
 
 from .windows import _by_part
 
-__all__ = ["basket_pairs", "pair_edges", "assoc_rules"]
+__all__ = ["basket_pairs", "pair_edges", "assoc_rules",
+           "itemsets3"]
 
 
 def pair_edges(ds, group_col: str, item_col: str, min_count: int = 1,
@@ -162,3 +163,57 @@ def assoc_rules(ds, group_col: str, item_col: str, k: int = 50,
         "lift_micro": pa.array(
             nab * int(n_baskets) * 1_000_000 // (na * nb), pa.int64()),
     })
+
+
+def itemsets3(ds, group_col: str, item_col: str, min_count: int = 1,
+              k: int = 50) -> pd.DataFrame:
+    """Top-k frequent 3-itemsets by (n DESC, a, b, c) — the Apriori
+    level above :func:`basket_pairs`.
+
+    Same two-shuffle shape: baskets co-located by one hash partition,
+    triples generated per basket via a double self-merge with the
+    ``a < b < c`` ordering (O(m³) per basket, bounded by the small-
+    basket domain contract documented at module top), pre-aggregated
+    per partition so the second shuffle (route by ``a``) carries
+    triple-count PARTIALS, then bounded per-block top-k partials reach
+    the driver (never the triple table).
+    """
+    import pyarrow as pa
+
+    def triples_partial(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[[group_col, item_col]].drop_duplicates()
+        m = d.merge(d, on=group_col).merge(d, on=group_col)
+        a, b, c = (item_col + "_x", item_col + "_y", item_col)
+        m = m[(m[a] < m[b]) & (m[b] < m[c])]
+        out = (m.groupby([a, b, c], as_index=False).size()
+               .rename(columns={a: "item_a", b: "item_b", c: "item_c",
+                                "size": "n"}))
+        return out
+
+    partials = (_by_part(ds, group_col, n_parts=64).groupby("_part")
+                .map_groups(lambda g: triples_partial(
+                    g.drop(columns="_part")), batch_format="pandas"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["item_a", "item_b", "item_c"], as_index=False)
+               ["n"].sum())
+        out["n"] = out["n"].astype("int64")
+        return out[out["n"] >= min_count]
+
+    counts = (_by_part(partials, "item_a", n_parts=32).groupby("_part")
+              .map_groups(lambda g: fold(g.drop(columns="_part")),
+                          batch_format="pandas"))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["n", "item_a", "item_b", "item_c"],
+            ascending=[False, True, True, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = counts.map_batches(local_topk,
+                               batch_format="pyarrow").take_all()
+    df = pd.DataFrame(parts).sort_values(
+        ["n", "item_a", "item_b", "item_c"],
+        ascending=[False, True, True, True]).head(k).reset_index(drop=True)
+    df["n"] = df["n"].astype("int64")
+    return df

@@ -34,7 +34,8 @@ from ..rounding import iround_half_away
 
 __all__ = ["hll_sketch_batch", "hll_count_distinct", "group_count_distinct",
            "tdigest_batch", "tdigest_merge", "tdigest_quantile",
-           "group_quantiles_tdigest", "frequent_tokens", "cms_estimates"]
+           "group_quantiles_tdigest", "frequent_tokens", "cms_estimates",
+           "hll_intersect"]
 
 
 def _alpha(m: int) -> float:
@@ -398,3 +399,45 @@ def cms_estimates(ds, text_col: str = "text", d: int = 4, w: int = 1024,
         "est_cnt": pd.array(ests, dtype="int64"),
         "true_cnt": pd.array([int(true_cnt.get(s, 0)) for s in probes],
                              dtype="int64")})
+
+
+def hll_intersect(ds, group_col: str, value_col: str, ga, gb,
+                  p: int = 12):
+    """HLL set algebra: approximate |A|, |B|, |A∪B| and the
+    inclusion-exclusion intersection |A∩B| ≈ |A|+|B|−|A∪B| for two
+    key populations (e.g. "users who viewed AND purchased") — the
+    sketch-union trick that answers overlap questions without a
+    distinct-pair shuffle.
+
+    One pass: every block emits THREE register partials (A, B, union
+    — the union sketch is the element-wise max of the others' inputs,
+    built directly so merge stays one shape), driver folds by register
+    max (O(3·2^p)).  Estimates round half-away like the SQL oracle's
+    ``round``; the intersection is exact integer arithmetic on the
+    three estimates.  Returns one row (est_a, est_b, est_union,
+    est_intersect).
+    """
+    def partial(b: pa.Table) -> pa.Table:
+        g = b[group_col].to_pylist()
+        v = b[value_col].to_pylist()
+        va = [x for x, t in zip(v, g) if t == ga]
+        vb = [x for x, t in zip(v, g) if t == gb]
+        return pa.table({
+            "which": pa.array([0, 1, 2], pa.int8()),
+            "sketch": pa.array([hll_sketch_batch(va, p).tobytes(),
+                                hll_sketch_batch(vb, p).tobytes(),
+                                hll_sketch_batch(va + vb, p).tobytes()],
+                               pa.binary())})
+
+    m = 1 << p
+    regs = [np.zeros(m, np.uint8) for _ in range(3)]
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        np.maximum(regs[r["which"]],
+                   np.frombuffer(r["sketch"], np.uint8),
+                   out=regs[r["which"]])
+    ea, eb, eu = (_estimate(r) for r in regs)
+    return pd.DataFrame({
+        "est_a": pd.array([ea], dtype="int64"),
+        "est_b": pd.array([eb], dtype="int64"),
+        "est_union": pd.array([eu], dtype="int64"),
+        "est_intersect": pd.array([ea + eb - eu], dtype="int64")})

@@ -33,7 +33,7 @@ __all__ = ["tumbling", "sliding", "sessionize", "rolling_sum",
            "group_mad", "last_touch", "watermark_filter",
            "next_event_gap", "session_path_partials", "ohlc_bars",
            "rolling_outliers", "rolling_median", "interval_coverage",
-           "window_distinct"]
+           "window_distinct", "locf_fill"]
 
 _US = 1_000_000
 
@@ -1180,6 +1180,72 @@ def rolling_median(ds, k: int = 5, key_col: str = "user_id",
         return pd.DataFrame({id_col: f[id_col].to_numpy(),
                              key_col: f[key_col].to_numpy(),
                              "med_centi": med.to_numpy().astype("int64")})
+
+    return _by_part(ds, key_col, n_parts=n_parts).groupby("_part").map_groups(
+        lambda g: per_part(g.drop(columns="_part")), batch_format="pandas")
+
+
+def locf_fill(ds, key_col: str = "user_id", ts_col: str = "ts",
+              id_col: str = "event_id", val_col: str = "value",
+              period_us: int = 86_400_000_000, n_parts: int = 64):
+    """Last-observation-carried-forward resample: one row per (key,
+    period) from the key's first to last observed period, valued at the
+    latest event on-or-before it ((ts, id)-ordered — deterministic
+    under ts ties) — the gap-fill semantics a feature store / sensor
+    rollup needs where :func:`gap_fill_months` zero-fill is wrong.
+
+    One hash-partition shuffle, then a fully vectorized sweep per
+    partition: last event per (key, period) via one sorted groupby,
+    per-key spines materialized with the arange-offset trick, and the
+    carry-forward lookup as ONE ``np.searchsorted`` over a dense
+    (key_code · span + period) composite (spines start at each key's
+    first period, so every probe lands inside its own key's range).
+    Output rows are O(keys × calendar span) — the spine's inherent
+    size, never more.  Values centi-scaled half-away (exact int64).
+    Returns (key, day_us, centi).
+    """
+    from ..rounding import round_half_away
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+        df = pd.DataFrame({
+            "k": g[key_col].to_numpy(),
+            "d": us // period_us,
+            "us": us,
+            "id": g[id_col].to_numpy(),
+            "vc": round_half_away(
+                g[val_col].to_numpy().astype(np.float64) * 100.0)
+            .astype("int64"),
+        }).sort_values(["k", "d", "us", "id"], kind="mergesort")
+        led = df.groupby(["k", "d"], sort=True)["vc"].last().reset_index()
+        if led.empty:
+            return pd.DataFrame({key_col: pd.Series(dtype="object"),
+                                 "day_us": pd.array([], dtype="int64"),
+                                 "centi": pd.array([], dtype="int64")})
+        codes, uniq = pd.factorize(led["k"], sort=True)
+        ld = led["d"].to_numpy()
+        lv = led["vc"].to_numpy()
+        span = pd.DataFrame({"c": codes, "d": ld}).groupby("c")["d"] \
+            .agg(["min", "max"])
+        lo = span["min"].to_numpy()
+        n_days = (span["max"] - span["min"] + 1).to_numpy()
+        total = int(n_days.sum())
+        starts = np.concatenate([[0], np.cumsum(n_days)[:-1]])
+        krep = np.repeat(np.arange(len(lo)), n_days)
+        drep = (np.arange(total) - np.repeat(starts, n_days)
+                + np.repeat(lo, n_days))
+        # composite keys are monotone in (code, day); side='right'-1 =
+        # the key's latest led row on-or-before the spine day
+        width = int(max(ld.max(), drep.max()) - min(ld.min(),
+                                                    drep.min()) + 1)
+        base = int(min(ld.min(), drep.min()))
+        led_key = codes.astype(np.int64) * width + (ld - base)
+        spine_key = krep.astype(np.int64) * width + (drep - base)
+        pos = np.searchsorted(led_key, spine_key, side="right") - 1
+        return pd.DataFrame({
+            key_col: uniq[krep],
+            "day_us": (drep * period_us).astype("int64"),
+            "centi": lv[pos].astype("int64")})
 
     return _by_part(ds, key_col, n_parts=n_parts).groupby("_part").map_groups(
         lambda g: per_part(g.drop(columns="_part")), batch_format="pandas")

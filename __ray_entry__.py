@@ -2043,6 +2043,20 @@ def _q_bfs_hops(sf_dir: str):
     return bfs_hops(_doc_graph_edges(sf_dir), seeds, k=4)
 
 
+def _q_degree_assortativity(sf_dir: str):
+    """Hub-mixing diagnostic of the co-purchase graph
+    (stages/graph.py:degree_assortativity): Pearson corr of endpoint
+    degrees over symmetrized edges — exact integer sufficient stats
+    (Python-int driver fold, HUGEINT in SQL), one shared final
+    division, round(…, 6) bit-for-bit."""
+    from vyntr_ray.stages.baskets import pair_edges
+    from vyntr_ray.stages.graph import degree_assortativity
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    edges = pair_edges(ds, "l_orderkey", "l_partkey", min_count=1)
+    return degree_assortativity(edges, u_col="item_a", v_col="item_b")
+
+
 def _q_itemsets3(sf_dir: str):
     """Apriori level 3: top-50 co-purchased part TRIPLES
     (stages/baskets.py:itemsets3 — per-basket triple partials, one
@@ -2373,6 +2387,50 @@ def _q_query_counts_merge(sf_dir: str):
     from ray.data.aggregate import Sum
     return base.union(inc).groupby("event_type").aggregate(
         Sum("n", alias_name="count"))
+
+
+def _q_trending_items(sf_dir: str):
+    """Trending items: top-5 JSON prop values per day by day-over-day
+    count growth (n − n at day−1, 0 when absent) — the "what's rising"
+    leaderboard.  (day × k) is CONSTANT-bounded, so the partial counts
+    fold zero-shuffle on the driver (_sum_keyed_partials rule); the
+    calendar self-join + rank run on O(days·items) rows."""
+    import re
+
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", columns=["ts", "props"])
+    pat = re.compile(r'"k":\s*(\d+)')
+    day = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(t["ts"], pa.int64()),
+                      pa.scalar(day, pa.int64())).to_numpy()
+        ks = [int(m.group(1)) if (m := pat.search(p or "")) else 0
+              for p in t["props"].to_pylist()]
+        agg = (pd.DataFrame({"d": d, "k": ks}).groupby(["d", "k"])
+               .size().rename("n").reset_index())
+        return pa.Table.from_pandas(agg.astype("int64"),
+                                    preserve_index=False)
+
+    g = _sum_keyed_partials(ds.map_batches(partial,
+                                           batch_format="pyarrow"),
+                            ["d", "k"], ["n"])
+    prev = g.rename(columns={"n": "n_prev"}).copy()
+    prev["d"] = prev["d"] + 1
+    m = g.merge(prev, on=["d", "k"], how="left")
+    m["n_prev"] = m["n_prev"].fillna(0).astype("int64")
+    m["growth"] = (m["n"] - m["n_prev"]).astype("int64")
+    m = m.sort_values(["d", "growth", "k"],
+                      ascending=[True, False, True])
+    top = m.groupby("d", as_index=False).head(5)
+    return pd.DataFrame({
+        "day_us": (top["d"] * day).astype("int64").to_numpy(),
+        "k": top["k"].to_numpy(),
+        "n": top["n"].to_numpy(),
+        "n_prev": top["n_prev"].to_numpy(),
+        "growth": top["growth"].to_numpy()})
 
 
 def _q_event_json(sf_dir: str):
@@ -4875,6 +4933,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "locf_fill": _q_locf_fill,
         "itemsets3": _q_itemsets3,
         "hll_intersect": _q_hll_intersect,
+        "degree_assortativity": _q_degree_assortativity,
+        "trending_items": _q_trending_items,
         "token_entropy": _q_token_entropy,
         "ohlc_bars": _q_ohlc_bars,
         "iqr_outliers": _q_iqr_outliers,
@@ -6775,6 +6835,49 @@ def oracle_sql() -> dict[str, str]:
         """,
         # market-basket pair counts; deterministic top-100 tie-break
         # (n DESC, item_a, item_b) on both sides
+        # day-over-day growth leaderboard; missing previous day = 0
+        "trending_items": """
+            WITH e AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                              coalesce(json_extract(props,
+                                  '$.k')::BIGINT, 0) AS k
+                       FROM events),
+            c AS (SELECT d, k, count(*)::BIGINT AS n FROM e
+                  GROUP BY 1, 2),
+            g AS (SELECT c.d, c.k, c.n,
+                         coalesce(p.n, 0)::BIGINT AS n_prev,
+                         (c.n - coalesce(p.n, 0))::BIGINT AS growth
+                  FROM c LEFT JOIN c p
+                       ON p.k = c.k AND p.d = c.d - 1)
+            SELECT d * 86400000000 AS day_us, k, n, n_prev, growth
+            FROM g
+            QUALIFY row_number() OVER (PARTITION BY d
+                ORDER BY growth DESC, k) <= 5
+        """,
+        # exact HUGEINT numerator/denominator (int64 wraps on s1*s1 at
+        # scale — the chi2_independence lesson), ONE shared division
+        "degree_assortativity": """
+            WITH li AS (SELECT DISTINCT l_orderkey AS g,
+                                        l_partkey AS i FROM lineitem),
+            p AS (SELECT a.i AS u, b.i AS v
+                  FROM li a JOIN li b ON a.g = b.g AND a.i < b.i
+                  GROUP BY 1, 2),
+            deg AS (SELECT node, count(*)::BIGINT AS d
+                    FROM (SELECT u AS node FROM p
+                          UNION ALL SELECT v FROM p) GROUP BY 1),
+            e AS (SELECT da.d AS du, db.d AS dv
+                  FROM p JOIN deg da ON p.u = da.node
+                       JOIN deg db ON p.v = db.node),
+            s AS (SELECT count(*)::HUGEINT AS m,
+                         sum(du + dv)::HUGEINT AS s1,
+                         sum(du * du + dv * dv)::HUGEINT AS s2,
+                         sum(du * dv)::HUGEINT AS sxy
+                  FROM e)
+            SELECT (2 * m)::BIGINT AS m2,
+                   round((2 * m * 2 * sxy - s1 * s1)::DOUBLE
+                         / (2 * m * s2 - s1 * s1)::DOUBLE,
+                         6) AS assortativity
+            FROM s
+        """,
         "itemsets3": """
             WITH li AS (SELECT DISTINCT l_orderkey AS g,
                                         l_partkey AS i FROM lineitem)

@@ -154,7 +154,8 @@ def bench_queries(repeats: int = 2) -> dict:
              "rolling_median",
              "event_markov", "interval_coverage", "window_distinct",
              "cms_freq", "sssp", "systematic_sample", "lift_table",
-             "locf_fill", "itemsets3", "hll_intersect"]
+             "locf_fill", "itemsets3", "hll_intersect",
+             "degree_assortativity", "trending_items"]
     qs = em.queries()
     out = {}
     for _ in range(max(1, repeats)):

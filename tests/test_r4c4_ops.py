@@ -320,3 +320,32 @@ def test_hll_intersect_accuracy_and_invariance():
     assert abs(r["est_b"] - 3000) < 3000 * 0.06
     assert abs(r["est_union"] - 5000) < 5000 * 0.06
     assert r["est_intersect"] == r["est_a"] + r["est_b"] - r["est_union"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_degree_assortativity_matches_bruteforce():
+    import ray.data as rd
+
+    from vyntr_ray.stages.graph import degree_assortativity
+
+    rng = np.random.Generator(np.random.PCG64(8))
+    n_nodes = 40
+    pairs = set()
+    while len(pairs) < 150:
+        a, b = rng.integers(0, n_nodes, 2)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    df = pd.DataFrame(sorted(pairs), columns=["u", "v"]).astype("int64")
+
+    got = degree_assortativity(rd.from_pandas(df.copy()).repartition(5))
+
+    from collections import Counter
+    deg = Counter(df["u"].tolist()) + Counter(df["v"].tolist())
+    xs, ys = [], []
+    for u, v in pairs:
+        xs += [deg[u], deg[v]]
+        ys += [deg[v], deg[u]]
+    xs, ys = np.array(xs, dtype=np.float64), np.array(ys, np.float64)
+    exp = np.corrcoef(xs, ys)[0, 1]
+    assert got["m2"].iloc[0] == 2 * len(pairs)
+    assert abs(got["assortativity"].iloc[0] - exp) < 1e-6

@@ -35,7 +35,7 @@ import pyarrow.compute as pc
 
 __all__ = ["connected_components", "pagerank", "hits_counts",
            "triangle_count", "degree_histogram", "kcore_nodes",
-           "sssp_rounds"]
+           "sssp_rounds", "degree_assortativity"]
 
 
 def _hash_part(ds, key_col: str, n_parts: int = 64):
@@ -814,3 +814,76 @@ def sssp_rounds(edges_ds, k: int = 6, u_col: str = "u", v_col: str = "v",
     m = dist < INF
     return pa.table({"node": pa.array(nodes[m], pa.int64()),
                      "dist": pa.array(dist[m], pa.int64())})
+
+
+def degree_assortativity(edges_ds, u_col: str = "u", v_col: str = "v"):
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over the DOUBLED (symmetrized) edge list — "do
+    hubs link to hubs?" — the one-number mixing diagnostic for a link
+    graph.
+
+    Fully distributed, exact-sufficient-statistics shape (the
+    qty_discount_corr contract): degrees fold via the many-groups
+    :func:`..dataset_tools.group_sum` rule, attach to edges with two
+    :func:`..joins.hash_join` passes (degrees are data-scaled — never
+    a broadcast), then each block emits FOUR int64 partials
+    (m, Σ(du+dv), Σ(du²+dv²), Σ(du·dv)); the driver folds them with
+    arbitrary-precision Python ints, so numerator and denominator are
+    EXACT integers (the chi2_independence overflow lesson — the SQL
+    side needs HUGEINT) and only the final division is floating point:
+    both sides divide the identical doubles and round(…, 6) matches
+    bit-for-bit.  Returns one row (m2, assortativity).
+    """
+    from ..rounding import fround_half_away
+    from .dataset_tools import group_sum
+    from .joins import hash_join
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table({"u": t[u_col].cast(pa.int64()),
+                         "v": t[v_col].cast(pa.int64())})
+
+    edges = edges_ds.map_batches(norm, batch_format="pyarrow").materialize()
+
+    def ends(t: pa.Table) -> pa.Table:
+        nodes, counts = np.unique(
+            np.concatenate([t["u"].to_numpy(), t["v"].to_numpy()]),
+            return_counts=True)
+        return pa.table({"node": pa.array(nodes, pa.int64()),
+                         "d": pa.array(counts.astype(np.int64),
+                                       pa.int64())})
+
+    deg = group_sum(edges.map_batches(ends, batch_format="pyarrow"),
+                    "node", ["d"]).materialize()
+
+    e1 = hash_join(edges, deg, key_col="u", left_payload=["v"],
+                   right_payload=["d"], right_key_col="node",
+                   types={"u": pa.int64(), "v": pa.int64(),
+                          "d": pa.int64()})
+    e1 = e1.map_batches(lambda t: t.rename_columns(
+        [{"d": "du"}.get(c, c) for c in t.column_names]),
+        batch_format="pyarrow")
+    e2 = hash_join(e1, deg, key_col="v", left_payload=["u", "du"],
+                   right_payload=["d"], right_key_col="node",
+                   types={"u": pa.int64(), "v": pa.int64(),
+                          "du": pa.int64(), "d": pa.int64()})
+
+    def partial(t: pa.Table) -> pa.Table:
+        du = t["du"].to_numpy().astype(np.int64)
+        dv = t["d"].to_numpy().astype(np.int64)
+        return pa.table({
+            "m": pa.array([len(du)], pa.int64()),
+            "s1": pa.array([int((du + dv).sum())], pa.int64()),
+            "s2": pa.array([int((du * du + dv * dv).sum())], pa.int64()),
+            "sxy": pa.array([int((du * dv).sum())], pa.int64())})
+
+    m = s1 = s2 = sxy = 0
+    for r in e2.map_batches(partial, batch_format="pyarrow").take_all():
+        m += int(r["m"])
+        s1 += int(r["s1"])
+        s2 += int(r["s2"])
+        sxy += int(r["sxy"])
+    num = 2 * m * 2 * sxy - s1 * s1          # exact Python ints
+    den = 2 * m * s2 - s1 * s1
+    return pd.DataFrame({
+        "m2": pd.array([2 * m], dtype="int64"),
+        "assortativity": [fround_half_away(float(num) / float(den), 6)]})

@@ -2043,6 +2043,19 @@ def _q_bfs_hops(sf_dir: str):
     return bfs_hops(_doc_graph_edges(sf_dir), seeds, k=4)
 
 
+def _q_distinctive_terms(sf_dir: str):
+    """Top-10 language-distinctive tokens by Dunning G² in exact
+    integer micro-nats (stages/text_analysis.py:distinctive_terms) —
+    per-block partials, one token-keyed hash partition, bounded
+    per-group top-k partials; L(x)=floor(ln·1e6) shared-libm both
+    sides."""
+    from vyntr_ray.stages.text_analysis import distinctive_terms
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    return distinctive_terms(ds, group_col="lang", text_col="text",
+                             k=10)
+
+
 def _q_degree_assortativity(sf_dir: str):
     """Hub-mixing diagnostic of the co-purchase graph
     (stages/graph.py:degree_assortativity): Pearson corr of endpoint
@@ -4935,6 +4948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_intersect": _q_hll_intersect,
         "degree_assortativity": _q_degree_assortativity,
         "trending_items": _q_trending_items,
+        "distinctive_terms": _q_distinctive_terms,
         "token_entropy": _q_token_entropy,
         "ohlc_bars": _q_ohlc_bars,
         "iqr_outliers": _q_iqr_outliers,
@@ -5222,6 +5236,50 @@ def oracle_sql() -> dict[str, str]:
                                    ELSE raw END) AS BIGINT)
             FROM est)"""
 
+    # distinctive_terms: Dunning G² in integer micro-nats — L(x) =
+    # floor(ln(x)·1e6) inlined per cell, CASE-guarded for O=0 cells
+    def _Lm(x: str) -> str:
+        return f"floor(ln({x}) * 1000000)::BIGINT"
+
+    distinctive_sql = f"""
+        WITH tok AS (SELECT lang,
+                            unnest(regexp_extract_all(
+                                lower(coalesce(text, '')),
+                                '[a-z0-9]+')) AS token
+                     FROM documents),
+        tl AS (SELECT lang, token, count(*)::BIGINT AS a
+               FROM tok GROUP BY 1, 2),
+        lt AS (SELECT lang, sum(a)::BIGINT AS nl FROM tl GROUP BY 1),
+        tt AS (SELECT token, sum(a)::BIGINT AS nt FROM tl GROUP BY 1),
+        nn AS (SELECT sum(a)::BIGINT AS n FROM tl),
+        cell AS (SELECT tl.lang, tl.token, tl.a, lt.nl, tt.nt, nn.n
+                 FROM tl JOIN lt USING (lang) JOIN tt USING (token)
+                      CROSS JOIN nn),
+        g AS (SELECT lang, token, a,
+              2 * (CASE WHEN a > 0
+                        THEN a * ({_Lm('a')} + {_Lm('n')}
+                                  - {_Lm('nt')} - {_Lm('nl')})
+                        ELSE 0 END
+                 + CASE WHEN nt - a > 0
+                        THEN (nt - a) * ({_Lm('nt - a')} + {_Lm('n')}
+                                         - {_Lm('nt')}
+                                         - {_Lm('n - nl')})
+                        ELSE 0 END
+                 + CASE WHEN nl - a > 0
+                        THEN (nl - a) * ({_Lm('nl - a')} + {_Lm('n')}
+                                         - {_Lm('n - nt')}
+                                         - {_Lm('nl')})
+                        ELSE 0 END
+                 + CASE WHEN n - nt - nl + a > 0
+                        THEN (n - nt - nl + a)
+                             * ({_Lm('n - nt - nl + a')} + {_Lm('n')}
+                                - {_Lm('n - nt')} - {_Lm('n - nl')})
+                        ELSE 0 END) AS llr_micro
+              FROM cell)
+        SELECT lang, token, a, llr_micro FROM g
+        QUALIFY row_number() OVER (PARTITION BY lang
+            ORDER BY llr_micro DESC, token) <= 10
+    """
     hll_intersect_sql = f"""
         SELECT ea AS est_a, eb AS est_b, eu AS est_union,
                ea + eb - eu AS est_intersect
@@ -5491,6 +5549,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore": kcore_sql,
         "sssp": sssp_sql,
         "hll_intersect": hll_intersect_sql,
+        "distinctive_terms": distinctive_sql,
         # CDC merge: last (orderdate, orderkey) change per customer wins,
         # status-F deletes; FULL JOIN keeps pure inserts AND untouched
         # base keys

@@ -27,7 +27,7 @@ __all__ = ["token_stats_batch", "token_totals", "quality_batch",
            "repetition_batch", "unigram_fit", "unigram_logprob",
            "normalize_batch", "normalize_text", "dsir_weights",
            "group_zscores", "readability", "token_entropy",
-           "novelty_scores"]
+           "novelty_scores", "distinctive_terms"]
 
 _WS_TOKEN = re.compile(r"\S+")
 # BPE-ish word/number/symbol splitter (public GPT-2-style pattern, simplified)
@@ -732,3 +732,112 @@ def novelty_scores(ds, n: int = 3, id_col: str = "doc_id",
             pa.array(nu * 1_000_000 // ng, pa.int64()))
 
     return per_doc.map_batches(ratio, batch_format="pyarrow")
+
+
+def distinctive_terms(ds, group_col: str = "lang", text_col: str = "text",
+                      k: int = 10, n_parts: int = 64):
+    """Dunning log-likelihood-ratio keywords (Dunning 1993, public
+    algorithm): the ``k`` most GROUP-distinctive tokens per group —
+    "which vocabulary separates this language/source from the rest",
+    the corpus-comparison signal behind domain-mix audits.
+
+    Exactness contract (the ``token_entropy`` integer micro-nat trick
+    extended to the 2×2 G² statistic): with a = n(token, group),
+    nt/nl/N the token/group/corpus totals,
+
+        ``G2_micro = 2 · Σ_cells O·(L(O) + L(N) − L(row) − L(col))``,
+        ``L(x) = floor(ln(x)·1e6)``  (int64; O=0 cells contribute 0)
+
+    — an order-free integer sum both engine and DuckDB compute
+    term-for-term (shared libm ``ln``).  Overflow bound: |terms| stay
+    under 2⁶³ while N·ΔL < 9·10¹⁸, i.e. corpora under ~10¹⁰ tokens;
+    past that the SQL side needs HUGEINT (the chi2_independence note).
+
+    Distributed shape: per-block (group, token) partials → ONE
+    token-keyed hash partition (a token's rows and therefore its total
+    co-reside; group totals are bounded and broadcast) → per-partition
+    vectorized G² + per-group top-k partials → driver merges
+    O(parts·groups·k) rows.  Tokenization is the shared ``[a-z0-9]+``
+    lowercase contract.  Returns (group, token, a, llr_micro), top-k
+    per group by (llr DESC, token).
+    """
+    import math
+
+    import ray
+
+    from .windows import _by_part
+
+    def block_counts(t: pa.Table) -> pa.Table:
+        rows_g, rows_t, rows_n = [], [], []
+        agg: dict = {}
+        for g, txt in zip(t[group_col].to_pylist(),
+                          t[text_col].to_pylist()):
+            for tok in _GRAM_TOKEN.findall((txt or "").lower()):
+                key = (g, tok)
+                agg[key] = agg.get(key, 0) + 1
+        for (g, tok), n in agg.items():
+            rows_g.append(g)
+            rows_t.append(tok)
+            rows_n.append(n)
+        return pa.table({group_col: pa.array(rows_g),
+                         "token": pa.array(rows_t, pa.string()),
+                         "n": pa.array(rows_n, pa.int64())})
+
+    parts = ds.map_batches(block_counts,
+                           batch_format="pyarrow").materialize()
+
+    totals: dict = {}
+    for r in parts.map_batches(
+            lambda t: pa.table({group_col: t[group_col], "n": t["n"]}),
+            batch_format="pyarrow").take_all():
+        totals[r[group_col]] = totals.get(r[group_col], 0) + r["n"]
+    big_n = sum(totals.values())
+    tref = ray.put((totals, big_n))
+
+    def llr_part(g: pd.DataFrame) -> pd.DataFrame:
+        tot, N = ray.get(tref)
+        c = (g.groupby([group_col, "token"], as_index=False)["n"].sum()
+             .rename(columns={"n": "a"}))
+        c["nt"] = c.groupby("token")["a"].transform("sum")
+        memo: dict = {}
+
+        def L(x: int) -> int:
+            v = memo.get(x)
+            if v is None:
+                v = math.floor(math.log(x) * 1_000_000.0)
+                memo[x] = v
+            return v
+
+        def term(o: int, row: int, col: int, ln_n: int) -> int:
+            return o * (L(o) + ln_n - L(row) - L(col)) if o > 0 else 0
+
+        ln_n = L(N)
+        out = []
+        for gname, tok, a, nt in zip(c[group_col], c["token"],
+                                     c["a"], c["nt"]):
+            nl = tot[gname]
+            a, nt, nl = int(a), int(nt), int(nl)
+            llr = 2 * (term(a, nt, nl, ln_n)
+                       + term(nt - a, nt, N - nl, ln_n)
+                       + term(nl - a, N - nt, nl, ln_n)
+                       + term(N - nt - nl + a, N - nt, N - nl, ln_n))
+            out.append((gname, tok, a, llr))
+        res = pd.DataFrame(out, columns=[group_col, "token", "a",
+                                         "llr_micro"])
+        res = res.sort_values(["llr_micro", "token"],
+                              ascending=[False, True])
+        res = res.groupby(group_col, as_index=False).head(k)
+        res["a"] = res["a"].astype("int64")
+        res["llr_micro"] = res["llr_micro"].astype("int64")
+        return res
+
+    cand = pd.DataFrame(
+        _by_part(parts, "token", n_parts=n_parts).groupby("_part")
+        .map_groups(lambda g: llr_part(g.drop(columns="_part")),
+                    batch_format="pandas").take_all())
+    cand = cand.sort_values(["llr_micro", "token"],
+                            ascending=[False, True])
+    return (cand.groupby(group_col, as_index=False).head(k)
+            .sort_values([group_col, "llr_micro", "token"],
+                         ascending=[True, False, True])
+            .reset_index(drop=True))

@@ -2043,6 +2043,84 @@ def _q_bfs_hops(sf_dir: str):
     return bfs_hops(_doc_graph_edges(sf_dir), seeds, k=4)
 
 
+def _q_conversion_lag(sf_dir: str):
+    """Time-to-convert percentiles: per-user first view → first
+    strictly-later purchase lag, exact quantile_disc selections at
+    25/50/75/90 via distributed rank_select (the funnel step-time
+    follow-up; lags computed in one user-keyed hash partition)."""
+    import math
+
+    import pandas as pd
+
+    from vyntr_ray.stages.dataset_tools import rank_select
+    from vyntr_ray.stages.windows import _by_part
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def lags(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        g = pd.DataFrame({"u": g["user_id"].to_numpy(),
+                          "t": us, "e": g["event_type"].to_numpy()})
+        t1 = (g[g["e"] == "view"].groupby("u")["t"].min()
+              .rename("t1").reset_index())
+        p = g[g["e"] == "purchase"].merge(t1, on="u")
+        p = p[p["t"] > p["t1"]]
+        t2 = p.groupby("u", as_index=False).agg(t2=("t", "min"),
+                                                t1=("t1", "first"))
+        return pd.DataFrame({
+            "lag_us": (t2["t2"] - t2["t1"]).astype("int64")})
+
+    lag_ds = (_by_part(ds, "user_id").groupby("_part").map_groups(
+        lambda g: lags(g.drop(columns="_part")), batch_format="pandas")
+        .materialize())
+    n = lag_ds.count()
+    qs = (0.25, 0.5, 0.75, 0.9)
+    ranks = [min(n - 1, max(0, math.ceil(q * n) - 1)) for q in qs]
+    rows = rank_select(lag_ds, ["lag_us"], ranks)
+    out = {"n": pd.array([n], dtype="int64")}
+    for q, r in zip(qs, rows):
+        out[f"q{int(round(q * 100))}"] = pd.array([int(r["lag_us"])],
+                                                  dtype="int64")
+    return pd.DataFrame(out)
+
+
+def _q_monthly_share(sf_dir: str):
+    """Revenue share per order priority within each month, exact
+    floored micro units (rev·10⁶ // month total) — the windowed-share
+    report.  (month × priority) is constant-bounded: zero-shuffle
+    _sum_keyed_partials fold, share math on O(months·priorities)
+    driver rows.  Overflow bound rev·1e6 < 2⁶³ ⇒ monthly centi
+    revenue < 9·10¹²¢ (document past that: HUGEINT / Python ints)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        y = pc.year(t["o_orderdate"])
+        m = pc.month(t["o_orderdate"])
+        ym = pc.add(pc.multiply(pc.cast(y, pa.int64()),
+                                pa.scalar(100, pa.int64())),
+                    pc.cast(m, pa.int64()))
+        rev = pc.cast(_round_ha(pc.multiply(t["o_totalprice"],
+                                            pa.scalar(100.0))),
+                      pa.int64())
+        b = pa.table({"ym": ym, "pri": t["o_orderpriority"],
+                      "n": pa.array(np.ones(t.num_rows, np.int64)),
+                      "rev": rev})
+        g = b.group_by(["ym", "pri"]).aggregate([("n", "sum"),
+                                                 ("rev", "sum")])
+        return g.rename_columns(["ym", "pri", "n", "rev"])
+
+    g = _sum_keyed_partials(ds.map_batches(partial,
+                                           batch_format="pyarrow"),
+                            ["ym", "pri"], ["n", "rev"])
+    tot = g.groupby("ym")["rev"].transform("sum")
+    g["share_micro"] = ((g["rev"] * 1_000_000) // tot).astype("int64")
+    return g.sort_values(["ym", "pri"]).reset_index(drop=True)
+
+
 def _q_distinctive_terms(sf_dir: str):
     """Top-10 language-distinctive tokens by Dunning G² in exact
     integer micro-nats (stages/text_analysis.py:distinctive_terms) —
@@ -4949,6 +5027,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_assortativity": _q_degree_assortativity,
         "trending_items": _q_trending_items,
         "distinctive_terms": _q_distinctive_terms,
+        "conversion_lag": _q_conversion_lag,
+        "monthly_share": _q_monthly_share,
         "token_entropy": _q_token_entropy,
         "ohlc_bars": _q_ohlc_bars,
         "iqr_outliers": _q_iqr_outliers,
@@ -6894,6 +6974,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         # market-basket pair counts; deterministic top-100 tie-break
         # (n DESC, item_a, item_b) on both sides
+        # funnel step lag percentiles; quantile_disc = the engine's
+        # ceil(q*n)-1 selection, values are exact int64 microseconds
+        "conversion_lag": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2
+                   FROM events e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+                   GROUP BY 1),
+            l AS (SELECT epoch_us(s2.t2) - epoch_us(s1.t1) AS lag_us
+                  FROM s2 JOIN s1 USING (user_id))
+            SELECT count(*)::BIGINT AS n,
+                   quantile_disc(lag_us, 0.25)::BIGINT AS q25,
+                   quantile_disc(lag_us, 0.50)::BIGINT AS q50,
+                   quantile_disc(lag_us, 0.75)::BIGINT AS q75,
+                   quantile_disc(lag_us, 0.90)::BIGINT AS q90
+            FROM l
+        """,
+        # exact floored micro share of monthly revenue per priority
+        "monthly_share": """
+            WITH c AS (SELECT year(o_orderdate) * 100
+                              + month(o_orderdate) AS ym,
+                              o_orderpriority AS pri,
+                              count(*)::BIGINT AS n,
+                              sum(round(o_totalprice * 100)::BIGINT)
+                                  ::BIGINT AS rev
+                       FROM orders GROUP BY 1, 2)
+            SELECT ym::BIGINT AS ym, pri, n, rev,
+                   (rev * 1000000
+                    // sum(rev) OVER (PARTITION BY ym))::BIGINT
+                       AS share_micro
+            FROM c
+        """,
         # day-over-day growth leaderboard; missing previous day = 0
         "trending_items": """
             WITH e AS (SELECT epoch_us(ts) // 86400000000 AS d,

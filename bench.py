@@ -155,7 +155,8 @@ def bench_queries(repeats: int = 2) -> dict:
              "event_markov", "interval_coverage", "window_distinct",
              "cms_freq", "sssp", "systematic_sample", "lift_table",
              "locf_fill", "itemsets3", "hll_intersect",
-             "degree_assortativity", "trending_items", "distinctive_terms"]
+             "degree_assortativity", "trending_items", "distinctive_terms",
+             "conversion_lag", "monthly_share"]
     qs = em.queries()
     out = {}
     for _ in range(max(1, repeats)):

@@ -2043,6 +2043,31 @@ def _q_bfs_hops(sf_dir: str):
     return bfs_hops(_doc_graph_edges(sf_dir), seeds, k=4)
 
 
+def _q_lsh_lookup(sf_dir: str):
+    """Query-time near-dup lookup against a PERSISTED LSH index
+    (stages/dedup.py:lsh_export/lsh_lookup — the IVF/BM25/zonemap
+    pruned-probe pattern applied to MinHash): index the planted-dup
+    corpus once, then probe with doc 0's text reading only its ≤32
+    band buckets; exact-Jaccard verify in integer ppm.  Oracle = exact
+    shingle Jaccard of every corpus doc vs doc 0 (the minhash_dups
+    recall argument: candidates are bimodal, banding recall ~1)."""
+    import shutil
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from vyntr_ray.stages.dedup import lsh_export, lsh_lookup
+
+    out = os.path.join("/tmp/vyntr_ray_cache",
+                       f"lsh_idx_{os.path.basename(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    lsh_export(_planted_dup_docs(sf_dir), out)
+    qt = pq.read_table(f"{sf_dir}/documents.parquet",
+                       columns=["doc_id", "text"])
+    qtext = qt.filter(pc.equal(qt["doc_id"], 0))["text"][0].as_py()
+    return lsh_lookup(out, qtext, threshold=0.6)
+
+
 def _q_conversion_lag(sf_dir: str):
     """Time-to-convert percentiles: per-user first view → first
     strictly-later purchase lag, exact quantile_disc selections at
@@ -5029,6 +5054,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinctive_terms": _q_distinctive_terms,
         "conversion_lag": _q_conversion_lag,
         "monthly_share": _q_monthly_share,
+        "lsh_lookup": _q_lsh_lookup,
         "token_entropy": _q_token_entropy,
         "ohlc_bars": _q_ohlc_bars,
         "iqr_outliers": _q_iqr_outliers,
@@ -8346,6 +8372,19 @@ def oracle_sql() -> dict[str, str]:
         # rows=2 banding the candidate step has recall ≈ 1 at J ≥ threshold
         # (miss prob ≤ (1-J²)^64), so LSH output == exact pairs
         "minhash_dups": _jaccard_pairs_sql(600_000),
+        # exact shingle Jaccard vs doc 0 over the planted-dup corpus
+        # (ipair in _SHINGLE_SQL is an unreferenced CTE — not executed)
+        "lsh_lookup": f"""
+            WITH {_DUP_CORPUS_SQL}, {_SHINGLE_SQL},
+            q AS (SELECT s FROM shx WHERE doc_id = 0),
+            qn AS (SELECT count(*)::BIGINT AS n FROM q),
+            it AS (SELECT x.doc_id, count(*)::BIGINT AS i
+                   FROM shx x JOIN q USING (s) GROUP BY 1)
+            SELECT it.doc_id,
+                   (i * 1000000) // (sz.n + qn.n - i) AS jaccard_ppm
+            FROM it JOIN sz USING (doc_id) CROSS JOIN qn
+            WHERE (i * 1000000) // (sz.n + qn.n - i) >= 600000
+        """,
         "ngram_jaccard_dups": _jaccard_pairs_sql(500_000),
         # exact SimHash (pigeonhole banding is complete for hamming ≤ 3);
         # md5_number_upper == int.from_bytes(md5(s)[:8], 'little')

@@ -349,3 +349,30 @@ def test_degree_assortativity_matches_bruteforce():
     exp = np.corrcoef(xs, ys)[0, 1]
     assert got["m2"].iloc[0] == 2 * len(pairs)
     assert abs(got["assortativity"].iloc[0] - exp) < 1e-6
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lsh_index_lookup_roundtrip(tmp_path):
+    import ray.data as rd
+
+    from vyntr_ray.stages.dedup import lsh_export, lsh_lookup
+
+    rng = np.random.Generator(np.random.PCG64(6))
+    vocab = [f"w{i}" for i in range(400)]
+    texts = [" ".join(rng.choice(vocab, 30)) for _ in range(80)]
+    texts.append(" ".join(texts[7].split()[:-2]))   # near-dup of 7
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype="int64"),
+                       "text": texts})
+
+    out = str(tmp_path / "idx")
+    man = lsh_export(rd.from_pandas(df.copy()).repartition(5), out,
+                     n_files=8)
+    assert man["n_rows"].sum() == len(texts) * 32   # 32 band rows/doc
+
+    hits = lsh_lookup(out, texts[7], threshold=0.5, n_files=8)
+    got = set(hits["doc_id"].tolist())
+    assert 7 in got and 80 in got                    # self + planted
+    assert hits.loc[hits["doc_id"] == 7,
+                    "jaccard_ppm"].iloc[0] == 1_000_000
+    # random 30-token docs over a 400-word vocab share almost nothing
+    assert got == {7, 80}

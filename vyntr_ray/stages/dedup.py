@@ -35,7 +35,8 @@ __all__ = ["add_md5", "dedup_exact", "dedup_by_key", "minhash_signatures",
            "minhash_lsh_pairs", "ngram_jaccard_pairs", "simhash_batch",
            "simhash_pairs", "embedding_dup_pairs", "word_shingles",
            "jaccard", "shingle_table", "dup_clusters",
-           "substring_dup_counts", "fuzzy_dup_pairs"]
+           "substring_dup_counts", "fuzzy_dup_pairs",
+           "lsh_export", "lsh_lookup"]
 
 _P = (1 << 61) - 1  # Mersenne prime for universal hashing
 
@@ -836,3 +837,177 @@ def fuzzy_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
             .groupby("_part")
             .map_groups(lambda g: per_part(g.drop(columns="_part")),
                         batch_format="pandas"))
+
+
+class LshIndexer(MinHasher):
+    """Actor-pool stage for :func:`lsh_export`: text → exploded
+    (file, band, band_hash, id, packed shingles) index rows.  Band
+    hashing is byte-identical to :func:`_band_rows` (same wrapping
+    multiply-accumulate, same ``(h·GOLD + band) % n_files`` routing),
+    so a lookup can recompute a query's buckets without the index."""
+
+    def __init__(self, n_perm: int = 128, n_bands: int = 32,
+                 n_files: int = 16, shingle_k: int = 3,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        super().__init__(n_perm, shingle_k, id_col, text_col)
+        self.n_bands, self.n_files = n_bands, n_files
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, files, bands, hashes, packs = [], [], [], [], []
+        r = self.n_perm // self.n_bands
+        for i, txt in zip(batch[self.id_col].to_pylist(),
+                          batch[self.text_col].to_pylist()):
+            sig = self.signature(txt or "")
+            sh = sorted(set(word_shingles(txt or "", self.k)))
+            packed = (np.sort(_stable_hash64(sh)).tobytes()
+                      if sh else b"")
+            h = np.zeros(self.n_bands, np.uint64)
+            s3 = sig[:self.n_bands * r].reshape(self.n_bands, r)
+            for j in range(r):
+                h = h * _GOLD + s3[:, j]
+            f = ((h * _GOLD + np.arange(self.n_bands, dtype=np.uint64))
+                 % np.uint64(self.n_files)).astype(np.int32)
+            ids += [i] * self.n_bands
+            files.append(f)
+            bands.append(np.arange(self.n_bands, dtype=np.int32))
+            hashes.append(h.view(np.int64))
+            packs += [packed] * self.n_bands
+        if not ids:
+            return pa.table({self.id_col: pa.array([], pa.int64()),
+                             "file": pa.array([], pa.int32()),
+                             "band": pa.array([], pa.int32()),
+                             "band_hash": pa.array([], pa.int64()),
+                             "shingles": pa.array([], pa.binary())})
+        return pa.table({
+            self.id_col: pa.array(ids, pa.int64()),
+            "file": pa.array(np.concatenate(files), pa.int32()),
+            "band": pa.array(np.concatenate(bands), pa.int32()),
+            "band_hash": pa.array(np.concatenate(hashes), pa.int64()),
+            "shingles": pa.array(packs, pa.binary())})
+
+
+def lsh_export(ds, out_dir: str, n_perm: int = 128, n_bands: int = 32,
+               shingle_k: int = 3, id_col: str = "doc_id",
+               text_col: str = "text", n_files: int = 16,
+               concurrency: int = 2):
+    """Persisted LSH near-dup INDEX — the similarity-search scale path
+    for text (the IVF-layout / BM25-shard / zonemap pattern applied to
+    MinHash): band rows land in ``n_files`` parquet files keyed by
+    ``(band_hash·GOLD + band) % n_files``, each written by the one
+    partition that owns it (temp + atomic rename — killed exports leave
+    no partial file), packed shingle hashes ride with the rows so a
+    probe verifies exact Jaccard without touching the corpus.  Storage
+    is ×n_bands the shingle payload — the classic LSH index tradeoff;
+    at 100 TB store shingles once in a doc-keyed side table and make
+    the probe a two-hop pruned read.  Returns the manifest
+    (file, n_rows, n_docs) sorted by file.
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    rows = ds.map_batches(
+        LshIndexer,
+        fn_constructor_kwargs=dict(n_perm=n_perm, n_bands=n_bands,
+                                   n_files=n_files, shingle_k=shingle_k,
+                                   id_col=id_col, text_col=text_col),
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=0.5)
+
+    def write_file(g: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+        f = int(g["file"].iloc[0])
+        g = g.sort_values(["band", "band_hash", id_col],
+                          kind="mergesort").drop(columns=["file"])
+        path = os.path.join(out_dir, f"band-{f:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(pa.Table.from_pandas(g, preserve_index=False),
+                       tmp)
+        os.replace(tmp, path)
+        return pd.DataFrame({"file": pd.array([f], dtype="int64"),
+                             "n_rows": pd.array([len(g)], dtype="int64"),
+                             "n_docs": pd.array(
+                                 [g[id_col].nunique()], dtype="int64")})
+
+    manifest = pd.DataFrame(
+        rows.groupby("file").map_groups(write_file,
+                                        batch_format="pandas").take_all())
+    return manifest.sort_values("file").reset_index(drop=True)
+
+
+def lsh_lookup(index_dir: str, query_text: str, threshold: float = 0.6,
+               n_perm: int = 128, n_bands: int = 32, shingle_k: int = 3,
+               n_files: int = 16, id_col: str = "doc_id"):
+    """Near-dup lookup against a :func:`lsh_export` index: recompute
+    the query's ``n_bands`` bucket keys, read ONLY the touched band
+    files (≤ n_bands of n_files, column- and predicate-pruned), verify
+    candidates by exact Jaccard on the packed shingle hashes, and
+    return (id, jaccard_ppm ≥ threshold·10⁶) — integer ppm both sides.
+    One raw task per touched file (the fused-fetch shape); the driver
+    sees only verified matches.  Recall is the banding guarantee
+    (miss ≤ (1−J^r)^bands — negligible for the bimodal near-dup regime,
+    the :func:`minhash_lsh_pairs` analysis).
+    """
+    import os
+
+    import ray
+
+    mh = MinHasher(n_perm, shingle_k, id_col, "text")
+    sig = mh.signature(query_text or "")
+    r = n_perm // n_bands
+    h = np.zeros(n_bands, np.uint64)
+    s3 = sig[:n_bands * r].reshape(n_bands, r)
+    for j in range(r):
+        h = h * _GOLD + s3[:, j]
+    files = ((h * _GOLD + np.arange(n_bands, dtype=np.uint64))
+             % np.uint64(n_files)).astype(np.int64)
+    keys = h.view(np.int64)
+    shq = np.sort(_stable_hash64(
+        sorted(set(word_shingles(query_text or "", shingle_k)))))
+    nq = len(shq)
+    thr_ppm = int(round(threshold * 1_000_000))
+    qref = ray.put(shq)
+
+    @ray.remote(num_cpus=0.5)
+    def probe(path, wanted):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        t = pq.read_table(path,
+                          columns=[id_col, "band", "band_hash",
+                                   "shingles"])
+        m = np.zeros(t.num_rows, bool)
+        bh = t["band_hash"].to_numpy()
+        bd = t["band"].to_numpy()
+        for band, key in wanted:
+            m |= (bd == band) & (bh == key)
+        cand = t.filter(pa.array(m))
+        sq = ray.get(qref)
+        seen, out_i, out_p = set(), [], []
+        for i, blob in zip(cand[id_col].to_pylist(),
+                           cand["shingles"].to_pylist()):
+            if i in seen:
+                continue
+            seen.add(i)
+            xs = _unpack_shingles(blob)
+            inter = len(np.intersect1d(xs, sq, assume_unique=True))
+            uni = len(xs) + nq - inter
+            ppm = 1_000_000 if uni == 0 else (inter * 1_000_000) // uni
+            if ppm >= thr_ppm:
+                out_i.append(i)
+                out_p.append(ppm)
+        return out_i, out_p
+
+    per_file: dict = {}
+    for band, (f, key) in enumerate(zip(files.tolist(), keys.tolist())):
+        per_file.setdefault(int(f), []).append((band, key))
+    futs = []
+    for f, wanted in sorted(per_file.items()):
+        path = os.path.join(index_dir, f"band-{f:05d}.parquet")
+        if os.path.exists(path):
+            futs.append(probe.remote(path, wanted))
+    ids: dict = {}
+    for out_i, out_p in ray.get(futs):
+        for i, p in zip(out_i, out_p):
+            ids[i] = p                  # same doc via several bands
+    items = sorted(ids.items())
+    return pd.DataFrame({
+        id_col: pd.array([i for i, _ in items], dtype="int64"),
+        "jaccard_ppm": pd.array([p for _, p in items], dtype="int64")})

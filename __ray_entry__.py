@@ -2043,6 +2043,46 @@ def _q_bfs_hops(sf_dir: str):
     return bfs_hops(_doc_graph_edges(sf_dir), seeds, k=4)
 
 
+def _q_ks_drift(sf_dir: str):
+    """Exact-integer two-sample KS distance between view and purchase
+    value distributions (stages/dataset_tools.py:ks_statistic): D as
+    the fraction d_num/d_den = max|F_A·m − F_B·n| / (n·m) — the
+    distribution-drift gate, no float anywhere."""
+    import pyarrow.compute as pc
+
+    from vyntr_ray.stages.dataset_tools import ks_statistic
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "centi": pc.cast(_round_ha(pc.multiply(
+                t["value"], pa.scalar(100.0))), pa.int64())})
+
+    return ks_statistic(ds.map_batches(prep, batch_format="pyarrow"),
+                        "event_type", "centi", ga="view", gb="purchase")
+
+
+def _q_gini_index(sf_dir: str):
+    """Revenue concentration across orders
+    (stages/dataset_tools.py:gini_index): exact HUGEINT-class integer
+    sums from one distributed sort + rank offsets, one shared final
+    division, round(…, 6) bit-for-bit."""
+    import pyarrow.compute as pc
+
+    from vyntr_ray.stages.dataset_tools import gini_index
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"centi": pc.cast(_round_ha(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0))), pa.int64())})
+
+    return gini_index(ds.map_batches(prep, batch_format="pyarrow"),
+                      "centi")
+
+
 def _q_lsh_lookup(sf_dir: str):
     """Query-time near-dup lookup against a PERSISTED LSH index
     (stages/dedup.py:lsh_export/lsh_lookup — the IVF/BM25/zonemap
@@ -5055,6 +5095,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_lag": _q_conversion_lag,
         "monthly_share": _q_monthly_share,
         "lsh_lookup": _q_lsh_lookup,
+        "ks_drift": _q_ks_drift,
+        "gini_index": _q_gini_index,
         "token_entropy": _q_token_entropy,
         "ohlc_bars": _q_ohlc_bars,
         "iqr_outliers": _q_iqr_outliers,
@@ -7000,6 +7042,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         # market-basket pair counts; deterministic top-100 tie-break
         # (n DESC, item_a, item_b) on both sides
+        # exact integer KS: cumulative counts cross-multiplied, max
+        # over pooled values — no float on either side
+        "ks_drift": """
+            WITH v AS (SELECT round(value * 100)::BIGINT AS x,
+                              CASE WHEN event_type = 'view'
+                                   THEN 1 ELSE 0 END AS isa
+                       FROM events
+                       WHERE event_type IN ('view', 'purchase')),
+            c AS (SELECT x, sum(isa)::BIGINT AS a,
+                         sum(1 - isa)::BIGINT AS b
+                  FROM v GROUP BY x),
+            t AS (SELECT sum(a)::BIGINT AS n, sum(b)::BIGINT AS m
+                  FROM c),
+            cum AS (SELECT x,
+                           sum(a) OVER (ORDER BY x)::BIGINT AS ca,
+                           sum(b) OVER (ORDER BY x)::BIGINT AS cb
+                    FROM c)
+            SELECT t.n, t.m,
+                   max(abs(ca * t.m - cb * t.n))::BIGINT AS d_num,
+                   (t.n * t.m)::BIGINT AS d_den
+            FROM cum, t GROUP BY t.n, t.m
+        """,
+        # exact HUGEINT Gini numerator/denominator, one shared division
+        "gini_index": """
+            WITH v AS (SELECT round(o_totalprice * 100)::BIGINT AS x
+                       FROM orders),
+            r AS (SELECT x, row_number() OVER (ORDER BY x) AS i FROM v),
+            s AS (SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+                         sum(i::HUGEINT * x::HUGEINT)::HUGEINT AS s1
+                  FROM r)
+            SELECT n::BIGINT AS n,
+                   round((2 * s1 - (n + 1) * sx)::DOUBLE
+                         / (n * sx)::DOUBLE, 6) AS gini
+            FROM s
+        """,
         # funnel step lag percentiles; quantile_disc = the engine's
         # ceil(q*n)-1 selection, values are exact int64 microseconds
         "conversion_lag": """

@@ -156,7 +156,8 @@ def bench_queries(repeats: int = 2) -> dict:
              "cms_freq", "sssp", "systematic_sample", "lift_table",
              "locf_fill", "itemsets3", "hll_intersect",
              "degree_assortativity", "trending_items", "distinctive_terms",
-             "conversion_lag", "monthly_share", "lsh_lookup"]
+             "conversion_lag", "monthly_share", "lsh_lookup",
+             "ks_drift", "gini_index"]
     qs = em.queries()
     out = {}
     for _ in range(max(1, repeats)):

@@ -376,3 +376,48 @@ def test_lsh_index_lookup_roundtrip(tmp_path):
                     "jaccard_ppm"].iloc[0] == 1_000_000
     # random 30-token docs over a 400-word vocab share almost nothing
     assert got == {7, 80}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ks_statistic_matches_scipy_free_bruteforce():
+    import ray.data as rd
+
+    from vyntr_ray.stages.dataset_tools import ks_statistic
+
+    rng = np.random.Generator(np.random.PCG64(17))
+    a = rng.integers(0, 50, 300)                    # heavy ties
+    b = rng.integers(10, 60, 200)
+    df = pd.DataFrame({
+        "g": ["A"] * len(a) + ["B"] * len(b) + ["other"] * 5,
+        "x": np.concatenate([a, b, [0, 1, 2, 3, 4]]).astype("int64")})
+
+    got = ks_statistic(rd.from_pandas(df.copy()).repartition(7),
+                       "g", "x", ga="A", gb="B").iloc[0]
+
+    pooled = np.unique(np.concatenate([a, b]))
+    n, m = len(a), len(b)
+    d = max(abs(int((a <= v).sum()) * m - int((b <= v).sum()) * n)
+            for v in pooled)
+    assert (got["n"], got["m"]) == (n, m)
+    assert got["d_num"] == d and got["d_den"] == n * m
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gini_index_matches_bruteforce():
+    import ray.data as rd
+
+    from vyntr_ray.stages.dataset_tools import gini_index
+
+    rng = np.random.Generator(np.random.PCG64(19))
+    x = rng.integers(1, 10_000, 700).astype("int64")
+    df = pd.DataFrame({"centi": x})
+
+    got = gini_index(rd.from_pandas(df.copy()).repartition(6), "centi")
+
+    xs = np.sort(x)
+    n = len(xs)
+    i = np.arange(1, n + 1, dtype="int64")
+    num = 2 * int((i * xs).sum()) - (n + 1) * int(xs.sum())
+    den = n * int(xs.sum())
+    assert got["n"].iloc[0] == n
+    assert abs(got["gini"].iloc[0] - num / den) <= 5e-7  # round(…, 6)

@@ -22,7 +22,8 @@ __all__ = ["topk_largest", "remove_largest", "group_quantiles",
            "histogram_fixed", "skyline", "cube_counts", "table_profile",
            "group_sum", "group_fold", "grouping_sets", "pivot_sum",
            "iqr_outliers", "key_skew", "group_topk_ties",
-           "chi2_independence", "winsorized_stats", "lift_table"]
+           "chi2_independence", "winsorized_stats", "lift_table",
+           "ks_statistic", "gini_index"]
 
 
 def topk_largest(ds, k: int = 100, length_col: str = "n_chars",
@@ -1084,3 +1085,126 @@ def lift_table(ds, value_col: str, flag_col: str, key_col: str,
     for c in ("tile", "n", "sum_value", "n_flag"):
         out[c] = out[c].astype("int64")
     return out
+
+
+def ks_statistic(ds, group_col: str, value_col: str, ga, gb,
+                 n_parts: int = 32):
+    """Two-sample Kolmogorov–Smirnov distance as an EXACT integer
+    fraction — the distribution-drift gate between two populations
+    (yesterday's shard vs today's, treatment vs control):
+
+        ``D = d_num / d_den``,  ``d_num = max_v |F_A(v)·m − F_B(v)·n|``
+        scaled by ``d_den = n·m``
+
+    so no float ever enters the comparison (the iqr_outliers
+    cross-multiplication idea applied to whole CDFs).
+
+    Distributed: per-value (a, b) counts via the many-groups
+    :func:`group_sum` rule, ONE ``Dataset.sort`` by value, then the
+    rank_select counting trick — per-block (Σa, Σb) pairs give each
+    block its CDF offsets (O(blocks) driver rows), one task per block
+    computes its local cumulative max — the global max folds on the
+    driver.  Values must be int64 (centi-scale on the way in).
+    Returns one row (n, m, d_num, d_den).
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        x = t[value_col].to_numpy(zero_copy_only=False).astype("int64")
+        ka = (g == ga)
+        kb = (g == gb)
+        agg = (pd.DataFrame({"x": x, "a": ka.astype("int64"),
+                             "b": kb.astype("int64")})
+               .loc[ka | kb]
+               .groupby("x", as_index=False)[["a", "b"]].sum())
+        return pa.Table.from_pandas(agg.astype("int64"),
+                                    preserve_index=False)
+
+    counts = group_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                       "x", ["a", "b"], n_parts=n_parts)
+    s = counts.sort("x").materialize()
+    refs = s.to_arrow_refs()
+
+    @ray.remote(num_cpus=0.5)
+    def block_sums(t):
+        if t.num_rows == 0:
+            return 0, 0
+        return int(np.sum(t["a"].to_numpy())), \
+            int(np.sum(t["b"].to_numpy()))
+
+    sums = ray.get([block_sums.remote(r) for r in refs])
+    n = sum(x for x, _ in sums)
+    m = sum(y for _, y in sums)
+    offs = []
+    ca = cb = 0
+    for x, y in sums:
+        offs.append((ca, cb))
+        ca += x
+        cb += y
+
+    @ray.remote(num_cpus=0.5)
+    def block_max(t, off_a, off_b, n_, m_):
+        if t.num_rows == 0:
+            return 0
+        cum_a = off_a + np.cumsum(t["a"].to_numpy().astype("int64"))
+        cum_b = off_b + np.cumsum(t["b"].to_numpy().astype("int64"))
+        return int(np.max(np.abs(cum_a * m_ - cum_b * n_)))
+
+    d_num = max(ray.get([block_max.remote(r, oa, ob, n, m)
+                         for r, (oa, ob) in zip(refs, offs)]),
+                default=0)
+    return pd.DataFrame({"n": pd.array([n], dtype="int64"),
+                         "m": pd.array([m], dtype="int64"),
+                         "d_num": pd.array([d_num], dtype="int64"),
+                         "d_den": pd.array([n * m], dtype="int64")})
+
+
+def gini_index(ds, value_col: str):
+    """Gini concentration index over positive int64 values as ONE
+    shared division from exact integer sums — "how concentrated is
+    revenue/traffic across orders/hosts", the inequality audit:
+
+        ``G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx)``   (i = 1-based rank)
+
+    Ties need no tiebreak: permuting equal values leaves Σ i·x₍ᵢ₎
+    unchanged.  Distributed: ONE ``Dataset.sort``, per-block counts
+    give rank offsets (O(blocks) driver rows — the rank_select shape),
+    each block task returns its Σ(i·x) / Σx / n partials, and the
+    driver folds with arbitrary-precision Python ints (numerator
+    ~n²·x̄ wraps int64 at scale — the SQL side uses HUGEINT).
+    Returns one row (n, gini = round(num/den, 6) — both sides divide
+    the identical doubles).
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from ..rounding import fround_half_away
+
+    s = ds.sort(value_col).materialize()
+    refs = s.to_arrow_refs()
+
+    @ray.remote(num_cpus=0.5)
+    def block_part(t, col):
+        if t.num_rows == 0:
+            return 0, 0, 0
+        x = t[col].to_numpy().astype("int64")
+        return len(x), int(x.sum()), \
+            int(np.sum((np.arange(len(x), dtype="int64") + 1) * x))
+
+    parts = ray.get([block_part.remote(r, value_col) for r in refs])
+    n = sx = 0
+    s1 = 0
+    for cnt, bsx, bs1 in parts:
+        # shift local 1-based ranks by the rows before this block
+        s1 += bs1 + n * bsx
+        n += cnt
+        sx += bsx
+    num = 2 * s1 - (n + 1) * sx                 # exact Python ints
+    den = n * sx
+    return pd.DataFrame({
+        "n": pd.array([n], dtype="int64"),
+        "gini": [fround_half_away(float(num) / float(den), 6)]})

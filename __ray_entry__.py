@@ -2043,6 +2043,34 @@ def _q_bfs_hops(sf_dir: str):
     return bfs_hops(_doc_graph_edges(sf_dir), seeds, k=4)
 
 
+def _q_heatmap_bins(sf_dir: str):
+    """(weekday × hour) activity heat map with exact centi value sums —
+    the 2-D fixed-bin histogram (bins constant-bounded at 7×24, so the
+    zero-shuffle _sum_keyed_partials fold; the q6ish litmus in 2-D).
+    Weekday = the weekday_bitmap epoch-day convention (0=Sunday)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        # epoch day 0 = Thursday = DuckDB dayofweek 4 -> (day+4) % 7
+        dow = (us // 86_400_000_000 + 4) % 7
+        hour = (us // 3_600_000_000) % 24
+        centi = _round_ha(pc.multiply(t["value"], pa.scalar(100.0)))
+        agg = (pd.DataFrame({
+            "dow": dow, "hour": hour, "n": 1,
+            "sum_centi": pc.cast(centi, pa.int64()).to_numpy()})
+            .groupby(["dow", "hour"], as_index=False).sum())
+        return pa.Table.from_pandas(agg.astype("int64"),
+                                    preserve_index=False)
+
+    return _sum_keyed_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["dow", "hour"], ["n", "sum_centi"])
+
+
 def _q_ks_drift(sf_dir: str):
     """Exact-integer two-sample KS distance between view and purchase
     value distributions (stages/dataset_tools.py:ks_statistic): D as
@@ -5097,6 +5125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_lookup": _q_lsh_lookup,
         "ks_drift": _q_ks_drift,
         "gini_index": _q_gini_index,
+        "heatmap_bins": _q_heatmap_bins,
         "token_entropy": _q_token_entropy,
         "ohlc_bars": _q_ohlc_bars,
         "iqr_outliers": _q_iqr_outliers,
@@ -7042,6 +7071,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         # market-basket pair counts; deterministic top-100 tie-break
         # (n DESC, item_a, item_b) on both sides
+        # 7x24 zero-shuffle 2-D histogram, exact centi sums
+        "heatmap_bins": """
+            SELECT dayofweek(CAST(ts AS DATE))::BIGINT AS dow,
+                   hour(ts)::BIGINT AS hour,
+                   count(*)::BIGINT AS n,
+                   sum(round(value * 100)::BIGINT)::BIGINT AS sum_centi
+            FROM events GROUP BY 1, 2
+        """,
         # exact integer KS: cumulative counts cross-multiplied, max
         # over pooled values — no float on either side
         "ks_drift": """

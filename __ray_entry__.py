@@ -2092,6 +2092,27 @@ def _q_ks_drift(sf_dir: str):
                         "event_type", "centi", ga="view", gb="purchase")
 
 
+def _q_mwu_drift(sf_dir: str):
+    """Mann–Whitney 2U between view and purchase value distributions
+    (stages/dataset_tools.py:mwu_statistic) — exact integer rank test,
+    ties counted ½ via the doubled statistic; u2/(2·n·m) is the
+    common-language effect size."""
+    import pyarrow.compute as pc
+
+    from vyntr_ray.stages.dataset_tools import mwu_statistic
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "centi": pc.cast(_round_ha(pc.multiply(
+                t["value"], pa.scalar(100.0))), pa.int64())})
+
+    return mwu_statistic(ds.map_batches(prep, batch_format="pyarrow"),
+                         "event_type", "centi", ga="view", gb="purchase")
+
+
 def _q_gini_index(sf_dir: str):
     """Revenue concentration across orders
     (stages/dataset_tools.py:gini_index): exact HUGEINT-class integer
@@ -5126,6 +5147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_drift": _q_ks_drift,
         "gini_index": _q_gini_index,
         "heatmap_bins": _q_heatmap_bins,
+        "mwu_drift": _q_mwu_drift,
         "token_entropy": _q_token_entropy,
         "ohlc_bars": _q_ohlc_bars,
         "iqr_outliers": _q_iqr_outliers,
@@ -7100,6 +7122,24 @@ def oracle_sql() -> dict[str, str]:
                    max(abs(ca * t.m - cb * t.n))::BIGINT AS d_num,
                    (t.n * t.m)::BIGINT AS d_den
             FROM cum, t GROUP BY t.n, t.m
+        """,
+        # doubled Mann-Whitney U: ties count 1, strict wins 2 — exact
+        "mwu_drift": """
+            WITH v AS (SELECT round(value * 100)::BIGINT AS x,
+                              CASE WHEN event_type = 'view'
+                                   THEN 1 ELSE 0 END AS isa
+                       FROM events
+                       WHERE event_type IN ('view', 'purchase')),
+            c AS (SELECT x, sum(isa)::BIGINT AS a,
+                         sum(1 - isa)::BIGINT AS b
+                  FROM v GROUP BY x),
+            cum AS (SELECT x, a, b,
+                           (sum(b) OVER (ORDER BY x)
+                            - b)::BIGINT AS cumb
+                    FROM c)
+            SELECT sum(a)::BIGINT AS n, sum(b)::BIGINT AS m,
+                   sum(a * (2 * cumb + b))::BIGINT AS u2
+            FROM cum
         """,
         # exact HUGEINT Gini numerator/denominator, one shared division
         "gini_index": """

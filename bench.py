@@ -157,7 +157,7 @@ def bench_queries(repeats: int = 2) -> dict:
              "locf_fill", "itemsets3", "hll_intersect",
              "degree_assortativity", "trending_items", "distinctive_terms",
              "conversion_lag", "monthly_share", "lsh_lookup",
-             "ks_drift", "gini_index", "heatmap_bins"]
+             "ks_drift", "gini_index", "heatmap_bins", "mwu_drift"]
     qs = em.queries()
     out = {}
     for _ in range(max(1, repeats)):

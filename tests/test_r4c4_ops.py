@@ -421,3 +421,23 @@ def test_gini_index_matches_bruteforce():
     den = n * int(xs.sum())
     assert got["n"].iloc[0] == n
     assert abs(got["gini"].iloc[0] - num / den) <= 5e-7  # round(…, 6)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mwu_statistic_matches_bruteforce():
+    import ray.data as rd
+
+    from vyntr_ray.stages.dataset_tools import mwu_statistic
+
+    rng = np.random.Generator(np.random.PCG64(23))
+    a = rng.integers(0, 30, 250)                    # heavy ties
+    b = rng.integers(5, 35, 180)
+    df = pd.DataFrame({
+        "g": ["A"] * len(a) + ["B"] * len(b),
+        "x": np.concatenate([a, b]).astype("int64")})
+
+    got = mwu_statistic(rd.from_pandas(df.copy()).repartition(7),
+                        "g", "x", ga="A", gb="B").iloc[0]
+
+    u2 = sum(2 * int((b < av).sum()) + int((b == av).sum()) for av in a)
+    assert (got["n"], got["m"], got["u2"]) == (len(a), len(b), u2)

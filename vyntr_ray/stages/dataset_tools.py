@@ -23,7 +23,7 @@ __all__ = ["topk_largest", "remove_largest", "group_quantiles",
            "group_sum", "group_fold", "grouping_sets", "pivot_sum",
            "iqr_outliers", "key_skew", "group_topk_ties",
            "chi2_independence", "winsorized_stats", "lift_table",
-           "ks_statistic", "gini_index"]
+           "ks_statistic", "gini_index", "mwu_statistic"]
 
 
 def topk_largest(ds, k: int = 100, length_col: str = "n_chars",
@@ -1208,3 +1208,68 @@ def gini_index(ds, value_col: str):
     return pd.DataFrame({
         "n": pd.array([n], dtype="int64"),
         "gini": [fround_half_away(float(num) / float(den), 6)]})
+
+
+def mwu_statistic(ds, group_col: str, value_col: str, ga, gb,
+                  n_parts: int = 32):
+    """Mann–Whitney U (two-sample rank test) as an EXACT integer —
+    the nonparametric A/B companion to :func:`ks_statistic`:
+
+        ``u2 = Σ_v a_v · (2·cumB(<v) + b_v)``  (= 2U, ties count ½ each)
+
+    so tie handling needs no fractions.  Same distributed shape as the
+    KS statistic: per-value (a, b) counts via :func:`group_sum`, one
+    ``Dataset.sort``, per-block exclusive-prefix offsets (O(blocks)
+    driver rows), per-block integer partials.  Returns one row
+    (n, m, u2) with u2/(2·n·m) the common-language effect size.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        x = t[value_col].to_numpy(zero_copy_only=False).astype("int64")
+        ka = (g == ga)
+        kb = (g == gb)
+        agg = (pd.DataFrame({"x": x, "a": ka.astype("int64"),
+                             "b": kb.astype("int64")})
+               .loc[ka | kb]
+               .groupby("x", as_index=False)[["a", "b"]].sum())
+        return pa.Table.from_pandas(agg.astype("int64"),
+                                    preserve_index=False)
+
+    counts = group_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                       "x", ["a", "b"], n_parts=n_parts)
+    s = counts.sort("x").materialize()
+    refs = s.to_arrow_refs()
+
+    @ray.remote(num_cpus=0.5)
+    def block_sums(t):
+        if t.num_rows == 0:
+            return 0, 0
+        return int(np.sum(t["a"].to_numpy())), \
+            int(np.sum(t["b"].to_numpy()))
+
+    sums = ray.get([block_sums.remote(r) for r in refs])
+    n = sum(x for x, _ in sums)
+    m = sum(y for _, y in sums)
+    offs, cb = [], 0
+    for _, y in sums:
+        offs.append(cb)
+        cb += y
+
+    @ray.remote(num_cpus=0.5)
+    def block_u(t, off_b):
+        if t.num_rows == 0:
+            return 0
+        a = t["a"].to_numpy().astype("int64")
+        b = t["b"].to_numpy().astype("int64")
+        cumb_before = off_b + np.cumsum(b) - b     # exclusive prefix
+        return int(np.sum(a * (2 * cumb_before + b)))
+
+    u2 = sum(ray.get([block_u.remote(r, ob)
+                      for r, ob in zip(refs, offs)]))
+    return pd.DataFrame({"n": pd.array([n], dtype="int64"),
+                         "m": pd.array([m], dtype="int64"),
+                         "u2": pd.array([u2], dtype="int64")})

@@ -2132,6 +2132,69 @@ def _q_gini_index(sf_dir: str):
                       "centi")
 
 
+def _q_psi_drift(sf_dir: str):
+    """Population Stability Index between view and purchase value
+    distributions over $20 fixed bins
+    (stages/dataset_tools.py:psi_statistic) — the third drift monitor
+    next to ks_drift/mwu_drift: exact integer micro-nat sum
+    Σ (ca·m − cb·n)·(L(ca·m) − L(cb·n)), one shared division by
+    n·m·1e6, round(…, 6) bit-for-bit."""
+    import pyarrow.compute as pc
+
+    from vyntr_ray.stages.dataset_tools import psi_statistic
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "centi": pc.cast(_round_ha(pc.multiply(
+                t["value"], pa.scalar(100.0))), pa.int64())})
+
+    return psi_statistic(ds.map_batches(prep, batch_format="pyarrow"),
+                         "event_type", "centi", ga="view", gb="purchase",
+                         width=2000)
+
+
+def _q_snapshot_diff(sf_dir: str):
+    """Keyed reconciliation of two order-book snapshots — per-customer
+    order count + centi revenue in 1995 vs 1996, classified
+    added/removed/changed (stages/dataset_tools.py:snapshot_diff):
+    tag-expand + ONE group_sum hash-partition fold; the output is the
+    change set (bounded by churn, not table size)."""
+    import datetime
+
+    import pyarrow.compute as pc
+
+    from vyntr_ray.stages.dataset_tools import snapshot_diff
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(lo: str, hi: str):
+        lo_ts = pa.scalar(datetime.datetime.fromisoformat(lo),
+                          pa.timestamp("us"))
+        hi_ts = pa.scalar(datetime.datetime.fromisoformat(hi),
+                          pa.timestamp("us"))
+
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.and_(
+                pc.greater_equal(t["o_orderdate"], lo_ts),
+                pc.less(t["o_orderdate"], hi_ts)))
+            return pa.table({
+                "o_custkey": t["o_custkey"],
+                "centi": pc.cast(_round_ha(pc.multiply(
+                    t["o_totalprice"], pa.scalar(100.0))), pa.int64())})
+        return fn
+
+    ds_a = orders.map_batches(prep("1995-01-01", "1996-01-01"),
+                              batch_format="pyarrow")
+    ds_b = orders.map_batches(prep("1996-01-01", "1997-01-01"),
+                              batch_format="pyarrow")
+    return snapshot_diff(ds_a, ds_b, "o_custkey",
+                         ["centi"]).sort("o_custkey")
+
+
 def _q_lsh_lookup(sf_dir: str):
     """Query-time near-dup lookup against a PERSISTED LSH index
     (stages/dedup.py:lsh_export/lsh_lookup — the IVF/BM25/zonemap
@@ -5126,8 +5189,10 @@ def _q_jaccard_rerank(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- driver-checked window (first 50): the r4 rotation ---
-        # r4c4 queries lead (never driver-checked), then the 23
-        # third-continuation queries
+        # r4c5 queries lead (never driver-checked), then r4c4, then
+        # the 23 third-continuation queries
+        "psi_drift": _q_psi_drift,
+        "snapshot_diff": _q_snapshot_diff,
         "event_markov": _q_event_markov,
         "interval_coverage": _q_interval_coverage,
         "window_distinct": _q_window_distinct,
@@ -7140,6 +7205,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT sum(a)::BIGINT AS n, sum(b)::BIGINT AS m,
                    sum(a * (2 * cumb + b))::BIGINT AS u2
             FROM cum
+        """,
+        # PSI in exact integer micro-nats: psi_num = Σ (ca·m − cb·n)
+        # · (L(ca·m) − L(cb·n)) with L(x)=floor(ln(x)·1e6) shared-libm
+        # both sides; zero-count bins excluded (standard PSI clamp);
+        # one shared HUGEINT→DOUBLE division, round(…, 6)
+        "psi_drift": """
+            WITH v AS (SELECT round(value * 100)::BIGINT AS c,
+                              CASE WHEN event_type = 'view'
+                                   THEN 1 ELSE 0 END AS isa
+                       FROM events
+                       WHERE event_type IN ('view', 'purchase')),
+            b AS (SELECT c // 2000 AS bin, sum(isa)::BIGINT AS ca,
+                         sum(1 - isa)::BIGINT AS cb
+                  FROM v GROUP BY 1),
+            t AS (SELECT sum(ca)::HUGEINT AS n, sum(cb)::HUGEINT AS m
+                  FROM b)
+            SELECT t.n::BIGINT AS n, t.m::BIGINT AS m,
+                   sum(CASE WHEN ca > 0 AND cb > 0
+                            THEN 1 ELSE 0 END)::BIGINT AS n_bins,
+                   round(sum(CASE WHEN ca > 0 AND cb > 0 THEN
+                       (ca::HUGEINT * t.m - cb::HUGEINT * t.n)
+                       * (floor(ln((ca::HUGEINT * t.m)::DOUBLE)
+                                * 1000000)::HUGEINT
+                          - floor(ln((cb::HUGEINT * t.n)::DOUBLE)
+                                  * 1000000)::HUGEINT)
+                     ELSE 0 END)::DOUBLE
+                     / ((t.n * t.m * 1000000)::HUGEINT)::DOUBLE, 6)
+                     AS psi
+            FROM b, t GROUP BY t.n, t.m
+        """,
+        # snapshot_diff: per-key FULL-OUTER compare of two windowed
+        # aggregates folded in ONE pass (absent side = genuine zeros);
+        # identical keys drop — the output is the change set
+        "snapshot_diff": """
+            WITH w AS (SELECT o_custkey,
+                sum(CASE WHEN o_orderdate >= DATE '1995-01-01'
+                          AND o_orderdate < DATE '1996-01-01'
+                         THEN 1 ELSE 0 END)::BIGINT AS a_n,
+                sum(CASE WHEN o_orderdate >= DATE '1996-01-01'
+                          AND o_orderdate < DATE '1997-01-01'
+                         THEN 1 ELSE 0 END)::BIGINT AS b_n,
+                sum(CASE WHEN o_orderdate >= DATE '1995-01-01'
+                          AND o_orderdate < DATE '1996-01-01'
+                         THEN round(o_totalprice * 100)::BIGINT
+                         ELSE 0 END)::BIGINT AS a_centi,
+                sum(CASE WHEN o_orderdate >= DATE '1996-01-01'
+                          AND o_orderdate < DATE '1997-01-01'
+                         THEN round(o_totalprice * 100)::BIGINT
+                         ELSE 0 END)::BIGINT AS b_centi
+                FROM orders
+                WHERE o_orderdate >= DATE '1995-01-01'
+                  AND o_orderdate < DATE '1997-01-01'
+                GROUP BY 1)
+            SELECT o_custkey,
+                   CASE WHEN a_n = 0 THEN 'added'
+                        WHEN b_n = 0 THEN 'removed'
+                        ELSE 'changed' END AS status,
+                   a_n, b_n, a_centi, b_centi
+            FROM w WHERE NOT (a_n = b_n AND a_centi = b_centi)
+            ORDER BY o_custkey
         """,
         # exact HUGEINT Gini numerator/denominator, one shared division
         "gini_index": """

@@ -23,7 +23,8 @@ __all__ = ["topk_largest", "remove_largest", "group_quantiles",
            "group_sum", "group_fold", "grouping_sets", "pivot_sum",
            "iqr_outliers", "key_skew", "group_topk_ties",
            "chi2_independence", "winsorized_stats", "lift_table",
-           "ks_statistic", "gini_index", "mwu_statistic"]
+           "ks_statistic", "gini_index", "mwu_statistic",
+           "psi_statistic", "snapshot_diff"]
 
 
 def topk_largest(ds, k: int = 100, length_col: str = "n_chars",
@@ -1273,3 +1274,149 @@ def mwu_statistic(ds, group_col: str, value_col: str, ga, gb,
     return pd.DataFrame({"n": pd.array([n], dtype="int64"),
                          "m": pd.array([m], dtype="int64"),
                          "u2": pd.array([u2], dtype="int64")})
+
+
+def psi_statistic(ds, group_col: str, value_col: str, ga, gb,
+                  width: int, fold_cap: int = 2_000_000):
+    """Population Stability Index between two populations over
+    fixed-width bins — the standard ML feature-drift monitor
+    (complement of :func:`ks_statistic`'s sup-distance and
+    :func:`mwu_statistic`'s rank shift):
+
+        ``PSI = Σ_bins (p_a − p_b) · ln(p_a / p_b)``
+
+    computed EXACTLY as one shared division from an integer sum (the
+    ``token_entropy`` micro-nat trick): with ``n = Σ c_a``,
+    ``m = Σ c_b`` and ``L(x) = floor(ln(x)·1e6)``,
+
+        ``psi_num = Σ (c_a·m − c_b·n) · (L(c_a·m) − L(c_b·n))``
+        ``psi     = round(psi_num / (n·m·1e6), 6)``
+
+    since ``p_a − p_b = (c_a·m − c_b·n)/(n·m)`` and ``p_a/p_b =
+    c_a·m/(c_b·n)``.  Bins where either side is empty are EXCLUDED
+    (the standard zero-bin clamp — ln is undefined there); ``n_bins``
+    reports how many contributed.  Values must be NON-NEGATIVE int64
+    (numpy floor-division == DuckDB truncating ``//`` only then — the
+    ``histogram_fixed`` precondition).
+
+    Zero shuffle: each block emits one partial row per occupied bin
+    (bounded by range/width, never rows); the driver folds
+    O(#blocks × #bins) rows with arbitrary-precision Python ints
+    (``psi_num`` terms reach ~(n·m)·Δln·1e6 — the SQL side needs
+    HUGEINT).  Returns one row ``(n, m, n_bins, psi)``.
+    """
+    import math
+
+    import pandas as pd
+
+    from ..rounding import fround_half_away
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[group_col].to_numpy()
+        x = df[value_col].to_numpy().astype("int64")
+        ka = g == ga
+        kb = g == gb
+        keep = ka | kb
+        out = (pd.DataFrame({"bin": x[keep] // width,
+                             "a": ka[keep].astype("int64"),
+                             "b": kb[keep].astype("int64")})
+               .groupby("bin", as_index=False)[["a", "b"]].sum())
+        return out
+
+    parts = pd.DataFrame(
+        ds.map_batches(partial, batch_format="pandas").take_all())
+    if len(parts) > fold_cap:
+        raise ValueError(
+            f"psi_statistic: {len(parts)} partial rows (> fold_cap="
+            f"{fold_cap}) — widen the bin width (bins must be bounded "
+            "by range/width, not rows)")
+    if parts.empty:
+        z = pd.array([0], dtype="int64")
+        return pd.DataFrame({"n": z, "m": z, "n_bins": z, "psi": [0.0]})
+    g = parts.groupby("bin", as_index=False)[["a", "b"]].sum()
+    n = int(g["a"].sum())
+    m = int(g["b"].sum())
+
+    def lmicro(x: int) -> int:
+        return math.floor(math.log(float(x)) * 1_000_000.0)
+
+    psi_num = 0
+    n_bins = 0
+    for ca, cb in zip(g["a"].to_numpy(), g["b"].to_numpy()):
+        ca = int(ca)
+        cb = int(cb)
+        if ca > 0 and cb > 0:
+            n_bins += 1
+            psi_num += (ca * m - cb * n) * (lmicro(ca * m) - lmicro(cb * n))
+    psi = fround_half_away(float(psi_num) / float(n * m * 1_000_000), 6) \
+        if n > 0 and m > 0 else 0.0
+    return pd.DataFrame({
+        "n": pd.array([n], dtype="int64"),
+        "m": pd.array([m], dtype="int64"),
+        "n_bins": pd.array([n_bins], dtype="int64"),
+        "psi": [psi]})
+
+
+def snapshot_diff(ds_a, ds_b, key_col: str, val_cols: list[str],
+                  n_parts: int = 32):
+    """Keyed diff of two table snapshots — the data-reconciliation /
+    migration-audit operator (what changed between yesterday's export
+    and today's): per key, sum ``val_cols`` on each side and classify
+
+        ``added``   — key only in B,
+        ``removed`` — key only in A,
+        ``changed`` — in both with any differing count or sum;
+
+    identical keys are dropped (the output is the CHANGE SET, bounded
+    by churn, not table size).  Returns a Dataset with columns
+    ``(key_col, status, a_n, b_n, a_<v>..., b_<v>...)`` — absent sides
+    read as genuine zeros (``a_n = 0`` ⇔ absent, since presence means
+    ≥1 row).
+
+    Distributed: tag-expand each side into the shared wide schema
+    (one stateless map), then ONE :func:`group_sum` hash-partition
+    fold over the union — keys are data-scaled so this is the
+    many-groups rule, never a generic Aggregate; classification is a
+    stateless vectorized filter after the fold.  Values must be int64
+    (centi-scale money on the way in).
+    """
+    import numpy as np
+
+    acols = [f"a_{v}" for v in val_cols]
+    bcols = [f"b_{v}" for v in val_cols]
+
+    def tag(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            nrow = t.num_rows
+            one = pa.array(np.ones(nrow, dtype=np.int64))
+            zero = pa.array(np.zeros(nrow, dtype=np.int64))
+            cols = {key_col: t[key_col],
+                    "a_n": one if side == "a" else zero,
+                    "b_n": one if side == "b" else zero}
+            for v, ac, bc in zip(val_cols, acols, bcols):
+                vv = pc.cast(t[v], pa.int64())
+                cols[ac] = vv if side == "a" else zero
+                cols[bc] = vv if side == "b" else zero
+            return pa.table(cols)
+        return fn
+
+    wide = ds_a.map_batches(tag("a"), batch_format="pyarrow").union(
+        ds_b.map_batches(tag("b"), batch_format="pyarrow"))
+    summed = group_sum(wide, key_col, ["a_n", "b_n"] + acols + bcols,
+                       n_parts=n_parts)
+
+    def classify(t: pa.Table) -> pa.Table:
+        an = t["a_n"].to_numpy(zero_copy_only=False)
+        bn = t["b_n"].to_numpy(zero_copy_only=False)
+        same = (an == bn)
+        for ac, bc in zip(acols, bcols):
+            same &= (t[ac].to_numpy(zero_copy_only=False)
+                     == t[bc].to_numpy(zero_copy_only=False))
+        status = np.where(an == 0, "added",
+                          np.where(bn == 0, "removed", "changed"))
+        out = t.append_column("status", pa.array(status.astype(object),
+                                                 pa.string()))
+        return out.filter(pa.array(~same)).select(
+            [key_col, "status", "a_n", "b_n"] + acols + bcols)
+
+    return summed.map_batches(classify, batch_format="pyarrow")

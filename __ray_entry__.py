@@ -2195,6 +2195,30 @@ def _q_snapshot_diff(sf_dir: str):
                          ["centi"]).sort("o_custkey")
 
 
+def _q_zipf_fit(sf_dir: str):
+    """Zipf-law slope/intercept over the top-100 unigram frequencies
+    (stages/text_analysis.py:zipf_fit) — corpus-health diagnostic;
+    OLS on (L(rank), L(count)) micro-nats, exact integer sufficient
+    stats, two shared divisions round(…, 6) bit-for-bit."""
+    from vyntr_ray.stages.text_analysis import zipf_fit
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return zipf_fit(ds, k=100)
+
+
+def _q_funnel_windowed(sf_dir: str):
+    """Windowed conversion funnel view -> signup -> purchase where each
+    step must land within 72 h of the previous step's earliest
+    completion (stages/windows.py:funnel with max_gap_us) — the
+    time-bounded variant of the funnel query; greedy-anchor semantics
+    on both sides."""
+    from vyntr_ray.stages.windows import funnel
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    return funnel(ds, ["view", "signup", "purchase"],
+                  max_gap_us=72 * 3600 * 1_000_000)
+
+
 def _q_lsh_lookup(sf_dir: str):
     """Query-time near-dup lookup against a PERSISTED LSH index
     (stages/dedup.py:lsh_export/lsh_lookup — the IVF/BM25/zonemap
@@ -5193,6 +5217,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the 23 third-continuation queries
         "psi_drift": _q_psi_drift,
         "snapshot_diff": _q_snapshot_diff,
+        "zipf_fit": _q_zipf_fit,
+        "funnel_windowed": _q_funnel_windowed,
         "event_markov": _q_event_markov,
         "interval_coverage": _q_interval_coverage,
         "window_distinct": _q_window_distinct,
@@ -7265,6 +7291,59 @@ def oracle_sql() -> dict[str, str]:
                    a_n, b_n, a_centi, b_centi
             FROM w WHERE NOT (a_n = b_n AND a_centi = b_centi)
             ORDER BY o_custkey
+        """,
+        # zipf_fit: OLS on micro-nat (L(rank), L(count)) pairs over the
+        # top-100 tokens; exact HUGEINT sufficient stats, the slope and
+        # intercept are the only divisions (shared IEEE both sides)
+        "zipf_fit": """
+            WITH w AS (SELECT unnest(regexp_extract_all(lower(text),
+                              '[a-z0-9]+')) AS tok FROM documents),
+            c AS (SELECT tok, count(*)::BIGINT AS cnt FROM w
+                  GROUP BY tok),
+            r AS (SELECT cnt,
+                         row_number() OVER (ORDER BY cnt DESC, tok)
+                             AS i
+                  FROM c QUALIFY i <= 100),
+            l AS (SELECT floor(ln(i::DOUBLE) * 1000000)::BIGINT AS x,
+                         floor(ln(cnt::DOUBLE) * 1000000)::BIGINT AS y
+                  FROM r),
+            s AS (SELECT count(*)::HUGEINT AS k,
+                         sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+                         sum(x::HUGEINT * y)::HUGEINT AS sxy,
+                         sum(x::HUGEINT * x)::HUGEINT AS sxx
+                  FROM l)
+            SELECT k::BIGINT AS k,
+                   round((k * sxy - sx * sy)::DOUBLE
+                         / (k * sxx - sx * sx)::DOUBLE, 6) AS slope,
+                   round((sy * (k * sxx - sx * sx)
+                          - (k * sxy - sx * sy) * sx)::DOUBLE
+                         / (k * (k * sxx - sx * sx))::DOUBLE, 6)
+                       AS intercept_micro
+            FROM s
+        """,
+        # windowed funnel: each step's earliest completion must land
+        # within 72 h of the previous step's (greedy-anchor chain —
+        # the engine's per-partition sweep replays exactly this)
+        "funnel_windowed": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2
+                   FROM events e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'signup' AND e.ts > s1.t1
+                     AND e.ts <= s1.t1 + INTERVAL 72 HOUR
+                   GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t3
+                   FROM events e JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                     AND e.ts <= s2.t2 + INTERVAL 72 HOUR
+                   GROUP BY 1)
+            SELECT 1::BIGINT AS step, 'view' AS event_type,
+                   (SELECT count(*) FROM s1)::BIGINT AS users
+            UNION ALL
+            SELECT 2, 'signup', (SELECT count(*) FROM s2)
+            UNION ALL
+            SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+            ORDER BY step
         """,
         # exact HUGEINT Gini numerator/denominator, one shared division
         "gini_index": """

@@ -1,9 +1,10 @@
 """Randomized (seeded) brute-force parity for the round-4c5 operators:
-PSI drift, keyed snapshot diff.
+PSI drift, keyed snapshot diff, windowed funnel, Zipf fit.
 
 Adversarial shapes: empty-on-one-side bins (the PSI zero-bin clamp),
 heavy ties, keys present on only one side, equal-but-reordered rows
-(must NOT appear in the change set), partition-count invariance.
+(must NOT appear in the change set), partition-count invariance,
+funnel windows that time out mid-chain.
 """
 
 import math
@@ -124,3 +125,82 @@ def test_snapshot_diff_matches_bruteforce(n_parts):
     assert (merged["b_n"] == merged["b_n_ref"]).all()
     assert (merged["a_v"] == merged["a_v_ref"]).all()
     assert (merged["b_v"] == merged["b_v_ref"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed,gap_us", [(3, 50_000_000), (13, 5_000_000)])
+def test_funnel_windowed_matches_bruteforce(seed, gap_us):
+    import ray.data as rd
+
+    from vyntr_ray.stages.windows import funnel
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n = 900
+    steps = ["a", "b", "c"]
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 60, n),
+        "ts": pd.to_datetime(
+            rng.integers(0, 200_000_000, n), unit="us"),
+        "event_type": rng.choice(steps + ["x"], n)})
+
+    got = (funnel(rd.from_pandas(df.copy()).repartition(7), steps,
+                  max_gap_us=gap_us)
+           .to_pandas().sort_values("step").reset_index(drop=True))
+
+    # row-at-a-time greedy reference
+    users = [0, 0, 0]
+    for _, g in df.groupby("user_id"):
+        prev = None
+        for i, s in enumerate(steps):
+            cand = g[(g["event_type"] == s)]
+            if i > 0:
+                cand = cand[(cand["ts"] > prev)
+                            & (cand["ts"] <= prev
+                               + pd.Timedelta(gap_us, unit="us"))]
+            if cand.empty:
+                break
+            prev = cand["ts"].min()
+            users[i] += 1
+    assert got["users"].tolist() == users
+    # the windowed funnel is never larger than the unwindowed one
+    base = (funnel(rd.from_pandas(df.copy()).repartition(7), steps)
+            .to_pandas().sort_values("step"))
+    assert (got["users"].to_numpy() <= base["users"].to_numpy()).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_zipf_fit_matches_bruteforce():
+    import math
+
+    import ray.data as rd
+
+    from vyntr_ray.stages.text_analysis import zipf_fit
+
+    rng = np.random.Generator(np.random.PCG64(41))
+    # Zipfian corpus over a 300-word vocab
+    vocab = [f"w{i}" for i in range(300)]
+    p = 1.0 / np.arange(1, 301)
+    p /= p.sum()
+    docs = [" ".join(rng.choice(vocab, 80, p=p)) for _ in range(120)]
+    df = pd.DataFrame({"text": docs})
+
+    got = zipf_fit(rd.from_pandas(df.copy()).repartition(5),
+                   k=50).iloc[0]
+
+    from collections import Counter
+    c = Counter()
+    for d in docs:
+        c.update(d.split())
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    xs = [math.floor(math.log(float(i)) * 1e6)
+          for i in range(1, len(top) + 1)]
+    ys = [math.floor(math.log(float(cnt)) * 1e6) for _, cnt in top]
+    kk = len(top)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    num, den = kk * sxy - sx * sy, kk * sxx - sx * sx
+    assert got["k"] == kk
+    assert abs(got["slope"] - num / den) <= 5e-7
+    # a Zipfian corpus should fit near slope -1
+    assert -1.4 < got["slope"] < -0.6

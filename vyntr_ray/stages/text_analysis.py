@@ -27,7 +27,7 @@ __all__ = ["token_stats_batch", "token_totals", "quality_batch",
            "repetition_batch", "unigram_fit", "unigram_logprob",
            "normalize_batch", "normalize_text", "dsir_weights",
            "group_zscores", "readability", "token_entropy",
-           "novelty_scores", "distinctive_terms"]
+           "novelty_scores", "distinctive_terms", "zipf_fit"]
 
 _WS_TOKEN = re.compile(r"\S+")
 # BPE-ish word/number/symbol splitter (public GPT-2-style pattern, simplified)
@@ -841,3 +841,69 @@ def distinctive_terms(ds, group_col: str = "lang", text_col: str = "text",
             .sort_values([group_col, "llr_micro", "token"],
                          ascending=[True, False, True])
             .reset_index(drop=True))
+
+
+def zipf_fit(ds, k: int = 100, text_col: str = "text"):
+    """Zipf-law fit over the corpus's top-``k`` unigram frequencies —
+    the corpus-health diagnostic (natural text slopes ≈ −1; template
+    spam and deduplicated boilerplate bend it): OLS of
+    ``y = L(count)`` on ``x = L(rank)`` with the shared-libm micro-nat
+    map ``L(v) = floor(ln(v)·1e6)``, so every sufficient statistic
+    (Σx, Σy, Σxy, Σxx) is an EXACT int64-class integer and both sides
+    perform the identical single IEEE division:
+
+        ``slope = round((k·Σxy − Σx·Σy) / (k·Σxx − Σx²), 6)``
+        ``intercept_micro`` — the micro-nat intercept, same contract.
+
+    Distributed: Counter partials per block (distinct tokens cross the
+    shuffle, not the token stream) → :func:`~.dataset_tools.group_sum`
+    (data-scaled string key) → distributed ``sort().limit(k)``; the
+    driver folds exactly ``k`` rows with Python ints (products reach
+    ~k·(16e6)² — the SQL side uses HUGEINT).  Rank ties share a count
+    and are broken by token ASC on BOTH sides, which leaves the fit
+    invariant.  Returns one row ``(k, slope, intercept_micro)``.
+    """
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from ..rounding import fround_half_away
+    from .dataset_tools import group_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = Counter()
+        for txt in t[text_col].to_pylist():
+            c.update(_GRAM_TOKEN.findall((txt or "").lower()))
+        return pa.table({"tok": pa.array(list(c.keys()), pa.string()),
+                         "cnt": pa.array(list(c.values()), pa.int64())})
+
+    counts = group_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                       "tok", ["cnt"], n_parts=16)
+    top = (counts.sort(["cnt", "tok"], descending=[True, False])
+           .limit(k).to_pandas())
+    kk = len(top)
+
+    def lmicro(v: int) -> int:
+        return math.floor(math.log(float(v)) * 1_000_000.0)
+
+    sx = sy = sxy = sxx = 0
+    for i, cnt in enumerate(top["cnt"].to_numpy(), start=1):
+        x = lmicro(i)
+        y = lmicro(int(cnt))
+        sx += x
+        sy += y
+        sxy += x * y
+        sxx += x * x
+    num = kk * sxy - sx * sy
+    den = kk * sxx - sx * sx
+    if den == 0:                       # fewer than 2 distinct ranks
+        slope = intercept = 0.0
+    else:
+        slope = fround_half_away(float(num) / float(den), 6)
+        intercept = fround_half_away(
+            float(sy * den - num * sx) / float(kk * den), 6)
+    return pd.DataFrame({
+        "k": pd.array([kk], dtype="int64"),
+        "slope": [slope],
+        "intercept_micro": [intercept]})

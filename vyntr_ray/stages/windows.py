@@ -307,14 +307,21 @@ def group_ranks(ds, key_col: str = "user_id", value_col: str = "value",
 
 
 def funnel(ds, steps: list[str], key_col: str = "user_id",
-           ts_col: str = "ts", ev_col: str = "event_type"):
+           ts_col: str = "ts", ev_col: str = "event_type",
+           max_gap_us: int | None = None):
     """Ordered-sequence conversion funnel: how many keys reached step i.
 
     A key reaches step 1 at ``t1 = min(ts | ev == steps[0])`` and step
     ``i`` at ``t_i = min(ts | ev == steps[i] and ts > t_{i-1})`` —
     i.e. each step must occur STRICTLY AFTER the earliest completion of
-    the previous one (the standard product-analytics funnel).  Returns
-    ``(step, event_type, users)`` ordered by step.
+    the previous one (the standard product-analytics funnel).  With
+    ``max_gap_us`` set, step ``i`` must ALSO land within the window
+    ``t_{i-1} < ts <= t_{i-1} + max_gap_us`` (the windowed/"within N
+    hours" funnel).  Both sides anchor GREEDILY on the earliest
+    completion of the previous step — a key whose earliest step-1 event
+    times out is NOT rescued by a later step-1 event; this is the
+    deliberate (and SQL-mirrorable) product-analytics convention.
+    Returns ``(step, event_type, users)`` ordered by step.
 
     Shape: all events of a key live in one hash partition, so each
     partition resolves its keys' full funnels with vectorized pandas
@@ -335,6 +342,9 @@ def funnel(ds, steps: list[str], key_col: str = "user_id",
             if i > 0:
                 m = m.merge(cur, on=key_col, how="inner")
                 m = m[m[ts_col] > m["_prev"]]
+                if max_gap_us is not None:
+                    m = m[m[ts_col] <= m["_prev"]
+                          + pd.Timedelta(max_gap_us, unit="us")]
             cur = (m.groupby(key_col)[ts_col].min()
                    .rename("_prev").reset_index())
             users[i] = len(cur)

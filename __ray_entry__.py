@@ -2384,6 +2384,31 @@ def _q_triangle_count(sf_dir: str):
     return triangle_count(edges, u_col="item_a", v_col="item_b")
 
 
+def _q_compression_ratio(sf_dir: str):
+    """Per-doc zlib compression ratio (Gopher redundancy signal;
+    stages/text_analysis.py:compression_ratio).  ROWS-ONLY by nature:
+    no SQL engine exposes a compressor — determinism within the zlib
+    build is pinned by pytest bounds instead."""
+    from vyntr_ray.stages.text_analysis import compression_ratio
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return compression_ratio(ds).sort("doc_id")
+
+
+def _q_adamic_adar(sf_dir: str):
+    """Adamic–Adar link prediction on the co-purchase graph: top-10
+    non-adjacent part pairs by Σ 1/ln(deg) over common neighbors, in
+    exact integer micro-units (stages/graph.py:adamic_adar — the
+    weighted-wedge variant of the triangle machinery)."""
+    from vyntr_ray.stages.baskets import pair_edges
+    from vyntr_ray.stages.graph import adamic_adar
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    edges = pair_edges(ds, "l_orderkey", "l_partkey", min_count=1)
+    out = adamic_adar(edges, k=10, u_col="item_a", v_col="item_b")
+    return out.rename(columns={"node_a": "item_a", "node_b": "item_b"})
+
+
 def _q_rolling_sum_time(sf_dir: str):
     """Per-user trailing 1-hour sum — the RANGE-frame (time-window)
     sibling of rolling_sum (stages/windows.py:rolling_sum_time).
@@ -5219,6 +5244,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": _q_snapshot_diff,
         "zipf_fit": _q_zipf_fit,
         "funnel_windowed": _q_funnel_windowed,
+        "adamic_adar": _q_adamic_adar,
+        "compression_ratio": _q_compression_ratio,
         "event_markov": _q_event_markov,
         "interval_coverage": _q_interval_coverage,
         "window_distinct": _q_window_distinct,
@@ -7466,6 +7493,36 @@ def oracle_sql() -> dict[str, str]:
             FROM e e1
             JOIN e e2 ON e2.u = e1.u AND e1.v < e2.v
             JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+        """,
+        # Adamic–Adar in exact integer micro-units: per-center weight
+        # 10^12 // floor(ln(deg)·1e6) (truncating // both sides, deg≥2
+        # at any wedge center), summed over common neighbors; existing
+        # edges excluded; ties (score DESC, a, b)
+        "adamic_adar": """
+            WITH li AS (SELECT DISTINCT l_orderkey AS g,
+                                        l_partkey AS i FROM lineitem),
+            e AS (SELECT a.i AS u, b.i AS v
+                  FROM li a JOIN li b ON a.g = b.g AND a.i < b.i
+                  GROUP BY 1, 2),
+            adj AS (SELECT u AS z, v AS nb FROM e
+                    UNION ALL SELECT v, u FROM e),
+            deg AS (SELECT z, count(*)::BIGINT AS d FROM adj
+                    GROUP BY z),
+            w AS (SELECT z, 1000000000000
+                           // floor(ln(d::DOUBLE) * 1000000)::BIGINT
+                             AS wz
+                  FROM deg WHERE d >= 2),
+            wedge AS (SELECT a.nb AS b, bb.nb AS c, w.wz
+                      FROM adj a
+                      JOIN adj bb ON a.z = bb.z AND a.nb < bb.nb
+                      JOIN w ON w.z = a.z),
+            sc AS (SELECT b, c, sum(wz)::BIGINT AS aa_micro
+                   FROM wedge GROUP BY 1, 2),
+            ne AS (SELECT sc.b, sc.c, sc.aa_micro
+                   FROM sc LEFT JOIN e ON e.u = sc.b AND e.v = sc.c
+                   WHERE e.u IS NULL)
+            SELECT b AS item_a, c AS item_b, aa_micro
+            FROM ne ORDER BY aa_micro DESC, item_a, item_b LIMIT 10
         """,
         # time-RANGE frame: the window is [ts-1h, ts] INCLUSIVE of
         # equal-ts peers (SQL RANGE CURRENT ROW = end of peer group)

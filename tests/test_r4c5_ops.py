@@ -204,3 +204,76 @@ def test_zipf_fit_matches_bruteforce():
     assert abs(got["slope"] - num / den) <= 5e-7
     # a Zipfian corpus should fit near slope -1
     assert -1.4 < got["slope"] < -0.6
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [5, 29])
+def test_adamic_adar_matches_bruteforce(seed):
+    import math
+
+    import ray.data as rd
+
+    from vyntr_ray.stages.graph import adamic_adar
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n_nodes = 40
+    pairs = set()
+    while len(pairs) < 130:
+        a, b = rng.integers(0, n_nodes, 2)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    edges = pd.DataFrame(sorted(pairs), columns=["u", "v"]).astype("int64")
+
+    got = adamic_adar(rd.from_pandas(edges.copy()).repartition(5),
+                      k=15, n_parts=7)
+
+    # row-at-a-time reference
+    nbrs: dict = {}
+    for u, v in pairs:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    scores = {}
+    for b in nbrs:
+        for c in nbrs:
+            if b < c and (b, c) not in pairs:
+                common = nbrs[b] & nbrs[c]
+                s = sum(10**12 // math.floor(
+                    math.log(float(len(nbrs[z]))) * 1e6)
+                    for z in common if len(nbrs[z]) >= 2)
+                if s > 0:
+                    scores[(b, c)] = s
+    ref = sorted(scores.items(),
+                 key=lambda kv: (-kv[1], kv[0]))[:15]
+    assert list(zip(got["node_a"], got["node_b"])) == [p for p, _ in ref]
+    assert got["aa_micro"].tolist() == [s for _, s in ref]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compression_ratio_bounds_and_determinism():
+    import zlib
+
+    import ray.data as rd
+
+    from vyntr_ray.stages.text_analysis import compression_ratio
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype="int64"),
+        "text": ["a" * 1000,                       # highly compressible
+                 " ".join(f"w{i}" for i in range(300)),
+                 "",                               # empty -> zeros
+                 None]})                           # null -> zeros
+    got = (compression_ratio(rd.from_pandas(docs).repartition(3))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    assert got.loc[2, ["n_bytes", "c_bytes", "ratio_micro"]].tolist() \
+        == [0, 0, 0]
+    assert got.loc[3, ["n_bytes", "c_bytes", "ratio_micro"]].tolist() \
+        == [0, 0, 0]
+    # repeated char compresses far below 5%; exact value pinned to
+    # this zlib build
+    assert got.loc[0, "ratio_micro"] < 50_000
+    assert got.loc[0, "c_bytes"] == len(zlib.compress(b"a" * 1000, 6))
+    assert got.loc[1, "ratio_micro"] > 200_000
+    assert (got["ratio_micro"]
+            == got["c_bytes"] * 1_000_000 // got["n_bytes"].clip(lower=1)
+            ).loc[got["n_bytes"] > 0].all()

@@ -27,7 +27,8 @@ __all__ = ["token_stats_batch", "token_totals", "quality_batch",
            "repetition_batch", "unigram_fit", "unigram_logprob",
            "normalize_batch", "normalize_text", "dsir_weights",
            "group_zscores", "readability", "token_entropy",
-           "novelty_scores", "distinctive_terms", "zipf_fit"]
+           "novelty_scores", "distinctive_terms", "zipf_fit",
+           "compression_ratio"]
 
 _WS_TOKEN = re.compile(r"\S+")
 # BPE-ish word/number/symbol splitter (public GPT-2-style pattern, simplified)
@@ -907,3 +908,38 @@ def zipf_fit(ds, k: int = 100, text_col: str = "text"):
         "k": pd.array([kk], dtype="int64"),
         "slope": [slope],
         "intercept_micro": [intercept]})
+
+
+def compression_ratio(ds, id_col: str = "doc_id", text_col: str = "text",
+                      level: int = 6):
+    """Per-document zlib compression ratio — the Gopher-style
+    redundancy quality signal (Rae et al. 2021 §A1.1: highly
+    compressible text is boilerplate/repetition; very incompressible
+    text is often binary junk or hash dumps):
+
+        ``ratio_micro = c_bytes·1e6 // n_bytes``  (int64, floored)
+
+    over the UTF-8 encoding of the text.  ORACLE NOTE: rows-only by
+    nature — no SQL engine exposes a compressor, and the exact byte
+    count is a zlib implementation detail (deterministic within one
+    zlib build; pinned by the pytest golden bounds, not a DuckDB
+    oracle).  Stateless vectorized map, embarrassingly parallel; the
+    per-doc Python loop is the compressor call itself (the
+    token_entropy precedent — the work IS per-document)."""
+    import zlib
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        nb, cb, rat = [], [], []
+        for txt in t[text_col].to_pylist():
+            raw = (txt or "").encode("utf-8")
+            n = len(raw)
+            c = len(zlib.compress(raw, level)) if n else 0
+            nb.append(n)
+            cb.append(c)
+            rat.append(c * 1_000_000 // n if n else 0)
+        return pa.table({id_col: t[id_col],
+                         "n_bytes": pa.array(nb, pa.int64()),
+                         "c_bytes": pa.array(cb, pa.int64()),
+                         "ratio_micro": pa.array(rat, pa.int64())})
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

@@ -2409,6 +2409,141 @@ def _q_adamic_adar(sf_dir: str):
     return out.rename(columns={"node_a": "item_a", "node_b": "item_b"})
 
 
+def _q_bloom_probe(sf_dir: str):
+    """Bloom membership sketch with its false positives exposed
+    (stages/sketches.py:bloom_probe): bitmap over the distinct heavy
+    parts (l_quantity > 49), probed for every part key.  Completes the
+    oracled sketch family (HLL / CMS / t-digest / frequent-items /
+    Bloom); the SQL oracle rebuilds the identical m=8192/k=3 bitmap via
+    md5_number_upper bucket arithmetic, so in_bloom matches
+    value-for-value INCLUDING collisions (rows with in_bloom=1,
+    is_member=0 are the filter's real FPs)."""
+    import pyarrow.compute as pc
+
+    from vyntr_ray.stages.sketches import bloom_probe
+
+    mem = (_read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+           .map_batches(lambda t: t.filter(
+               pc.greater(t["l_quantity"], 49.0)).select(["l_partkey"]),
+               batch_format="pyarrow"))
+    probes = _read(sf_dir, "part", columns=["p_partkey"])
+    return bloom_probe(mem, probes, "l_partkey", "p_partkey",
+                       m_bits=8192, k=3)
+
+
+def _q_tfidf_topk(sf_dir: str):
+    """Per-document top-3 TF-IDF keywords in exact integer micro-nats
+    (stages/text_analysis.py:tfidf_topk) — idf_micro = floor(ln(N/df)
+    ·1e6) via the shared-libm trick, score = tf·idf_micro pure int64;
+    token df rides group_sum, the join back is one distributed
+    hash_join, and the per-doc top-3 is a bounded combiner + ONE
+    doc-hash partition."""
+    from vyntr_ray.stages.text_analysis import tfidf_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_topk(ds, k=3)
+
+
+def _q_fk_orphans(sf_dir: str):
+    """Referential-integrity audit over the star schema
+    (stages/dataset_tools.py:fk_orphans): orphan + null-key counts for
+    every declared FK.  Dimension parents broadcast (zero shuffle);
+    the fact-scaled lineitem→orders edge rides the distributed
+    anti_join — neither side lands on the driver."""
+    from vyntr_ray.stages.dataset_tools import fk_orphans
+
+    cons = [
+        ("customer.nation",
+         _read(sf_dir, "customer", columns=["c_nationkey"]), "c_nationkey",
+         _read(sf_dir, "nation", columns=["n_nationkey"]), "n_nationkey",
+         "broadcast"),
+        ("lineitem.orders",
+         _read(sf_dir, "lineitem", columns=["l_orderkey"]), "l_orderkey",
+         _read(sf_dir, "orders", columns=["o_orderkey"]), "o_orderkey",
+         "shuffle"),
+        ("lineitem.part",
+         _read(sf_dir, "lineitem", columns=["l_partkey"]), "l_partkey",
+         _read(sf_dir, "part", columns=["p_partkey"]), "p_partkey",
+         "broadcast"),
+        ("lineitem.supplier",
+         _read(sf_dir, "lineitem", columns=["l_suppkey"]), "l_suppkey",
+         _read(sf_dir, "supplier", columns=["s_suppkey"]), "s_suppkey",
+         "broadcast"),
+        ("nation.region",
+         _read(sf_dir, "nation", columns=["n_regionkey"]), "n_regionkey",
+         _read(sf_dir, "region", columns=["r_regionkey"]), "r_regionkey",
+         "broadcast"),
+        ("orders.customer",
+         _read(sf_dir, "orders", columns=["o_custkey"]), "o_custkey",
+         _read(sf_dir, "customer", columns=["c_custkey"]), "c_custkey",
+         "broadcast"),
+    ]
+    return fk_orphans(cons)
+
+
+def _q_json_field_stats(sf_dir: str):
+    """Per-event-type stats of the integer field inside the flat-JSON
+    props payload (stages/dataset_tools.py:json_field_stats) — ONE
+    vectorized RE2 extraction pass (parity-tested vs json.loads), then
+    the constant-bounded key takes the zero-shuffle driver fold.
+    Oracle extracts via DuckDB's native json operator."""
+    from vyntr_ray.stages.dataset_tools import json_field_stats
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+    return json_field_stats(ds, "event_type", "props", "k")
+
+
+def _q_embedding_covariance(sf_dir: str):
+    """Exact integer second-moment matrix over the first 16 embedding
+    dims (stages/embed.py:embedding_covariance) — the PCA/whitening
+    sufficient stats: per-value half-away scaling (embedding_norms
+    convention) makes every pairwise product int64-exact; each block
+    condenses to one O(dims²) partial, driver folds O(dims²)."""
+    from vyntr_ray.stages.embed import embedding_covariance
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    return embedding_covariance(ds, dims=16)
+
+
+def _q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two customer
+    rankings — top-100 by account balance and top-100 by order count —
+    fused as rrf_micro = Σ 1e6 // (60 + rank), exact int64.  Each
+    ranking is a distributed sort + limit (only 100 rows leave each);
+    the fuse itself is an O(200)-row driver fold.  Sentinel rank 0
+    marks absence from a list (mirrored by the oracle's coalesce)."""
+    import pandas as pd
+
+    from vyntr_ray.stages.dataset_tools import group_sum
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    top_bal = (cust.sort(["c_acctbal", "c_custkey"],
+                         descending=[True, False]).limit(100).take_all())
+    orders = (_read(sf_dir, "orders", columns=["o_custkey"])
+              .map_batches(lambda t: t.append_column(
+                  "one", pa.array(np.ones(t.num_rows, np.int64))),
+                  batch_format="pyarrow"))
+    cnt = group_sum(orders, "o_custkey", ["one"], rename={"one": "n"})
+    top_cnt = (cnt.sort(["n", "o_custkey"], descending=[True, False])
+               .limit(100).take_all())
+
+    rb = {r["c_custkey"]: i + 1 for i, r in enumerate(top_bal)}
+    rc = {r["o_custkey"]: i + 1 for i, r in enumerate(top_cnt)}
+    rows = []
+    for k in sorted(set(rb) | set(rc)):
+        r1, r2 = rb.get(k, 0), rc.get(k, 0)
+        rrf = ((1_000_000 // (60 + r1) if r1 else 0)
+               + (1_000_000 // (60 + r2) if r2 else 0))
+        rows.append((k, rrf, r1, r2))
+    rows.sort(key=lambda t: (-t[1], t[0]))
+    rows = rows[:20]
+    return pd.DataFrame({
+        "c_custkey": pd.array([r[0] for r in rows], dtype="int64"),
+        "rrf_micro": pd.array([r[1] for r in rows], dtype="int64"),
+        "rank_bal": pd.array([r[2] for r in rows], dtype="int64"),
+        "rank_cnt": pd.array([r[3] for r in rows], dtype="int64")})
+
+
 def _q_rolling_sum_time(sf_dir: str):
     """Per-user trailing 1-hour sum — the RANGE-frame (time-window)
     sibling of rolling_sum (stages/windows.py:rolling_sum_time).
@@ -5240,6 +5375,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- driver-checked window (first 50): the r4 rotation ---
         # r4c5 queries lead (never driver-checked), then r4c4, then
         # the 23 third-continuation queries
+        "bloom_probe": _q_bloom_probe,
+        "tfidf_topk": _q_tfidf_topk,
+        "fk_orphans": _q_fk_orphans,
+        "json_field_stats": _q_json_field_stats,
+        "embedding_covariance": _q_embedding_covariance,
+        "rrf_fusion": _q_rrf_fusion,
         "psi_drift": _q_psi_drift,
         "snapshot_diff": _q_snapshot_diff,
         "zipf_fit": _q_zipf_fit,
@@ -5630,6 +5771,162 @@ def oracle_sql() -> dict[str, str]:
     zexpr = zorder_sql_expr("x", "y", bits=21)
     old_src = ", ".join(f"'{s}'" for s in _OLD_SNAPSHOT_SOURCES)
     return {
+        # m=8192/k=3 Bloom bitmap rebuilt bit-for-bit via
+        # md5_number_upper (the cms_freq/hll pattern), so in_bloom
+        # matches INCLUDING hash-collision false positives
+        "bloom_probe": """
+            WITH mem AS (SELECT DISTINCT l_partkey AS k FROM lineitem
+                         WHERE l_quantity > 49),
+            i AS (SELECT unnest(generate_series(0, 2)) AS i),
+            bits AS (SELECT DISTINCT
+                         (md5_number_upper(i.i::VARCHAR || ':'
+                                           || mem.k::VARCHAR)
+                          % 8192)::BIGINT AS b
+                     FROM mem, i),
+            pb AS (SELECT p.p_partkey, i.i,
+                          (md5_number_upper(i.i::VARCHAR || ':'
+                                            || p.p_partkey::VARCHAR)
+                           % 8192)::BIGINT AS b
+                   FROM part p, i)
+            SELECT pb.p_partkey,
+                   CASE WHEN count(*) FILTER (
+                            WHERE pb.b IN (SELECT b FROM bits)) = 3
+                        THEN 1 ELSE 0 END::BIGINT AS in_bloom,
+                   CASE WHEN pb.p_partkey IN (SELECT k FROM mem)
+                        THEN 1 ELSE 0 END::BIGINT AS is_member
+            FROM pb GROUP BY pb.p_partkey
+            ORDER BY pb.p_partkey
+        """,
+        # idf_micro = floor(ln(N/df)·1e6): same IEEE-double quotient +
+        # libm log on both sides (the token_entropy trick), so
+        # score_micro = tf·idf_micro is pure int64
+        "tfidf_topk": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(text, '\\s+')) AS token
+                FROM documents),
+            tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+                   FROM toks WHERE token <> '' GROUP BY doc_id, token),
+            df AS (SELECT token, count(*)::BIGINT AS df FROM tf
+                   GROUP BY token),
+            n AS (SELECT count(*)::BIGINT AS n FROM documents),
+            sc AS (SELECT tf.doc_id, tf.token,
+                          tf.tf * floor(ln(n.n::DOUBLE / df.df::DOUBLE)
+                                        * 1000000.0)::BIGINT
+                              AS score_micro
+                   FROM tf JOIN df USING (token), n)
+            SELECT doc_id, token, score_micro FROM sc
+            QUALIFY row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY score_micro DESC, token) <= 3
+            ORDER BY doc_id, score_micro DESC, token
+        """,
+        "fk_orphans": """
+            WITH u AS (
+                SELECT 'customer.nation' AS fk_name, count(*) AS n_rows,
+                       count(*) FILTER (WHERE c_nationkey IS NOT NULL
+                           AND c_nationkey NOT IN
+                               (SELECT n_nationkey FROM nation))
+                           AS n_orphans,
+                       count(*) FILTER (WHERE c_nationkey IS NULL)
+                           AS n_nulls
+                FROM customer
+                UNION ALL
+                SELECT 'lineitem.orders', count(*),
+                       count(*) FILTER (WHERE l_orderkey IS NOT NULL
+                           AND l_orderkey NOT IN
+                               (SELECT o_orderkey FROM orders)),
+                       count(*) FILTER (WHERE l_orderkey IS NULL)
+                FROM lineitem
+                UNION ALL
+                SELECT 'lineitem.part', count(*),
+                       count(*) FILTER (WHERE l_partkey IS NOT NULL
+                           AND l_partkey NOT IN
+                               (SELECT p_partkey FROM part)),
+                       count(*) FILTER (WHERE l_partkey IS NULL)
+                FROM lineitem
+                UNION ALL
+                SELECT 'lineitem.supplier', count(*),
+                       count(*) FILTER (WHERE l_suppkey IS NOT NULL
+                           AND l_suppkey NOT IN
+                               (SELECT s_suppkey FROM supplier)),
+                       count(*) FILTER (WHERE l_suppkey IS NULL)
+                FROM lineitem
+                UNION ALL
+                SELECT 'nation.region', count(*),
+                       count(*) FILTER (WHERE n_regionkey IS NOT NULL
+                           AND n_regionkey NOT IN
+                               (SELECT r_regionkey FROM region)),
+                       count(*) FILTER (WHERE n_regionkey IS NULL)
+                FROM nation
+                UNION ALL
+                SELECT 'orders.customer', count(*),
+                       count(*) FILTER (WHERE o_custkey IS NOT NULL
+                           AND o_custkey NOT IN
+                               (SELECT c_custkey FROM customer)),
+                       count(*) FILTER (WHERE o_custkey IS NULL)
+                FROM orders)
+            SELECT fk_name, n_rows::BIGINT AS n_rows,
+                   n_orphans::BIGINT AS n_orphans,
+                   n_nulls::BIGINT AS n_nulls
+            FROM u ORDER BY fk_name
+        """,
+        # engine extracts the flat-int payload with one RE2 pass; the
+        # oracle uses DuckDB's native json operator — independent
+        # extraction paths, identical values on flat integer payloads
+        "json_field_stats": """
+            WITH v AS (SELECT event_type,
+                              TRY_CAST(props->>'$.k' AS BIGINT) AS v
+                       FROM events)
+            SELECT event_type, count(*)::BIGINT AS n,
+                   count(*) FILTER (WHERE v IS NULL)::BIGINT AS n_null,
+                   coalesce(sum(v), 0)::BIGINT AS sum_v,
+                   coalesce(min(v), 0)::BIGINT AS min_v,
+                   coalesce(max(v), 0)::BIGINT AS max_v
+            FROM v GROUP BY event_type ORDER BY event_type
+        """,
+        # per-value half-away ×1e4 scaling (embedding_norms
+        # convention): every product and sum exact int64
+        "embedding_covariance": """
+            WITH p AS (
+                SELECT a.i::BIGINT AS i, b.j::BIGINT AS j,
+                       round(CAST(list_extract(e.embedding, a.i)
+                                  AS DOUBLE) * 10000)::BIGINT AS x,
+                       round(CAST(list_extract(e.embedding, b.j)
+                                  AS DOUBLE) * 10000)::BIGINT AS y
+                FROM embeddings e,
+                     (SELECT unnest(generate_series(1, 16)) AS i) a,
+                     (SELECT unnest(generate_series(1, 16)) AS j) b
+                WHERE b.j >= a.i)
+            SELECT i, j, count(*)::BIGINT AS n_vecs,
+                   sum(x)::BIGINT AS sum_x, sum(y)::BIGINT AS sum_y,
+                   sum(x * y)::BIGINT AS sum_xy
+            FROM p GROUP BY i, j ORDER BY i, j
+        """,
+        # rrf_micro = Σ 1e6 // (60 + rank): integer floor division on
+        # both sides; rank sentinel 0 = absent from that list
+        "rrf_fusion": """
+            WITH rb AS (
+                SELECT c_custkey AS k,
+                       row_number() OVER (
+                           ORDER BY c_acctbal DESC, c_custkey) AS r
+                FROM customer QUALIFY r <= 100),
+            oc AS (SELECT o_custkey AS k, count(*)::BIGINT AS n
+                   FROM orders GROUP BY 1),
+            rc AS (SELECT k, row_number() OVER (ORDER BY n DESC, k) AS r
+                   FROM oc QUALIFY r <= 100),
+            f AS (SELECT coalesce(rb.k, rc.k) AS k,
+                         coalesce(1000000 // (60 + rb.r), 0)
+                             + coalesce(1000000 // (60 + rc.r), 0)
+                             AS rrf_micro,
+                         coalesce(rb.r, 0) AS rank_bal,
+                         coalesce(rc.r, 0) AS rank_cnt
+                  FROM rb FULL OUTER JOIN rc ON rb.k = rc.k)
+            SELECT k AS c_custkey, rrf_micro::BIGINT AS rrf_micro,
+                   rank_bal::BIGINT AS rank_bal,
+                   rank_cnt::BIGINT AS rank_cnt
+            FROM f ORDER BY rrf_micro DESC, c_custkey LIMIT 20
+        """,
         # clip bounds are quantile_disc SELECTIONS (input values), so
         # the clipped sum is exact int64
         "winsorized_stats": """

@@ -1,0 +1,193 @@
+"""Brute-force / parity tests for the r4c5 second-batch operators:
+Bloom membership probe, TF-IDF top-k, FK-orphan audit, flat-JSON field
+stats, embedding covariance sufficient stats, reciprocal-rank fusion.
+
+Adversarial shapes: injected orphans + null keys (both fk_orphans
+paths), bloom false positives verified against a hand-built bitmap,
+partition-count invariance, docs with no tokens, JSON payloads checked
+against json.loads ground truth.
+"""
+
+import hashlib
+import json
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _md5_64(s: str) -> int:
+    # matches state/filters._hash64 (== DuckDB md5_number_upper)
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_probe_matches_hand_bitmap():
+    import ray.data as rd
+
+    from vyntr_ray.stages.sketches import bloom_probe
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    members = rng.choice(np.arange(1000), 120, replace=False).astype("int64")
+    probes = np.arange(1000, dtype="int64")
+    m_bits, k = 512, 3  # small bitmap => guaranteed false positives
+
+    mem_ds = rd.from_pandas(pd.DataFrame({"mk": members})).repartition(5)
+    probe_ds = rd.from_pandas(pd.DataFrame({"pk": probes})).repartition(4)
+    got = (bloom_probe(mem_ds, probe_ds, "mk", "pk",
+                       m_bits=m_bits, k=k).to_pandas())
+
+    bitmap = np.zeros(m_bits, bool)
+    for v in members:
+        for j in range(k):
+            bitmap[_md5_64(f"{j}:{v}") % m_bits] = True
+    want_in = np.array([all(bitmap[_md5_64(f"{j}:{v}") % m_bits]
+                            for j in range(k)) for v in probes], np.int64)
+    want_mem = np.isin(probes, members).astype(np.int64)
+
+    assert list(got.columns) == ["pk", "in_bloom", "is_member"]
+    got = got.sort_values("pk", ignore_index=True)
+    assert (got["in_bloom"].to_numpy() == want_in).all()
+    assert (got["is_member"].to_numpy() == want_mem).all()
+    # no false negatives; and this sizing must actually produce FPs
+    assert (got["in_bloom"] >= got["is_member"]).all()
+    assert ((got["in_bloom"] == 1) & (got["is_member"] == 0)).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tfidf_topk_matches_bruteforce():
+    import ray.data as rd
+
+    from vyntr_ray.stages.text_analysis import tfidf_topk
+
+    docs = pd.DataFrame({
+        "doc_id": pd.array([1, 2, 3, 4, 5], dtype="int64"),
+        "text": ["apple banana apple", "banana cherry",
+                 "apple cherry cherry dates", "", "dates"]})
+    got = (tfidf_topk(rd.from_pandas(docs).repartition(3), k=2)
+           .to_pandas())
+
+    n_docs = len(docs)
+    tf: dict = {}
+    for _, r in docs.iterrows():
+        for t in r["text"].split():
+            tf[(r["doc_id"], t)] = tf.get((r["doc_id"], t), 0) + 1
+    df: dict = {}
+    for (_, t) in tf:
+        df[t] = df.get(t, 0) + 1
+    rows = [(d, t, c * math.floor(math.log(n_docs / df[t]) * 1e6))
+            for (d, t), c in tf.items()]
+    want = (pd.DataFrame(rows, columns=["doc_id", "token", "score_micro"])
+            .sort_values(["doc_id", "score_micro", "token"],
+                         ascending=[True, False, True])
+            .groupby("doc_id").head(2).reset_index(drop=True))
+    got = got.reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"score_micro": "int64"}),
+        want.astype({"score_micro": "int64"}))
+    assert 4 not in set(got["doc_id"])  # tokenless doc drops out
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fk_orphans_counts_injected_orphans_and_nulls():
+    import ray.data as rd
+
+    from vyntr_ray.stages.dataset_tools import fk_orphans
+
+    parent = pd.DataFrame({"pk": pd.array([1, 2, 3], dtype="int64")})
+    child = pd.DataFrame({
+        "fk": pd.array([1, 2, 2, 99, 98, None, 3, None], dtype="Int64")})
+    for mode in ("broadcast", "shuffle"):
+        out = fk_orphans([
+            ("t.fk", rd.from_pandas(child.copy()).repartition(3), "fk",
+             rd.from_pandas(parent.copy()).repartition(2), "pk", mode)])
+        assert out.loc[0, "fk_name"] == "t.fk"
+        assert int(out.loc[0, "n_rows"]) == 8
+        assert int(out.loc[0, "n_orphans"]) == 2, mode
+        assert int(out.loc[0, "n_nulls"]) == 2, mode
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_json_field_stats_matches_json_loads():
+    import ray.data as rd
+
+    from vyntr_ray.stages.dataset_tools import json_field_stats
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    types = rng.choice(["a", "b"], 200)
+    ks = rng.integers(-50, 150, 200)
+    props = [json.dumps({"k": int(v)}) for v in ks]
+    # some rows without the field, and one with extra whitespace
+    props[0] = json.dumps({"other": 1})
+    props[1] = '{"k":   42}'
+    ks_eff = ks.copy()
+    df = pd.DataFrame({"event_type": types, "props": props})
+    got = json_field_stats(rd.from_pandas(df).repartition(4),
+                           "event_type", "props", "k")
+
+    ref_rows = []
+    for g in sorted(set(types)):
+        sub = df[df["event_type"] == g]
+        vals = []
+        n_null = 0
+        for p in sub["props"]:
+            d = json.loads(p)
+            if "k" in d:
+                vals.append(d["k"])
+            else:
+                n_null += 1
+        ref_rows.append((g, len(sub), n_null, sum(vals),
+                         min(vals), max(vals)))
+    ref = pd.DataFrame(ref_rows, columns=["event_type", "n", "n_null",
+                                          "sum_v", "min_v", "max_v"])
+    pd.testing.assert_frame_equal(
+        got.astype({c: "int64" for c in got.columns[1:]}),
+        ref.astype({c: "int64" for c in ref.columns[1:]}))
+    assert ks_eff is not None
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_covariance_matches_numpy():
+    import ray.data as rd
+
+    from vyntr_ray.rounding import round_half_away
+    from vyntr_ray.stages.embed import embedding_covariance
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    n, dim, dims = 40, 8, 5
+    vecs = rng.normal(0, 1, (n, dim)).astype(np.float32)
+    tbl = pa.table({"embedding": pa.array(
+        [v.tolist() for v in vecs], pa.list_(pa.float32()))})
+    got = embedding_covariance(rd.from_arrow(tbl).repartition(4),
+                               dims=dims, scale=100)
+
+    x = round_half_away(vecs[:, :dims].astype(np.float64)
+                        * 100.0).astype(np.int64)
+    s = x.sum(axis=0)
+    p = x.T @ x
+    assert len(got) == dims * (dims + 1) // 2
+    for _, r in got.iterrows():
+        i, j = int(r["i"]) - 1, int(r["j"]) - 1
+        assert int(r["n_vecs"]) == n
+        assert int(r["sum_x"]) == s[i]
+        assert int(r["sum_y"]) == s[j]
+        assert int(r["sum_xy"]) == p[i, j]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rrf_fusion_registry_matches_duckdb():
+    import duckdb
+
+    import __ray_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    got = em.queries()["rrf_fusion"](sf).reset_index(drop=True)
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    ref = con.sql(em.oracle_sql()["rrf_fusion"]).df()
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), ref.astype("int64"))

@@ -24,7 +24,7 @@ __all__ = ["topk_largest", "remove_largest", "group_quantiles",
            "iqr_outliers", "key_skew", "group_topk_ties",
            "chi2_independence", "winsorized_stats", "lift_table",
            "ks_statistic", "gini_index", "mwu_statistic",
-           "psi_statistic", "snapshot_diff"]
+           "psi_statistic", "snapshot_diff", "fk_orphans", "json_field_stats"]
 
 
 def topk_largest(ds, k: int = 100, length_col: str = "n_chars",
@@ -1420,3 +1420,127 @@ def snapshot_diff(ds_a, ds_b, key_col: str, val_cols: list[str],
             [key_col, "status", "a_n", "b_n"] + acols + bcols)
 
     return summed.map_batches(classify, batch_format="pyarrow")
+
+
+def fk_orphans(constraints: list):
+    """Referential-integrity audit — the data-quality gate a warehouse
+    load runs before publishing: for each declared FK, count child rows
+    whose (non-null) key has NO parent, plus null-key rows.
+
+    ``constraints`` is a list of
+    ``(name, child_ds, child_key, parent_ds, parent_key, mode)``:
+
+    - ``mode="broadcast"`` (dimension parents — nation, part, region):
+      the parent key set is collected once (bounded by the dimension)
+      and shipped via ``ray.put``; each child block emits one
+      (rows, orphans, nulls) partial — zero shuffle.
+    - ``mode="shuffle"`` (fact-scaled parents — orders under lineitem):
+      the distributed :func:`~.joins.anti_join` counts unmatched rows
+      without either side ever landing on the driver.
+
+    Driver state is O(constraints); returns one row per constraint
+    (fk_name, n_rows, n_orphans, n_nulls) sorted by name.
+    """
+    import pandas as pd
+    import ray
+
+    from .joins import anti_join
+
+    names, rows, orph, nulls = [], [], [], []
+    for name, child, ckey, parent, pkey, mode in constraints:
+        if mode == "broadcast":
+            pk = parent.select_columns([pkey]).take_all()
+            pref = ray.put(pa.array(sorted({r[pkey] for r in pk})))
+
+            def partial(t: pa.Table, _ck=ckey, _ref=pref) -> pa.Table:
+                keys = t[_ck]
+                if isinstance(keys, pa.ChunkedArray):
+                    keys = keys.combine_chunks()
+                valid = pc.is_valid(keys)
+                n_null = t.num_rows - pc.sum(valid).as_py()
+                present = pc.is_in(
+                    keys, value_set=pc.cast(ray.get(_ref), keys.type))
+                n_orph = pc.sum(pc.and_(valid, pc.invert(
+                    pc.fill_null(present, False)))).as_py() or 0
+                return pa.table({
+                    "n": pa.array([t.num_rows], pa.int64()),
+                    "o": pa.array([int(n_orph)], pa.int64()),
+                    "z": pa.array([int(n_null)], pa.int64())})
+
+            parts = (child.select_columns([ckey])
+                     .map_batches(partial, batch_format="pyarrow")
+                     .take_all())
+            n = sum(r["n"] for r in parts)
+            o = sum(r["o"] for r in parts)
+            z = sum(r["z"] for r in parts)
+        else:
+            n = child.count()
+            # normalize to arrow blocks: pandas-extension dtypes
+            # (nullable Int64) have no numpy mapping for .schema()
+            ck = (child.select_columns([ckey])
+                  .map_batches(lambda t: t, batch_format="pyarrow"))
+            z = n - ck.map_batches(
+                lambda t, _ck=ckey: pa.table({
+                    "v": pa.array([pc.sum(pc.cast(pc.is_valid(t[_ck]),
+                                                  pa.int64())).as_py() or 0],
+                                  pa.int64())}),
+                batch_format="pyarrow").sum("v")
+            kt = ck.schema().types[0]
+            o = anti_join(ck, parent.select_columns([pkey]), ckey,
+                          left_payload=[], right_key_col=pkey,
+                          types={ckey: kt}).count()
+        names.append(name)
+        rows.append(n)
+        orph.append(o)
+        nulls.append(z)
+    out = pd.DataFrame({"fk_name": names,
+                        "n_rows": pd.array(rows, dtype="int64"),
+                        "n_orphans": pd.array(orph, dtype="int64"),
+                        "n_nulls": pd.array(nulls, dtype="int64")})
+    return out.sort_values("fk_name", ignore_index=True)
+
+
+def json_field_stats(ds, group_col: str, json_col: str, field: str):
+    """Per-group stats of one integer field inside a flat-JSON string
+    column (the event-payload shape: ``props = '{"k": 87}'``) —
+    extraction is ONE vectorized RE2 pass (``pc.extract_regex``; no
+    per-row json.loads in the hot path — documented fast path for flat
+    non-nested payloads, parity-tested against ``json.loads``), then
+    the constant-bounded group key takes the zero-shuffle driver fold:
+    each block emits one (group, n, n_null, sum, min, max) partial row.
+    Returns (group, n, n_null, sum_v, min_v, max_v) sorted by group.
+    """
+    import re
+
+    import pandas as pd
+
+    pat = r'"' + re.escape(field) + r'":\s*(?P<v>-?\d+)'
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t[json_col], pat)
+        v = pc.cast(pc.struct_field(m, 0), pa.int64())
+        tb = pa.table({"g": t[group_col], "v": v})
+        df = tb.to_pandas()
+        agg = df.groupby("g", dropna=False).agg(
+            n=("v", "size"),
+            n_null=("v", lambda s: int(s.isna().sum())),
+            sum_v=("v", lambda s: int(s.dropna().sum())),
+            min_v=("v", lambda s: int(s.min()) if s.notna().any() else 0),
+            max_v=("v", lambda s: int(s.max()) if s.notna().any() else 0),
+        ).reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    df = pd.DataFrame(parts)
+    has = df[df["n"] > df["n_null"]]
+    out = df.groupby("g", as_index=False).agg(
+        n=("n", "sum"), n_null=("n_null", "sum"), sum_v=("sum_v", "sum"))
+    mm = has.groupby("g", as_index=False).agg(
+        min_v=("min_v", "min"), max_v=("max_v", "max"))
+    out = out.merge(mm, on="g", how="left")
+    for c in ("min_v", "max_v"):
+        out[c] = out[c].fillna(0)
+    out = out.rename(columns={"g": group_col})
+    for c in ("n", "n_null", "sum_v", "min_v", "max_v"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(group_col, ignore_index=True)

@@ -29,7 +29,7 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["chunk_tokens", "Chunker", "StubEncoder", "HFEncoder",
-           "embedding_norms",
+           "embedding_norms", "embedding_covariance",
            "chunk_documents",
            "embed_chunks", "mean_pool", "CHUNK_DEFAULTS"]
 
@@ -338,3 +338,58 @@ def embedding_norms(ds, id_col: str = "vec_id", vec_col: str = "embedding",
     return (ds.map_batches(norms, batch_format="pyarrow")
             .sort(["norm_sq", id_col], descending=[True, False])
             .limit(k))
+
+
+def embedding_covariance(ds, dims: int = 16, vec_col: str = "embedding",
+                         scale: int = 10_000):
+    """Exact integer second-moment (covariance sufficient-stat) matrix
+    over the first ``dims`` elements of a ``list<float>`` column — the
+    prerequisite pass for PCA whitening / decorrelation of an embedding
+    store, kept oracle-exact the :func:`embedding_norms` way: each
+    element is scaled per-value (×``scale``, half-away like DuckDB
+    ``round``), so every pairwise product and sum is pure int64.
+
+    Zero-copy arrow list access (values buffer + offsets → one gather
+    into an (n, dims) int64 matrix), then each block condenses to ONE
+    partial row (n, Σx, XᵀX flattened — the mergeable-sketch shape:
+    O(dims²) per block, never the vectors), driver-folds in
+    O(dims²), independent of corpus size.  Returns the upper triangle
+    as rows (i, j, n_vecs, sum_x, sum_y, sum_xy) with 1-based dims —
+    the covariance is ``(sum_xy − sum_x·sum_y/n)/n`` for any consumer,
+    left unreduced so the result stays exact.
+    """
+    import pandas as pd
+
+    from ..rounding import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[vec_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = round_half_away(
+            col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+            * float(scale)).astype(np.int64)
+        idx = offs[:-1, None] + np.arange(dims)[None, :]
+        x = flat[idx]                              # (n, dims) int64
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "s": pa.array([x.sum(axis=0).tolist()], pa.list_(pa.int64())),
+            "p": pa.array([(x.T @ x).ravel().tolist()],
+                          pa.list_(pa.int64()))})
+
+    n = 0
+    s = np.zeros(dims, np.int64)
+    p = np.zeros((dims, dims), np.int64)
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        n += row["n"]
+        s += np.asarray(row["s"], np.int64)
+        p += np.asarray(row["p"], np.int64).reshape(dims, dims)
+    ii, jj = np.triu_indices(dims)
+    return pd.DataFrame({
+        "i": pd.array(ii + 1, dtype="int64"),
+        "j": pd.array(jj + 1, dtype="int64"),
+        "n_vecs": pd.array(np.full(len(ii), n), dtype="int64"),
+        "sum_x": pd.array(s[ii], dtype="int64"),
+        "sum_y": pd.array(s[jj], dtype="int64"),
+        "sum_xy": pd.array(p[ii, jj], dtype="int64")})

@@ -35,7 +35,7 @@ from ..rounding import iround_half_away
 __all__ = ["hll_sketch_batch", "hll_count_distinct", "group_count_distinct",
            "tdigest_batch", "tdigest_merge", "tdigest_quantile",
            "group_quantiles_tdigest", "frequent_tokens", "cms_estimates",
-           "hll_intersect"]
+           "hll_intersect", "bloom_probe"]
 
 
 def _alpha(m: int) -> float:
@@ -441,3 +441,74 @@ def hll_intersect(ds, group_col: str, value_col: str, ga, gb,
         "est_b": pd.array([eb], dtype="int64"),
         "est_union": pd.array([eu], dtype="int64"),
         "est_intersect": pd.array([ea + eb - eu], dtype="int64")})
+
+
+def bloom_probe(members_ds, probes_ds, member_col: str, probe_col: str,
+                m_bits: int = 8192, k: int = 3):
+    """Bloom filter (Bloom 1970, public algorithm) as a first-class
+    oracled result — the membership sketch completing the family
+    (HLL distinct / CMS frequency / t-digest quantile / frequent-items
+    / Bloom membership), exposing its false positives directly.
+
+    Build: every block condenses its DISTINCT member keys to the set of
+    bit positions they touch (``k`` md5-salted hashes per key,
+    ``_hash64("j:key") % m_bits`` — the same md5 upper-64 DuckDB
+    exposes as ``md5_number_upper``, which is what lets the SQL oracle
+    rebuild the identical bitmap) — one bounded list row per block
+    (≤ ``m_bits`` positions, never the key stream).  Driver folds by
+    set union into an ``m_bits`` bitmap (O(m) driver state, independent
+    of data size) and broadcasts it once via ``ray.put``.
+
+    Probe: a vectorized ``map_batches`` flags each probe key
+    (``in_bloom`` = all ``k`` bits set — no false negatives, possible
+    false positives), then exact truth rides a distributed
+    :func:`~.joins.hash_join` LEFT join against the deduped member
+    keys (``is_member``) — so rows with ``in_bloom=1, is_member=0``
+    ARE the filter's false positives at this ``m_bits``/``k``.
+    Returns (key, in_bloom, is_member) sorted by key.
+    """
+    import ray
+
+    from .dataset_tools import distinct_rows
+    from .joins import hash_join
+
+    def positions(keys: list) -> np.ndarray:
+        out = np.empty((k, len(keys)), np.int64)
+        for j in range(k):
+            out[j] = (_hash64([f"{j}:{v}" for v in keys])
+                      % np.uint64(m_bits)).astype(np.int64)
+        return out
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = pc.unique(t[member_col].combine_chunks()).to_pylist()
+        bits = (np.unique(positions(keys).ravel()) if keys
+                else np.empty(0, np.int64))
+        return pa.table({"bits": pa.array([bits.tolist()],
+                                          pa.list_(pa.int32()))})
+
+    bitmap = np.zeros(m_bits, bool)
+    for row in members_ds.map_batches(
+            partial, batch_format="pyarrow").take_all():
+        bitmap[np.asarray(row["bits"], np.int64)] = True
+    bm_ref = ray.put(bitmap)
+
+    def flag(t: pa.Table) -> pa.Table:
+        keys = t[probe_col].to_pylist()
+        bm = ray.get(bm_ref)
+        hit = (bm[positions(keys)].all(axis=0).astype(np.int64)
+               if keys else np.empty(0, np.int64))
+        return pa.table({probe_col: t[probe_col],
+                         "in_bloom": pa.array(hit, pa.int64())})
+
+    flagged = probes_ds.map_batches(flag, batch_format="pyarrow")
+    mem = (distinct_rows(members_ds, [member_col])
+           .map_batches(lambda t: t.append_column(
+               "is_member", pa.array([1] * t.num_rows, pa.int64())),
+               batch_format="pyarrow"))
+    out = hash_join(flagged, mem, probe_col,
+                    left_payload=["in_bloom"], right_payload=["is_member"],
+                    right_key_col=member_col, how="left",
+                    fill={"is_member": 0},
+                    types={probe_col: pa.int64(), "in_bloom": pa.int64(),
+                           "is_member": pa.int64()})
+    return out.sort(probe_col)

@@ -28,7 +28,7 @@ __all__ = ["token_stats_batch", "token_totals", "quality_batch",
            "normalize_batch", "normalize_text", "dsir_weights",
            "group_zscores", "readability", "token_entropy",
            "novelty_scores", "distinctive_terms", "zipf_fit",
-           "compression_ratio"]
+           "compression_ratio", "tfidf_topk"]
 
 _WS_TOKEN = re.compile(r"\S+")
 # BPE-ish word/number/symbol splitter (public GPT-2-style pattern, simplified)
@@ -943,3 +943,78 @@ def compression_ratio(ds, id_col: str = "doc_id", text_col: str = "text",
                          "ratio_micro": pa.array(rat, pa.int64())})
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def tfidf_topk(ds, k: int = 3, id_col: str = "doc_id",
+               text_col: str = "text", n_parts: int = 16):
+    """Per-document top-``k`` TF-IDF terms in exact integer micro-nats
+    — the classic keyword-extraction / sparse-retrieval weighting
+    (Sparck Jones 1972), kept oracle-exact with the shared-libm trick
+    from :func:`token_entropy`: ``idf_micro = floor(ln(N/df)·1e6)``
+    (both numpy and DuckDB call the same libm ``log`` on the same
+    IEEE-double quotient), so ``score_micro = tf · idf_micro`` is pure
+    int64 on both sides.
+
+    Shape (the :func:`novelty_scores` dataflow plus a bounded top-k):
+    (1) stateless vectorized explode to (doc, token, tf) — a doc is one
+    row, so block-local counts ARE global; (2) document frequency via
+    :func:`~.dataset_tools.group_sum` (data-scaled token key); (3) one
+    distributed :func:`~.joins.hash_join` back on token; (4) per-block
+    top-k combiner (a doc's global top-k is inside the union of its
+    per-block top-ks) → ONE doc-hash partition → vectorized pandas
+    head(k).  Ties break token-ascending, mirrored by the oracle's
+    ``row_number`` order.  Returns (doc_id, token, score_micro).
+    """
+    from .dataset_tools import group_sum
+    from .joins import hash_join
+    from .windows import _by_part
+
+    n_docs = ds.count()
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(t[text_col])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = np.repeat(
+            t[id_col].to_numpy(zero_copy_only=False), lens)
+        tb = pa.table({id_col: pa.array(ids, pa.int64()),
+                       "token": pc.list_flatten(toks)})
+        tb = tb.filter(pc.not_equal(tb["token"], ""))
+        g = tb.group_by([id_col, "token"]).aggregate([("token", "count")])
+        return pa.table({
+            id_col: g[id_col],
+            "token": g["token"].combine_chunks().cast(pa.string()),
+            "tf": g["token_count"].combine_chunks().cast(pa.int64()),
+            "one": pa.array(np.ones(len(g), np.int64))})
+
+    tf = ds.map_batches(tf_rows, batch_format="pyarrow").materialize()
+    df = group_sum(tf, "token", ["one"], rename={"one": "df"})
+    joined = hash_join(tf.select_columns([id_col, "token", "tf"]),
+                       df, key_col="token",
+                       left_payload=[id_col, "tf"], right_payload=["df"],
+                       types={"token": pa.string(), id_col: pa.int64(),
+                              "tf": pa.int64(), "df": pa.int64()})
+
+    def score(t: pa.Table) -> pa.Table:
+        dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        idf = np.floor(np.log(float(n_docs) / dfv) * 1e6).astype(np.int64)
+        return pa.table({
+            id_col: t[id_col], "token": t["token"],
+            "score_micro": pa.array(
+                t["tf"].to_numpy(zero_copy_only=False) * idf, pa.int64())})
+
+    def head_k(g: "pd.DataFrame") -> "pd.DataFrame":
+        if "_part" in g.columns:
+            g = g.drop(columns="_part")
+        g = g.sort_values([id_col, "score_micro", "token"],
+                          ascending=[True, False, True], kind="mergesort")
+        return g.groupby(id_col, sort=False).head(k)
+
+    scored = (joined.map_batches(score, batch_format="pyarrow")
+              .map_batches(head_k, batch_format="pandas"))
+    return (_by_part(scored, id_col, n_parts=n_parts)
+            .groupby("_part")
+            .map_groups(head_k, batch_format="pandas")
+            .sort([id_col, "score_micro", "token"],
+                  descending=[False, True, False]))

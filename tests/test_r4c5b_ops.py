@@ -191,3 +191,141 @@ def test_rrf_fusion_registry_matches_duckdb():
     ref = con.sql(em.oracle_sql()["rrf_fusion"]).df()
     pd.testing.assert_frame_equal(
         got.astype("int64"), ref.astype("int64"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_accuracy_matches_bruteforce():
+    import ray.data as rd
+
+    from vyntr_ray.stages.sketches import minhash_accuracy
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    vocab = [f"w{i}" for i in range(40)]
+    texts = []
+    for d in range(12):
+        if d == 5:
+            texts.append("")                      # tokenless doc
+        elif d % 2 == 1 and d > 1:
+            # near-dup of its partner with a small edit
+            texts.append(texts[d - 1] + " extraword")
+        else:
+            texts.append(" ".join(rng.choice(vocab, 30)))
+    df = pd.DataFrame({"doc_id": pd.array(range(12), dtype="int64"),
+                       "text": texts})
+    got = (minhash_accuracy(rd.from_pandas(df).repartition(5),
+                            n_perm=16, n_parts=4).to_pandas())
+
+    import re
+    pat = re.compile(r"[a-z0-9]+")
+    salts = np.array([_md5_64(f"perm:{p}") for p in range(16)],
+                     dtype=np.uint64)
+
+    def hset(txt):
+        ws = pat.findall(txt.lower())
+        gs = set(" ".join(ws[j:j + 2]) for j in range(len(ws) - 1))
+        return np.array(sorted(_md5_64(g) for g in gs), dtype=np.uint64)
+
+    want = []
+    for m in range(6):
+        a, b = hset(texts[2 * m]), hset(texts[2 * m + 1])
+        if len(a) == 0 or len(b) == 0:
+            continue
+        inter = len(np.intersect1d(a, b))
+        union = len(a) + len(b) - inter
+        siga = (a[:, None] ^ salts[None, :]).min(axis=0)
+        sigb = (b[:, None] ^ salts[None, :]).min(axis=0)
+        est = int((siga == sigb).sum())
+        want.append((m, len(a), len(b), est * 1_000_000 // 16,
+                     inter * 1_000_000 // union))
+    ref = pd.DataFrame(want, columns=["pair_id", "n_a", "n_b",
+                                      "est_micro", "jacc_micro"])
+    pd.testing.assert_frame_equal(got.astype("int64"),
+                                  ref.astype("int64"))
+    # near-dup pairs must score high on BOTH estimate and truth
+    nd = ref[ref["jacc_micro"] > 800_000]
+    assert len(nd) >= 1 and (nd["est_micro"] >= 500_000).all()
+    assert 2 not in set(ref["pair_id"])          # pair with empty doc
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bigram_logprob_matches_bruteforce():
+    import math
+    import re
+
+    import ray.data as rd
+
+    from vyntr_ray.stages.text_analysis import bigram_logprob
+
+    texts = ["the cat sat on the mat", "the cat ran", "x", "",
+             "the mat sat"]
+    df = pd.DataFrame({"doc_id": pd.array(range(5), dtype="int64"),
+                       "text": texts})
+    got = (bigram_logprob(rd.from_pandas(df).repartition(3))
+           .to_pandas().reset_index(drop=True))
+
+    pat = re.compile(r"[a-z0-9]+")
+    c12: dict = {}
+    c1: dict = {}
+    doc_bgs: dict = {}
+    for d, t in enumerate(texts):
+        ws = pat.findall(t.lower())
+        for j in range(len(ws) - 1):
+            g = (ws[j], ws[j + 1])
+            c12[g] = c12.get(g, 0) + 1
+            c1[ws[j]] = c1.get(ws[j], 0) + 1
+            doc_bgs.setdefault(d, []).append(g)
+    want = []
+    for d in sorted(doc_bgs):
+        lp = sum(math.floor(math.log(c12[g] / c1[g[0]]) * 1e6)
+                 for g in doc_bgs[d])
+        want.append((d, len(doc_bgs[d]), lp))
+    ref = pd.DataFrame(want, columns=["doc_id", "n_bigrams",
+                                      "logprob_micro"])
+    pd.testing.assert_frame_equal(got.astype("int64"),
+                                  ref.astype("int64"))
+    assert set(got["doc_id"]) == {0, 1, 4}   # <2-token docs drop
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_clustering_coefficients_matches_bruteforce():
+    import itertools
+
+    import ray.data as rd
+
+    from vyntr_ray.stages.graph import clustering_coefficients
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    nodes = 30
+    edges = set()
+    # a clique (coeff 1) outside the random range, a star, background
+    for a, b in itertools.combinations([100, 101, 102, 103], 2):
+        edges.add((a, b))
+    for leaf in (110, 111, 112, 113):
+        edges.add((105, leaf))
+    while len(edges) < 60:
+        a, b = rng.integers(0, nodes, 2)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    ed = pd.DataFrame(sorted(edges), columns=["u", "v"]).astype("int64")
+    got = (clustering_coefficients(
+        rd.from_pandas(ed).repartition(4), n_parts=5).to_pandas())
+
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = []
+    for v in sorted(adj):
+        d = len(adj[v])
+        if d < 2:
+            continue
+        tri = sum(1 for x, y in itertools.combinations(sorted(adj[v]), 2)
+                  if (min(x, y), max(x, y)) in edges)
+        want.append((v, d, tri, 2 * tri * 1_000_000 // (d * (d - 1))))
+    ref = pd.DataFrame(want, columns=["node", "deg", "n_tri",
+                                      "coeff_micro"])
+    pd.testing.assert_frame_equal(got.astype("int64"),
+                                  ref.astype("int64"))
+    idx = ref.set_index("node")
+    assert idx.loc[100, "coeff_micro"] == 1_000_000   # clique member
+    assert idx.loc[105, "coeff_micro"] == 0           # star center

@@ -35,7 +35,7 @@ from ..rounding import iround_half_away
 __all__ = ["hll_sketch_batch", "hll_count_distinct", "group_count_distinct",
            "tdigest_batch", "tdigest_merge", "tdigest_quantile",
            "group_quantiles_tdigest", "frequent_tokens", "cms_estimates",
-           "hll_intersect", "bloom_probe"]
+           "hll_intersect", "bloom_probe", "minhash_accuracy"]
 
 
 def _alpha(m: int) -> float:
@@ -512,3 +512,79 @@ def bloom_probe(members_ds, probes_ds, member_col: str, probe_col: str,
                     types={probe_col: pa.int64(), "in_bloom": pa.int64(),
                            "is_member": pa.int64()})
     return out.sort(probe_col)
+
+
+def minhash_accuracy(ds, id_col: str = "doc_id", text_col: str = "text",
+                     n_perm: int = 16, n_parts: int = 16):
+    """MinHash similarity estimates vs TRUE Jaccard, side by side —
+    the accuracy diagnostic for the LSH dedup family (Broder 1997),
+    shaped like :func:`cms_estimates`/:func:`bloom_probe`: the sketch's
+    error is part of the oracled result, not hidden behind a recall
+    test.
+
+    Docs pair up as (2m, 2m+1); each doc's DISTINCT word-bigram
+    shingles hash ONCE via md5 (``_hash64`` == DuckDB
+    ``md5_number_upper``), and the ``n_perm`` permutations are XOR
+    folds with md5-derived salts (one md5 per shingle TOTAL, not per
+    permutation — XOR with a constant is a 64-bit bijection, the
+    standard cheap minhash family; DuckDB replays it with ``xor``).
+    Jaccard is computed over the hashed shingle space on BOTH sides
+    (identical definition ⇒ exact match by construction).
+
+    One shuffle: shingle-hash rows route by pair (``_by_part``), each
+    partition folds its pairs with vectorized numpy (set intersect +
+    (n, n_perm) XOR-min).  Pairs missing a side (odd tail, tokenless
+    docs) drop out, mirrored by the oracle.  Returns
+    (pair_id, n_a, n_b, est_micro, jacc_micro) sorted by pair.
+    """
+    import re
+
+    from .windows import _by_part
+
+    pat = re.compile(r"[a-z0-9]+")
+    salts = _hash64([f"perm:{p}" for p in range(n_perm)])
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        pairs, sides, hvs = [], [], []
+        did = t[id_col].to_pylist()
+        for i, txt in enumerate(t[text_col].to_pylist()):
+            ws = pat.findall((txt or "").lower())
+            gs = sorted(set(" ".join(ws[j:j + 2])
+                            for j in range(len(ws) - 1)))
+            if not gs:
+                continue
+            h = _hash64(gs)
+            pairs.extend([did[i] // 2] * len(h))
+            sides.extend([did[i] % 2] * len(h))
+            hvs.append(h)
+        flat = (np.concatenate(hvs) if hvs else np.empty(0, np.uint64))
+        return pa.table({"pair_id": pa.array(pairs, pa.int64()),
+                         "side": pa.array(sides, pa.int8()),
+                         "hv": pa.array(flat, pa.uint64())})
+
+    rows = ds.map_batches(shingle_rows, batch_format="pyarrow")
+    parts = _by_part(rows, "pair_id", n_parts=n_parts)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for pair, sub in g.groupby("pair_id", sort=True):
+            a = sub.loc[sub["side"] == 0, "hv"].to_numpy(np.uint64)
+            b = sub.loc[sub["side"] == 1, "hv"].to_numpy(np.uint64)
+            if len(a) == 0 or len(b) == 0:
+                continue
+            inter = len(np.intersect1d(a, b))
+            union = len(a) + len(b) - inter
+            siga = (a[:, None] ^ salts[None, :]).min(axis=0)
+            sigb = (b[:, None] ^ salts[None, :]).min(axis=0)
+            est = int((siga == sigb).sum())
+            out.append((int(pair), len(a), len(b),
+                        est * 1_000_000 // n_perm,
+                        inter * 1_000_000 // union))
+        return pd.DataFrame(
+            out, columns=["pair_id", "n_a", "n_b",
+                          "est_micro", "jacc_micro"]).astype("int64")
+
+    return (parts.groupby("_part")
+            .map_groups(lambda g: fold(g.drop(columns="_part")),
+                        batch_format="pandas")
+            .sort("pair_id"))

@@ -28,7 +28,7 @@ __all__ = ["token_stats_batch", "token_totals", "quality_batch",
            "normalize_batch", "normalize_text", "dsir_weights",
            "group_zscores", "readability", "token_entropy",
            "novelty_scores", "distinctive_terms", "zipf_fit",
-           "compression_ratio", "tfidf_topk"]
+           "compression_ratio", "tfidf_topk", "bigram_logprob"]
 
 _WS_TOKEN = re.compile(r"\S+")
 # BPE-ish word/number/symbol splitter (public GPT-2-style pattern, simplified)
@@ -1018,3 +1018,79 @@ def tfidf_topk(ds, k: int = 3, id_col: str = "doc_id",
             .map_groups(head_k, batch_format="pandas")
             .sort([id_col, "score_micro", "token"],
                   descending=[False, True, False]))
+
+
+def bigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document corpus-fit bigram LM log-probability in exact
+    integer micro-nats — the CCNet/KenLM-style quality signal one
+    order up from :func:`unigram_logprob`: fluent text scores high,
+    shuffled/boilerplate text scores low.
+
+    MLE without smoothing (every doc bigram is in the corpus counts by
+    construction, so ``c12 ≥ 1`` always): per doc,
+    ``logprob_micro = Σ cnt · floor(ln(c12/c1)·1e6)`` where ``c12`` is
+    the corpus count of the bigram and ``c1`` the corpus count of its
+    head as a bigram-head (so the conditional sums to 1).  The floored
+    shared-libm log (token_entropy trick) keeps both engine and oracle
+    in pure int64.
+
+    Dataflow = the :func:`novelty_scores` blueprint: flat-map to
+    per-doc (w1, gram, cnt) rows (a doc is one row ⇒ block-local counts
+    are global), corpus counts via two :func:`~.dataset_tools.group_sum`
+    passes, two distributed :func:`~.joins.hash_join` attaches, one
+    per-doc fold.  Docs under 2 tokens drop out (inner joins), mirrored
+    by the oracle.  Returns (doc_id, n_bigrams, logprob_micro).
+    """
+    from .dataset_tools import group_sum
+    from .joins import hash_join
+
+    def grams(t: pa.Table) -> pa.Table:
+        ids, w1s, gs, cs = [], [], [], []
+        did = t[id_col].to_pylist()
+        for i, txt in enumerate(t[text_col].to_pylist()):
+            ws = _GRAM_TOKEN.findall((txt or "").lower())
+            d: dict = {}
+            for j in range(len(ws) - 1):
+                key = (ws[j], ws[j] + " " + ws[j + 1])
+                d[key] = d.get(key, 0) + 1
+            for (w1, g), c in d.items():
+                ids.append(did[i])
+                w1s.append(w1)
+                gs.append(g)
+                cs.append(c)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "w1": pa.array(w1s, pa.string()),
+                         "gram": pa.array(gs, pa.string()),
+                         "cnt": pa.array(cs, pa.int64())})
+
+    dg = ds.map_batches(grams, batch_format="pyarrow").materialize()
+    c12 = group_sum(dg.select_columns(["gram", "cnt"]), "gram", ["cnt"],
+                    rename={"cnt": "c12"})
+    c1 = group_sum(dg.select_columns(["w1", "cnt"]), "w1", ["cnt"],
+                   rename={"cnt": "c1"})
+    j1 = hash_join(dg, c12, key_col="gram",
+                   left_payload=[id_col, "w1", "cnt"],
+                   right_payload=["c12"],
+                   types={"gram": pa.string(), id_col: pa.int64(),
+                          "w1": pa.string(), "cnt": pa.int64(),
+                          "c12": pa.int64()})
+    j2 = hash_join(j1, c1, key_col="w1",
+                   left_payload=[id_col, "cnt", "c12"],
+                   right_payload=["c1"],
+                   types={"w1": pa.string(), id_col: pa.int64(),
+                          "cnt": pa.int64(), "c12": pa.int64(),
+                          "c1": pa.int64()})
+
+    def score(t: pa.Table) -> pa.Table:
+        c12v = t["c12"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c1v = t["c1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lp = np.floor(np.log(c12v / c1v) * 1e6).astype(np.int64)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: t[id_col],
+            "n_bigrams": pa.array(cnt, pa.int64()),
+            "logprob_micro": pa.array(cnt * lp, pa.int64())})
+
+    out = group_sum(j2.map_batches(score, batch_format="pyarrow"),
+                    id_col, ["n_bigrams", "logprob_micro"])
+    return out.sort(id_col)

@@ -2544,6 +2544,51 @@ def _q_rrf_fusion(sf_dir: str):
         "rank_cnt": pd.array([r[3] for r in rows], dtype="int64")})
 
 
+def _q_path_topk(sf_dir: str):
+    """Top-20 daily user-journey paths (stages/windows.py:path_topk):
+    '>'-joined event-type sequences per (user, day) in (ts, id) order,
+    counted corpus-wide — ONE user-hash partition builds the paths,
+    group_sum counts them, the distributed sort takes the head."""
+    from vyntr_ray.stages.windows import path_topk
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    return path_topk(ds, k=20)
+
+
+def _q_pmi_pairs(sf_dir: str):
+    """Top-20 collocations by PMI among frequent terms
+    (stages/text_analysis.py:pmi_pairs) in exact integer micro-nats —
+    the df ≥ N/20 gate bounds the kept vocabulary (a corpus-shape
+    constant) so pair fan-out never explodes."""
+    from vyntr_ray.stages.text_analysis import pmi_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return pmi_pairs(ds, k=20, min_pair=5, df_frac=20)
+
+
+def _q_benford_deviation(sf_dir: str):
+    """Benford first-digit audit of order totals
+    (stages/dataset_tools.py:benford_deviation): observed vs expected
+    digit shares in exact floored micro units, zero-shuffle (9-key
+    driver fold), shared-libm log10."""
+    from vyntr_ray.stages.dataset_tools import benford_deviation
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+    return benford_deviation(ds, "o_totalprice")
+
+
+def _q_group_moments(sf_dir: str):
+    """Per-event-type skewness + excess kurtosis from exact integer
+    sufficient stats (stages/dataset_tools.py:group_moments): Σx³/Σx⁴
+    ride as decimal strings (the chi2 HUGEINT class), the shared-IEEE
+    reduction uses m2·sqrt(m2) — sqrt is exact where pow is not."""
+    from vyntr_ray.stages.dataset_tools import group_moments
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return group_moments(ds, "event_type", "value", scale=100)
+
+
 def _q_clustering_coeff(sf_dir: str):
     """Local clustering coefficients on the support-thresholded
     co-purchase graph (edges in ≥2 orders;
@@ -5413,6 +5458,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- driver-checked window (first 50): the r4 rotation ---
         # r4c5 queries lead (never driver-checked), then r4c4, then
         # the 23 third-continuation queries
+        "path_topk": _q_path_topk,
+        "pmi_pairs": _q_pmi_pairs,
+        "benford_deviation": _q_benford_deviation,
+        "group_moments": _q_group_moments,
         "clustering_coeff": _q_clustering_coeff,
         "minhash_accuracy": _q_minhash_accuracy,
         "bigram_logprob": _q_bigram_logprob,
@@ -5812,6 +5861,101 @@ def oracle_sql() -> dict[str, str]:
     zexpr = zorder_sql_expr("x", "y", bits=21)
     old_src = ", ".join(f"'{s}'" for s in _OLD_SNAPSHOT_SOURCES)
     return {
+        "path_topk": """
+            WITH s AS (SELECT user_id, date_trunc('day', ts) AS day,
+                              string_agg(event_type, '>'
+                                  ORDER BY ts, event_id) AS path
+                       FROM events GROUP BY 1, 2),
+            c AS (SELECT path, count(*)::BIGINT AS n FROM s GROUP BY 1)
+            SELECT path, n FROM c ORDER BY n DESC, path LIMIT 20
+        """,
+        # pmi_micro = floor(ln((c_ab*N)/(c_a*c_b))*1e6): one double
+        # division of exact int64 products (<2^53) + shared libm ln
+        "pmi_pairs": """
+            WITH w AS (SELECT doc_id,
+                              regexp_extract_all(lower(coalesce(text,
+                                  '')), '[a-z0-9]+') AS ws
+                       FROM documents),
+            toks AS (SELECT DISTINCT doc_id, unnest(ws) AS token FROM w),
+            nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+            dfc AS (SELECT token, count(*)::BIGINT AS df FROM toks
+                    GROUP BY 1),
+            kept AS (SELECT token, df FROM dfc, nn WHERE df * 20 >= nn.n),
+            kt AS (SELECT t.doc_id, t.token FROM toks t
+                   JOIN kept USING (token)),
+            cab AS (SELECT a.token AS ta, b.token AS tb,
+                           count(*)::BIGINT AS c_ab
+                    FROM kt a JOIN kt b
+                        ON a.doc_id = b.doc_id AND a.token < b.token
+                    GROUP BY 1, 2 HAVING count(*) >= 5),
+            sc AS (SELECT ta, tb, c_ab,
+                          floor(ln((c_ab * nn.n)::DOUBLE
+                                   / (ka.df * kb.df)::DOUBLE)
+                                * 1000000.0)::BIGINT AS pmi_micro
+                   FROM cab JOIN kept ka ON ka.token = cab.ta
+                            JOIN kept kb ON kb.token = cab.tb, nn)
+            SELECT ta AS tok_a, tb AS tok_b, c_ab, pmi_micro FROM sc
+            ORDER BY pmi_micro DESC, tok_a, tok_b LIMIT 20
+        """,
+        # leading digit by decimal-string head == the engine's integer
+        # division loop; Benford expectation via shared-libm log10
+        "benford_deviation": """
+            WITH v AS (SELECT CAST(substr(
+                           trunc(abs(o_totalprice))::BIGINT::VARCHAR,
+                           1, 1) AS BIGINT) AS digit
+                       FROM orders
+                       WHERE trunc(abs(o_totalprice)) >= 1),
+            c AS (SELECT digit, count(*)::BIGINT AS n FROM v
+                  GROUP BY 1),
+            d AS (SELECT unnest(generate_series(1, 9)) AS digit),
+            t AS (SELECT sum(n)::BIGINT AS total FROM c)
+            SELECT d.digit::BIGINT AS digit,
+                   coalesce(c.n, 0)::BIGINT AS n,
+                   (coalesce(c.n, 0) * 1000000
+                    // greatest(t.total, 1))::BIGINT AS obs_micro,
+                   floor(log10(1.0 + 1.0 / d.digit)
+                         * 1000000.0)::BIGINT AS exp_micro,
+                   abs((coalesce(c.n, 0) * 1000000
+                        // greatest(t.total, 1))
+                       - floor(log10(1.0 + 1.0 / d.digit)
+                               * 1000000.0)::BIGINT)::BIGINT
+                       AS dev_micro
+            FROM d LEFT JOIN c USING (digit), t ORDER BY d.digit
+        """,
+        # HUGEINT power sums (x^4 wraps int64 at fact scale); the
+        # double reduction mirrors the engine term-for-term, and
+        # m2*sqrt(m2) replaces pow(m2,1.5) (sqrt is IEEE-exact)
+        "group_moments": """
+            WITH s AS (SELECT event_type, count(*)::BIGINT AS n,
+                    sum((round(value * 100)::BIGINT)::HUGEINT) AS s1,
+                    sum((round(value * 100)::BIGINT)::HUGEINT
+                        * round(value * 100)::BIGINT) AS s2,
+                    sum((round(value * 100)::BIGINT)::HUGEINT
+                        * round(value * 100)::BIGINT
+                        * round(value * 100)::BIGINT) AS s3,
+                    sum((round(value * 100)::BIGINT)::HUGEINT
+                        * round(value * 100)::BIGINT
+                        * round(value * 100)::BIGINT
+                        * round(value * 100)::BIGINT) AS s4
+                FROM events GROUP BY 1),
+            m AS (SELECT event_type, n,
+                         s1::DOUBLE / n::DOUBLE AS mu,
+                         s2::DOUBLE / n::DOUBLE AS e2,
+                         s3::DOUBLE / n::DOUBLE AS e3,
+                         s4::DOUBLE / n::DOUBLE AS e4
+                  FROM s),
+            c AS (SELECT event_type, n, mu,
+                         e2 - mu * mu AS m2,
+                         e3 - 3.0 * mu * e2
+                            + 2.0 * mu * mu * mu AS m3,
+                         e4 - 4.0 * mu * e3 + 6.0 * mu * mu * e2
+                            - 3.0 * mu * mu * mu * mu AS m4
+                  FROM m)
+            SELECT event_type, n,
+                   round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+                   round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
+            FROM c ORDER BY event_type
+        """,
         # min-vertex triangles (e1.u<e1.v<e2.v by id) credit all three
         # vertices; HAVING >=2 = pair_edges(min_count=2); floored
         # integer coefficient; deg>=2 nodes only

@@ -329,3 +329,154 @@ def test_clustering_coefficients_matches_bruteforce():
     idx = ref.set_index("node")
     assert idx.loc[100, "coeff_micro"] == 1_000_000   # clique member
     assert idx.loc[105, "coeff_micro"] == 0           # star center
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_path_topk_matches_bruteforce():
+    import ray.data as rd
+
+    from vyntr_ray.stages.windows import path_topk
+
+    rng = np.random.Generator(np.random.PCG64(13))
+    n = 300
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 5 * 86400, n), unit="s")
+    df = pd.DataFrame({
+        "event_id": pd.array(range(n), dtype="int64"),
+        "ts": ts,
+        "user_id": pd.array(rng.integers(0, 12, n), dtype="int64"),
+        "event_type": rng.choice(["view", "click", "buy"], n)})
+    got = (path_topk(rd.from_pandas(df).repartition(5), k=10,
+                     n_parts=4).to_pandas())
+
+    ref = df.sort_values(["user_id", "ts", "event_id"],
+                         kind="mergesort").copy()
+    ref["day"] = ref["ts"].dt.floor("D")
+    paths = (ref.groupby(["user_id", "day"], sort=False)["event_type"]
+             .agg(">".join))
+    cnt = paths.value_counts()
+    want = (pd.DataFrame({"path": cnt.index, "n": cnt.values})
+            .sort_values(["n", "path"], ascending=[False, True],
+                         kind="mergesort").head(10)
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype({"n": "int64"}),
+        want.astype({"n": "int64"}))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pmi_pairs_matches_bruteforce():
+    import itertools
+    import math
+    import re
+
+    import ray.data as rd
+
+    from vyntr_ray.stages.text_analysis import pmi_pairs
+
+    rng = np.random.Generator(np.random.PCG64(17))
+    # "data science" forced collocation + common singles + noise
+    docs = []
+    for d in range(60):
+        words = list(rng.choice(["alpha", "beta", "gamma", "rare%d" % d],
+                                4))
+        if d % 2 == 0:
+            words += ["data", "science"]
+        docs.append(" ".join(words))
+    df = pd.DataFrame({"doc_id": pd.array(range(60), dtype="int64"),
+                       "text": docs})
+    got = (pmi_pairs(rd.from_pandas(df).repartition(4), k=10,
+                     min_pair=3, df_frac=20))
+
+    pat = re.compile(r"[a-z0-9]+")
+    n_docs = len(df)
+    tok_sets = [set(pat.findall(t.lower())) for t in docs]
+    dfc: dict = {}
+    for s in tok_sets:
+        for w in s:
+            dfc[w] = dfc.get(w, 0) + 1
+    kept = {w for w, c in dfc.items() if c * 20 >= n_docs}
+    cab: dict = {}
+    for s in tok_sets:
+        for a, b in itertools.combinations(sorted(s & kept), 2):
+            cab[(a, b)] = cab.get((a, b), 0) + 1
+    rows = [(a, b, c,
+             math.floor(math.log((c * n_docs) / (dfc[a] * dfc[b])) * 1e6))
+            for (a, b), c in cab.items() if c >= 3]
+    rows.sort(key=lambda t: (-t[3], t[0], t[1]))
+    want = pd.DataFrame(rows[:10], columns=["tok_a", "tok_b", "c_ab",
+                                            "pmi_micro"])
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype({"c_ab": "int64",
+                                           "pmi_micro": "int64"}),
+        want.astype({"c_ab": "int64", "pmi_micro": "int64"}))
+    assert tuple(want.iloc[0][["tok_a", "tok_b"]]) == ("data", "science")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_benford_deviation_matches_bruteforce():
+    import math
+
+    import ray.data as rd
+
+    from vyntr_ray.stages.dataset_tools import benford_deviation
+
+    rng = np.random.Generator(np.random.PCG64(19))
+    # log-uniform => roughly Benford; include <1 values (dropped)
+    v = np.concatenate([10 ** rng.uniform(0, 4, 500),
+                        rng.uniform(0, 0.99, 20)])
+    got = benford_deviation(
+        rd.from_pandas(pd.DataFrame({"x": v})).repartition(4), "x")
+
+    digits = [int(str(int(abs(x)))[0]) for x in v if abs(x) >= 1]
+    total = len(digits)
+    for d in range(1, 10):
+        row = got[got["digit"] == d].iloc[0]
+        nd = digits.count(d)
+        assert int(row["n"]) == nd
+        assert int(row["obs_micro"]) == nd * 1_000_000 // total
+        assert int(row["exp_micro"]) == math.floor(
+            math.log10(1.0 + 1.0 / d) * 1e6)
+    assert int(got["n"].sum()) == total
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_moments_matches_bruteforce():
+    import math
+
+    import ray.data as rd
+
+    from vyntr_ray.rounding import round_half_away
+    from vyntr_ray.stages.dataset_tools import group_moments
+
+    rng = np.random.Generator(np.random.PCG64(23))
+    g = rng.choice(["a", "b"], 400)
+    # skewed values so skewness is materially nonzero
+    v = np.where(g == "a", rng.exponential(50, 400),
+                 rng.normal(100, 10, 400))
+    df = pd.DataFrame({"g": g, "v": v})
+    got = group_moments(rd.from_pandas(df).repartition(6), "g", "v",
+                        scale=100)
+
+    for grp in ("a", "b"):
+        x = round_half_away(
+            df.loc[df["g"] == grp, "v"].to_numpy(np.float64)
+            * 100.0).astype(np.int64)
+        n = len(x)
+        s1, s2 = int(x.sum()), int((x * x).sum())
+        s3 = int(((x * x) * x).astype(object).sum())
+        s4 = int(((x * x) * (x * x)).astype(object).sum())
+        nd = float(n)
+        mu = float(s1) / nd
+        m2 = float(s2) / nd - mu * mu
+        m3 = (float(s3) / nd - 3.0 * mu * (float(s2) / nd)
+              + 2.0 * mu * mu * mu)
+        m4 = (float(s4) / nd - 4.0 * mu * (float(s3) / nd)
+              + 6.0 * mu * mu * (float(s2) / nd)
+              - 3.0 * mu * mu * mu * mu)
+        row = got[got["g"] == grp].iloc[0]
+        assert int(row["n"]) == n
+        assert row["skewness"] == round(m3 / (m2 * math.sqrt(m2)), 6)
+        assert row["kurtosis_excess"] == round(m4 / (m2 * m2) - 3.0, 6)
+    a_skew = float(got[got["g"] == "a"]["skewness"].iloc[0])
+    assert a_skew > 1.0          # exponential is right-skewed

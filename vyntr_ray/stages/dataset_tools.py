@@ -24,7 +24,8 @@ __all__ = ["topk_largest", "remove_largest", "group_quantiles",
            "iqr_outliers", "key_skew", "group_topk_ties",
            "chi2_independence", "winsorized_stats", "lift_table",
            "ks_statistic", "gini_index", "mwu_statistic",
-           "psi_statistic", "snapshot_diff", "fk_orphans", "json_field_stats"]
+           "psi_statistic", "snapshot_diff", "fk_orphans", "json_field_stats",
+           "benford_deviation", "group_moments"]
 
 
 def topk_largest(ds, k: int = 100, length_col: str = "n_chars",
@@ -1544,3 +1545,117 @@ def json_field_stats(ds, group_col: str, json_col: str, field: str):
     for c in ("n", "n_null", "sum_v", "min_v", "max_v"):
         out[c] = out[c].astype("int64")
     return out.sort_values(group_col, ignore_index=True)
+
+
+def benford_deviation(ds, value_col: str):
+    """First-digit (Benford 1938) distribution audit — the classic
+    fraud / data-quality screen: observed leading-digit shares of a
+    positive numeric column vs the Benford expectation
+    ``log10(1 + 1/d)``, both in exact floored micro units (observed:
+    ``n_d·1e6 // n``; expected: ``floor(log10(1+1/d)·1e6)`` —
+    shared-libm log10 on both sides).
+
+    Zero-shuffle: each block folds to 9 digit counts (leading digit by
+    a vectorized integer-division loop — no float log10 edge cases at
+    powers of ten), driver folds O(blocks·9).  Rows with |trunc| < 1
+    are out of Benford's domain and drop (mirrored by the oracle).
+    Returns (digit, n, obs_micro, exp_micro, dev_micro) for d=1..9.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        iv = np.abs(np.trunc(v)).astype(np.int64)
+        iv = iv[iv >= 1]
+        while (iv >= 10).any():
+            big = iv >= 10
+            iv[big] //= 10
+        cnt = np.bincount(iv, minlength=10)[1:10]
+        return pa.table({"digit": pa.array(np.arange(1, 10), pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    counts = np.zeros(9, np.int64)
+    for r in parts:
+        counts[r["digit"] - 1] += r["n"]
+    total = int(counts.sum())
+    digits = np.arange(1, 10)
+    obs = counts * 1_000_000 // max(total, 1)
+    exp = np.floor(np.log10(1.0 + 1.0 / digits.astype(np.float64))
+                   * 1e6).astype(np.int64)
+    return pd.DataFrame({
+        "digit": pd.array(digits, dtype="int64"),
+        "n": pd.array(counts, dtype="int64"),
+        "obs_micro": pd.array(obs, dtype="int64"),
+        "exp_micro": pd.array(exp, dtype="int64"),
+        "dev_micro": pd.array(np.abs(obs - exp), dtype="int64")})
+
+
+def group_moments(ds, group_col: str, value_col: str, scale: int = 100):
+    """Per-group skewness and excess kurtosis from EXACT integer
+    sufficient stats — the moments-family completion of ab_ttest /
+    group_regression: each block folds its groups to (n, Σx, Σx², Σx³,
+    Σx⁴) over half-away ``×scale`` ints; Σx³/Σx⁴ overflow int64 at
+    fact scale, so they ride as decimal strings and the driver folds
+    PYTHON ints (the chi2 HUGEINT class — constant-bounded group keys,
+    zero shuffle).
+
+    The float reduction mirrors the oracle term-for-term (divisions
+    before subtractions, ``m2·sqrt(m2)`` not ``pow(m2,1.5)`` — sqrt is
+    IEEE-exact where pow carries ulp risk), so ``round(…, 6)`` matches
+    bit-for-bit.  Returns (group, n, skewness, kurtosis_excess).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from ..rounding import round_half_away
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        gs, ns, s1s, s2s, s3s, s4s = [], [], [], [], [], []
+        for g, sub in df.groupby(group_col, sort=False):
+            x = round_half_away(
+                sub[value_col].to_numpy(np.float64)
+                * float(scale)).astype(np.int64)
+            x2 = x * x
+            gs.append(g)
+            ns.append(len(x))
+            s1s.append(str(int(x.sum())))
+            s2s.append(str(int(x2.sum())))
+            s3s.append(str(int((x2 * x).astype(object).sum())))
+            s4s.append(str(int((x2 * x2).astype(object).sum())))
+        return pa.table({group_col: pa.array(gs),
+                         "n": pa.array(ns, pa.int64()),
+                         "s1": pa.array(s1s, pa.string()),
+                         "s2": pa.array(s2s, pa.string()),
+                         "s3": pa.array(s3s, pa.string()),
+                         "s4": pa.array(s4s, pa.string())})
+
+    agg: dict = {}
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        cur = agg.setdefault(r[group_col], [0, 0, 0, 0, 0])
+        cur[0] += r["n"]
+        for i, c in enumerate(("s1", "s2", "s3", "s4")):
+            cur[i + 1] += int(r[c])
+
+    rows = []
+    for g in sorted(agg):
+        n, s1, s2, s3, s4 = agg[g]
+        nd = float(n)
+        mu = float(s1) / nd
+        m2 = float(s2) / nd - mu * mu
+        m3 = float(s3) / nd - 3.0 * mu * (float(s2) / nd) \
+            + 2.0 * mu * mu * mu
+        m4 = float(s4) / nd - 4.0 * mu * (float(s3) / nd) \
+            + 6.0 * mu * mu * (float(s2) / nd) - 3.0 * mu * mu * mu * mu
+        skew = m3 / (m2 * math.sqrt(m2))
+        kurt = m4 / (m2 * m2) - 3.0
+        rows.append((g, n, round(skew, 6), round(kurt, 6)))
+    return pd.DataFrame({
+        group_col: [r[0] for r in rows],
+        "n": pd.array([r[1] for r in rows], dtype="int64"),
+        "skewness": [r[2] for r in rows],
+        "kurtosis_excess": [r[3] for r in rows]})

@@ -28,7 +28,8 @@ __all__ = ["token_stats_batch", "token_totals", "quality_batch",
            "normalize_batch", "normalize_text", "dsir_weights",
            "group_zscores", "readability", "token_entropy",
            "novelty_scores", "distinctive_terms", "zipf_fit",
-           "compression_ratio", "tfidf_topk", "bigram_logprob"]
+           "compression_ratio", "tfidf_topk", "bigram_logprob",
+           "pmi_pairs"]
 
 _WS_TOKEN = re.compile(r"\S+")
 # BPE-ish word/number/symbol splitter (public GPT-2-style pattern, simplified)
@@ -1094,3 +1095,96 @@ def bigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text"):
     out = group_sum(j2.map_batches(score, batch_format="pyarrow"),
                     id_col, ["n_bigrams", "logprob_micro"])
     return out.sort(id_col)
+
+
+def pmi_pairs(ds, k: int = 20, min_pair: int = 5, df_frac: int = 20,
+              id_col: str = "doc_id", text_col: str = "text"):
+    """Top-``k`` collocations by pointwise mutual information (Church &
+    Hanks 1990) among FREQUENT terms, in exact integer micro-nats:
+    ``pmi_micro = floor(ln((c_ab·N)/(c_a·c_b))·1e6)`` — one double
+    division of exact int64 products (all < 2^53) + the shared-libm
+    log, so engine and oracle match bit-for-bit.
+
+    The frequent-terms gate (df·``df_frac`` ≥ N, i.e. df ≥ N/20) is
+    what bounds the pair explosion: the kept vocabulary is at most
+    ``df_frac × (avg distinct tokens per doc)`` — a corpus-shape
+    constant, not data-scaled — so the broadcast kept-set and each
+    doc's pair fan-out stay bounded at any corpus size.  Distinct
+    (doc, token) rows → df via :func:`~.dataset_tools.group_sum` →
+    kept set broadcast (``ray.put`` once) → per-doc pair explode →
+    pair counts via group_sum → the tiny PMI head sorts out.
+    Pairs under ``min_pair`` co-occurrences drop (noise floor).
+    Returns (tok_a, tok_b, c_ab, pmi_micro) top-k by (pmi desc, pair).
+    """
+    import ray
+
+    from .dataset_tools import group_sum
+
+    n_docs = ds.count()
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        ids, toks = [], []
+        did = t[id_col].to_pylist()
+        for i, txt in enumerate(t[text_col].to_pylist()):
+            for w in set(_GRAM_TOKEN.findall((txt or "").lower())):
+                ids.append(did[i])
+                toks.append(w)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "token": pa.array(toks, pa.string()),
+                         "one": pa.array(np.ones(len(ids), np.int64))})
+
+    dt = ds.map_batches(tok_rows, batch_format="pyarrow").materialize()
+    dfc = group_sum(dt.select_columns(["token", "one"]), "token", ["one"],
+                    rename={"one": "df"})
+    kept_tbl = dfc.map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            pc.multiply(t["df"], pa.scalar(df_frac, pa.int64())),
+            pa.scalar(n_docs, pa.int64()))),
+        batch_format="pyarrow").take_all()
+    kept = {r["token"]: r["df"] for r in kept_tbl}
+    kept_ref = ray.put(kept)
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        kp = ray.get(kept_ref)
+        # rows arrive (doc, token) — group per doc within the block
+        # (a doc's rows never split: tok_rows emits per input row)
+        a_out, b_out = [], []
+        did = t[id_col].to_numpy(zero_copy_only=False)
+        tok = t["token"].to_pylist()
+        i = 0
+        n = len(did)
+        while i < n:
+            j = i
+            while j < n and did[j] == did[i]:
+                j += 1
+            ts = sorted(w for w in tok[i:j] if w in kp)
+            for x in range(len(ts)):
+                for y in range(x + 1, len(ts)):
+                    a_out.append(ts[x])
+                    b_out.append(ts[y])
+            i = j
+        return pa.table({"pair": pa.array(
+            [a + " " + b for a, b in zip(a_out, b_out)], pa.string()),
+            "one": pa.array(np.ones(len(a_out), np.int64))})
+
+    pc_tbl = group_sum(dt.map_batches(pair_rows, batch_format="pyarrow"),
+                       "pair", ["one"], rename={"one": "c_ab"})
+    cand = pc_tbl.map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            t["c_ab"], pa.scalar(min_pair, pa.int64()))),
+        batch_format="pyarrow").take_all()
+
+    rows = []
+    for r in cand:
+        a, b = r["pair"].split(" ")
+        num = float(r["c_ab"] * n_docs)
+        den = float(kept[a] * kept[b])
+        pmi = int(np.floor(np.log(num / den) * 1e6))
+        rows.append((a, b, int(r["c_ab"]), pmi))
+    rows.sort(key=lambda t: (-t[3], t[0], t[1]))
+    rows = rows[:k]
+    return pd.DataFrame({
+        "tok_a": [r[0] for r in rows],
+        "tok_b": [r[1] for r in rows],
+        "c_ab": pd.array([r[2] for r in rows], dtype="int64"),
+        "pmi_micro": pd.array([r[3] for r in rows], dtype="int64")})

@@ -33,7 +33,7 @@ __all__ = ["tumbling", "sliding", "sessionize", "rolling_sum",
            "group_mad", "last_touch", "watermark_filter",
            "next_event_gap", "session_path_partials", "ohlc_bars",
            "rolling_outliers", "rolling_median", "interval_coverage",
-           "window_distinct", "locf_fill"]
+           "window_distinct", "locf_fill", "path_topk"]
 
 _US = 1_000_000
 
@@ -1259,3 +1259,37 @@ def locf_fill(ds, key_col: str = "user_id", ts_col: str = "ts",
 
     return _by_part(ds, key_col, n_parts=n_parts).groupby("_part").map_groups(
         lambda g: per_part(g.drop(columns="_part")), batch_format="pandas")
+
+
+def path_topk(ds, k: int = 20, user_col: str = "user_id",
+              ts_col: str = "ts", id_col: str = "event_id",
+              type_col: str = "event_type", n_parts: int = 16):
+    """Top-``k`` daily event paths — the product-analytics "user
+    journey" table: per (user, day) the ``>``-joined event-type
+    sequence in (ts, id) order, counted across all users, top-k by
+    (count desc, path asc).
+
+    ONE user-hash partition co-locates each user's events (the
+    sessionize shape); a vectorized per-partition pandas groupby-agg
+    builds the path strings (the shuffle's OUTPUT is one row per
+    (user, day), never re-shuffled at event granularity), then path
+    counts ride :func:`~.dataset_tools.group_sum` (data-scaled string
+    key) and the distributed sort takes the head.
+    """
+    from .dataset_tools import group_sum
+
+    def paths(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, ts_col, id_col], kind="mergesort")
+        g["_day"] = g[ts_col].dt.floor("D")
+        out = (g.groupby([user_col, "_day"], sort=False)[type_col]
+               .agg(">".join).reset_index(name="path"))
+        out["one"] = np.ones(len(out), np.int64)
+        return out[["path", "one"]]
+
+    sess = (_by_part(ds, user_col, n_parts=n_parts)
+            .groupby("_part")
+            .map_groups(lambda g: paths(g.drop(columns="_part")),
+                        batch_format="pandas"))
+    counts = group_sum(sess, "path", ["one"], rename={"one": "n"})
+    return (counts.sort(["n", "path"], descending=[True, False])
+            .limit(k))

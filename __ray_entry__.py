@@ -2437,7 +2437,9 @@ def _q_tfidf_topk(sf_dir: str):
     ·1e6) via the shared-libm trick, score = tf·idf_micro pure int64;
     token df rides group_sum, the join back is one distributed
     hash_join, and the per-doc top-3 is a bounded combiner + ONE
-    doc-hash partition."""
+    doc-hash partition.  Sibling of tfidf_keywords (search_index's
+    integer-surrogate score): this one carries the REAL ln-idf
+    weighting, exactly."""
     from vyntr_ray.stages.text_analysis import tfidf_topk
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -2445,11 +2447,13 @@ def _q_tfidf_topk(sf_dir: str):
 
 
 def _q_fk_orphans(sf_dir: str):
-    """Referential-integrity audit over the star schema
-    (stages/dataset_tools.py:fk_orphans): orphan + null-key counts for
-    every declared FK.  Dimension parents broadcast (zero shuffle);
-    the fact-scaled lineitem→orders edge rides the distributed
-    anti_join — neither side lands on the driver."""
+    """FULL referential-integrity audit over the star schema
+    (stages/dataset_tools.py:fk_orphans): orphan AND null-key counts
+    for all SIX declared FKs — the complete-coverage, null-aware
+    superset of fk_check (which audits orphans on two edges).
+    Dimension parents broadcast (zero shuffle); the fact-scaled
+    lineitem→orders edge rides the distributed anti_join — neither
+    side lands on the driver."""
     from vyntr_ray.stages.dataset_tools import fk_orphans
 
     cons = [
@@ -2484,9 +2488,11 @@ def _q_fk_orphans(sf_dir: str):
 def _q_json_field_stats(sf_dir: str):
     """Per-event-type stats of the integer field inside the flat-JSON
     props payload (stages/dataset_tools.py:json_field_stats) — ONE
-    vectorized RE2 extraction pass (parity-tested vs json.loads), then
-    the constant-bounded key takes the zero-shuffle driver fold.
-    Oracle extracts via DuckDB's native json operator."""
+    vectorized RE2 extraction pass (pc.extract_regex; the vectorized
+    replacement for event_json's per-row re.search, with null-tracking
+    + min/max the sibling lacks), parity-tested vs json.loads; the
+    constant-bounded key takes the zero-shuffle driver fold.  Oracle
+    extracts via DuckDB's native json operator — independent path."""
     from vyntr_ray.stages.dataset_tools import json_field_stats
 
     ds = _read(sf_dir, "events", columns=["event_type", "props"])
@@ -2546,9 +2552,11 @@ def _q_rrf_fusion(sf_dir: str):
 
 def _q_path_topk(sf_dir: str):
     """Top-20 daily user-journey paths (stages/windows.py:path_topk):
-    '>'-joined event-type sequences per (user, day) in (ts, id) order,
-    counted corpus-wide — ONE user-hash partition builds the paths,
-    group_sum counts them, the distributed sort takes the head."""
+    FULL '>'-joined event-type sequences per (user, calendar day) in
+    (ts, id) order — unbounded path domain, so counts ride group_sum
+    (data-scaled string key) after ONE user-hash partition builds the
+    paths.  Contrast session_paths: 1800s-gap sessions truncated to 3
+    steps, whose |types|³-bounded domain folds driver-side."""
     from vyntr_ray.stages.windows import path_topk
 
     ds = _read(sf_dir, "events",
@@ -2557,10 +2565,12 @@ def _q_path_topk(sf_dir: str):
 
 
 def _q_pmi_pairs(sf_dir: str):
-    """Top-20 collocations by PMI among frequent terms
-    (stages/text_analysis.py:pmi_pairs) in exact integer micro-nats —
-    the df ≥ N/20 gate bounds the kept vocabulary (a corpus-shape
-    constant) so pair fan-out never explodes."""
+    """Top-20 DOCUMENT-co-occurrence associations by PMI among
+    frequent terms (stages/text_analysis.py:pmi_pairs) in exact integer
+    micro-nats — unbounded-distance pairs within a doc (topic
+    association), vs bigram_pmi's ADJACENT-pair collocations (phrase
+    detection).  The df ≥ N/20 gate bounds the kept vocabulary (a
+    corpus-shape constant) so pair fan-out never explodes."""
     from vyntr_ray.stages.text_analysis import pmi_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])

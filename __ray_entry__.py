@@ -2550,6 +2550,64 @@ def _q_rrf_fusion(sf_dir: str):
         "rank_cnt": pd.array([r[3] for r in rows], dtype="int64")})
 
 
+def _q_autocorr_daily(sf_dir: str):
+    """Lag-1 autocorrelation of daily revenue — the time-series
+    persistence diagnostic: daily centi-revenue via zero-shuffle keyed
+    partials (day domain is calendar-bounded), consecutive-day pairs
+    folded to exact PYTHON-int sufficient stats on the driver (Σx²
+    wraps int64 at fact scale — the oracle uses HUGEINT), Pearson via
+    the qty_discount_corr shared-IEEE formula."""
+    import pyarrow.compute as pc
+
+    from vyntr_ray.rounding import fround_half_away
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (t["o_orderdate"].to_numpy(zero_copy_only=False)
+               .astype("datetime64[us]").astype(np.int64)
+               // 86_400_000_000)
+        rev = pc.cast(_round_ha(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0))), pa.int64())
+        g = (pa.table({"day": pa.array(day, pa.int64()), "rev": rev})
+             .group_by("day").aggregate([("rev", "sum")]))
+        return g.rename_columns(["day", "rev"])
+
+    df = _sum_keyed_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day"], ["rev"]).sort_values("day", ignore_index=True)
+    xs = [int(v) for v in df["rev"]]
+    pairs = list(zip(xs[:-1], xs[1:]))
+    n = len(pairs)
+    sx = sum(x for x, _ in pairs)
+    sy = sum(y for _, y in pairs)
+    sxy = sum(x * y for x, y in pairs)
+    sxx = sum(x * x for x, _ in pairs)
+    syy = sum(y * y for _, y in pairs)
+    import math
+    num = float(n) * float(sxy) - float(sx) * float(sy)
+    den = math.sqrt((float(n) * float(sxx) - float(sx) * float(sx))
+                    * (float(n) * float(syy) - float(sy) * float(sy)))
+    return pd.DataFrame({
+        "n": pd.array([n], dtype="int64"),
+        "autocorr": [fround_half_away(num / den, 6)]})
+
+
+def _q_mahalanobis2(sf_dir: str):
+    """Top-10 bivariate outliers by 2-D Mahalanobis distance on
+    (quantity, extendedprice)
+    (stages/dataset_tools.py:mahalanobis_outliers) — the multivariate
+    member of the outlier family; exact int sufficient stats, shared
+    IEEE closed-form 2×2 inverse per row."""
+    from vyntr_ray.stages.dataset_tools import mahalanobis_outliers
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity",
+                        "l_extendedprice"])
+    return mahalanobis_outliers(ds, "l_quantity", "l_extendedprice",
+                                ["l_orderkey", "l_linenumber"], k=10)
+
+
 def _q_path_topk(sf_dir: str):
     """Top-20 daily user-journey paths (stages/windows.py:path_topk):
     FULL '>'-joined event-type sequences per (user, calendar day) in
@@ -5468,6 +5526,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- driver-checked window (first 50): the r4 rotation ---
         # r4c5 queries lead (never driver-checked), then r4c4, then
         # the 23 third-continuation queries
+        "autocorr_daily": _q_autocorr_daily,
+        "mahalanobis2": _q_mahalanobis2,
         "path_topk": _q_path_topk,
         "pmi_pairs": _q_pmi_pairs,
         "benford_deviation": _q_benford_deviation,
@@ -5871,6 +5931,70 @@ def oracle_sql() -> dict[str, str]:
     zexpr = zorder_sql_expr("x", "y", bits=21)
     old_src = ", ".join(f"'{s}'" for s in _OLD_SNAPSHOT_SOURCES)
     return {
+        # HUGEINT sums over consecutive-day pairs; the Pearson formula
+        # mirrors qty_discount_corr term-for-term
+        "autocorr_daily": """
+            WITH d AS (SELECT date_trunc('day', o_orderdate) AS day,
+                              sum(round(o_totalprice * 100)::BIGINT)
+                                  ::BIGINT AS rev
+                       FROM orders GROUP BY 1),
+            p AS (SELECT rev AS x,
+                         lead(rev) OVER (ORDER BY day) AS y FROM d),
+            q AS (SELECT x::HUGEINT AS x, y::HUGEINT AS y FROM p
+                  WHERE y IS NOT NULL),
+            s AS (SELECT count(*)::BIGINT AS n, sum(x) AS sx,
+                         sum(y) AS sy, sum(x * y) AS sxy,
+                         sum(x * x) AS sxx, sum(y * y) AS syy
+                  FROM q)
+            SELECT n,
+                   round((n::DOUBLE * sxy::DOUBLE
+                          - sx::DOUBLE * sy::DOUBLE)
+                         / sqrt((n::DOUBLE * sxx::DOUBLE
+                                 - sx::DOUBLE * sx::DOUBLE)
+                                * (n::DOUBLE * syy::DOUBLE
+                                   - sy::DOUBLE * sy::DOUBLE)),
+                         6) AS autocorr
+            FROM s
+        """,
+        # exact HUGEINT sufficient stats; per-row distance evaluated
+        # in the engine's operation order; selection by UNROUNDED md2
+        # (IEEE order identical), round(…, 6) only on the report
+        "mahalanobis2": """
+            WITH b AS (SELECT l_orderkey, l_linenumber,
+                              round(l_quantity * 100)::BIGINT AS x,
+                              round(l_extendedprice * 100)::BIGINT AS y
+                       FROM lineitem),
+            s AS (SELECT count(*)::BIGINT AS n, sum(x::HUGEINT) AS sx,
+                         sum(y::HUGEINT) AS sy,
+                         sum(x::HUGEINT * x) AS sxx,
+                         sum(y::HUGEINT * y) AS syy,
+                         sum(x::HUGEINT * y) AS sxy
+                  FROM b),
+            m AS (SELECT sx::DOUBLE / n::DOUBLE AS mx,
+                         sy::DOUBLE / n::DOUBLE AS my,
+                         sxx::DOUBLE / n::DOUBLE
+                             - (sx::DOUBLE / n::DOUBLE)
+                               * (sx::DOUBLE / n::DOUBLE) AS vxx,
+                         syy::DOUBLE / n::DOUBLE
+                             - (sy::DOUBLE / n::DOUBLE)
+                               * (sy::DOUBLE / n::DOUBLE) AS vyy,
+                         sxy::DOUBLE / n::DOUBLE
+                             - (sx::DOUBLE / n::DOUBLE)
+                               * (sy::DOUBLE / n::DOUBLE) AS vxy
+                  FROM s),
+            d AS (SELECT b.l_orderkey, b.l_linenumber,
+                         (m.vyy * ((b.x::DOUBLE - m.mx)
+                                   * (b.x::DOUBLE - m.mx))
+                          - 2.0 * m.vxy * ((b.x::DOUBLE - m.mx)
+                                           * (b.y::DOUBLE - m.my))
+                          + m.vxx * ((b.y::DOUBLE - m.my)
+                                     * (b.y::DOUBLE - m.my)))
+                         / (m.vxx * m.vyy - m.vxy * m.vxy) AS md2
+                  FROM b, m)
+            SELECT l_orderkey, l_linenumber, round(md2, 6) AS md2_r6
+            FROM d ORDER BY md2 DESC, l_orderkey, l_linenumber
+            LIMIT 10
+        """,
         "path_topk": """
             WITH s AS (SELECT user_id, date_trunc('day', ts) AS day,
                               string_agg(event_type, '>'

@@ -480,3 +480,46 @@ def test_group_moments_matches_bruteforce():
         assert row["kurtosis_excess"] == round(m4 / (m2 * m2) - 3.0, 6)
     a_skew = float(got[got["g"] == "a"]["skewness"].iloc[0])
     assert a_skew > 1.0          # exponential is right-skewed
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_autocorr_and_mahalanobis_match_duckdb():
+    import duckdb
+
+    import __ray_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    got_a = em.queries()["autocorr_daily"](sf).reset_index(drop=True)
+    ref_a = con.sql(em.oracle_sql()["autocorr_daily"]).df()
+    assert int(got_a.loc[0, "n"]) == int(ref_a.iloc[0, 0])
+    assert float(got_a.loc[0, "autocorr"]) == float(ref_a.iloc[0, 1])
+
+    got_m = em.queries()["mahalanobis2"](sf).reset_index(drop=True)
+    ref_m = con.sql(em.oracle_sql()["mahalanobis2"]).df()
+    pd.testing.assert_frame_equal(
+        got_m.astype({"l_orderkey": "int64", "l_linenumber": "int64"}),
+        ref_m.astype({"l_orderkey": "int64", "l_linenumber": "int64"}))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mahalanobis_flags_joint_outlier():
+    import ray.data as rd
+
+    from vyntr_ray.stages.dataset_tools import mahalanobis_outliers
+
+    rng = np.random.Generator(np.random.PCG64(29))
+    n = 400
+    x = rng.normal(100, 10, n)
+    y = 3 * x + rng.normal(0, 2, n)      # strongly correlated
+    # row 0: normal on each margin, way off the joint line
+    x[0], y[0] = 80.0, 360.0
+    df = pd.DataFrame({"rid": pd.array(range(n), dtype="int64"),
+                       "x": x, "y": y})
+    got = mahalanobis_outliers(rd.from_pandas(df).repartition(4),
+                               "x", "y", ["rid"], k=3)
+    assert int(got.iloc[0]["rid"]) == 0
+    assert got.iloc[0]["md2_r6"] > got.iloc[2]["md2_r6"]

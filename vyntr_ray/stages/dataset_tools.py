@@ -25,7 +25,8 @@ __all__ = ["topk_largest", "remove_largest", "group_quantiles",
            "chi2_independence", "winsorized_stats", "lift_table",
            "ks_statistic", "gini_index", "mwu_statistic",
            "psi_statistic", "snapshot_diff", "fk_orphans", "json_field_stats",
-           "benford_deviation", "group_moments"]
+           "benford_deviation", "group_moments",
+           "mahalanobis_outliers"]
 
 
 def topk_largest(ds, k: int = 100, length_col: str = "n_chars",
@@ -1611,7 +1612,7 @@ def group_moments(ds, group_col: str, value_col: str, scale: int = 100):
     import numpy as np
     import pandas as pd
 
-    from ..rounding import round_half_away
+    from ..rounding import fround_half_away, round_half_away
 
     def partial(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
@@ -1653,9 +1654,88 @@ def group_moments(ds, group_col: str, value_col: str, scale: int = 100):
             + 6.0 * mu * mu * (float(s2) / nd) - 3.0 * mu * mu * mu * mu
         skew = m3 / (m2 * math.sqrt(m2))
         kurt = m4 / (m2 * m2) - 3.0
-        rows.append((g, n, round(skew, 6), round(kurt, 6)))
+        # DuckDB round(x, 6) is half-away; Python round is half-even
+        rows.append((g, n, fround_half_away(skew, 6),
+                     fround_half_away(kurt, 6)))
     return pd.DataFrame({
         group_col: [r[0] for r in rows],
         "n": pd.array([r[1] for r in rows], dtype="int64"),
         "skewness": [r[2] for r in rows],
         "kurtosis_excess": [r[3] for r in rows]})
+
+
+def mahalanobis_outliers(ds, x_col: str, y_col: str, id_cols: list,
+                         k: int = 10, x_scale: float = 100.0,
+                         y_scale: float = 100.0):
+    """Top-``k`` bivariate outliers by 2-D Mahalanobis distance — the
+    multivariate completion of the univariate outlier family
+    (iqr/rolling/winsorized): distance accounts for the (x, y)
+    covariance, so a point can be normal on each margin yet wildly
+    off the joint ellipse.
+
+    Two passes, both mergeable: (1) exact integer sufficient stats
+    (n, Σx, Σy, Σx², Σy², Σxy) over half-away ``×scale`` ints —
+    per-block int64 partials, PYTHON-int driver fold (Σy² wraps int64
+    at fact scale; the oracle uses HUGEINT); (2) the closed-form 2×2
+    inverse rides the per-row distance
+    ``(v_yy·dx² − 2·v_xy·dx·dy + v_xx·dy²)/det`` — every double
+    computed in the same operation order as the SQL, so the top-k
+    selection (unrounded md2, then id tie-breaks) and the reported
+    ``round(md2, 6)`` match bit-for-bit.  Returns id_cols + md2_r6.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..rounding import fround_half_away, round_half_away
+
+    def svals(t: pa.Table):
+        x = round_half_away(
+            t[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            * float(x_scale)).astype(np.int64)
+        y = round_half_away(
+            t[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            * float(y_scale)).astype(np.int64)
+        return x, y
+
+    def partial(t: pa.Table) -> pa.Table:
+        x, y = svals(t)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "syy": pa.array([int((y * y).sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64())})
+
+    n = sx = sy = sxx = syy = sxy = 0
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        n += r["n"]
+        sx += int(r["sx"])
+        sy += int(r["sy"])
+        sxx += int(r["sxx"])
+        syy += int(r["syy"])
+        sxy += int(r["sxy"])
+    nd = float(n)
+    mx = float(sx) / nd
+    my = float(sy) / nd
+    vxx = float(sxx) / nd - mx * mx
+    vyy = float(syy) / nd - my * my
+    vxy = float(sxy) / nd - mx * my
+    det = vxx * vyy - vxy * vxy
+
+    def dist(t: pa.Table) -> pa.Table:
+        x, y = svals(t)
+        dx = x.astype(np.float64) - mx
+        dy = y.astype(np.float64) - my
+        md2 = (vyy * (dx * dx) - 2.0 * vxy * (dx * dy)
+               + vxx * (dy * dy)) / det
+        cols = {c: t[c] for c in id_cols}
+        cols["md2"] = pa.array(md2, pa.float64())
+        return pa.table(cols)
+
+    top = (ds.map_batches(dist, batch_format="pyarrow")
+           .sort(["md2"] + id_cols,
+                 descending=[True] + [False] * len(id_cols))
+           .limit(k).to_pandas())
+    top["md2_r6"] = [fround_half_away(v, 6) for v in top["md2"]]
+    return top.drop(columns="md2")

@@ -157,7 +157,12 @@ def bench_queries(repeats: int = 2) -> dict:
              "locf_fill", "itemsets3", "hll_intersect",
              "degree_assortativity", "trending_items", "distinctive_terms",
              "conversion_lag", "monthly_share", "lsh_lookup",
-             "ks_drift", "gini_index", "heatmap_bins", "mwu_drift"]
+             "ks_drift", "gini_index", "heatmap_bins", "mwu_drift",
+             "bloom_probe", "tfidf_topk", "fk_orphans",
+             "json_field_stats", "embedding_covariance", "rrf_fusion",
+             "minhash_accuracy", "bigram_logprob", "clustering_coeff",
+             "path_topk", "pmi_pairs", "benford_deviation",
+             "group_moments", "autocorr_daily", "mahalanobis2"]
     qs = em.queries()
     out = {}
     for _ in range(max(1, repeats)):

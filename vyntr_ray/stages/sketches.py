@@ -472,6 +472,10 @@ def bloom_probe(members_ds, probes_ds, member_col: str, probe_col: str,
     from .dataset_tools import distinct_rows
     from .joins import hash_join
 
+    # consumed twice (bitmap partials + distinct member keys) — pin
+    # the blocks or the upstream read+filter chain re-executes
+    members_ds = members_ds.materialize()
+
     def positions(keys: list) -> np.ndarray:
         out = np.empty((k, len(keys)), np.int64)
         for j in range(k):

@@ -2399,12 +2399,16 @@ def _q_adamic_adar(sf_dir: str):
     """Adamic–Adar link prediction on the co-purchase graph: top-10
     non-adjacent part pairs by Σ 1/ln(deg) over common neighbors, in
     exact integer micro-units (stages/graph.py:adamic_adar — the
-    weighted-wedge variant of the triangle machinery)."""
+    weighted-wedge variant of the triangle machinery).  AA needs every
+    wedge at its actual center (Σ deg² volume — degree orientation
+    can't help), so the documented scale lever applies: the
+    support-thresholded min_count=2 graph (same as clustering_coeff;
+    was min_count=1 at 20.6 s/sf0.1, this shape ~4 s)."""
     from vyntr_ray.stages.baskets import pair_edges
     from vyntr_ray.stages.graph import adamic_adar
 
     ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
-    edges = pair_edges(ds, "l_orderkey", "l_partkey", min_count=1)
+    edges = pair_edges(ds, "l_orderkey", "l_partkey", min_count=2)
     out = adamic_adar(edges, k=10, u_col="item_a", v_col="item_b")
     return out.rename(columns={"node_a": "item_a", "node_b": "item_b"})
 
@@ -8221,7 +8225,7 @@ def oracle_sql() -> dict[str, str]:
                                         l_partkey AS i FROM lineitem),
             e AS (SELECT a.i AS u, b.i AS v
                   FROM li a JOIN li b ON a.g = b.g AND a.i < b.i
-                  GROUP BY 1, 2),
+                  GROUP BY 1, 2 HAVING count(*) >= 2),
             adj AS (SELECT u AS z, v AS nb FROM e
                     UNION ALL SELECT v, u FROM e),
             deg AS (SELECT z, count(*)::BIGINT AS d FROM adj

@@ -2554,6 +2554,57 @@ def _q_rrf_fusion(sf_dir: str):
         "rank_cnt": pd.array([r[3] for r in rows], dtype="int64")})
 
 
+def _q_schema_evolution_read(sf_dir: str):
+    """Lakehouse schema-evolution read (sources/evolve.py:
+    read_union_by_name): two parquet generations written with different
+    column subsets (gen1 = even orderkeys, pre-price schema; gen2 = odd
+    orderkeys with o_totalprice) are read back UNION-BY-NAME with a
+    null default for the missing column — pruned per-generation reads,
+    vectorized align stage, streaming union, no shuffle.  The oracle
+    replays the generation split arithmetically (orderkey parity)."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from vyntr_ray.sources.evolve import read_union_by_name
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    root = tempfile.mkdtemp(prefix="evolve_", dir="/tmp")
+    g1, g2 = f"{root}/gen1", f"{root}/gen2"
+    (ds.map_batches(lambda t: t.filter(pc.equal(
+        pc.bit_wise_and(t["o_orderkey"], pa.scalar(1, pa.int64())),
+        pa.scalar(0, pa.int64()))).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow").write_parquet(g1))
+    (ds.map_batches(lambda t: t.filter(pc.equal(
+        pc.bit_wise_and(t["o_orderkey"], pa.scalar(1, pa.int64())),
+        pa.scalar(1, pa.int64()))),
+        batch_format="pyarrow").write_parquet(g2))
+
+    merged = read_union_by_name(
+        [g1, g2],
+        schema={"o_orderkey": pa.int64(), "o_custkey": pa.int64(),
+                "o_totalprice": pa.float64()},
+        defaults={"o_totalprice": None})
+
+    def project(t: pa.Table) -> pa.Table:
+        # round the VALID values only (the numpy round path turns
+        # nulls into NaN, which cast-to-int rejects), then substitute
+        # the -1 sentinel by mask
+        valid = pc.is_valid(t["o_totalprice"])
+        filled = pc.fill_null(t["o_totalprice"], 0.0)
+        price = pc.cast(_round_ha(pc.multiply(
+            filled, pa.scalar(100.0))), pa.int64())
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "price_centi": pc.if_else(valid, price,
+                                      pa.scalar(-1, pa.int64()))})
+
+    return (merged.map_batches(project, batch_format="pyarrow")
+            .sort("o_orderkey"))
+
+
 def _q_autocorr_daily(sf_dir: str):
     """Lag-1 autocorrelation of daily revenue — the time-series
     persistence diagnostic: daily centi-revenue via zero-shuffle keyed
@@ -5530,6 +5581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- driver-checked window (first 50): the r4 rotation ---
         # r4c5 queries lead (never driver-checked), then r4c4, then
         # the 23 third-continuation queries
+        "schema_evolution_read": _q_schema_evolution_read,
         "autocorr_daily": _q_autocorr_daily,
         "mahalanobis2": _q_mahalanobis2,
         "path_topk": _q_path_topk,
@@ -5935,6 +5987,15 @@ def oracle_sql() -> dict[str, str]:
     zexpr = zorder_sql_expr("x", "y", bits=21)
     old_src = ", ".join(f"'{s}'" for s in _OLD_SNAPSHOT_SOURCES)
     return {
+        # generation split replayed as orderkey parity; -1 = the
+        # declared null default for the pre-price generation
+        "schema_evolution_read": """
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 2 = 0 THEN -1
+                        ELSE round(o_totalprice * 100)::BIGINT
+                   END AS price_centi
+            FROM orders ORDER BY o_orderkey
+        """,
         # HUGEINT sums over consecutive-day pairs; the Pearson formula
         # mirrors qty_discount_corr term-for-term
         "autocorr_daily": """

@@ -523,3 +523,35 @@ def test_mahalanobis_flags_joint_outlier():
                                "x", "y", ["rid"], k=3)
     assert int(got.iloc[0]["rid"]) == 0
     assert got.iloc[0]["md2_r6"] > got.iloc[2]["md2_r6"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_read_union_by_name_aligns_and_defaults(tmp_path):
+    import pyarrow.parquet as pq
+
+    from vyntr_ray.sources.evolve import read_union_by_name
+
+    g1 = tmp_path / "g1"
+    g2 = tmp_path / "g2"
+    g1.mkdir()
+    g2.mkdir()
+    pq.write_table(pa.table({"id": pa.array([1, 2], pa.int64()),
+                             "a": pa.array([10, 20], pa.int64())}),
+                   g1 / "part.parquet")
+    pq.write_table(pa.table({"id": pa.array([3], pa.int64()),
+                             "a": pa.array([30], pa.int64()),
+                             "b": pa.array([7.5], pa.float64())}),
+                   g2 / "part.parquet")
+    out = read_union_by_name(
+        [str(g1), str(g2)],
+        schema={"id": pa.int64(), "a": pa.int64(), "b": pa.float64()},
+        defaults={"b": None}).to_pandas().sort_values(
+            "id", ignore_index=True)
+    assert list(out.columns) == ["id", "a", "b"]
+    assert out["b"].isna().tolist() == [True, True, False]
+    assert out.loc[2, "b"] == 7.5
+    # undeclared missing column must raise loudly
+    with pytest.raises(ValueError):
+        read_union_by_name([str(g1)], schema={"id": pa.int64(),
+                                              "c": pa.int64()},
+                           defaults={})

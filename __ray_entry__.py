@@ -2554,6 +2554,18 @@ def _q_rrf_fusion(sf_dir: str):
         "rank_cnt": pd.array([r[3] for r in rows], dtype="int64")})
 
 
+def _q_lerp_fill(sf_dir: str):
+    """Linear-interpolation daily resample per user
+    (stages/windows.py:lerp_fill) — anchors keep their latest value,
+    gap days take the exact integer lerp between surrounding anchors
+    (non-negative domain: engine floor-div == oracle trunc ``//``)."""
+    from vyntr_ray.stages.windows import lerp_fill
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+    return lerp_fill(ds).sort(["user_id", "day_us"])
+
+
 def _q_schema_evolution_read(sf_dir: str):
     """Lakehouse schema-evolution read (sources/evolve.py:
     read_union_by_name): two parquet generations written with different
@@ -5581,6 +5593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- driver-checked window (first 50): the r4 rotation ---
         # r4c5 queries lead (never driver-checked), then r4c4, then
         # the 23 third-continuation queries
+        "lerp_fill": _q_lerp_fill,
         "schema_evolution_read": _q_schema_evolution_read,
         "autocorr_daily": _q_autocorr_daily,
         "mahalanobis2": _q_mahalanobis2,
@@ -5987,6 +6000,51 @@ def oracle_sql() -> dict[str, str]:
     zexpr = zorder_sql_expr("x", "y", bits=21)
     old_src = ", ".join(f"'{s}'" for s in _OLD_SNAPSHOT_SOURCES)
     return {
+        # anchors = locf's led rows; gap lerp in pure integers; prev/
+        # next anchors via IGNORE NULLS frames both directions
+        "lerp_fill": """
+            WITH e AS (SELECT user_id,
+                              epoch_us(ts) // 86400000000 AS d,
+                              ts, event_id,
+                              round(value * 100)::BIGINT AS centi
+                       FROM events),
+            led AS (SELECT user_id, d, centi FROM e
+                    QUALIFY row_number() OVER (
+                        PARTITION BY user_id, d
+                        ORDER BY ts DESC, event_id DESC) = 1),
+            span AS (SELECT user_id, min(d) AS lo, max(d) AS hi
+                     FROM led GROUP BY user_id),
+            spine AS (SELECT user_id,
+                             unnest(generate_series(lo, hi)) AS d
+                      FROM span),
+            j AS (SELECT sp.user_id, sp.d, l.centi,
+                         CASE WHEN l.centi IS NULL
+                              THEN NULL ELSE sp.d END AS ad
+                  FROM spine sp LEFT JOIN led l
+                       ON sp.user_id = l.user_id AND sp.d = l.d),
+            w AS (SELECT user_id, d, centi,
+                         last_value(centi IGNORE NULLS) OVER (
+                             PARTITION BY user_id ORDER BY d
+                             ROWS UNBOUNDED PRECEDING) AS v0,
+                         last_value(ad IGNORE NULLS) OVER (
+                             PARTITION BY user_id ORDER BY d
+                             ROWS UNBOUNDED PRECEDING) AS d0,
+                         first_value(centi IGNORE NULLS) OVER (
+                             PARTITION BY user_id ORDER BY d
+                             ROWS BETWEEN CURRENT ROW
+                             AND UNBOUNDED FOLLOWING) AS v1,
+                         first_value(ad IGNORE NULLS) OVER (
+                             PARTITION BY user_id ORDER BY d
+                             ROWS BETWEEN CURRENT ROW
+                             AND UNBOUNDED FOLLOWING) AS d1
+                  FROM j)
+            SELECT user_id, d * 86400000000 AS day_us,
+                   CASE WHEN centi IS NOT NULL THEN centi
+                        ELSE (v0 * (d1 - d) + v1 * (d - d0))
+                             // (d1 - d0)
+                   END::BIGINT AS centi
+            FROM w ORDER BY user_id, day_us
+        """,
         # generation split replayed as orderkey parity; -1 = the
         # declared null default for the pre-price generation
         "schema_evolution_read": """

@@ -555,3 +555,40 @@ def test_read_union_by_name_aligns_and_defaults(tmp_path):
         read_union_by_name([str(g1)], schema={"id": pa.int64(),
                                               "c": pa.int64()},
                            defaults={})
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lerp_fill_matches_bruteforce():
+    import ray.data as rd
+
+    from vyntr_ray.stages.windows import lerp_fill
+
+    day = 86_400_000_000
+    ts = pd.to_datetime(
+        np.array([0, 0, 4 * day, 10 * day, 2 * day], dtype="int64"),
+        unit="us")
+    df = pd.DataFrame({
+        "event_id": pd.array([1, 2, 3, 4, 5], dtype="int64"),
+        "ts": ts,
+        "user_id": pd.array([7, 7, 7, 7, 9], dtype="int64"),
+        "value": [1.0, 2.0, 10.0, 4.0, 5.0]})
+    got = (lerp_fill(rd.from_pandas(df).repartition(3))
+           .to_pandas().sort_values(["user_id", "day_us"],
+                                    ignore_index=True))
+    u7 = got[got["user_id"] == 7].reset_index(drop=True)
+    # anchors: d0=200 (latest of the two ts-tied rows = id 2),
+    # d4=1000, d10=400; lerped between
+    assert list(u7["centi"]) == [
+        200,                       # anchor day 0
+        (200 * 3 + 1000 * 1) // 4,  # day 1
+        (200 * 2 + 1000 * 2) // 4,  # day 2
+        (200 * 1 + 1000 * 3) // 4,  # day 3
+        1000,                      # anchor day 4
+        (1000 * 5 + 400 * 1) // 6,  # day 5
+        (1000 * 4 + 400 * 2) // 6,
+        (1000 * 3 + 400 * 3) // 6,
+        (1000 * 2 + 400 * 4) // 6,
+        (1000 * 1 + 400 * 5) // 6,
+        400]                       # anchor day 10
+    u9 = got[got["user_id"] == 9]
+    assert len(u9) == 1 and int(u9.iloc[0]["centi"]) == 500

@@ -33,7 +33,7 @@ __all__ = ["tumbling", "sliding", "sessionize", "rolling_sum",
            "group_mad", "last_touch", "watermark_filter",
            "next_event_gap", "session_path_partials", "ohlc_bars",
            "rolling_outliers", "rolling_median", "interval_coverage",
-           "window_distinct", "locf_fill", "path_topk"]
+           "window_distinct", "locf_fill", "path_topk", "lerp_fill"]
 
 _US = 1_000_000
 
@@ -1293,3 +1293,64 @@ def path_topk(ds, k: int = 20, user_col: str = "user_id",
     counts = group_sum(sess, "path", ["one"], rename={"one": "n"})
     return (counts.sort(["n", "path"], descending=[True, False])
             .limit(k))
+
+
+def lerp_fill(ds, key_col: str = "user_id", ts_col: str = "ts",
+              id_col: str = "event_id", val_col: str = "value",
+              period_us: int = 86_400_000_000, n_parts: int = 64):
+    """Linear-interpolation resample — the interpolating sibling of
+    :func:`locf_fill`: one row per (key, period) from the key's first
+    to last observed period; anchor periods keep their (ts, id)-latest
+    value, gaps take the exact integer lerp between the surrounding
+    anchors: ``centi = (v0·(d1−d) + v1·(d−d0)) // (d1−d0)`` — the
+    sensor/feature-store fill where carry-forward staircases are wrong.
+
+    Integer division matches the oracle's ``//`` on the NON-NEGATIVE
+    value domain (DuckDB ``//`` truncates, numpy floors — equal for
+    non-negative numerators; documented precondition, same class as
+    event_markov).  One hash-partition shuffle; per key the spine and
+    both anchor lookups are vectorized ``np.searchsorted`` probes.
+    Returns (key, day_us, centi) — anchor rows byte-equal to locf's.
+    """
+    from ..rounding import round_half_away
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+        df = pd.DataFrame({
+            "k": g[key_col].to_numpy(),
+            "d": us // period_us,
+            "us": us,
+            "id": g[id_col].to_numpy(),
+            "vc": round_half_away(
+                g[val_col].to_numpy().astype(np.float64) * 100.0)
+            .astype("int64"),
+        }).sort_values(["k", "d", "us", "id"], kind="mergesort")
+        led = df.groupby(["k", "d"], sort=True)["vc"].last().reset_index()
+        ks, ds_, vs = [], [], []
+        for k, sub in led.groupby("k", sort=True):
+            days = sub["d"].to_numpy(np.int64)
+            vals = sub["vc"].to_numpy(np.int64)
+            spine = np.arange(days[0], days[-1] + 1, dtype=np.int64)
+            i_next = np.searchsorted(days, spine, side="left")
+            i_prev = np.searchsorted(days, spine, side="right") - 1
+            d0, v0 = days[i_prev], vals[i_prev]
+            d1, v1 = days[i_next], vals[i_next]
+            anchor = d0 == d1
+            gap = np.maximum(d1 - d0, 1)
+            lerp = (v0 * (d1 - spine) + v1 * (spine - d0)) // gap
+            ks.append(np.full(len(spine), k))
+            ds_.append(spine)
+            vs.append(np.where(anchor, v0, lerp))
+        if not ks:
+            return pd.DataFrame({key_col: pd.Series(dtype="int64"),
+                                 "day_us": pd.array([], dtype="int64"),
+                                 "centi": pd.array([], dtype="int64")})
+        return pd.DataFrame({
+            key_col: np.concatenate(ks),
+            "day_us": np.concatenate(ds_) * period_us,
+            "centi": np.concatenate(vs).astype("int64")})
+
+    return (_by_part(ds, key_col, n_parts=n_parts)
+            .groupby("_part")
+            .map_groups(lambda g: per_part(g.drop(columns="_part")),
+                        batch_format="pandas"))

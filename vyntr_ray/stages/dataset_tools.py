@@ -1567,6 +1567,7 @@ def benford_deviation(ds, value_col: str):
 
     def partial(t: pa.Table) -> pa.Table:
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]          # nulls arrive as NaN; out of domain
         iv = np.abs(np.trunc(v)).astype(np.int64)
         iv = iv[iv >= 1]
         while (iv >= 10).any():

@@ -444,7 +444,8 @@ def hll_intersect(ds, group_col: str, value_col: str, ga, gb,
 
 
 def bloom_probe(members_ds, probes_ds, member_col: str, probe_col: str,
-                m_bits: int = 8192, k: int = 3):
+                m_bits: int = 8192, k: int = 3,
+                key_type: "pa.DataType" = None):
     """Bloom filter (Bloom 1970, public algorithm) as a first-class
     oracled result — the membership sketch completing the family
     (HLL distinct / CMS frequency / t-digest quantile / frequent-items
@@ -471,6 +472,8 @@ def bloom_probe(members_ds, probes_ds, member_col: str, probe_col: str,
 
     from .dataset_tools import distinct_rows
     from .joins import hash_join
+
+    key_type = key_type or pa.int64()
 
     # consumed twice (bitmap partials + distinct member keys) — pin
     # the blocks or the upstream read+filter chain re-executes
@@ -513,7 +516,7 @@ def bloom_probe(members_ds, probes_ds, member_col: str, probe_col: str,
                     left_payload=["in_bloom"], right_payload=["is_member"],
                     right_key_col=member_col, how="left",
                     fill={"is_member": 0},
-                    types={probe_col: pa.int64(), "in_bloom": pa.int64(),
+                    types={probe_col: key_type, "in_bloom": pa.int64(),
                            "is_member": pa.int64()})
     return out.sort(probe_col)
 

@@ -973,7 +973,10 @@ def tfidf_topk(ds, k: int = 3, id_col: str = "doc_id",
     n_docs = ds.count()
 
     def tf_rows(t: pa.Table) -> pa.Table:
-        toks = pc.utf8_split_whitespace(t[text_col])
+        # null text -> '' -> [''] -> filtered: same rows as the
+        # oracle's unnest-of-NULL (nothing)
+        toks = pc.utf8_split_whitespace(
+            pc.fill_null(t[text_col], ""))
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)

@@ -2554,6 +2554,115 @@ def _q_rrf_fusion(sf_dir: str):
         "rank_cnt": pd.array([r[3] for r in rows], dtype="int64")})
 
 
+def _q_diversified_topk(sf_dir: str):
+    """Diversity-constrained top-k (the search-results re-rank rule):
+    global top-10 documents by length with AT MOST 2 per language —
+    per-group head via the bounded group_topk combiner, then one
+    distributed sort+limit.  Standard per-group-head-then-global-head
+    semantics, mirrored by the oracle's QUALIFY window."""
+    from vyntr_ray.stages.dataset_tools import group_topk
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "lang", "n_chars"])
+    per_lang = group_topk(ds, "lang", "n_chars", "doc_id", k=2)
+    return (per_lang.sort(["n_chars", "doc_id"],
+                          descending=[True, False]).limit(10))
+
+
+def _q_source_vocab_overlap(sf_dir: str):
+    """Pairwise vocabulary Jaccard between sources — the corpus-
+    comparison diagnostic (how much does wiki's vocabulary overlap
+    web's?): distinct (source, token) rows → per-token source BITMASK
+    via group_sum (each bit appears once post-dedup, so sum == OR) →
+    O(2^sources) mask counts fold on the driver; sizes and every
+    pairwise intersection read off the mask histogram — ONE token
+    shuffle total, never a token-pair join.  Zero-overlap pairs are
+    omitted (mirrors the oracle's inner join)."""
+    import pyarrow.compute as pc
+
+    from vyntr_ray.stages.dataset_tools import distinct_rows
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+    pat = __import__("re").compile(r"[a-z0-9]+")
+
+    def rows(t: pa.Table) -> pa.Table:
+        srcs, toks = [], []
+        sv = t["source"].to_pylist()
+        for i, txt in enumerate(t["text"].to_pylist()):
+            for w in set(pat.findall((txt or "").lower())):
+                srcs.append(sv[i])
+                toks.append(w)
+        return pa.table({"source": pa.array(srcs, pa.string()),
+                         "token": pa.array(toks, pa.string())})
+
+    dst = distinct_rows(ds.map_batches(rows, batch_format="pyarrow"),
+                        ["source", "token"])
+    srcs = sorted(set(_sum_keyed_partials(
+        dst.map_batches(lambda t: t.append_column(
+            "one", pa.array(np.ones(t.num_rows, np.int64))),
+            batch_format="pyarrow"), ["source"], ["one"])["source"]))
+    bit_of = {s: 1 << i for i, s in enumerate(srcs)}
+
+    def with_bit(t: pa.Table) -> pa.Table:
+        bits = [bit_of[s] for s in t["source"].to_pylist()]
+        return pa.table({"token": t["token"],
+                         "bit": pa.array(bits, pa.int64())})
+
+    from vyntr_ray.stages.dataset_tools import group_sum
+    masks = group_sum(dst.map_batches(with_bit, batch_format="pyarrow"),
+                      "token", ["bit"], rename={"bit": "mask"})
+    hist = _sum_keyed_partials(
+        masks.map_batches(lambda t: pa.table({
+            "mask": t["mask"],
+            "one": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"), ["mask"], ["one"])
+    mk = hist["mask"].to_numpy(np.int64)
+    ct = hist["one"].to_numpy(np.int64)
+    has = {s: (mk & bit_of[s]) != 0 for s in srcs}
+    size = {s: int(ct[has[s]].sum()) for s in srcs}
+
+    out = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            inter = int(ct[has[a] & has[b]].sum())
+            if inter == 0:
+                continue
+            na, nb = size[a], size[b]
+            out.append((a, b, na, nb, inter,
+                        inter * 1_000_000 // (na + nb - inter)))
+    out.sort()
+    return pd.DataFrame({
+        "src_a": [r[0] for r in out], "src_b": [r[1] for r in out],
+        "n_a": pd.array([r[2] for r in out], dtype="int64"),
+        "n_b": pd.array([r[3] for r in out], dtype="int64"),
+        "inter": pd.array([r[4] for r in out], dtype="int64"),
+        "jacc_micro": pd.array([r[5] for r in out], dtype="int64")})
+
+
+def _q_markov_stationary(sf_dir: str):
+    """Stationary distribution of the behavior Markov chain — where a
+    random session spends its time in the limit: 12 synchronized
+    power-iteration steps over the event_markov transition table in
+    EXACT floored micro units (each term ``(π_i·n_ij) // total_i``,
+    non-negative trunc==floor), python-int driver fold over the
+    bounded state set; the oracle is the identical unrolled
+    MATERIALIZED-CTE chain (the pagerank/kcore/sssp replay family)."""
+    trans = _transitions_counts(sf_dir).to_pandas()
+    states = sorted(set(trans["src"]))
+    totals = trans.groupby("src")["n"].sum().to_dict()
+    edges = [(r["src"], r["dst"], int(r["n"])) for _, r in
+             trans.iterrows() if r["dst"] in set(states)]
+    pi = {s: 1_000_000 // len(states) for s in states}
+    for _ in range(12):
+        nxt = {s: 0 for s in states}
+        for s, d, n in edges:
+            nxt[d] += (pi[s] * n) // int(totals[s])
+        pi = nxt
+    return pd.DataFrame({
+        "event_type": states,
+        "pi_micro": pd.array([pi[s] for s in states], dtype="int64")})
+
+
 def _q_lerp_fill(sf_dir: str):
     """Linear-interpolation daily resample per user
     (stages/windows.py:lerp_fill) — anchors keep their latest value,
@@ -5593,6 +5702,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- driver-checked window (first 50): the r4 rotation ---
         # r4c5 queries lead (never driver-checked), then r4c4, then
         # the 23 third-continuation queries
+        "diversified_topk": _q_diversified_topk,
+        "source_vocab_overlap": _q_source_vocab_overlap,
+        "markov_stationary": _q_markov_stationary,
         "lerp_fill": _q_lerp_fill,
         "schema_evolution_read": _q_schema_evolution_read,
         "autocorr_daily": _q_autocorr_daily,
@@ -5999,7 +6111,72 @@ def oracle_sql() -> dict[str, str]:
     from vyntr_ray.sources.zonemap import zorder_sql_expr
     zexpr = zorder_sql_expr("x", "y", bits=21)
     old_src = ", ".join(f"'{s}'" for s in _OLD_SNAPSHOT_SOURCES)
+    # markov_stationary: unrolled 12-step power iteration (the
+    # pagerank MATERIALIZED-chain family; see CLAUDE.md on inlining)
+    markov_head = """
+        WITH o AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id) AS nxt
+            FROM events),
+        c AS (SELECT event_type AS src, nxt AS dst,
+                     count(*)::BIGINT AS n
+              FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        rt AS (SELECT src, sum(n)::BIGINT AS t FROM c GROUP BY 1),
+        st AS (SELECT DISTINCT src AS s FROM c),
+        cf AS (SELECT c.src, c.dst, c.n FROM c
+               JOIN st ON st.s = c.dst),
+        pi0 AS (SELECT s, 1000000 // (SELECT count(*) FROM st) AS p
+                FROM st)"""
+    markov_steps = "".join(
+        f""",
+        pi{k + 1} AS MATERIALIZED (
+            SELECT cf.dst AS s,
+                   sum((p.p * cf.n) // rt.t)::BIGINT AS p
+            FROM cf JOIN pi{k} p ON p.s = cf.src
+                 JOIN rt ON rt.src = cf.src
+            GROUP BY 1)"""
+        for k in range(12))
+    markov_sql = markov_head + markov_steps + """
+        SELECT st.s AS event_type,
+               coalesce(pi12.p, 0)::BIGINT AS pi_micro
+        FROM st LEFT JOIN pi12 ON pi12.s = st.s
+        ORDER BY event_type"""
+
     return {
+        "diversified_topk": """
+            WITH r AS (SELECT doc_id, lang, n_chars,
+                              row_number() OVER (
+                                  PARTITION BY lang
+                                  ORDER BY n_chars DESC, doc_id) AS rl
+                       FROM documents)
+            SELECT doc_id, lang, n_chars FROM r WHERE rl <= 2
+            ORDER BY n_chars DESC, doc_id LIMIT 10
+        """,
+        # zero-overlap pairs omitted on both sides (inner join)
+        "source_vocab_overlap": """
+            WITH w AS (SELECT source,
+                              regexp_extract_all(lower(coalesce(text,
+                                  '')), '[a-z0-9]+') AS ws
+                       FROM documents),
+            t AS (SELECT DISTINCT source, unnest(ws) AS token FROM w),
+            sz AS (SELECT source, count(*)::BIGINT AS n FROM t
+                   GROUP BY 1),
+            pr AS (SELECT a.source AS src_a, b.source AS src_b,
+                          count(*)::BIGINT AS inter
+                   FROM t a JOIN t b
+                       ON a.token = b.token AND a.source < b.source
+                   GROUP BY 1, 2)
+            SELECT pr.src_a, pr.src_b, za.n AS n_a, zb.n AS n_b,
+                   pr.inter,
+                   (pr.inter * 1000000
+                    // (za.n + zb.n - pr.inter))::BIGINT AS jacc_micro
+            FROM pr JOIN sz za ON za.source = pr.src_a
+                 JOIN sz zb ON zb.source = pr.src_b
+            ORDER BY pr.src_a, pr.src_b
+        """,
+        "markov_stationary": markov_sql,
         # anchors = locf's led rows; gap lerp in pure integers; prev/
         # next anchors via IGNORE NULLS frames both directions
         "lerp_fill": """

@@ -592,3 +592,42 @@ def test_lerp_fill_matches_bruteforce():
         400]                       # anchor day 10
     u9 = got[got["user_id"] == 9]
     assert len(u9) == 1 and int(u9.iloc[0]["centi"]) == 500
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_final_batch_match_duckdb():
+    """diversified_topk / source_vocab_overlap / markov_stationary
+    engine-vs-oracle equality at sf0.001 (driver-bar exact values)."""
+    import duckdb
+
+    import __ray_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    qs, sqls = em.queries(), em.oracle_sql()
+    for name in ("diversified_topk", "source_vocab_overlap",
+                 "markov_stationary"):
+        got = qs[name](sf)
+        got = (got.to_pandas() if hasattr(got, "to_pandas")
+               else got).reset_index(drop=True)
+        ref = con.sql(sqls[name]).df()
+        got = got.sort_values(list(got.columns), ignore_index=True)
+        ref = ref.sort_values(list(ref.columns), ignore_index=True)
+        assert list(got.columns) == list(ref.columns), name
+        for c in got.columns:
+            assert (got[c].to_numpy()
+                    == ref[c].to_numpy().astype(
+                        got[c].to_numpy().dtype)).all(), (name, c)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_markov_stationary_sums_near_one():
+    import __ray_entry__ as em
+
+    out = em.queries()["markov_stationary"]("/root/testdata/sf0.001")
+    total = int(out["pi_micro"].sum())
+    # floored integer division leaks at most |edges| micro per step
+    assert 900_000 < total <= 1_000_000

@@ -162,7 +162,9 @@ def bench_queries(repeats: int = 2) -> dict:
              "json_field_stats", "embedding_covariance", "rrf_fusion",
              "minhash_accuracy", "bigram_logprob", "clustering_coeff",
              "path_topk", "pmi_pairs", "benford_deviation",
-             "group_moments", "autocorr_daily", "mahalanobis2"]
+             "group_moments", "autocorr_daily", "mahalanobis2",
+             "lerp_fill", "schema_evolution_read", "diversified_topk",
+             "source_vocab_overlap", "markov_stationary"]
     qs = em.queries()
     out = {}
     for _ in range(max(1, repeats)):

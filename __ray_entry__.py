@@ -2554,6 +2554,27 @@ def _q_rrf_fusion(sf_dir: str):
         "rank_cnt": pd.array([r[3] for r in rows], dtype="int64")})
 
 
+def _q_pretrain_pipeline(sf_dir: str):
+    """The FULL pretraining-corpus curation flagship
+    (pipelines/curate.py:pretrain_pipeline): normalize → quality gate
+    → exact dedup → MinHash near-dup canonicalization (exact-Jaccard
+    ≥0.6 verified, components, min-id keep) → 3-gram decontamination
+    vs the %97 benchmark split → 5000-token budget sample.  curate
+    extended with the two load-bearing steps of a real corpus run;
+    the oracle replays the whole chain as one recursive-CTE SQL."""
+    import pyarrow.compute as pc
+
+    from vyntr_ray.pipelines.curate import pretrain_pipeline
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    bench = docs.map_batches(
+        lambda t: t.filter(pa.array(
+            (t["doc_id"].to_numpy(zero_copy_only=False) % 97) == 0)),
+        batch_format="pyarrow")
+    out = pretrain_pipeline(docs, bench)
+    return out.sort("doc_id")
+
+
 def _q_diversified_topk(sf_dir: str):
     """Diversity-constrained top-k (the search-results re-rank rule):
     global top-10 documents by length with AT MOST 2 per language —
@@ -5702,6 +5723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- driver-checked window (first 50): the r4 rotation ---
         # r4c5 queries lead (never driver-checked), then r4c4, then
         # the 23 third-continuation queries
+        "pretrain_pipeline": _q_pretrain_pipeline,
         "diversified_topk": _q_diversified_topk,
         "source_vocab_overlap": _q_source_vocab_overlap,
         "markov_stationary": _q_markov_stationary,
@@ -6145,6 +6167,88 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY event_type"""
 
     return {
+        # the composed flagship chain: curate's normalize/gate/dedup +
+        # exact-Jaccard>=0.6 closure (dup_clusters) + 3-gram
+        # decontamination + budget — one recursive-CTE statement
+        "pretrain_pipeline": """
+            WITH RECURSIVE n AS (
+                SELECT doc_id,
+                       trim(regexp_replace(nfc_normalize(coalesce(text,
+                            '')), '[ \t\n\r\f\v]+', ' ', 'g')) AS nt
+                FROM documents),
+            q AS (SELECT doc_id, nt FROM n
+                  WHERE len(regexp_extract_all(nt, '\\S+')) >= 5
+                    AND len(regexp_extract_all(nt, '[.,;:!?]')) * 1000000
+                        // greatest(length(nt), 1) <= 200000),
+            d AS (SELECT doc_id, nt FROM (
+                    SELECT doc_id, nt,
+                           min(doc_id) OVER (PARTITION BY md5(lower(nt)))
+                               AS keeper
+                    FROM q) WHERE doc_id = keeper),
+            tk AS (SELECT doc_id, regexp_extract_all(nt, '\\S+') AS toks
+                   FROM d),
+            sh AS (SELECT doc_id,
+                          CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                               WHEN len(toks) < 3
+                                   THEN [array_to_string(toks, ' ')]
+                               ELSE [array_to_string(toks[i:i+2], ' ')
+                                     for i in generate_series(
+                                         1, len(toks) - 2)]
+                          END AS shs
+                   FROM tk),
+            shx AS (SELECT DISTINCT doc_id, unnest(shs) AS s FROM sh),
+            sz AS (SELECT doc_id, count(*) AS nsh FROM shx
+                   GROUP BY doc_id),
+            ip AS (SELECT a.doc_id AS a, b.doc_id AS b,
+                          count(*) AS inter
+                   FROM shx a JOIN shx b
+                       ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+            p AS (SELECT ip.a AS u, ip.b AS v
+                  FROM ip JOIN sz sa ON ip.a = sa.doc_id
+                          JOIN sz sb ON ip.b = sb.doc_id
+                  WHERE (ip.inter * 1000000)
+                        // (sa.nsh + sb.nsh - ip.inter) >= 600000),
+            und AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+            reach(node, r) AS (
+                SELECT doc_id, doc_id FROM d
+                UNION
+                SELECT und.u, reach.r
+                FROM und JOIN reach ON reach.node = und.v),
+            keepn AS (SELECT node AS doc_id FROM reach
+                      GROUP BY node HAVING node = min(r)),
+            k AS (SELECT d.doc_id, d.nt FROM d
+                  JOIN keepn USING (doc_id)),
+            wb AS (SELECT regexp_extract_all(lower(text),
+                              '[a-z0-9]+') AS words
+                   FROM documents WHERE doc_id % 97 = 0),
+            bg AS (SELECT DISTINCT
+                          array_to_string(words[i:i+2], ' ') AS gram
+                   FROM (SELECT words,
+                                unnest(range(1, len(words) - 1)) AS i
+                         FROM wb)),
+            wc AS (SELECT doc_id, regexp_extract_all(lower(nt),
+                              '[a-z0-9]+') AS words
+                   FROM k WHERE doc_id % 97 <> 0),
+            cg AS (SELECT doc_id,
+                          array_to_string(words[i:i+2], ' ') AS gram
+                   FROM (SELECT doc_id, words,
+                                unnest(range(1, len(words) - 1)) AS i
+                         FROM wc)),
+            bad AS (SELECT DISTINCT cg.doc_id FROM cg
+                    JOIN bg USING (gram)),
+            cl AS (SELECT k.doc_id, k.nt FROM k
+                   WHERE k.doc_id % 97 <> 0
+                     AND k.doc_id NOT IN (SELECT doc_id FROM bad)),
+            m AS (SELECT doc_id, md5(doc_id::VARCHAR) AS h,
+                         len(regexp_extract_all(nt, '\\S+')) AS tok
+                  FROM cl),
+            c AS (SELECT *, sum(tok) OVER (ORDER BY h, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS cum FROM m)
+            SELECT doc_id, tok::BIGINT AS tok FROM c WHERE cum <= 5000
+            ORDER BY doc_id
+        """,
         "diversified_topk": """
             WITH r AS (SELECT doc_id, lang, n_chars,
                               row_number() OVER (

@@ -631,3 +631,25 @@ def test_markov_stationary_sums_near_one():
     total = int(out["pi_micro"].sum())
     # floored integer division leaks at most |edges| micro per step
     assert 900_000 < total <= 1_000_000
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pretrain_pipeline_matches_oracle_and_tightens_curate():
+    import duckdb
+
+    import __ray_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    got = em.queries()["pretrain_pipeline"](sf).to_pandas()
+    ref = con.sql(em.oracle_sql()["pretrain_pipeline"]).df()
+    pd.testing.assert_frame_equal(got.astype("int64"),
+                                  ref.astype("int64"))
+    # the two extra stages must actually bite: bench docs are gone,
+    # and the selection differs from curate's (docs dropped before
+    # the budget cut free room for later md5-order docs)
+    curate_ids = set(em.queries()["curate"](sf).to_pandas()["doc_id"])
+    assert (got["doc_id"] % 97 != 0).all()
+    assert len(got) > 0 and set(got["doc_id"]) != curate_ids

@@ -164,7 +164,8 @@ def bench_queries(repeats: int = 2) -> dict:
              "path_topk", "pmi_pairs", "benford_deviation",
              "group_moments", "autocorr_daily", "mahalanobis2",
              "lerp_fill", "schema_evolution_read", "diversified_topk",
-             "source_vocab_overlap", "markov_stationary"]
+             "source_vocab_overlap", "markov_stationary",
+             "pretrain_pipeline"]
     qs = em.queries()
     out = {}
     for _ in range(max(1, repeats)):

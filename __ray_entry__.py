@@ -2554,6 +2554,18 @@ def _q_rrf_fusion(sf_dir: str):
         "rank_cnt": pd.array([r[3] for r in rows], dtype="int64")})
 
 
+def _q_lateness_quantiles(sf_dir: str):
+    """Stream out-of-orderness profile
+    (stages/windows.py:lateness_quantiles): lateness vs the inclusive
+    arrival-order watermark, exact quantile_disc selections via the
+    distributed prefix-max + rank_select — the diagnostic that sizes a
+    watermark allowance."""
+    from vyntr_ray.stages.windows import lateness_quantiles
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+    return lateness_quantiles(ds)
+
+
 def _q_pretrain_pipeline(sf_dir: str):
     """The FULL pretraining-corpus curation flagship
     (pipelines/curate.py:pretrain_pipeline): normalize → quality gate
@@ -5723,6 +5735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- driver-checked window (first 50): the r4 rotation ---
         # r4c5 queries lead (never driver-checked), then r4c4, then
         # the 23 third-continuation queries
+        "lateness_quantiles": _q_lateness_quantiles,
         "pretrain_pipeline": _q_pretrain_pipeline,
         "diversified_topk": _q_diversified_topk,
         "source_vocab_overlap": _q_source_vocab_overlap,
@@ -6167,6 +6180,18 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY event_type"""
 
     return {
+        "lateness_quantiles": """
+            WITH o AS (SELECT event_id, epoch_us(ts) AS t FROM events),
+            w AS (SELECT max(t) OVER (ORDER BY event_id
+                          ROWS UNBOUNDED PRECEDING) - t AS late
+                  FROM o)
+            SELECT count(*)::BIGINT AS n,
+                   quantile_disc(late, 0.5)::BIGINT AS p50_us,
+                   quantile_disc(late, 0.9)::BIGINT AS p90_us,
+                   quantile_disc(late, 0.99)::BIGINT AS p99_us,
+                   max(late)::BIGINT AS max_us
+            FROM w
+        """,
         # the composed flagship chain: curate's normalize/gate/dedup +
         # exact-Jaccard>=0.6 closure (dup_clusters) + 3-gram
         # decontamination + budget — one recursive-CTE statement

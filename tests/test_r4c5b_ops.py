@@ -653,3 +653,32 @@ def test_pretrain_pipeline_matches_oracle_and_tightens_curate():
     curate_ids = set(em.queries()["curate"](sf).to_pandas()["doc_id"])
     assert (got["doc_id"] % 97 != 0).all()
     assert len(got) > 0 and set(got["doc_id"]) != curate_ids
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lateness_quantiles_matches_bruteforce():
+    import math
+
+    import ray.data as rd
+
+    from vyntr_ray.stages.windows import lateness_quantiles
+
+    rng = np.random.Generator(np.random.PCG64(31))
+    n = 500
+    # event times shuffled vs arrival order => real lateness
+    ev_us = np.cumsum(rng.integers(1, 1000, n)).astype("int64") * 1000
+    arrival = rng.permutation(n)
+    df = pd.DataFrame({
+        "event_id": pd.array(np.argsort(arrival), dtype="int64"),
+        "ts": pd.to_datetime(ev_us, unit="us")})
+    got = lateness_quantiles(rd.from_pandas(df).repartition(6),
+                             n_buckets=8).iloc[0]
+
+    order = df.sort_values("event_id")
+    us = order["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    late = np.sort(np.maximum.accumulate(us) - us)
+    assert int(got["n"]) == n
+    for q, col in ((0.5, "p50_us"), (0.9, "p90_us"), (0.99, "p99_us")):
+        assert int(got[col]) == int(late[math.ceil(q * n) - 1])
+    assert int(got["max_us"]) == int(late[-1])
+    assert int(got["max_us"]) > 0

@@ -33,7 +33,7 @@ __all__ = ["tumbling", "sliding", "sessionize", "rolling_sum",
            "group_mad", "last_touch", "watermark_filter",
            "next_event_gap", "session_path_partials", "ohlc_bars",
            "rolling_outliers", "rolling_median", "interval_coverage",
-           "window_distinct", "locf_fill", "path_topk", "lerp_fill"]
+           "window_distinct", "locf_fill", "path_topk", "lerp_fill", "lateness_quantiles"]
 
 _US = 1_000_000
 
@@ -1354,3 +1354,77 @@ def lerp_fill(ds, key_col: str = "user_id", ts_col: str = "ts",
             .groupby("_part")
             .map_groups(lambda g: per_part(g.drop(columns="_part")),
                         batch_format="pandas"))
+
+
+def lateness_quantiles(ds, order_col: str = "event_id",
+                       ts_col: str = "ts", n_buckets: int = 64,
+                       qs: tuple = (0.5, 0.9, 0.99)):
+    """Out-of-orderness profile of an event stream — the diagnostic
+    that SIZES a :func:`watermark_filter` allowance: per arrival,
+    ``late = (inclusive running max event-time over arrival order) −
+    event-time`` (0 for watermark-advancing arrivals), reported as
+    exact ``quantile_disc`` selections + the max, in microseconds.
+
+    Same distributed prefix-max as the watermark gate (bucket by
+    order-id range, O(n_buckets) driver fold, broadcast exclusive
+    prefix, vectorized in-bucket running max — inclusive here, so no
+    sentinel leaves the driver), then the quantiles are exact global
+    order statistics via :func:`~.dataset_tools.rank_select` — no
+    value ever materializes on the driver.  Returns one row
+    (n, p50_us, p90_us, p99_us, max_us).
+    """
+    import math
+
+    import ray
+
+    from .dataset_tools import rank_select
+
+    lo = ds.min(order_col)
+    hi = ds.max(order_col)
+    span = max(int(hi) - int(lo) + 1, 1)
+
+    def bucket_of(t: pa.Table) -> pa.Table:
+        oid = pc.cast(t[order_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        b = (oid - lo) * n_buckets // span
+        return t.append_column("_bkt", pa.array(b, pa.int32()))
+
+    bds = ds.map_batches(bucket_of, batch_format="pyarrow").materialize()
+
+    def bmax(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        g = pa.table({"_bkt": t["_bkt"], "us": us}).group_by(
+            "_bkt").aggregate([("us", "max")])
+        return g.rename_columns(["_bkt", "mx"])
+
+    NEG = np.int64(-(2 ** 62))
+    parts = bds.map_batches(bmax, batch_format="pyarrow").to_pandas()
+    mx = np.full(n_buckets, NEG, np.int64)
+    for b, m in zip(parts["_bkt"], parts["mx"]):
+        mx[int(b)] = max(mx[int(b)], int(m))
+    excl = np.empty(n_buckets, np.int64)
+    excl[0] = NEG
+    np.maximum.accumulate(mx[:-1], out=mx[:-1])
+    excl[1:] = mx[:-1]
+    pre_ref = ray.put(excl)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        pre = ray.get(pre_ref)
+        g = g.sort_values(order_col, kind="mergesort")
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+        run = np.maximum.accumulate(us)          # INCLUSIVE running max
+        wm = np.maximum(run, pre[int(g["_bkt"].iloc[0])])
+        return pd.DataFrame({"late": (wm - us).astype("int64")})
+
+    lates = (bds.groupby("_bkt")
+             .map_groups(per_bucket, batch_format="pandas"))
+    n = ds.count()
+    ranks = [max(math.ceil(q * n) - 1, 0) for q in qs] + [n - 1]
+    rows = rank_select(lates, ["late"], ranks)
+    vals = [int(r["late"]) for r in rows]
+    return pd.DataFrame({
+        "n": pd.array([n], dtype="int64"),
+        "p50_us": pd.array([vals[0]], dtype="int64"),
+        "p90_us": pd.array([vals[1]], dtype="int64"),
+        "p99_us": pd.array([vals[2]], dtype="int64"),
+        "max_us": pd.array([vals[3]], dtype="int64")})

@@ -2554,6 +2554,47 @@ def _q_rrf_fusion(sf_dir: str):
         "rank_cnt": pd.array([r[3] for r in rows], dtype="int64")})
 
 
+def _q_forecast_naive_error(sf_dir: str):
+    """Seasonal-naive backtest over daily revenue: forecast(day) =
+    revenue(day − 7), scored as exact integer absolute errors + a
+    floored-micro MAPE — the baseline every real forecast must beat.
+    Daily centi-revenue via zero-shuffle keyed partials (calendar-
+    bounded day domain), python-int driver fold; only days whose lag-7
+    day EXISTS score (mirrored by the oracle's inner self-join)."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (t["o_orderdate"].to_numpy(zero_copy_only=False)
+               .astype("datetime64[us]").astype(np.int64)
+               // 86_400_000_000)
+        rev = pc.cast(_round_ha(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0))), pa.int64())
+        g = (pa.table({"day": pa.array(day, pa.int64()), "rev": rev})
+             .group_by("day").aggregate([("rev", "sum")]))
+        return g.rename_columns(["day", "rev"])
+
+    df = _sum_keyed_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day"], ["rev"])
+    rev = {int(d): int(v) for d, v in zip(df["day"], df["rev"])}
+    n = 0
+    sum_abs = 0
+    sum_ape_micro = 0
+    for d in sorted(rev):
+        if d - 7 in rev:
+            err = abs(rev[d] - rev[d - 7])
+            n += 1
+            sum_abs += err
+            sum_ape_micro += err * 1_000_000 // max(rev[d], 1)
+    return pd.DataFrame({
+        "n_days": pd.array([n], dtype="int64"),
+        "sum_abs_err_centi": pd.array([sum_abs], dtype="int64"),
+        "mape_micro": pd.array([sum_ape_micro // max(n, 1)],
+                               dtype="int64")})
+
+
 def _q_lateness_quantiles(sf_dir: str):
     """Stream out-of-orderness profile
     (stages/windows.py:lateness_quantiles): lateness vs the inclusive
@@ -5735,6 +5776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- driver-checked window (first 50): the r4 rotation ---
         # r4c5 queries lead (never driver-checked), then r4c4, then
         # the 23 third-continuation queries
+        "forecast_naive_error": _q_forecast_naive_error,
         "lateness_quantiles": _q_lateness_quantiles,
         "pretrain_pipeline": _q_pretrain_pipeline,
         "diversified_topk": _q_diversified_topk,
@@ -6180,6 +6222,26 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY event_type"""
 
     return {
+        # per-day floored APE summed then floored mean — both
+        # divisions non-negative (trunc == floor)
+        "forecast_naive_error": """
+            WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000
+                              AS day,
+                              sum(round(o_totalprice * 100)::BIGINT)
+                                  ::BIGINT AS rev
+                       FROM orders GROUP BY 1),
+            p AS (SELECT a.day, a.rev,
+                         abs(a.rev - b.rev)::BIGINT AS err
+                  FROM d a JOIN d b ON b.day = a.day - 7),
+            s AS (SELECT count(*)::BIGINT AS n,
+                         sum(err)::BIGINT AS sa,
+                         sum(err * 1000000
+                             // greatest(rev, 1))::BIGINT AS sm
+                  FROM p)
+            SELECT n AS n_days, sa AS sum_abs_err_centi,
+                   (sm // greatest(n, 1))::BIGINT AS mape_micro
+            FROM s
+        """,
         "lateness_quantiles": """
             WITH o AS (SELECT event_id, epoch_us(ts) AS t FROM events),
             w AS (SELECT max(t) OVER (ORDER BY event_id

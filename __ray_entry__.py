@@ -2554,6 +2554,23 @@ def _q_rrf_fusion(sf_dir: str):
         "rank_cnt": pd.array([r[3] for r in rows], dtype="int64")})
 
 
+def _q_bitmap_lookup(sf_dir: str):
+    """Chunked bitmap-index build + AND-probe
+    (stages/bitmap_index.py): one bitmap shard per (value, 4096-row
+    chunk), OR-folded per co-partition; the conjunctive predicate
+    lang='en' AND source='src7' is a per-chunk bitmap AND + popcount —
+    no scan, no O(corpus) bitmap anywhere.  Completes the persisted-
+    index family (IVF / LSH / zonemap / zorder / range / bitmap)."""
+    from vyntr_ray.stages.bitmap_index import (bitmap_and_count,
+                                               bitmap_build)
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "lang", "source"])
+    ia = bitmap_build(docs, "lang")
+    ib = bitmap_build(docs, "source")
+    return bitmap_and_count(ia, ib, "en", "src7")
+
+
 def _q_forecast_naive_error(sf_dir: str):
     """Seasonal-naive backtest over daily revenue: forecast(day) =
     revenue(day − 7), scored as exact integer absolute errors + a
@@ -5776,6 +5793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- driver-checked window (first 50): the r4 rotation ---
         # r4c5 queries lead (never driver-checked), then r4c4, then
         # the 23 third-continuation queries
+        "bitmap_lookup": _q_bitmap_lookup,
         "forecast_naive_error": _q_forecast_naive_error,
         "lateness_quantiles": _q_lateness_quantiles,
         "pretrain_pipeline": _q_pretrain_pipeline,
@@ -6222,6 +6240,13 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY event_type"""
 
     return {
+        "bitmap_lookup": """
+            WITH m AS (SELECT doc_id FROM documents
+                       WHERE lang = 'en' AND source = 'src7'),
+            n AS (SELECT count(*)::BIGINT AS n_match FROM m)
+            SELECT doc_id, n.n_match FROM m, n
+            ORDER BY doc_id LIMIT 20
+        """,
         # per-day floored APE summed then floored mean — both
         # divisions non-negative (trunc == floor)
         "forecast_naive_error": """

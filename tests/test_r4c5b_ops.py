@@ -682,3 +682,26 @@ def test_lateness_quantiles_matches_bruteforce():
         assert int(got[col]) == int(late[math.ceil(q * n) - 1])
     assert int(got["max_us"]) == int(late[-1])
     assert int(got["max_us"]) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bitmap_index_matches_scan():
+    import ray.data as rd
+
+    from vyntr_ray.stages.bitmap_index import (bitmap_and_count,
+                                               bitmap_build)
+
+    rng = np.random.Generator(np.random.PCG64(37))
+    n = 9000                              # spans 3 chunks of 4096
+    a = rng.choice(["x", "y", "z"], n)
+    b = rng.choice(["p", "q"], n)
+    df = pd.DataFrame({"doc_id": pd.array(range(n), dtype="int64"),
+                       "a": a, "b": b})
+    ds = rd.from_pandas(df).repartition(5)
+    ia = bitmap_build(ds, "a", chunk_rows=4096)
+    ib = bitmap_build(ds, "b", chunk_rows=4096)
+    got = bitmap_and_count(ia, ib, "y", "q", chunk_rows=4096, k_ids=20)
+
+    want = df[(df["a"] == "y") & (df["b"] == "q")]["doc_id"]
+    assert int(got["n_match"].iloc[0]) == len(want)
+    assert list(got["doc_id"]) == sorted(want)[:20]

@@ -2554,6 +2554,68 @@ def _q_rrf_fusion(sf_dir: str):
         "rank_cnt": pd.array([r[3] for r in rows], dtype="int64")})
 
 
+def _q_day_churn_jaccard(sf_dir: str):
+    """Day-over-day user-base stability: Jaccard similarity of
+    consecutive days' ACTIVE-USER sets in exact floored micro units —
+    the churn diagnostic next to retention's cohort view.  Distinct
+    (day, user) rows each feed TWO day-pairs (as side B of yesterday's
+    pair and side A of today's); ONE pair-hash partition folds
+    inter/union vectorized (the minhash_accuracy fold pointed at
+    activity sets).  Pairs need both days non-empty (oracle inner
+    join)."""
+    import pyarrow.compute as pc
+
+    from vyntr_ray.stages.dataset_tools import distinct_rows
+    from vyntr_ray.stages.windows import _by_part
+
+    ev = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def day_user(t: pa.Table) -> pa.Table:
+        day = (t["ts"].to_numpy(zero_copy_only=False)
+               .astype("datetime64[us]").astype(np.int64)
+               // 86_400_000_000)
+        return pa.table({"day": pa.array(day, pa.int64()),
+                         "user_id": t["user_id"]})
+
+    du = distinct_rows(ev.map_batches(day_user, batch_format="pyarrow"),
+                       ["day", "user_id"])
+
+    def fan(t: pa.Table) -> pa.Table:
+        d = t["day"].to_numpy(zero_copy_only=False)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        # pair p = (day p, day p+1); this row is side A of pair d and
+        # side B of pair d-1
+        return pa.table({
+            "pair": pa.array(np.concatenate([d, d - 1]), pa.int64()),
+            "side": pa.array(np.concatenate(
+                [np.zeros(len(d), np.int8),
+                 np.ones(len(d), np.int8)])),
+            "user_id": pa.array(np.concatenate([u, u]), pa.int64())})
+
+    rows = du.map_batches(fan, batch_format="pyarrow")
+
+    def fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = []
+        for p, sub in g.groupby("pair", sort=True):
+            a = sub.loc[sub["side"] == 0, "user_id"].to_numpy(np.int64)
+            b = sub.loc[sub["side"] == 1, "user_id"].to_numpy(np.int64)
+            if len(a) == 0 or len(b) == 0:
+                continue
+            inter = len(np.intersect1d(a, b))
+            union = len(a) + len(b) - inter
+            out.append((int(p), len(a), len(b), inter,
+                        inter * 1_000_000 // union))
+        return pd.DataFrame(out, columns=[
+            "day", "n_today", "n_next", "inter",
+            "jacc_micro"]).astype("int64")
+
+    return (_by_part(rows, "pair", n_parts=16)
+            .groupby("_part")
+            .map_groups(lambda g: fold(g.drop(columns="_part")),
+                        batch_format="pandas")
+            .sort("day"))
+
+
 def _q_bitmap_lookup(sf_dir: str):
     """Chunked bitmap-index build + AND-probe
     (stages/bitmap_index.py): one bitmap shard per (value, 4096-row
@@ -5793,6 +5855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- driver-checked window (first 50): the r4 rotation ---
         # r4c5 queries lead (never driver-checked), then r4c4, then
         # the 23 third-continuation queries
+        "day_churn_jaccard": _q_day_churn_jaccard,
         "bitmap_lookup": _q_bitmap_lookup,
         "forecast_naive_error": _q_forecast_naive_error,
         "lateness_quantiles": _q_lateness_quantiles,
@@ -6240,6 +6303,27 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY event_type"""
 
     return {
+        "day_churn_jaccard": """
+            WITH du AS (SELECT DISTINCT
+                            epoch_us(ts) // 86400000000 AS day,
+                            user_id
+                        FROM events),
+            sz AS (SELECT day, count(*)::BIGINT AS n FROM du
+                   GROUP BY 1),
+            iv AS (SELECT a.day, count(*)::BIGINT AS inter
+                   FROM du a JOIN du b
+                       ON b.day = a.day + 1
+                          AND b.user_id = a.user_id
+                   GROUP BY 1)
+            SELECT sa.day, sa.n AS n_today, sb.n AS n_next,
+                   coalesce(iv.inter, 0)::BIGINT AS inter,
+                   (coalesce(iv.inter, 0) * 1000000
+                    // (sa.n + sb.n - coalesce(iv.inter, 0)))::BIGINT
+                       AS jacc_micro
+            FROM sz sa JOIN sz sb ON sb.day = sa.day + 1
+            LEFT JOIN iv ON iv.day = sa.day
+            ORDER BY sa.day
+        """,
         "bitmap_lookup": """
             WITH m AS (SELECT doc_id FROM documents
                        WHERE lang = 'en' AND source = 'src7'),

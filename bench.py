@@ -165,7 +165,9 @@ def bench_queries(repeats: int = 2) -> dict:
              "group_moments", "autocorr_daily", "mahalanobis2",
              "lerp_fill", "schema_evolution_read", "diversified_topk",
              "source_vocab_overlap", "markov_stationary",
-             "pretrain_pipeline"]
+             "pretrain_pipeline", "lateness_quantiles",
+             "forecast_naive_error", "bitmap_lookup",
+             "day_churn_jaccard"]
     qs = em.queries()
     out = {}
     for _ in range(max(1, repeats)):

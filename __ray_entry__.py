@@ -2844,7 +2844,10 @@ def _q_schema_evolution_read(sf_dir: str):
 
     ds = _read(sf_dir, "orders",
                columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    root = tempfile.mkdtemp(prefix="evolve_", dir="/tmp")
+    # scratch under the documented cleanable cache dir (CLAUDE.md)
+    cache = "/tmp/vyntr_ray_cache/evolve"
+    os.makedirs(cache, exist_ok=True)
+    root = tempfile.mkdtemp(prefix="gen_", dir=cache)
     g1, g2 = f"{root}/gen1", f"{root}/gen2"
     (ds.map_batches(lambda t: t.filter(pc.equal(
         pc.bit_wise_and(t["o_orderkey"], pa.scalar(1, pa.int64())),

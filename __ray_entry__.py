@@ -2554,6 +2554,100 @@ def _q_rrf_fusion(sf_dir: str):
         "rank_cnt": pd.array([r[3] for r in rows], dtype="int64")})
 
 
+_POIS1_T = (6786177901268885504, 13572355802537771008,
+            16965444753172213760, 18096474403383695360,
+            18379231815936565248)  # floor(cumP_k(Poisson(1)) * 2^64)
+
+
+def _q_poisson_bootstrap(sf_dir: str):
+    """Deterministic distributed Poisson bootstrap (the scale-out
+    bootstrap: per-row independent Poisson(1) weights instead of a
+    global resample — Chamandy et al. 2012, public) over order totals:
+    32 resamples, weight = inverse-CDF draw from the md5 uniform of
+    (b, orderkey) decided by EXACT integer thresholds (floor(cumP·2^64)
+    — no float compare anywhere), per-resample exact int sums folded
+    from per-block partials, mean reported with the shared division.
+    Consumers read the CI straight off the 32-row table."""
+    import pyarrow.compute as pc
+
+    from vyntr_ray.rounding import fround_half_away
+    from vyntr_ray.state.filters import _hash64
+
+    B = 32
+    thresholds = np.array(_POIS1_T, np.uint64)
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["o_orderkey"].to_pylist()
+        v = pc.cast(_round_ha(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0))),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        bs, sws, swxs = [], [], []
+        for b in range(B):
+            h = _hash64([f"{b}:{i}" for i in ids])
+            w = np.searchsorted(thresholds, h, side="right").astype(
+                np.int64)
+            bs.append(b)
+            sws.append(int(w.sum()))
+            swxs.append(int((w * v).sum()))
+        return pa.table({"b": pa.array(bs, pa.int64()),
+                         "sw": pa.array(sws, pa.int64()),
+                         "swx": pa.array(swxs, pa.int64())})
+
+    df = _sum_keyed_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["b"], ["sw", "swx"]).sort_values("b", ignore_index=True)
+    df["mean_centi"] = [fround_half_away(float(x) / float(w), 6)
+                        for x, w in zip(df["swx"], df["sw"])]
+    for c in ("b", "sw", "swx"):
+        df[c] = df[c].astype("int64")
+    return df[["b", "sw", "swx", "mean_centi"]]
+
+
+def _q_wilson_ranking(sf_dir: str):
+    """Sources ranked by quality-pass rate with the Wilson score lower
+    bound (z=1.96) — the small-sample-correct ranking (a 3/3 source
+    must NOT outrank a 95/100 one, which raw rate does).  Exact int
+    sufficient stats (n, k) via zero-shuffle keyed partials; the float
+    bound is evaluated in the identical operation order as the oracle
+    (all z terms from the same 1.96 literal), round(…, 6) half-away."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from vyntr_ray.rounding import fround_half_away
+
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        passing = pc.cast(pc.greater_equal(
+            t["n_chars"], pa.scalar(500, pa.int64())), pa.int64())
+        return pa.table({"source": t["source"],
+                         "one": pa.array(np.ones(t.num_rows, np.int64)),
+                         "k": passing})
+
+    df = _sum_keyed_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source"], ["one", "k"]).rename(columns={"one": "n"})
+    z = 1.96
+    rows = []
+    for _, r in df.iterrows():
+        n, k = int(r["n"]), int(r["k"])
+        nd = float(n)
+        p = float(k) / nd
+        wl = ((p + z * z / (2.0 * nd)
+               - z * math.sqrt((p * (1.0 - p) + z * z / (4.0 * nd))
+                               / nd))
+              / (1.0 + z * z / nd))
+        rows.append((r["source"], n, k, wl))
+    rows.sort(key=lambda t: (-t[3], t[0]))
+    return pd.DataFrame({
+        "source": [r[0] for r in rows],
+        "n": pd.array([r[1] for r in rows], dtype="int64"),
+        "k": pd.array([r[2] for r in rows], dtype="int64"),
+        "wilson_lower": [fround_half_away(r[3], 6) for r in rows]})
+
+
 def _q_day_churn_jaccard(sf_dir: str):
     """Day-over-day user-base stability: Jaccard similarity of
     consecutive days' ACTIVE-USER sets in exact floored micro units —
@@ -5858,6 +5952,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- driver-checked window (first 50): the r4 rotation ---
         # r4c5 queries lead (never driver-checked), then r4c4, then
         # the 23 third-continuation queries
+        "poisson_bootstrap": _q_poisson_bootstrap,
+        "wilson_ranking": _q_wilson_ranking,
         "day_churn_jaccard": _q_day_churn_jaccard,
         "bitmap_lookup": _q_bitmap_lookup,
         "forecast_naive_error": _q_forecast_naive_error,
@@ -6306,6 +6402,61 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY event_type"""
 
     return {
+        # Poisson(1) weights via integer thresholds on the md5
+        # uniform — no float compare; shared swx/sw division
+        "poisson_bootstrap": """
+            WITH x AS (SELECT o_orderkey AS id,
+                              round(o_totalprice * 100)::BIGINT AS v
+                       FROM orders),
+            bb AS (SELECT unnest(generate_series(0, 31)) AS b),
+            h AS (SELECT bb.b, x.v,
+                         md5_number_upper(bb.b::VARCHAR || ':'
+                                          || x.id::VARCHAR) AS h
+                  FROM x, bb),
+            w AS (SELECT b, v,
+                         CASE
+                           WHEN h < 6786177901268885504::UBIGINT
+                               THEN 0
+                           WHEN h < 13572355802537771008::UBIGINT
+                               THEN 1
+                           WHEN h < 16965444753172213760::UBIGINT
+                               THEN 2
+                           WHEN h < 18096474403383695360::UBIGINT
+                               THEN 3
+                           WHEN h < 18379231815936565248::UBIGINT
+                               THEN 4
+                           ELSE 5
+                         END AS w
+                  FROM h),
+            s AS (SELECT b, sum(w)::BIGINT AS sw,
+                         sum(w * v)::BIGINT AS swx
+                  FROM w GROUP BY b)
+            SELECT b, sw, swx,
+                   round(swx::DOUBLE / sw::DOUBLE, 6) AS mean_centi
+            FROM s ORDER BY b
+        """,
+        # all z terms spelled from the same 1.96 literal so both
+        # engines build the identical doubles; ORDER BY the UNROUNDED
+        # bound, round(…,6) only on the report
+        "wilson_ranking": """
+            WITH s AS (SELECT source, count(*)::BIGINT AS n,
+                              count(*) FILTER (WHERE n_chars >= 500)
+                                  ::BIGINT AS k
+                       FROM documents GROUP BY 1),
+            w AS (SELECT source, n, k,
+                         ((k::DOUBLE / n::DOUBLE)
+                          + 1.96 * 1.96 / (2.0 * n::DOUBLE)
+                          - 1.96 * sqrt(((k::DOUBLE / n::DOUBLE)
+                                         * (1.0 - (k::DOUBLE
+                                                   / n::DOUBLE))
+                                         + 1.96 * 1.96
+                                           / (4.0 * n::DOUBLE))
+                                        / n::DOUBLE))
+                         / (1.0 + 1.96 * 1.96 / n::DOUBLE) AS wl
+                  FROM s)
+            SELECT source, n, k, round(wl, 6) AS wilson_lower
+            FROM w ORDER BY wl DESC, source
+        """,
         "day_churn_jaccard": """
             WITH du AS (SELECT DISTINCT
                             epoch_us(ts) // 86400000000 AS day,

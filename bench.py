@@ -167,7 +167,8 @@ def bench_queries(repeats: int = 2) -> dict:
              "source_vocab_overlap", "markov_stationary",
              "pretrain_pipeline", "lateness_quantiles",
              "forecast_naive_error", "bitmap_lookup",
-             "day_churn_jaccard"]
+             "day_churn_jaccard", "wilson_ranking",
+             "poisson_bootstrap"]
     qs = em.queries()
     out = {}
     for _ in range(max(1, repeats)):

@@ -705,3 +705,29 @@ def test_bitmap_index_matches_scan():
     want = df[(df["a"] == "y") & (df["b"] == "q")]["doc_id"]
     assert int(got["n_match"].iloc[0]) == len(want)
     assert list(got["doc_id"]) == sorted(want)[:20]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_wilson_and_bootstrap_sanity():
+    import __ray_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    w = em.queries()["wilson_ranking"](sf)
+    # bound is a valid probability strictly below the raw rate
+    rate = w["k"] / w["n"]
+    assert ((w["wilson_lower"] >= 0) & (w["wilson_lower"] <= 1)).all()
+    assert (w["wilson_lower"] <= rate + 1e-12).all()
+    # descending by bound
+    assert (w["wilson_lower"].to_numpy()[:-1]
+            >= w["wilson_lower"].to_numpy()[1:] - 1e-12).all()
+
+    bs = em.queries()["poisson_bootstrap"](sf)
+    assert len(bs) == 32
+    # resample means scatter around the true mean within a few sds
+    import duckdb
+    con = duckdb.connect()
+    true_mean = con.sql(
+        f"SELECT avg(round(o_totalprice * 100)::BIGINT) FROM "
+        f"read_parquet('{sf}/orders.parquet')").fetchone()[0]
+    assert abs(bs["mean_centi"].mean() - true_mean) < 0.05 * true_mean
+    assert bs["mean_centi"].std() > 0      # real resampling variation

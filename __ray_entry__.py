@@ -2604,6 +2604,38 @@ def _q_poisson_bootstrap(sf_dir: str):
     return df[["b", "sw", "swx", "mean_centi"]]
 
 
+def _q_chunk_digests(sf_dir: str):
+    """Content chunk table — the rsync/CDC-style fingerprint manifest a
+    blob-sync or chunk-level dedup keys on: each document split into
+    256-char chunks, per chunk the byte length + md5 digest (md5 of a
+    VARCHAR is md5 of its UTF-8 bytes on both engines, so the digests
+    replay exactly).  Stateless vectorized-per-block map; empty docs
+    emit no chunks (oracle filters the empty piece)."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        ids, nos, nb, dg = [], [], [], []
+        did = t["doc_id"].to_pylist()
+        for i, txt in enumerate(t["text"].to_pylist()):
+            txt = txt or ""
+            for no in range(0, (len(txt) + 255) // 256):
+                piece = txt[no * 256:(no + 1) * 256]
+                raw = piece.encode("utf-8")
+                ids.append(did[i])
+                nos.append(no)
+                nb.append(len(raw))
+                dg.append(hashlib.md5(raw).hexdigest())
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "chunk_no": pa.array(nos, pa.int64()),
+                         "n_bytes": pa.array(nb, pa.int64()),
+                         "digest": pa.array(dg, pa.string())})
+
+    return (ds.map_batches(chunks, batch_format="pyarrow")
+            .sort(["doc_id", "chunk_no"]))
+
+
 def _q_wilson_ranking(sf_dir: str):
     """Sources ranked by quality-pass rate with the Wilson score lower
     bound (z=1.96) — the small-sample-correct ranking (a 3/3 source
@@ -5953,6 +5985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4c5 queries lead (never driver-checked), then r4c4, then
         # the 23 third-continuation queries
         "poisson_bootstrap": _q_poisson_bootstrap,
+        "chunk_digests": _q_chunk_digests,
         "wilson_ranking": _q_wilson_ranking,
         "day_churn_jaccard": _q_day_churn_jaccard,
         "bitmap_lookup": _q_bitmap_lookup,
@@ -6434,6 +6467,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT b, sw, swx,
                    round(swx::DOUBLE / sw::DOUBLE, 6) AS mean_centi
             FROM s ORDER BY b
+        """,
+        # md5(VARCHAR) hashes the UTF-8 bytes on both engines
+        "chunk_digests": """
+            WITH c AS (SELECT doc_id, coalesce(text, '') AS t FROM
+                           documents),
+            g AS (SELECT doc_id, t,
+                         unnest(generate_series(
+                             1, greatest(length(t), 1), 256)) AS i
+                  FROM c),
+            s AS (SELECT doc_id, (i - 1) // 256 AS chunk_no,
+                         substring(t, i, 256) AS piece
+                  FROM g)
+            SELECT doc_id, chunk_no::BIGINT AS chunk_no,
+                   octet_length(piece::BLOB)::BIGINT AS n_bytes,
+                   md5(piece) AS digest
+            FROM s WHERE piece <> ''
+            ORDER BY doc_id, chunk_no
         """,
         # all z terms spelled from the same 1.96 literal so both
         # engines build the identical doubles; ORDER BY the UNROUNDED

@@ -168,7 +168,7 @@ def bench_queries(repeats: int = 2) -> dict:
              "pretrain_pipeline", "lateness_quantiles",
              "forecast_naive_error", "bitmap_lookup",
              "day_churn_jaccard", "wilson_ranking",
-             "poisson_bootstrap"]
+             "poisson_bootstrap", "chunk_digests"]
     qs = em.queries()
     out = {}
     for _ in range(max(1, repeats)):

@@ -731,3 +731,24 @@ def test_wilson_and_bootstrap_sanity():
         f"read_parquet('{sf}/orders.parquet')").fetchone()[0]
     assert abs(bs["mean_centi"].mean() - true_mean) < 0.05 * true_mean
     assert bs["mean_centi"].std() > 0      # real resampling variation
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_chunk_digests_matches_duckdb():
+    import duckdb
+
+    import __ray_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    got = em.queries()["chunk_digests"](sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    ref = con.sql(em.oracle_sql()["chunk_digests"]).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        ref.astype({"doc_id": "int64", "chunk_no": "int64",
+                    "n_bytes": "int64"}))
+    # multi-chunk docs exist and chunk 0 differs from chunk 1
+    multi = got[got["chunk_no"] > 0]
+    assert len(multi) > 0

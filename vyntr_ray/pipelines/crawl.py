@@ -331,15 +331,93 @@ def _fetched_of_block(t: pa.Table) -> pa.Table:
     return t.filter(pc.equal(t["kind"], 0)).select(["key"])
 
 
-_FETCHED_TASK = None
+def _build_sched_tbl(wave: int, batch_urls: pa.Array, fetched_urls: pa.Array,
+                     batch_bk, cut_urls: list[str] | None,
+                     cut_bk) -> pa.Table | None:
+    """The wave's (wave, position, url, status, bucket) lineage table.
+
+    Shared by the task-side streaming path (`_sched_of_wave`) and the
+    driver-side small-wave path — byte-identical columns either way, so
+    the schedule log the parity suite replays is independent of which
+    tier built it.  Scheduled rows are already in position order; cut
+    rows occupy the tail positions."""
+    if isinstance(batch_urls, pa.ChunkedArray):
+        batch_urls = batch_urls.combine_chunks()
+    n_b = len(batch_urls)
+    cut_n = len(cut_urls) if cut_urls else 0
+    if n_b == 0 and cut_n == 0:
+        return None
+    bks = []
+    if n_b:
+        bks.append(np.asarray(batch_bk))
+    if cut_n:
+        bks.append(np.asarray(cut_bk))
+    if n_b:
+        ok = pc.is_in(batch_urls, value_set=fetched_urls)
+        status = pc.if_else(ok, pa.scalar("fetched"), pa.scalar("miss"))
+        if isinstance(status, pa.ChunkedArray):
+            status = status.combine_chunks()
+        if cut_n:
+            status = pa.concat_arrays(
+                [status, pa.array(["cut"] * cut_n, pa.string())])
+    else:
+        status = pa.array(["cut"] * cut_n, pa.string())
+    urls = (pa.concat_arrays([batch_urls.cast(pa.string()),
+                              pa.array(cut_urls, pa.string())])
+            if cut_n else batch_urls.cast(pa.string()))
+    return pa.table({
+        "wave": pa.array(np.full(n_b + cut_n, wave, np.int32)),
+        "position": pa.array(np.arange(n_b + cut_n, dtype=np.int32)),
+        "url": urls,
+        "status": status,
+        "bucket": pa.array(np.concatenate(bks).astype(np.int32)),
+    })
 
 
-def _fetched_task():
-    global _FETCHED_TASK
-    if _FETCHED_TASK is None:
+def _sched_counts_of(tbl: pa.Table | None) -> pa.Table | None:
+    """Fold a schedule table to its per-(bucket, status) counts — the
+    only lineage the driver needs (O(buckets·3) rows)."""
+    if tbl is None or tbl.num_rows == 0:
+        return None
+    g = (tbl.select(["bucket", "status"]).group_by(["bucket", "status"])
+         .aggregate([("status", "count")]))
+    return g.rename_columns(["bucket", "status", "n"])
+
+
+def _sched_of_wave(wave_urls: pa.Array, batch_bk, cut_urls, cut_bk,
+                   wave: int, sched_path: str | None, *blocks) -> tuple:
+    """Wave schedule lineage as ONE raw task (r4-verdict item 1): derive
+    fetched urls from the wave's partial blocks (zero-copy off the object
+    store), build the schedule table, write the schedule parquet part
+    itself (tmp + atomic rename — task retries overwrite, never
+    duplicate), and hand the driver only the per-(bucket, status) counts
+    plus the fetched total.  The driver never gathers the O(wave)
+    fetched-url array, never materializes the schedule table, and never
+    folds a per-url crosstab — its remaining per-wave state is the
+    permuted batch itself (the documented global-permutation contract,
+    SURVEY §7.4.2)."""
+    fet = [_fetched_of_block(t) for t in blocks]
+    fetched = (pa.concat_tables(fet)["key"].combine_chunks()
+               if fet else pa.array([], pa.string()))
+    n_fetched = len(fetched)
+    tbl = _build_sched_tbl(wave, wave_urls, fetched, batch_bk,
+                           cut_urls, cut_bk)
+    if sched_path is not None and tbl is not None:
+        tmp = sched_path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, sched_path)
+    return _sched_counts_of(tbl), n_fetched
+
+
+_SCHED_TASK = None
+
+
+def _sched_task():
+    global _SCHED_TASK
+    if _SCHED_TASK is None:
         import ray
-        _FETCHED_TASK = ray.remote(num_cpus=0.25)(_fetched_of_block)
-    return _FETCHED_TASK
+        _SCHED_TASK = ray.remote(num_cpus=1)(_sched_of_wave)
+    return _SCHED_TASK
 
 
 # --------------------------------------------------------------------------
@@ -473,48 +551,51 @@ def _write_checkpoint(ckpt_dir: str, wave: int, frontier_obj,
     os.rename(tmp, wdir)  # atomic completion marker
 
 
-def _bucket_metrics(frontier, wave: int, sched_tbl,
+def _bucket_metrics(frontier, wave: int, sched_counts,
                     enqueued: pd.DataFrame | None,
                     enqueued_counts: dict | None = None) -> pd.DataFrame:
     """Per-frontier-partition metrics for one wave (the METRICS.parquet
     rows of the wave checkpoint).
 
-    ``sched_tbl`` is the wave's (wave, position, url, status, bucket)
-    lineage table (arrow, columnar — never per-url Python rows);
-    ``enqueued`` is the frame of links actually added to the frontier this
-    wave.  Totals across buckets reconcile exactly with the manifest's
-    ``per_wave`` entry (invariant-tested)."""
+    ``sched_counts`` is the wave's per-(bucket, status) count table
+    (arrow: bucket, status, n) — computed TASK-SIDE for streaming waves
+    (`_sched_of_wave`) so the driver folds O(buckets·3) count rows, never
+    O(wave) lineage rows; ``enqueued`` is the frame of links actually
+    added to the frontier this wave (driver tier only).  Totals across
+    buckets reconcile exactly with the manifest's ``per_wave`` entry
+    (invariant-tested)."""
     sizes = frontier.bucket_sizes()
-    if sched_tbl is not None and sched_tbl.num_rows:
-        sdf = sched_tbl.select(["bucket", "status"]).to_pandas()
-        ct = pd.crosstab(sdf["bucket"], sdf["status"])
-    else:
-        ct = pd.DataFrame()
+    cnt: dict[tuple[int, str], int] = {}
+    if sched_counts is not None and sched_counts.num_rows:
+        for b, s, n in zip(sched_counts["bucket"].to_pylist(),
+                           sched_counts["status"].to_pylist(),
+                           sched_counts["n"].to_pylist()):
+            cnt[(int(b), s)] = int(n)
     if enqueued_counts is not None:
-        eq_counts = pd.Series(enqueued_counts, dtype="int64")
+        eq = {int(k): int(v) for k, v in enqueued_counts.items()}
     elif enqueued is not None and len(enqueued):
-        eq_counts = pd.Series(
+        vc = pd.Series(
             frontier.bucket_of(enqueued["domain"].tolist())).value_counts()
+        eq = {int(k): int(v) for k, v in vc.items()}
     else:
-        eq_counts = pd.Series(dtype="int64")
-    buckets = sorted(set(sizes) | set(ct.index) | set(eq_counts.index))
-
-    def col(name):
-        if name not in ct.columns:
-            return [0] * len(buckets)
-        return [int(ct.at[b, name]) if b in ct.index else 0
-                for b in buckets]
-
+        eq = {}
+    buckets = sorted(set(sizes) | {b for (b, _s) in cnt} | set(eq))
+    fetched = [cnt.get((b, "fetched"), 0) for b in buckets]
+    failed = [cnt.get((b, "miss"), 0) for b in buckets]
+    cut = [cnt.get((b, "cut"), 0) for b in buckets]
     return pd.DataFrame({
         "wave": np.full(len(buckets), wave, dtype=np.int64),
         "bucket": np.asarray(buckets, dtype=np.int64),
-        "scheduled": [int(ct.loc[b].sum()) if len(ct) and b in ct.index
-                      else 0 for b in buckets],
-        "fetched": col("fetched"),
-        "failed": col("miss"),
-        "cut": col("cut"),
-        "enqueued": [int(eq_counts.get(b, 0)) for b in buckets],
-        "frontier_after": [int(sizes.get(b, 0)) for b in buckets],
+        "scheduled": np.asarray(
+            [f + m + c for f, m, c in zip(fetched, failed, cut)],
+            dtype=np.int64),
+        "fetched": np.asarray(fetched, dtype=np.int64),
+        "failed": np.asarray(failed, dtype=np.int64),
+        "cut": np.asarray(cut, dtype=np.int64),
+        "enqueued": np.asarray([eq.get(b, 0) for b in buckets],
+                               dtype=np.int64),
+        "frontier_after": np.asarray([int(sizes.get(b, 0)) for b in buckets],
+                                     dtype=np.int64),
     })
 
 
@@ -826,6 +907,9 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
             ordered_new: list[str] = []
             distributed_enqueued = False
             wave_eq_counts: dict | None = None
+            sched_counts = None     # per-(bucket, status) lineage counts
+            sched_done = False      # True ⇒ schedule built+written task-side
+            n_fetched = 0
             fused_paths: list[str] | None = None
             fused_blocks = False
             if not batch:
@@ -975,24 +1059,40 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
                                 for f in os.listdir(delta_staging)
                                 if f.startswith(f"wave-{wave:05d}-")))
                     else:
-                        newdf = links_ds.to_pandas()
-                        if "link" in newdf.columns:
-                            ordered_new = (newdf.sort_values("orderkey")
-                                           ["link"].tolist())
+                        # driver-frontier tier: links must reach the driver
+                        # to enqueue (the frontier lives in driver memory by
+                        # construction) — gather columnar (zero-copy Arrow
+                        # concat off the object store, orderkey sort via
+                        # sort_indices), never a pandas frame.  The actor
+                        # tier (the scale path) never takes this branch.
+                        mat = links_ds.materialize()
+                        ltabs = [t for t in ray.get(mat.to_arrow_refs())
+                                 if t.num_rows and "link" in t.column_names]
+                        if ltabs:
+                            ltab = pa.concat_tables(ltabs)
+                            idx = pc.sort_indices(ltab["orderkey"])
+                            ordered_new = pc.take(
+                                ltab["link"], idx).to_pylist()
                     _t3 = _time.perf_counter()
-                    # fetched urls come off the SAME materialized partial
-                    # blocks via raw tasks — a map_batches here paid a full
-                    # streaming-executor launch (~0.3-0.5 s) per wave just
-                    # to filter tiny blocks
-                    _ftask = _fetched_task()
-                    ftabs = ray.get([_ftask.remote(r)
-                                     for r in partial_ds.to_arrow_refs()])
-                    # an all-miss wave yields blocks without the key column
-                    ftabs = [t for t in ftabs
-                             if "key" in t.column_names and t.num_rows]
-                    if ftabs:
-                        fetched_arr = pa.concat_tables(ftabs)[
-                            "key"].combine_chunks()
+                    # wave schedule lineage off the SAME materialized partial
+                    # blocks as ONE raw task (r5): the task derives the
+                    # fetched set, builds + writes the schedule parquet, and
+                    # returns only (bucket, status) counts — the driver never
+                    # gathers the O(wave) fetched-url array or folds a
+                    # per-url crosstab
+                    batch_bk = frontier.bucket_of([dom_of[u] for u in batch])
+                    sched_path = None
+                    if keep_schedule:
+                        os.makedirs(schedule_dir, exist_ok=True)
+                        sched_path = os.path.join(
+                            schedule_dir, f"wave={wave:05d}.parquet")
+                    sched_counts, n_fetched = ray.get(_sched_task().remote(
+                        vs_ref, np.asarray(batch_bk, np.int32), cut_urls,
+                        None if cut_bk is None
+                        else np.asarray(cut_bk, np.int32),
+                        wave, sched_path, *partial_ds.to_arrow_refs()))
+                    n_fetched = int(n_fetched)
+                    sched_done = True
                     if _timing:
                         print(f"[wave {wave}] n={len(batch)} "
                               f"prep={_t1 - _t0:.2f} job={_t2 - _t1:.2f} "
@@ -1031,49 +1131,28 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
 
             # fused/preload tasks emit each url at most once per wave (a url
             # lives in exactly one bucket/block), so len() == distinct count
-            n_fetched = len(fetched_arr)
+            if not sched_done:
+                n_fetched = len(fetched_arr)
             n_failed = len(batch) - n_fetched
             stats.fetched += n_fetched
             stats.failed += n_failed
             if fetch_ladder is not None:   # O(wave) metric, matches sim.retried
                 stats.retried += sum(fetch_ladder.outcome(u)[1] - 1
                                      for u in batch)
-            # wave schedule lineage, built as flat arrays (no per-url Python
-            # tuples/loops on the driver): scheduled rows are already in
-            # position order and cut rows occupy the tail positions
-            sched_tbl = None
-            n_b = len(batch)
-            if n_b or cut_n:
-                bks = []
-                if n_b:
-                    batch_bk = frontier.bucket_of([dom_of[u] for u in batch])
-                    bks.append(np.asarray(batch_bk))
-                if cut_n:
-                    bks.append(np.asarray(cut_bk))
-                if n_b:
-                    ok = pc.is_in(pa.array(batch, pa.string()),
-                                  value_set=fetched_arr)
-                    status = pc.if_else(ok, pa.scalar("fetched"),
-                                        pa.scalar("miss"))
-                    if cut_n:
-                        status = pa.concat_arrays(
-                            [status, pa.array(["cut"] * cut_n, pa.string())])
-                else:
-                    status = pa.array(["cut"] * cut_n, pa.string())
-                sched_tbl = pa.table({
-                    "wave": pa.array(
-                        np.full(n_b + cut_n, wave, np.int32)),
-                    "position": pa.array(
-                        np.arange(n_b + cut_n, dtype=np.int32)),
-                    "url": pa.array(batch + cut_urls, pa.string()),
-                    "status": status,
-                    "bucket": pa.array(
-                        np.concatenate(bks).astype(np.int32)),
-                })
-            if keep_schedule and sched_tbl is not None:
-                os.makedirs(schedule_dir, exist_ok=True)
-                pq.write_table(sched_tbl, os.path.join(
-                    schedule_dir, f"wave={wave:05d}.parquet"))
+            # wave schedule lineage: streaming waves already built + wrote it
+            # task-side (`_sched_of_wave`); small/driver-tier waves build it
+            # here from the same helper (byte-identical columns)
+            if not sched_done:
+                batch_bk = (frontier.bucket_of([dom_of[u] for u in batch])
+                            if batch else [])
+                sched_tbl = _build_sched_tbl(
+                    wave, pa.array(batch, pa.string()), fetched_arr,
+                    batch_bk, cut_urls, cut_bk)
+                if keep_schedule and sched_tbl is not None:
+                    os.makedirs(schedule_dir, exist_ok=True)
+                    pq.write_table(sched_tbl, os.path.join(
+                        schedule_dir, f"wave={wave:05d}.parquet"))
+                sched_counts = _sched_counts_of(sched_tbl)
 
             # --- deterministic enqueue of the wave's new links (the
             # distributed path already routed them to the frontier workers)
@@ -1098,7 +1177,7 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
                 _write_checkpoint(ckpt_dir, wave, frontier, seen,
                                   pending_delta, policy, stats, next_seq, config,
                                   bucket_metrics=_bucket_metrics(
-                                      frontier, wave, sched_tbl, enq_frame,
+                                      frontier, wave, sched_counts, enq_frame,
                                       enqueued_counts=wave_eq_counts),
                                   seen_delta_files=pending_delta_files)
                 pending_delta = []

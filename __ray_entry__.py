@@ -5981,9 +5981,124 @@ def _q_jaccard_rerank(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
-        # --- driver-checked window (first 50): the r4 rotation ---
-        # r4c5 queries lead (never driver-checked), then r4c4, then
-        # the 23 third-continuation queries
+        # --- driver-checked window (first 50): the r5 rotation ---
+        # oldest never-driver-checked exact-oracled entries lead
+        # (r4-verdict item 2): S11 search family, TPC-H analog
+        # cohort, chunk_upsert, knn_join &c.  Rows-only entries
+        # are excluded from the window (they would spend slots on
+        # the weaker rows-only check).
+        "bm25_fielded": _q_bm25_fielded,
+        "bm25_topk": _q_bm25_topk,
+        "inverted_index": _q_inverted_index,
+        "chunk_upsert": _q_chunk_upsert,
+        "tfidf_keywords": _q_tfidf_keywords,
+        "knn_join": _q_knn_join,
+        "ntile_buckets": _q_ntile_buckets,
+        "bigram_pmi": _q_bigram_pmi,
+        "user_set_ops": _q_user_set_ops,
+        "tpch_q2ish": _q_tpch_q2ish,
+        "group_ranks": _q_group_ranks,
+        "rollup_counts": _q_rollup_counts,
+        "regex_extract": _q_regex_extract,
+        "value_quantiles_cont": _q_value_quantiles_cont,
+        "running_total": _q_running_total,
+        "tpch_q7ish": _q_tpch_q7ish,
+        "tpch_q16ish": _q_tpch_q16ish,
+        "tpch_q21ish": _q_tpch_q21ish,
+        "tpch_q20ish": _q_tpch_q20ish,
+        "tpch_q15ish": _q_tpch_q15ish,
+        "tpch_q12ish": _q_tpch_q12ish,
+        "tpch_q11ish": _q_tpch_q11ish,
+        "tpch_q9ish": _q_tpch_q9ish,
+        "tpch_q8ish": _q_tpch_q8ish,
+        "anti_join_bloom": _q_anti_join_bloom,
+        "shuffle_export": _q_shuffle_export,
+        "tpch_q22ish": _q_tpch_q22ish,
+        "tpch_q19ish": _q_tpch_q19ish,
+        "tpch_q17ish": _q_tpch_q17ish,
+        "tpch_q14ish": _q_tpch_q14ish,
+        "tpch_q10ish": _q_tpch_q10ish,
+        "tpch_q6ish": _q_tpch_q6ish,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "search_boolean": _q_search_boolean,
+        "bm25_phrase": _q_bm25_phrase,
+        "time_weighted_avg": _q_time_weighted_avg,
+        "weighted_sample": _q_weighted_sample,
+        "hits": _q_hits,
+        "zonemap_export": _q_zonemap_export,
+        "fuzzy_dup_pairs": _q_fuzzy_dup_pairs,
+        "table_profile": _q_table_profile,
+        "first_last": _q_first_last,
+        "value_pivot": _q_value_pivot,
+        "active_customers_bloom": _q_active_customers_bloom,
+        "daily_reconcile": _q_daily_reconcile,
+        "active_customers": _q_active_customers,
+        "left_join_returns": _q_left_join_returns,
+        "grouping_sets": _q_grouping_sets,
+        "cube_counts": _q_cube_counts,
+        "percentile_ranks": _q_percentile_ranks,
+        # --- remaining never-driver-checked entries (strict-checker
+        # evidence only; next rotation cohort) ---
+        "ks_drift": _q_ks_drift,
+        "gini_index": _q_gini_index,
+        "heatmap_bins": _q_heatmap_bins,
+        "mwu_drift": _q_mwu_drift,
+        "token_entropy": _q_token_entropy,
+        "ohlc_bars": _q_ohlc_bars,
+        "iqr_outliers": _q_iqr_outliers,
+        "degree_histogram": _q_degree_histogram,
+        "jaccard_rerank": _q_jaccard_rerank,
+        "rolling_outliers": _q_rolling_outliers,
+        "kcore": _q_kcore,
+        "cdc_apply": _q_cdc_apply,
+        "dedup_incremental": _q_dedup_incremental,
+        "key_skew": _q_key_skew,
+        "zorder_export": _q_zorder_export,
+        "assoc_rules": _q_assoc_rules,
+        "range_export": _q_range_export,
+        "group_topk_ties": _q_group_topk_ties,
+        "srp_partition": _q_srp_partition,
+        "window_join": _q_window_join,
+        "dataset_split": _q_dataset_split,
+        "chi2_independence": _q_chi2_independence,
+        "copartition_join": _q_copartition_join,
+        "novelty_scores": _q_novelty_scores,
+        "winsorized_stats": _q_winsorized_stats,
+        "nearest_join": _q_nearest_join,
+        "rolling_median": _q_rolling_median,
+        "rolling_sum_time": _q_rolling_sum_time,
+        "basket_pairs": _q_basket_pairs,
+        "triangle_count": _q_triangle_count,
+        "bfs_hops": _q_bfs_hops,
+        "search_snippets": _q_search_snippets,
+        "suggest_terms": _q_suggest_terms,
+        "rfm_segments": _q_rfm_segments,
+        "monthly_growth": _q_monthly_growth,
+        "ab_ttest": _q_ab_ttest,
+        "gaps_islands": _q_gaps_islands,
+        "event_throttle": _q_event_throttle,
+        "scd2_intervals": _q_scd2_intervals,
+        "group_median": _q_group_median,
+        "weekday_bitmap": _q_weekday_bitmap,
+        "embedding_norms": _q_embedding_norms,
+        "readability": _q_readability,
+        "fk_check": _q_fk_check,
+        "next_event_gap": _q_next_event_gap,
+        "session_paths": _q_session_paths,
+        "gap_fill_months": _q_gap_fill_months,
+        "group_mad": _q_group_mad,
+        "last_touch": _q_last_touch,
+        "watermark_filter": _q_watermark_filter,
+        "merge_intervals": _q_merge_intervals,
+        "cumulative_distinct": _q_cumulative_distinct,
+        "group_mode": _q_group_mode,
+        "price_histogram": _q_price_histogram,
+        "skyline_orders": _q_skyline_orders,
+        "group_regression": _q_group_regression,
+        "unpivot_measures": _q_unpivot_measures,
+        "ivf_kmeans": _q_ivf_kmeans,
+        "audio_windows": _q_audio_windows,
+        # --- previously driver-green rows (r1-r4) ---
         "poisson_bootstrap": _q_poisson_bootstrap,
         "chunk_digests": _q_chunk_digests,
         "wilson_ranking": _q_wilson_ranking,
@@ -6034,121 +6149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_lag": _q_conversion_lag,
         "monthly_share": _q_monthly_share,
         "lsh_lookup": _q_lsh_lookup,
-        "ks_drift": _q_ks_drift,
-        "gini_index": _q_gini_index,
-        "heatmap_bins": _q_heatmap_bins,
-        "mwu_drift": _q_mwu_drift,
-        "token_entropy": _q_token_entropy,
-        "ohlc_bars": _q_ohlc_bars,
-        "iqr_outliers": _q_iqr_outliers,
-        "degree_histogram": _q_degree_histogram,
-        "jaccard_rerank": _q_jaccard_rerank,
-        "rolling_outliers": _q_rolling_outliers,
-        "kcore": _q_kcore,
-        "cdc_apply": _q_cdc_apply,
-        "dedup_incremental": _q_dedup_incremental,
-        "key_skew": _q_key_skew,
-        "zorder_export": _q_zorder_export,
-        "assoc_rules": _q_assoc_rules,
-        "range_export": _q_range_export,
-        "group_topk_ties": _q_group_topk_ties,
-        "srp_partition": _q_srp_partition,
-        "window_join": _q_window_join,
-        "dataset_split": _q_dataset_split,
-        "chi2_independence": _q_chi2_independence,
-        "copartition_join": _q_copartition_join,
-        "novelty_scores": _q_novelty_scores,
-        "winsorized_stats": _q_winsorized_stats,
-        "nearest_join": _q_nearest_join,
-        "rolling_median": _q_rolling_median,
-        # never-driver-checked entries (incl. the 7 new r4 queries)
-        # first, then the riskiest previously-green rows: r3-only
-        # single-data-point entries and the money-scaling queries the
-        # r4 rounding conversion touched after their last driver row.
         "crawl_flagship": _q_crawl_flagship,
         "tpch_q18ish": _q_tpch_q18ish,
-        "rolling_sum_time": _q_rolling_sum_time,
-        "basket_pairs": _q_basket_pairs,
-        "triangle_count": _q_triangle_count,
-        "bfs_hops": _q_bfs_hops,
-        "search_snippets": _q_search_snippets,
-        "suggest_terms": _q_suggest_terms,
-        "rfm_segments": _q_rfm_segments,
-        "monthly_growth": _q_monthly_growth,
-        "ab_ttest": _q_ab_ttest,
-        "gaps_islands": _q_gaps_islands,
-        "event_throttle": _q_event_throttle,
-        "scd2_intervals": _q_scd2_intervals,
-        "group_median": _q_group_median,
-        "weekday_bitmap": _q_weekday_bitmap,
-        "embedding_norms": _q_embedding_norms,
-        "readability": _q_readability,
-        "fk_check": _q_fk_check,
-        "next_event_gap": _q_next_event_gap,
-        "session_paths": _q_session_paths,
-        "gap_fill_months": _q_gap_fill_months,
-        "group_mad": _q_group_mad,
-        "last_touch": _q_last_touch,
-        "watermark_filter": _q_watermark_filter,
-        "merge_intervals": _q_merge_intervals,
-        "cumulative_distinct": _q_cumulative_distinct,
-        "group_mode": _q_group_mode,
-        "price_histogram": _q_price_histogram,
-        "skyline_orders": _q_skyline_orders,
-        "group_regression": _q_group_regression,
-        "unpivot_measures": _q_unpivot_measures,
-        "percentile_ranks": _q_percentile_ranks,
-        "cube_counts": _q_cube_counts,
-        "grouping_sets": _q_grouping_sets,
-        "left_join_returns": _q_left_join_returns,
-        "active_customers": _q_active_customers,
-        "daily_reconcile": _q_daily_reconcile,
-        "active_customers_bloom": _q_active_customers_bloom,
-        "value_pivot": _q_value_pivot,
-        "first_last": _q_first_last,
-        "table_profile": _q_table_profile,
-        "fuzzy_dup_pairs": _q_fuzzy_dup_pairs,
-        "zonemap_export": _q_zonemap_export,
-        "hits": _q_hits,
-        "weighted_sample": _q_weighted_sample,
-        "time_weighted_avg": _q_time_weighted_avg,
-        "bm25_phrase": _q_bm25_phrase,
-        "search_boolean": _q_search_boolean,
-        "paragraph_dedup": _q_paragraph_dedup,
-        "tpch_q6ish": _q_tpch_q6ish,
-        "tpch_q10ish": _q_tpch_q10ish,
-        "tpch_q14ish": _q_tpch_q14ish,
-        "tpch_q17ish": _q_tpch_q17ish,
-        "tpch_q19ish": _q_tpch_q19ish,
-        "tpch_q22ish": _q_tpch_q22ish,
-        "shuffle_export": _q_shuffle_export,
-        "anti_join_bloom": _q_anti_join_bloom,
-        "tpch_q8ish": _q_tpch_q8ish,
-        "tpch_q9ish": _q_tpch_q9ish,
-        "tpch_q11ish": _q_tpch_q11ish,
-        "tpch_q12ish": _q_tpch_q12ish,
-        "tpch_q15ish": _q_tpch_q15ish,
-        "tpch_q20ish": _q_tpch_q20ish,
-        "tpch_q21ish": _q_tpch_q21ish,
-        "tpch_q16ish": _q_tpch_q16ish,
-        "tpch_q7ish": _q_tpch_q7ish,
-        "running_total": _q_running_total,
-        "value_quantiles_cont": _q_value_quantiles_cont,
-        "regex_extract": _q_regex_extract,
-        "rollup_counts": _q_rollup_counts,
-        "group_ranks": _q_group_ranks,
-        "tpch_q2ish": _q_tpch_q2ish,
-        "user_set_ops": _q_user_set_ops,
-        "bigram_pmi": _q_bigram_pmi,
-        "ntile_buckets": _q_ntile_buckets,
-        "knn_join": _q_knn_join,
-        "tfidf_keywords": _q_tfidf_keywords,
-        "chunk_upsert": _q_chunk_upsert,
-        "inverted_index": _q_inverted_index,
-        "bm25_topk": _q_bm25_topk,
-        "bm25_fielded": _q_bm25_fielded,
-        "ivf_kmeans": _q_ivf_kmeans,
-        "audio_windows": _q_audio_windows,
         "lag_diff": _q_lag_diff,
         "blob_stats": _q_blob_stats,
         "tpch_q3ish": _q_tpch_q3ish,
@@ -6169,7 +6171,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_left": _q_asof_join_left,
         "range_join": _q_range_join,
         "value_quantiles": _q_value_quantiles,
-        # --- previously driver-checked (r1-r3 green) + rows-only ---
         "group_zscores": _q_group_zscores,
         "distinct_users": _q_distinct_users,
         "distinct_users_hll": _q_distinct_users_hll,

@@ -157,11 +157,20 @@ def _read_shards(index_dir: str, shards: set[int], columns: list[str]):
 
 def bm25_topk(index_dir: str, query_terms: list[str], k: int = 10,
               k1: float = 1.2, b: float = 0.75, id_col: str = "doc_id",
-              round_to: int = 4):
+              round_to: int = 4, tantivy_norms: bool = False):
     """BM25 top-k over the built index — reads ONLY the query terms' shards.
 
-    idf = ln((N - df + 0.5) / (df + 0.5) + 1)  (the Lucene BM25 variant);
+    idf = ln((N - df + 0.5) / (df + 0.5) + 1)  (the Lucene BM25 variant —
+    also exactly Tantivy's ``ln(1 + (N − df + 0.5)/(df + 0.5))``);
     score(d) = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+
+    ``tantivy_norms=True`` scores with Tantivy's exact parameterization
+    (the Pulse serving surface, `pulse/src/main.rs:45-54`): the per-doc
+    length is quantized through the one-byte fieldnorm encoding
+    (`stages/fieldnorm.py`, identity for dl ≤ 15) while ``avgdl`` stays
+    the exact segment total — matching ``Bm25Weight``'s 256-entry norm
+    cache.  Default False keeps exact lengths (a strictly more faithful
+    score; the option exists for ranked-list parity with Tantivy).
     """
     import ray
 
@@ -208,6 +217,9 @@ def bm25_topk(index_dir: str, query_terms: list[str], k: int = 10,
                 continue
             tf = np.asarray(tfs, np.float64)
             dl = np.asarray(dls, np.float64)
+            if tantivy_norms:
+                from .fieldnorm import quantize_dl
+                dl = quantize_dl(np.asarray(dls, np.int64)).astype(np.float64)
             s = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
             ids_out.append(np.asarray(dids, np.int64))
             sc_out.append(s)

@@ -2373,14 +2373,17 @@ def _q_basket_pairs(sf_dir: str):
 
 
 def _q_triangle_count(sf_dir: str):
-    """Exact triangle count over the co-purchase graph (edges = part
-    pairs sharing an order; stages/graph.py:triangle_count — min-vertex
-    wedge enumeration, co-partitioned closing-edge membership join)."""
+    """Exact triangle count over the SUPPORT-THRESHOLDED co-purchase
+    graph (edges = part pairs sharing ≥2 orders, the adamic_adar /
+    clustering_coeff graph; stages/graph.py:triangle_count — min-vertex
+    wedge enumeration, co-partitioned closing-edge membership join).
+    min_count=2 is the documented wedge-volume lever (r4 verdict item 5);
+    the oracle mirrors it as HAVING count(*) >= 2."""
     from vyntr_ray.stages.baskets import pair_edges
     from vyntr_ray.stages.graph import triangle_count
 
     ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
-    edges = pair_edges(ds, "l_orderkey", "l_partkey", min_count=1)
+    edges = pair_edges(ds, "l_orderkey", "l_partkey", min_count=2)
     return triangle_count(edges, u_col="item_a", v_col="item_b")
 
 
@@ -9011,7 +9014,7 @@ def oracle_sql() -> dict[str, str]:
                                         l_partkey AS i FROM lineitem),
             e AS (SELECT a.i AS u, b.i AS v
                   FROM li a JOIN li b ON a.g = b.g AND a.i < b.i
-                  GROUP BY 1, 2)
+                  GROUP BY 1, 2 HAVING count(*) >= 2)
             SELECT count(*)::BIGINT AS n_triangles
             FROM e e1
             JOIN e e2 ON e2.u = e1.u AND e1.v < e2.v

@@ -329,6 +329,13 @@ def test_clustering_coefficients_matches_bruteforce():
     idx = ref.set_index("node")
     assert idx.loc[100, "coeff_micro"] == 1_000_000   # clique member
     assert idx.loc[105, "coeff_micro"] == 0           # star center
+    # r5: degree orientation is a pure enumeration-order change — the
+    # per-node triangle credits are invariant (orient="id" parity)
+    got_id = (clustering_coefficients(
+        rd.from_pandas(ed).repartition(4), n_parts=5,
+        orient="id").to_pandas())
+    pd.testing.assert_frame_equal(got_id.astype("int64"),
+                                  ref.astype("int64"))
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -20,6 +20,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 from ..extract import parse_html
 from ..urls import md5_partition
@@ -192,57 +193,119 @@ def make_pages_dataset(n_pages: int, n_hosts: int | None = None,
     return ds.map_batches(gen, batch_format="numpy", batch_size=2048)
 
 
+def _gen_bucket_file(bucket: int, id_dir: str, out_dir: str, n_pages: int,
+                     n_hosts: int, seed: int, rich: bool,
+                     robots_tab: pa.Table | None,
+                     chunk_rows: int = 4096) -> int:
+    """One store bucket, generated STREAMING: read this bucket's (tiny)
+    id list from the staged partition, regenerate its page rows in
+    ``chunk_rows`` chunks (content is a pure function of id), and append
+    each chunk as one parquet row group via ``ParquetWriter`` — worker
+    heap holds one chunk, never the bucket.  tmp + atomic rename; a rerun
+    (or a resumed build) skips buckets whose final file exists.  Chunk-
+    sized row groups also give the fused fetch's url-first row-group
+    probe real pruning granularity (one row group per bucket meant
+    match-anything ⇒ decode-everything)."""
+    import glob as _glob
+
+    bdir = os.path.join(out_dir, f"bucket={bucket}")
+    final = os.path.join(bdir, "part-0.parquet")
+    if os.path.exists(final):
+        return pq.ParquetFile(final).metadata.num_rows
+    id_files = sorted(_glob.glob(os.path.join(id_dir, f"bucket={bucket}",
+                                              "*.parquet")))
+    ids = (np.sort(np.concatenate(
+        [pq.read_table(f, columns=["id"])["id"].to_numpy() for f in id_files]))
+        if id_files else np.array([], np.int64))
+    n = 0
+    os.makedirs(bdir, exist_ok=True)
+    tmp = final + ".tmp"
+    with pq.ParquetWriter(tmp, PAGES_SCHEMA) as w:
+        for lo in range(0, len(ids), chunk_rows):
+            t = gen_pages_table(ids[lo:lo + chunk_rows], n_pages, n_hosts,
+                                seed, rich)
+            w.write_table(t)
+            n += t.num_rows
+        if robots_tab is not None and robots_tab.num_rows:
+            w.write_table(robots_tab)
+            n += robots_tab.num_rows
+    os.replace(tmp, final)
+    return n
+
+
 def write_pages_store(n_pages: int, out_dir: str, n_hosts: int | None = None,
                       seed: int = 42, n_buckets: int = 64,
                       rich: bool = False) -> str:
     """Materialize the page table partitioned by url-hash bucket.
 
-    Rows are co-located per bucket (one groupby at store-build time) so each
-    bucket is ONE parquet file — a crawl wave's fetch join then opens only
-    the bucket files its urls hash into, and plan-time metadata discovery
-    stays O(wave), not O(files).  ``n_buckets`` is a scale parameter: size
-    it so a bucket is a few GB at the target corpus (the reference
-    hardcodes 256, `genesis/src/db.rs:110-114`).
+    Rows are co-located per bucket so each bucket is ONE parquet file — a
+    crawl wave's fetch join then opens only the bucket files its urls hash
+    into, and plan-time metadata discovery stays O(wave), not O(files).
+    ``n_buckets`` is a scale parameter: size it so a bucket is a few GB at
+    the target corpus (the reference hardcodes 256,
+    `genesis/src/db.rs:110-114`).
+
+    BUCKET-FIRST streaming build (r5): page content is a pure function of
+    the page id, so only the (id, bucket) pairs ever cross the cluster —
+
+    1. map-only pass over the id range emits (id, bucket) (~12 bytes/row;
+       the html never materializes here) into a partitioned staging dir,
+    2. one raw task per bucket regenerates its rows chunk-by-chunk and
+       streams row groups straight into the final bucket file
+       (`_gen_bucket_file`: ParquetWriter, tmp + atomic rename,
+       restartable per bucket).
+
+    Replaces the staged full-corpus write + full-corpus bucket shuffle
+    whose ~3× transient disk (staging + store + shuffle spill) made an 8M
+    local soak impossible (measured OutOfDiskError, r2): peak disk is now
+    final store + O(n_pages·12B) id staging, and peak worker heap is one
+    chunk per task.
     """
     import json
-
-    import pandas as pd
-
-    from ..urls import url_bucket
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        buckets = [url_bucket(u, n_buckets) for u in t["url"].to_pylist()]
-        return t.append_column("bucket", pa.array(buckets, pa.int32()))
-
     import shutil
     import tempfile
 
+    import ray
     import ray.data as rd
 
-    # stage 1: generation is compute-bound — run it as a MAP-ONLY
-    # pipeline (full operator width) into a staging dir; fusing it with
-    # the bucket groupby makes the streaming executor split its CPU
-    # budget with the pending shuffle and the expensive html generation
-    # crawls along at a fraction of the cluster
-    stage_dir = tempfile.mkdtemp(prefix="pages_stage_")
+    from ..urls import url_bucket
+
+    if n_hosts is None:
+        n_hosts = max(1, n_pages // 50)
+
+    def id_bucket(batch: dict) -> pa.Table:
+        ids = np.asarray(batch["id"], np.int64)
+        bks = [url_bucket(page_url(int(i), n_hosts), n_buckets)
+               for i in ids]
+        return pa.table({"id": pa.array(ids, pa.int64()),
+                         "bucket": pa.array(bks, pa.int32())})
+
+    id_dir = tempfile.mkdtemp(prefix="pages_ids_")
     try:
-        ds = make_pages_dataset(n_pages, n_hosts, seed, rich=rich)
-        ds = ds.union(rd.from_arrow(gen_robots_table(n_pages, n_hosts,
-                                                     seed)))
-        ds.map_batches(add_bucket,
-                       batch_format="pyarrow").write_parquet(stage_dir)
-        # stage 2: shuffle-only — co-locate each bucket into its own
-        # block → one file per bucket
-        staged = rd.read_parquet(stage_dir)
-        out = staged.groupby("bucket").map_groups(lambda g: g,
-                                                  batch_format="pandas")
-        out.write_parquet(out_dir, partition_cols=["bucket"])
+        par = max(16, n_pages // 100_000)
+        (rd.range(n_pages, override_num_blocks=par)
+         .map_batches(id_bucket, batch_format="numpy")
+         .write_parquet(id_dir, partition_cols=["bucket"]))
+
+        # robots rows are O(n_hosts/5) — bucket them driver-side and hand
+        # each task its slice (appended after the sorted page ids)
+        rob = gen_robots_table(n_pages, n_hosts, seed)
+        rob_bk = np.array([url_bucket(u, n_buckets)
+                           for u in rob["url"].to_pylist()], np.int64)
+
+        os.makedirs(out_dir, exist_ok=True)
+        task = ray.remote(num_cpus=1)(_gen_bucket_file)
+        refs = [task.remote(b, id_dir, out_dir, n_pages, n_hosts, seed,
+                            rich, rob.filter(pa.array(rob_bk == b)))
+                for b in range(n_buckets)]
+        n_written = sum(ray.get(refs))
+        assert n_written == n_pages + rob.num_rows, \
+            f"store build wrote {n_written}, expected {n_pages + rob.num_rows}"
     finally:
-        shutil.rmtree(stage_dir, ignore_errors=True)
+        shutil.rmtree(id_dir, ignore_errors=True)
     with open(os.path.join(out_dir, "store_meta.json"), "w") as f:
         json.dump({"n_buckets": n_buckets, "n_pages": n_pages,
                    "seed": seed, "rich": rich}, f)
-    _ = pd
     return out_dir
 
 

@@ -3777,6 +3777,21 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(idx, _BM25_TERMS, k=10)
 
 
+def _q_bm25_tantivy(sf_dir: str):
+    """Tantivy-parameterized BM25 top-10 (r5): same pruned-index read as
+    bm25_topk, scored with the one-byte lossy fieldnorm
+    (stages/fieldnorm.py — keep-top-4-significant-bits floor on the doc
+    length, Lucene SmallFloat byte4 == Tantivy src/fieldnorm/code.rs
+    model) while avgdl stays the exact segment mean — the parameterization
+    Pulse actually serves (pulse/src/main.rs:45-54).  The oracle replays
+    the quantization as (dl >> (bits−4)) << (bits−4) via printf('%b'),
+    verified identical to the 256-entry table for dl in 1..200k."""
+    from vyntr_ray.stages.search_index import bm25_topk, build_text_index
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    idx = build_text_index(ds, cache_key=_cache_key(sf_dir, "textidx"))
+    return bm25_topk(idx, _BM25_TERMS, k=10, tantivy_norms=True)
+
+
 def _q_bm25_fielded(sf_dir: str):
     """Multi-field BM25 with filters — the Pulse QueryParser surface
     (`pulse/src/bin/server.rs:165-173`: fields [title, content, meta,
@@ -5982,6 +5997,49 @@ def _q_jaccard_rerank(sf_dir: str):
     return jaccard_rerank(ds, _RERANK_TERMS, k=20)
 
 
+
+# --------------------------------------------------------------------------
+# round-5 additions
+# --------------------------------------------------------------------------
+
+def _q_butterfly_count(sf_dir: str):
+    """Bipartite 4-cycle (butterfly) count over the order x part
+    incidence (stages/graph.py:butterfly_count) - the bipartite analog
+    of triangle_count: total = sum over co-occurring part pairs of
+    C(co-occurrence, 2), a zero-shuffle partial-sum pass over the
+    distributed pair projection (pair_edges)."""
+    from vyntr_ray.stages.baskets import pair_edges
+    from vyntr_ray.stages.graph import butterfly_count
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    edges = pair_edges(ds, "l_orderkey", "l_partkey", min_count=1)
+    return butterfly_count(edges)
+
+
+def _q_kmv_distinct(sf_dir: str):
+    """K-minimum-values distinct-user sketch next to its exact companion
+    (stages/sketches.py:kmv_distinct): bottom-256 distinct md5-upper64
+    hashes, est = (k-1)*2^64 // h_(k) in pure-Python int.  The oracle
+    rebuilds the identical sketch via md5_number_upper + HUGEINT -
+    sketch-for-sketch equality, the HLL/CMS/Bloom pattern."""
+    from vyntr_ray.stages.sketches import kmv_distinct
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    return kmv_distinct(ds, "user_id", k=256)
+
+
+def _q_dup_rate_by_source(sf_dir: str):
+    """Per-source exact-duplicate rate over documents
+    (stages/dedup.py:dup_rate_by_group) - the curation diagnostic view
+    over the dedup_exact keep-list: a doc is a dup iff an identical
+    text exists with a smaller doc_id anywhere in the corpus; exact
+    floored micro rates per source."""
+    from vyntr_ray.stages.dedup import dup_rate_by_group
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    return dup_rate_by_group(ds, "source")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- driver-checked window (first 50): the r5 rotation ---
@@ -6042,6 +6100,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentile_ranks": _q_percentile_ranks,
         # --- remaining never-driver-checked entries (strict-checker
         # evidence only; next rotation cohort) ---
+        "bm25_tantivy": _q_bm25_tantivy,
+        "butterfly_count": _q_butterfly_count,
+        "kmv_distinct": _q_kmv_distinct,
+        "dup_rate_by_source": _q_dup_rate_by_source,
         "ks_drift": _q_ks_drift,
         "gini_index": _q_gini_index,
         "heatmap_bins": _q_heatmap_bins,
@@ -10235,6 +10297,87 @@ def oracle_sql() -> dict[str, str]:
                    GROUP BY tf.doc_id)
             SELECT doc_id, round(s, 4) AS score
             FROM sc ORDER BY score DESC, doc_id LIMIT 10
+        """,
+        # Tantivy parameterization: identical to bm25_topk except the
+        # per-doc length is byte-fieldnorm-quantized (keep top 4
+        # significant bits, floor — stages/fieldnorm.py) while avgdl
+        # stays the exact mean; quantization replayed in pure SQL
+        "bm25_tantivy": r"""
+            WITH tok AS (SELECT doc_id,
+                                unnest(regexp_extract_all(lower(text),
+                                    '[a-z0-9]+')) AS term
+                         FROM documents),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            dlq AS (SELECT doc_id, dl,
+                           CASE WHEN dl < 16 THEN dl
+                                ELSE (dl >> (length(printf('%b', dl)) - 4))
+                                     << (length(printf('%b', dl)) - 4)
+                           END AS dlq
+                    FROM dl),
+            stats AS (SELECT count(*)::DOUBLE AS n_docs,
+                             avg(dl)::DOUBLE AS avgdl FROM dl),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                   WHERE term IN ('data', 'scan', 'merge')
+                   GROUP BY doc_id, term),
+            dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            sc AS (SELECT tf.doc_id,
+                          sum(ln((stats.n_docs - dfq.df + 0.5)
+                                 / (dfq.df + 0.5) + 1.0)
+                              * tf.tf * 2.2
+                              / (tf.tf + 1.2 * (0.25 + 0.75 * dlq.dlq
+                                                / stats.avgdl))) AS s
+                   FROM tf
+                   JOIN dfq USING (term)
+                   JOIN dlq ON tf.doc_id = dlq.doc_id
+                   CROSS JOIN stats
+                   GROUP BY tf.doc_id)
+            SELECT doc_id, round(s, 4) AS score
+            FROM sc ORDER BY score DESC, doc_id LIMIT 10
+        """,
+        # bipartite 4-cycles: Σ C(co-occurrence, 2) over the distinct
+        # pair projection — exact int, coalesce(0) for an empty sum
+        "butterfly_count": """
+            WITH li AS (SELECT DISTINCT l_orderkey AS g,
+                                        l_partkey AS i FROM lineitem),
+            e AS (SELECT a.i AS u, b.i AS v, count(*) AS n
+                  FROM li a JOIN li b ON a.g = b.g AND a.i < b.i
+                  GROUP BY 1, 2)
+            SELECT coalesce(sum(n * (n - 1) // 2), 0)::BIGINT
+                   AS n_butterflies FROM e
+        """,
+        # KMV bottom-k sketch rebuilt hash-for-hash: same md5 upper-64,
+        # same (k-1)·2^64 // h_(k) floor (HUGEINT — 255·2^64 overflows
+        # BIGINT); < k distinct hashes ⇒ the sketch is exact
+        "kmv_distinct": """
+            WITH h AS (SELECT DISTINCT
+                              md5_number_upper(user_id::VARCHAR) AS hv
+                       FROM events),
+            o AS (SELECT hv, row_number() OVER (ORDER BY hv) AS r FROM h),
+            n AS (SELECT count(*)::BIGINT AS n_exact FROM h),
+            kth AS (SELECT hv FROM o WHERE r = 256)
+            SELECT 256::BIGINT AS k, n.n_exact,
+                   CASE WHEN n.n_exact < 256 THEN n.n_exact
+                        ELSE CAST((255::HUGEINT *
+                                   18446744073709551616::HUGEINT)
+                                  // kth.hv::HUGEINT AS BIGINT)
+                   END AS kmv_est
+            FROM n LEFT JOIN kth ON TRUE
+        """,
+        # per-source exact-dup rate: dup ⇔ identical text with a smaller
+        # doc_id anywhere (min-id window), floored micro rate
+        "dup_rate_by_source": """
+            WITH f AS (SELECT doc_id, source, md5(text) AS fp
+                       FROM documents),
+            m AS (SELECT source,
+                         CASE WHEN doc_id > min(doc_id)
+                                           OVER (PARTITION BY fp)
+                              THEN 1 ELSE 0 END AS d
+                  FROM f)
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(d)::BIGINT AS n_dups,
+                   (sum(d) * 1000000 // count(*))::BIGINT
+                   AS dup_rate_micro
+            FROM m GROUP BY source ORDER BY source
         """,
         # per-field BM25 (own df/dl/avgdl per field), boosted sum, doc
         # filters lang='en' AND NOT nsfw — mirrors bm25_fielded_topk

@@ -1,0 +1,93 @@
+"""Round-5 operator tests: butterfly_count, kmv_distinct,
+dup_rate_by_group — randomized brute-force parity (the repo's standard
+evidence next to each op's DuckDB oracle)."""
+from __future__ import annotations
+
+import hashlib
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_butterfly_count_matches_bruteforce():
+    import ray.data as rd
+
+    from vyntr_ray.stages.baskets import pair_edges
+    from vyntr_ray.stages.graph import butterfly_count
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    rows = pd.DataFrame({
+        "g": rng.integers(0, 40, 500),
+        "i": rng.integers(0, 25, 500)}).drop_duplicates()
+    edges = pair_edges(rd.from_pandas(rows).repartition(4), "g", "i",
+                       min_count=1)
+    got = int(butterfly_count(edges)["n_butterflies"][0])
+
+    # brute force: count 2x2 bicliques (pairs of groups x pairs of items)
+    members = rows.groupby("g")["i"].apply(set).to_dict()
+    want = 0
+    for ga, gb in itertools.combinations(sorted(members), 2):
+        c = len(members[ga] & members[gb])
+        want += c * (c - 1) // 2
+    assert got == want and want > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmv_distinct_matches_bruteforce():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vyntr_ray.stages.sketches import kmv_distinct
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    vals = rng.integers(0, 5000, 20_000)     # ~4.9k distinct, > k
+    ds = rd.from_arrow(pa.table({"user_id": pa.array(vals, pa.int64())}))
+    k = 256
+    got = kmv_distinct(ds.repartition(6), "user_id", k=k)
+
+    hs = sorted({int.from_bytes(
+        hashlib.md5(str(v).encode()).digest()[:8], "little")
+        for v in set(vals.tolist())})
+    want_est = (k - 1) * (1 << 64) // hs[k - 1]
+    n_true = len(set(vals.tolist()))
+    assert int(got["n_exact"][0]) == n_true
+    assert int(got["kmv_est"][0]) == want_est
+    # the estimator is actually in the right ballpark (±15% at k=256)
+    assert abs(want_est - n_true) / n_true < 0.15
+
+    # fewer distinct values than k ⇒ the sketch IS exact
+    small = rd.from_arrow(pa.table({"user_id": pa.array([1, 2, 3] * 50,
+                                                        pa.int64())}))
+    gs = kmv_distinct(small, "user_id", k=k)
+    assert int(gs["kmv_est"][0]) == 3 == int(gs["n_exact"][0])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_rate_by_group_matches_bruteforce():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vyntr_ray.stages.dedup import dup_rate_by_group
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    n = 400
+    texts = [f"text body {int(i)}" for i in rng.integers(0, 120, n)]
+    src = [f"s{int(i)}" for i in rng.integers(0, 5, n)]
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                       "text": texts, "source": src})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = dup_rate_by_group(ds.repartition(5), "source")
+
+    ref = df.sort_values("doc_id").copy()
+    ref["d"] = ref.duplicated("text", keep="first").astype("int64")
+    want = (ref.groupby("source", as_index=False)
+            .agg(n_docs=("d", "size"), n_dups=("d", "sum")))
+    want["dup_rate_micro"] = (want["n_dups"] * 1_000_000
+                              // want["n_docs"]).astype("int64")
+    want = want.sort_values("source").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"n_docs": "int64", "n_dups": "int64"}), want)
+    assert (want["n_dups"] > 0).any()

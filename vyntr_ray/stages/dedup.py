@@ -1011,3 +1011,54 @@ def lsh_lookup(index_dir: str, query_text: str, threshold: float = 0.6,
     return pd.DataFrame({
         id_col: pd.array([i for i, _ in items], dtype="int64"),
         "jaccard_ppm": pd.array([p for _, p in items], dtype="int64")})
+
+
+def dup_rate_by_group(ds, group_col: str = "source",
+                      text_col: str = "text", id_col: str = "doc_id",
+                      n_parts: int = 64) -> pd.DataFrame:
+    """Per-source exact-duplicate rate — the curation diagnostic that
+    says WHICH sources feed redundant text into a training mix (the
+    aggregate view over :func:`dedup_exact`'s keep-list; CCNet §4 keeps
+    the first occurrence, so a row is a duplicate iff an identical text
+    exists with a smaller ``id_col`` ANYWHERE in the corpus —
+    cross-source, the keeper's source absorbs the credit).
+
+    One content-md5 hash partition (complete fingerprint groups per
+    partition → vectorized sort + ``duplicated(keep='first')``), each
+    partition pre-folds to per-group (n_docs, n_dups) — so the second
+    pass is a constant-bounded-key driver fold, never a shuffle
+    (``group_col`` cardinality is the source list, not data-scaled).
+    Rate in exact floored micro units.  Returns (source, n_docs,
+    n_dups, dup_rate_micro) sorted by source.
+    """
+    hashed = ds.map_batches(lambda b: add_md5(b, text_col),
+                            batch_format="pyarrow")
+
+    def addp(t: pa.Table) -> pa.Table:
+        # fingerprint IS an md5 hex — its first 8 hex chars are already
+        # a uniform hash; no second md5 needed for routing
+        fp = t["text_md5"].to_pylist()
+        part = np.fromiter((int(f[:8], 16) % n_parts for f in fp),
+                           np.int32, count=len(fp))
+        return t.append_column("_part", pa.array(part, pa.int32()))
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort")
+        dup = g.duplicated("text_md5", keep="first")
+        out = pd.DataFrame({group_col: g[group_col],
+                            "d": dup.to_numpy(np.int64)})
+        return (out.groupby(group_col, as_index=False)
+                .agg(n_docs=("d", "size"), n_dups=("d", "sum")))
+
+    parts = (hashed.select_columns(["text_md5", id_col, group_col])
+             .map_batches(addp, batch_format="pyarrow")
+             .groupby("_part")
+             .map_groups(lambda g: mark(g.drop(columns="_part")),
+                         batch_format="pandas"))
+    rows = (parts.to_pandas().groupby(group_col, as_index=False)
+            [["n_docs", "n_dups"]].sum())
+    rows["n_docs"] = rows["n_docs"].astype("int64")
+    rows["n_dups"] = rows["n_dups"].astype("int64")
+    rows["dup_rate_micro"] = (rows["n_dups"] * 1_000_000
+                              // rows["n_docs"]).astype("int64")
+    return rows.sort_values(group_col).reset_index(drop=True)

@@ -595,3 +595,43 @@ def minhash_accuracy(ds, id_col: str = "doc_id", text_col: str = "text",
             .map_groups(lambda g: fold(g.drop(columns="_part")),
                         batch_format="pandas")
             .sort("pair_id"))
+
+
+def kmv_distinct(ds, value_col: str = "user_id", k: int = 256):
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002,
+    "Counting distinct elements in a data stream" — the KMV/bottom-k
+    estimator): hash every value to 64 bits, keep the ``k`` SMALLEST
+    distinct hashes, estimate ``(k−1)·2⁶⁴ / h₍k₎``.
+
+    Mergeable-sketch shape (the HLL/CMS pattern): each block condenses to
+    its bottom-k distinct hashes — blocking-invariant because the bottom-k
+    of a union is the bottom-k of the per-part bottom-k's — and the driver
+    folds O(n_blocks·k) hashes, never the value set.  The exact companion
+    runs alongside via :func:`~.dataset_tools.distinct_rows` (distributed
+    dedup), so the result row exposes the sketch error directly.  Hashes
+    are ``_hash64`` (md5 upper-64 == DuckDB ``md5_number_upper``), so the
+    SQL oracle rebuilds the identical sketch — estimate equality is
+    sketch-for-sketch, not a tolerance check.  Estimator arithmetic is
+    pure Python int (``(k−1)·2⁶⁴`` overflows int64; the oracle uses
+    HUGEINT).  Fewer than ``k`` distinct hashes ⇒ the sketch IS the
+    exact set (est = n).  Returns one row (k, n_exact, kmv_est).
+    """
+    from .dataset_tools import distinct_rows
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = pc.cast(t[value_col], pa.string()).to_pylist()
+        u = np.unique(_hash64(vals))          # sorted ascending
+        return pa.table({"h": pa.array(u[:k], pa.uint64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    hs = np.unique(np.array([r["h"] for r in parts], np.uint64))
+    n_exact = int(distinct_rows(ds.select_columns([value_col]),
+                                [value_col]).count())
+    if len(hs) < k:
+        est = len(hs)
+    else:
+        est = (k - 1) * (1 << 64) // int(hs[k - 1])
+    return pd.DataFrame({
+        "k": pd.array([k], dtype="int64"),
+        "n_exact": pd.array([n_exact], dtype="int64"),
+        "kmv_est": pd.array([est], dtype="int64")})

@@ -120,6 +120,25 @@ _SHINGLE_SQL = r"""
 """
 
 
+_CONTAINMENT_SQL = f"""
+    WITH {_DUP_CORPUS_SQL}, {_SHINGLE_SQL},
+    df AS (SELECT s, count(*) AS df FROM shx GROUP BY s),
+    kept AS (SELECT shx.doc_id, shx.s FROM shx
+             JOIN df USING (s) WHERE df.df <= 16),
+    inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+              FROM kept x JOIN kept y
+              ON x.s = y.s AND x.doc_id < y.doc_id
+              GROUP BY 1, 2)
+    SELECT i.a, i.b,
+           (i.inter * 1000000) // least(sa.n, sb.n) AS containment_ppm
+    FROM inter i
+    JOIN sz sa ON i.a = sa.doc_id
+    JOIN sz sb ON i.b = sb.doc_id
+    WHERE (i.inter * 1000000) // least(sa.n, sb.n) >= 900000
+    ORDER BY a, b
+"""
+
+
 def _jaccard_pairs_sql(thr_ppm: int) -> str:
     """Exact pairwise n-gram-Jaccard oracle (integer ppm arithmetic)."""
     return f"""
@@ -6040,6 +6059,30 @@ def _q_dup_rate_by_source(sf_dir: str):
     return dup_rate_by_group(ds, "source")
 
 
+
+def _q_containment_dups(sf_dir: str):
+    """Containment near-dup pairs over the planted corpus
+    (stages/dedup.py:containment_pairs): |A∩B| / min(|A|,|B|) catches
+    subset-duplication Jaccard misses; the planted truncated copies are
+    strict shingle subsets, so they surface at containment 1.0.  The
+    df_cap=16 hot-shingle cap is mirrored in the oracle's kept CTE."""
+    from vyntr_ray.stages.dedup import containment_pairs
+
+    return containment_pairs(_planted_dup_docs(sf_dir))
+
+
+def _q_join_size_est(sf_dir: str):
+    """CMS inner-product join-cardinality estimate for
+    events.user_id = orders.o_custkey next to the exact size
+    (stages/sketches.py:join_size_est) - min_r of the sketch row dot
+    products, oracled sketch-for-sketch via md5_number_upper buckets."""
+    from vyntr_ray.stages.sketches import join_size_est
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    od = _read(sf_dir, "orders", columns=["o_custkey"])
+    return join_size_est(ev, od, "user_id", "o_custkey")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- driver-checked window (first 50): the r5 rotation ---
@@ -6104,6 +6147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "butterfly_count": _q_butterfly_count,
         "kmv_distinct": _q_kmv_distinct,
         "dup_rate_by_source": _q_dup_rate_by_source,
+        "containment_dups": _q_containment_dups,
+        "join_size_est": _q_join_size_est,
         "ks_drift": _q_ks_drift,
         "gini_index": _q_gini_index,
         "heatmap_bins": _q_heatmap_bins,
@@ -10378,6 +10423,39 @@ def oracle_sql() -> dict[str, str]:
                    (sum(d) * 1000000 // count(*))::BIGINT
                    AS dup_rate_micro
             FROM m GROUP BY source ORDER BY source
+        """,
+        # containment |A∩B|/min over shingle sets; intersections over
+        # shingles with global df <= 16 (the engine's hot-shingle cap,
+        # mirrored), sizes exact; planted truncated copies hit 1.0
+        "containment_dups": _CONTAINMENT_SQL,
+        # CMS inner-product join-size estimate: both d×w sketches rebuilt
+        # hash-for-hash (md5_number_upper % 1024, shared row salts),
+        # est = min_r Σ_j A_r[j]·B_r[j] — equality INCLUDING collisions
+        "join_size_est": """
+            WITH a AS (SELECT user_id::VARCHAR AS k, count(*)::BIGINT AS c
+                       FROM events GROUP BY 1),
+            b AS (SELECT o_custkey::VARCHAR AS k, count(*)::BIGINT AS c
+                  FROM orders GROUP BY 1),
+            r AS (SELECT unnest(generate_series(0, 3)) AS r),
+            sa AS (SELECT r.r,
+                          (md5_number_upper(r.r::VARCHAR || ':' || a.k)
+                           % 1024)::BIGINT AS bkt,
+                          sum(a.c)::HUGEINT AS s
+                   FROM a, r GROUP BY 1, 2),
+            sb AS (SELECT r.r,
+                          (md5_number_upper(r.r::VARCHAR || ':' || b.k)
+                           % 1024)::BIGINT AS bkt,
+                          sum(b.c)::HUGEINT AS s
+                   FROM b, r GROUP BY 1, 2),
+            prod AS (SELECT sa.r, sum(sa.s * sb.s) AS p
+                     FROM sa JOIN sb ON sa.r = sb.r AND sa.bkt = sb.bkt
+                     GROUP BY sa.r),
+            tru AS (SELECT count(*)::BIGINT AS t
+                    FROM events e JOIN orders o
+                    ON e.user_id = o.o_custkey)
+            SELECT CAST((SELECT min(p) FROM prod) AS BIGINT) AS est_rows,
+                   tru.t AS true_rows
+            FROM tru
         """,
         # per-field BM25 (own df/dl/avgdl per field), boosted sum, doc
         # filters lang='en' AND NOT nsfw — mirrors bm25_fielded_topk

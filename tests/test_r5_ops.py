@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import hashlib
 import itertools
+from collections import Counter
 
 import numpy as np
 import pandas as pd
@@ -91,3 +92,80 @@ def test_dup_rate_by_group_matches_bruteforce():
     pd.testing.assert_frame_equal(
         got.astype({"n_docs": "int64", "n_dups": "int64"}), want)
     assert (want["n_dups"] > 0).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_containment_pairs_matches_bruteforce():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vyntr_ray.stages.dedup import (containment_pairs, word_shingles,
+                                        _stable_hash64)
+
+    rng = np.random.Generator(np.random.PCG64(17))
+    vocab = [f"w{i}" for i in range(40)]
+    docs = {}
+    for i in range(30):
+        docs[i] = " ".join(rng.choice(vocab, rng.integers(6, 25)))
+    # planted subset dups: doc 100+i = doc i minus its last word
+    for i in range(5):
+        docs[100 + i] = docs[i].rsplit(" ", 1)[0]
+    df = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    got = containment_pairs(
+        rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+        .repartition(4), df_cap=16, thr_ppm=700_000).to_pandas()
+
+    # brute force with the SAME df cap on intersections
+    sets = {i: set(_stable_hash64(word_shingles(t)).tolist())
+            for i, t in docs.items()}
+    dfc = Counter(s for v in sets.values() for s in v)
+    kept = {i: {s for s in v if dfc[s] <= 16} for i, v in sets.items()}
+    want = []
+    for a in sorted(sets):
+        for b in sorted(sets):
+            if a >= b:
+                continue
+            inter = len(kept[a] & kept[b])
+            ppm = inter * 1_000_000 // min(len(sets[a]), len(sets[b]))
+            if ppm >= 700_000:
+                want.append((a, b, ppm))
+    wdf = pd.DataFrame(want, columns=["a", "b", "containment_ppm"])
+    pd.testing.assert_frame_equal(
+        got.sort_values(["a", "b"]).reset_index(drop=True).astype("int64"),
+        wdf.astype("int64"))
+    # every planted subset pair surfaces at containment 1.0
+    planted = got[(got["b"] >= 100)]
+    assert len(planted) >= 5
+    assert (planted[planted["b"] - 100 == planted["a"]]
+            ["containment_ppm"] == 1_000_000).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_join_size_est_matches_bruteforce():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vyntr_ray.stages.sketches import join_size_est
+    from vyntr_ray.state.filters import _hash64
+
+    rng = np.random.Generator(np.random.PCG64(23))
+    a = rng.integers(0, 60, 3000).astype(np.int64)
+    b = rng.integers(30, 90, 2000).astype(np.int64)   # partial overlap
+    dsa = rd.from_arrow(pa.table({"x": pa.array(a)})).repartition(5)
+    dsb = rd.from_arrow(pa.table({"y": pa.array(b)})).repartition(3)
+    got = join_size_est(dsa, dsb, "x", "y", d=4, w=64)  # small w → collisions
+
+    ca, cb = Counter(a.tolist()), Counter(b.tolist())
+    true = sum(ca[k] * cb.get(k, 0) for k in ca)
+    assert int(got["true_rows"][0]) == true
+
+    est_rows = []
+    for r in range(4):
+        sa, sb = np.zeros(64, object), np.zeros(64, object)
+        for k, c in ca.items():
+            sa[int(_hash64([f"{r}:{k}"])[0] % np.uint64(64))] += c
+        for k, c in cb.items():
+            sb[int(_hash64([f"{r}:{k}"])[0] % np.uint64(64))] += c
+        est_rows.append(int((sa * sb).sum()))
+    assert int(got["est_rows"][0]) == min(est_rows)
+    assert int(got["est_rows"][0]) >= true     # CMS overestimates

@@ -1062,3 +1062,99 @@ def dup_rate_by_group(ds, group_col: str = "source",
     rows["dup_rate_micro"] = (rows["n_dups"] * 1_000_000
                               // rows["n_docs"]).astype("int64")
     return rows.sort_values(group_col).reset_index(drop=True)
+
+
+def containment_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                      shingle_k: int = 3, df_cap: int = 16,
+                      thr_ppm: int = 900_000, n_parts: int = 64):
+    """Exact CONTAINMENT near-dup pairs: ``|A∩B| / min(|A|,|B|)`` over
+    word-shingle sets — the subset-duplication detector (Broder 1997's
+    containment measure): a short doc quoted whole inside a long one has
+    containment 1.0 but arbitrarily low Jaccard, so the MinHash-LSH tier
+    (:func:`ngram_jaccard_pairs`) structurally misses it.
+
+    Candidate generation is an inverted shingle index with a hot-shingle
+    cap: shingles with global df > ``df_cap`` are dropped from the
+    INTERSECTION counts on both the engine and the oracle side (a
+    shingle shared by many docs carries no duplication signal, and the
+    cap bounds pair expansion at Σ C(df≤cap, 2) per shingle); set SIZES
+    stay exact (uncapped).  Dataflow: one shingle-hash partition
+    (complete shingle groups ⇒ global df per partition) → vectorized
+    self-merge pair expansion with per-partition pre-fold → one pair
+    partition for the final sum; per-doc set sizes ride as O(V)
+    broadcast vectors (the pagerank driver contract).  Returns
+    (a, b, containment_ppm ≥ thr_ppm) sorted by (a, b).
+    """
+    import ray
+
+    def sh_rows(t: pa.Table) -> pa.Table:
+        ids, hs = [], []
+        for i, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            u = np.unique(_stable_hash64(word_shingles(txt or "",
+                                                       shingle_k)))
+            ids.append(np.full(len(u), i, np.int64))
+            hs.append(u)
+        if not ids:
+            return pa.table({"doc": pa.array([], pa.int64()),
+                             "sh": pa.array([], pa.uint64())})
+        return pa.table({"doc": pa.array(np.concatenate(ids), pa.int64()),
+                         "sh": pa.array(np.concatenate(hs), pa.uint64())})
+
+    rows = ds.map_batches(sh_rows, batch_format="pyarrow").materialize()
+
+    # per-doc set sizes: a doc's rows never split across blocks (emitted
+    # per input row), so per-block partials fold exactly; O(V) driver
+    def size_partial(t: pa.Table) -> pa.Table:
+        n, c = np.unique(t["doc"].to_numpy(), return_counts=True)
+        return pa.table({"doc": pa.array(n, pa.int64()),
+                         "n": pa.array(c, pa.int64())})
+
+    sz = (rows.map_batches(size_partial, batch_format="pyarrow")
+          .to_pandas().groupby("doc", as_index=False)["n"].sum())
+    sz_ref = ray.put((sz["doc"].to_numpy(np.int64),
+                      sz["n"].to_numpy(np.int64)))
+
+    def addp(t: pa.Table) -> pa.Table:
+        h = t["sh"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((h * np.uint64(2654435761)) >> np.uint64(16)) \
+            % np.uint64(n_parts)
+        return t.append_column(
+            "_part", pa.array(part.astype(np.int32), pa.int32()))
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g["sh"].value_counts()
+        keep = vc[vc <= df_cap].index
+        g = g[g["sh"].isin(keep)]
+        m = g.merge(g, on="sh")
+        m = m[m["doc_x"].to_numpy() < m["doc_y"].to_numpy()]
+        out = (m.groupby(["doc_x", "doc_y"], as_index=False).size()
+               .rename(columns={"doc_x": "a", "doc_y": "b",
+                                "size": "inter"}))
+        out["inter"] = out["inter"].astype("int64")
+        return out
+
+    pairs = (rows.map_batches(addp, batch_format="pyarrow")
+             .groupby("_part")
+             .map_groups(lambda g: pairs_part(g.drop(columns="_part")),
+                         batch_format="pandas"))
+
+    def finish_part(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["a", "b"], as_index=False)["inter"].sum()
+        docs, ns = ray.get(sz_ref)
+        na = ns[np.searchsorted(docs, s["a"].to_numpy(np.int64))]
+        nb = ns[np.searchsorted(docs, s["b"].to_numpy(np.int64))]
+        ppm = (s["inter"].to_numpy(np.int64) * 1_000_000
+               // np.minimum(na, nb))
+        s["containment_ppm"] = ppm
+        return s[ppm >= thr_ppm][["a", "b", "containment_ppm"]]
+
+    from .joins import _part_col
+
+    def addp2(t: pa.Table) -> pa.Table:
+        return t.append_column("_part", _part_col(t["a"], n_parts))
+
+    return (pairs.map_batches(addp2, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(lambda g: finish_part(g.drop(columns="_part")),
+                        batch_format="pandas")
+            .sort(["a", "b"]))

@@ -635,3 +635,79 @@ def kmv_distinct(ds, value_col: str = "user_id", k: int = 256):
         "k": pd.array([k], dtype="int64"),
         "n_exact": pd.array([n_exact], dtype="int64"),
         "kmv_est": pd.array([est], dtype="int64")})
+
+
+def join_size_est(ds_a, ds_b, key_a: str, key_b: str,
+                  d: int = 4, w: int = 1024) -> pd.DataFrame:
+    """CMS inner-product join-cardinality estimate (Cormode &
+    Muthukrishnan 2005 §4.2, the classic optimizer primitive):
+    ``|A ⋈ B|`` ≈ ``min_r Σ_j A_r[j]·B_r[j]`` over two d×w count-min
+    sketches built with SHARED row hashes — always ≥ the true size
+    (collisions only add mass), equal when no bucket collides.
+
+    The mergeable-sketch shape twice (each block condenses its keys to
+    one d×w counter array; the driver folds O(d·w) ints per side), plus
+    the exact companion ``Σ_k cnt_A(k)·cnt_B(k)`` via per-key
+    :func:`~.dataset_tools.group_sum` folds + one distributed
+    :func:`~.joins.hash_join` (the many-groups rule — per-key counts are
+    data-scaled).  Hashes are ``_hash64(f"{r}:{key}")`` % w (the
+    ``cms_freq`` convention), so the SQL oracle rebuilds both sketches
+    via ``md5_number_upper`` bucket arithmetic — estimate equality
+    INCLUDING collisions.  Products fold in pure-Python int (Σ of
+    int64·int64 can pass 2⁶³ at extreme skew).  Returns one row
+    (est_rows, true_rows).
+    """
+    from .dataset_tools import group_sum
+    from .joins import hash_join
+
+    def sketch_of(ds, col) -> np.ndarray:
+        def partial(t: pa.Table) -> pa.Table:
+            counts = (pa.table({"k": pc.cast(t[col], pa.string())})
+                      .group_by("k").aggregate([("k", "count")]))
+            keys = counts["k"].to_pylist()
+            cnt = counts["k_count"].to_numpy(zero_copy_only=False)
+            sk = np.zeros((d, w), np.int64)
+            for r in range(d):
+                b = _hash64([f"{r}:{s}" for s in keys]) % np.uint64(w)
+                np.add.at(sk[r], b.astype(np.int64), cnt)
+            return pa.table({"sk": pa.array([sk.ravel().tolist()],
+                                            pa.list_(pa.int64()))})
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        out = np.zeros(d * w, np.int64)
+        for r in parts:
+            out += np.asarray(r["sk"], np.int64)
+        return out.reshape(d, w)
+
+    ska = sketch_of(ds_a, key_a)
+    skb = sketch_of(ds_b, key_b)
+    est = min(sum(int(x) * int(y) for x, y in zip(ska[r], skb[r])
+                  if x and y) for r in range(d))
+
+    def ones(col):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({"k": pc.cast(t[col], pa.int64()),
+                             "one": pa.array(np.ones(t.num_rows, np.int64))})
+        return f
+
+    ca = group_sum(ds_a.map_batches(ones(key_a), batch_format="pyarrow"),
+                   "k", ["one"], rename={"one": "na"})
+    cb = group_sum(ds_b.map_batches(ones(key_b), batch_format="pyarrow"),
+                   "k", ["one"], rename={"one": "nb"})
+    met = hash_join(ca, cb, key_col="k",
+                    left_payload=["na"], right_payload=["nb"],
+                    types={"k": pa.int64(), "na": pa.int64(),
+                           "nb": pa.int64()})
+
+    def prod(t: pa.Table) -> pa.Table:
+        na = t["na"].to_numpy(zero_copy_only=False).astype(object)
+        nb = t["nb"].to_numpy(zero_copy_only=False).astype(object)
+        return pa.table({"p": pa.array([str(int((na * nb).sum()))],
+                                       pa.string())})
+
+    true_rows = sum(int(r["p"])
+                    for r in met.map_batches(
+                        prod, batch_format="pyarrow").take_all())
+    return pd.DataFrame({
+        "est_rows": pd.array([est], dtype="int64"),
+        "true_rows": pd.array([true_rows], dtype="int64")})

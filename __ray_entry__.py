@@ -6083,6 +6083,18 @@ def _q_join_size_est(sf_dir: str):
     return join_size_est(ev, od, "user_id", "o_custkey")
 
 
+
+def _q_mutual_nn(sf_dir: str):
+    """Mutual nearest-neighbor pairs over the embeddings table
+    (stages/similarity.py:mutual_nn) - reciprocal best match under
+    (rounded cosine DESC, id ASC); knn_join k=1 both ways + an O(V)
+    driver mutuality fold."""
+    from vyntr_ray.stages.similarity import mutual_nn
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return mutual_nn(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- driver-checked window (first 50): the r5 rotation ---
@@ -6149,6 +6161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_rate_by_source": _q_dup_rate_by_source,
         "containment_dups": _q_containment_dups,
         "join_size_est": _q_join_size_est,
+        "mutual_nn": _q_mutual_nn,
         "ks_drift": _q_ks_drift,
         "gini_index": _q_gini_index,
         "heatmap_bins": _q_heatmap_bins,
@@ -10423,6 +10436,25 @@ def oracle_sql() -> dict[str, str]:
                    (sum(d) * 1000000 // count(*))::BIGINT
                    AS dup_rate_micro
             FROM m GROUP BY source ORDER BY source
+        """,
+        # reciprocal best match: per-vector top-1 by (round(cos,4) DESC,
+        # id ASC) — rounding BEFORE selection matches the engine's
+        # partial-then-merge order exactly
+        "mutual_nn": """
+            WITH s AS (SELECT a.vec_id AS qa, b.vec_id AS qb,
+                              round(list_cosine_similarity(
+                                  a.embedding::DOUBLE[],
+                                  b.embedding::DOUBLE[]), 4) AS score
+                       FROM embeddings a JOIN embeddings b
+                       ON a.vec_id <> b.vec_id),
+            r AS (SELECT qa, qb, score,
+                         row_number() OVER (PARTITION BY qa
+                             ORDER BY score DESC, qb ASC) AS rn
+                  FROM s),
+            nn AS (SELECT qa, qb, score FROM r WHERE rn = 1)
+            SELECT x.qa AS a, x.qb AS b, x.score
+            FROM nn x JOIN nn y ON x.qb = y.qa AND y.qb = x.qa
+            WHERE x.qa < x.qb ORDER BY a
         """,
         # containment |A∩B|/min over shingle sets; intersections over
         # shingles with global df <= 16 (the engine's hot-shingle cap,

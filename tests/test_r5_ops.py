@@ -169,3 +169,38 @@ def test_join_size_est_matches_bruteforce():
         est_rows.append(int((sa * sb).sum()))
     assert int(got["est_rows"][0]) == min(est_rows)
     assert int(got["est_rows"][0]) >= true     # CMS overestimates
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mutual_nn_matches_bruteforce():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vyntr_ray.stages.similarity import mutual_nn
+
+    rng = np.random.Generator(np.random.PCG64(29))
+    n, d = 60, 8
+    mat = rng.standard_normal((n, d))
+    # plant two exact-duplicate pairs (guaranteed mutual at cos 1.0)
+    mat[50] = mat[10]
+    mat[51] = mat[20]
+    tab = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "embedding": pa.array([r.tolist() for r in mat],
+                                          pa.list_(pa.float32()))})
+    got = mutual_nn(rd.from_arrow(tab).repartition(4))
+
+    m32 = np.stack(tab["embedding"].to_pylist()).astype(np.float64)
+    norm = m32 / np.linalg.norm(m32, axis=1, keepdims=True)
+    sims = np.round(norm @ norm.T, 4)
+    np.fill_diagonal(sims, -np.inf)
+    nn = {}
+    for i in range(n):
+        order = sorted(range(n), key=lambda j: (-sims[i, j], j))
+        nn[i] = order[0]
+    want = sorted((a, b) for a, b in nn.items()
+                  if a < b and nn[b] == a)
+    assert list(zip(got["a"], got["b"])) == want
+    pairs = dict(zip(got["a"], got["b"]))
+    assert pairs.get(10) == 50 and pairs.get(20) == 51
+    sc = dict(zip(zip(got["a"], got["b"]), got["score"]))
+    assert sc[(10, 50)] == 1.0

@@ -375,3 +375,36 @@ def srp_partition(ds, n_planes: int = 16, dim: int = 64,
                          "bucket": pa.array(bucket, pa.int64())})
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def mutual_nn(ds, id_col: str = "vec_id", vec_col: str = "embedding",
+              round_to: int = 4) -> "pd.DataFrame":
+    """Mutual nearest-neighbor (reciprocal best match) pairs — the
+    embedding-space alignment/dedup primitive: ``a < b`` where top-1(a)
+    = b AND top-1(b) = a under (rounded cosine DESC, id ASC).
+
+    Brute-force-cosine baseline per the build brief (the scale path is
+    the same computation PER IVF CELL — mutual pairs are overwhelmingly
+    cell-local by construction of the quantizer): the full (N × d)
+    query matrix ships once via :func:`knn_join`'s broadcast, every
+    corpus batch emits bounded top-1 partials, and the mutuality join
+    is an O(V)-row driver fold of the top-1 table (the pagerank driver
+    contract).  Scores are rounded BEFORE selection on both engine and
+    oracle side, so ties resolve identically.  Returns (a, b, score)
+    sorted by a.
+    """
+    import pandas as pd
+
+    rows = ds.select_columns([id_col, vec_col]).to_pandas()
+    q_ids = rows[id_col].to_numpy(np.int64)
+    q_mat = np.stack(rows[vec_col].to_numpy())
+    nn = knn_join(ds, q_mat, q_ids, k=1, id_col=id_col, vec_col=vec_col,
+                  round_to=round_to, exclude_self=True).to_pandas()
+    m = nn.merge(nn, left_on=["query_id", id_col],
+                 right_on=[id_col, "query_id"])
+    mut = m[m["query_id_x"] < m[id_col + "_x"]]
+    return (pd.DataFrame({
+        "a": mut["query_id_x"].to_numpy(np.int64),
+        "b": mut[id_col + "_x"].to_numpy(np.int64),
+        "score": mut["score_x"].to_numpy(np.float64)})
+        .sort_values("a").reset_index(drop=True))

@@ -6095,6 +6095,43 @@ def _q_mutual_nn(sf_dir: str):
     return mutual_nn(ds)
 
 
+
+def _q_bow_dedup(sf_dir: str):
+    """Order-invariant bag-of-words dedup (r5): key = md5 of the SORTED
+    token list - catches shuffled/reordered duplicates that byte-exact
+    dedup_exact misses; same group_fold min-id shape (dedup_by_key).
+    Token rule and sort mirrored in SQL (list_sort == python sorted for
+    the [a-z0-9]+ token alphabet)."""
+    import hashlib
+
+    from vyntr_ray.stages.dedup import dedup_by_key
+    from vyntr_ray.stages.search_index import TEXT_TOKEN
+
+    def bow_key(batch: pa.Table) -> pa.Array:
+        keys = [hashlib.md5(" ".join(sorted(
+            TEXT_TOKEN.findall((t or "").lower()))).encode("utf-8"))
+            .hexdigest() for t in batch["text"].to_pylist()]
+        return pa.array(keys, pa.string())
+
+    return dedup_by_key(_read(sf_dir, "documents",
+                              columns=["doc_id", "text"]),
+                        bow_key, key_name="bow_md5")
+
+
+def _q_token_diversity(sf_dir: str):
+    """Simpson token diversity per source (r5): 1 - sum(p_i^2) over the
+    source's token distribution, in exact floored micro units via
+    cross-multiplication (1e6 - sum(cnt^2)*1e6 // total^2) - the
+    lexical-diversity curation signal (a source stuck on one phrase
+    scores near 0).  Per-source token counts via group_sum partials
+    (data-scaled keys); sum(cnt^2) folds per source in pure-Python int
+    (squares of corpus-scale counts pass 2^63)."""
+    from vyntr_ray.stages.text_analysis import token_diversity
+
+    ds = _read(sf_dir, "documents", columns=["text", "source"])
+    return token_diversity(ds, "source")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- driver-checked window (first 50): the r5 rotation ---
@@ -6162,6 +6199,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_dups": _q_containment_dups,
         "join_size_est": _q_join_size_est,
         "mutual_nn": _q_mutual_nn,
+        "bow_dedup": _q_bow_dedup,
+        "token_diversity": _q_token_diversity,
         "ks_drift": _q_ks_drift,
         "gini_index": _q_gini_index,
         "heatmap_bins": _q_heatmap_bins,
@@ -10436,6 +10475,33 @@ def oracle_sql() -> dict[str, str]:
                    (sum(d) * 1000000 // count(*))::BIGINT
                    AS dup_rate_micro
             FROM m GROUP BY source ORDER BY source
+        """,
+        # order-invariant dedup: md5 of the sorted token bag (list_sort
+        # == python sorted on the [a-z0-9]+ alphabet)
+        "bow_dedup": r"""
+            SELECT md5(array_to_string(list_sort(
+                       regexp_extract_all(lower(text), '[a-z0-9]+')), ' '))
+                       AS bow_md5,
+                   min(doc_id) AS keep_id
+            FROM documents GROUP BY 1
+        """,
+        # Simpson diversity 1 − Σp² per source, cross-multiplied to
+        # exact floored micro units (HUGEINT: Σcnt² · 1e6 over total²)
+        "token_diversity": r"""
+            WITH tok AS (SELECT source,
+                                unnest(regexp_extract_all(lower(text),
+                                    '[a-z0-9]+')) AS term
+                         FROM documents),
+            c AS (SELECT source, term, count(*)::BIGINT AS cnt
+                  FROM tok GROUP BY 1, 2),
+            agg AS (SELECT source,
+                           sum(cnt)::HUGEINT AS total,
+                           sum(cnt::HUGEINT * cnt::HUGEINT) AS sq
+                    FROM c GROUP BY source)
+            SELECT source, CAST(total AS BIGINT) AS n_tokens,
+                   CAST(1000000 - (sq * 1000000) // (total * total)
+                        AS BIGINT) AS diversity_micro
+            FROM agg ORDER BY source
         """,
         # reciprocal best match: per-vector top-1 by (round(cos,4) DESC,
         # id ASC) — rounding BEFORE selection matches the engine's

@@ -204,3 +204,65 @@ def test_mutual_nn_matches_bruteforce():
     assert pairs.get(10) == 50 and pairs.get(20) == 51
     sc = dict(zip(zip(got["a"], got["b"]), got["score"]))
     assert sc[(10, 50)] == 1.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bow_dedup_order_invariance(sf_dir="/root/testdata/sf0.001"):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vyntr_ray.stages.dedup import dedup_by_key
+    import re
+
+    tok = re.compile(r"[a-z0-9]+")
+
+    def bow_key(batch: pa.Table) -> pa.Array:
+        return pa.array([hashlib.md5(" ".join(sorted(
+            tok.findall((t or "").lower()))).encode()).hexdigest()
+            for t in batch["text"].to_pylist()], pa.string())
+
+    df = pd.DataFrame({
+        "doc_id": pd.array([1, 2, 3, 4], dtype="int64"),
+        "text": ["alpha beta gamma", "gamma Alpha beta",   # shuffled dup
+                 "alpha beta", "delta"]})
+    got = (dedup_by_key(rd.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)), bow_key,
+        key_name="bow_md5").to_pandas()
+        .sort_values("keep_id").reset_index(drop=True))
+    # docs 1 and 2 collapse (order + case invariant); 3 and 4 survive
+    assert got["keep_id"].tolist() == [1, 3, 4]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_token_diversity_matches_bruteforce():
+    import pyarrow as pa
+    import ray.data as rd
+    import re
+
+    from vyntr_ray.stages.text_analysis import token_diversity
+
+    rng = np.random.Generator(np.random.PCG64(31))
+    vocab = [f"tk{i}" for i in range(30)]
+    rows = []
+    for i in range(200):
+        src = f"s{int(rng.integers(0, 4))}"
+        rows.append((src, " ".join(rng.choice(vocab, rng.integers(3, 20)))))
+    rows.append(("mono", "same same same same"))      # near-zero diversity
+    df = pd.DataFrame(rows, columns=["source", "text"])
+    got = token_diversity(rd.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)).repartition(5))
+
+    tok = re.compile(r"[a-z0-9]+")
+    want = []
+    for src, sub in df.groupby("source"):
+        cnt = Counter(t for x in sub["text"] for t in tok.findall(x.lower()))
+        n = sum(cnt.values())
+        sq = sum(c * c for c in cnt.values())
+        want.append((src, n, 1_000_000 - sq * 1_000_000 // (n * n)))
+    wdf = (pd.DataFrame(want, columns=["source", "n_tokens",
+                                       "diversity_micro"])
+           .sort_values("source").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got, wdf.astype({"n_tokens": "int64", "diversity_micro": "int64"}))
+    mono = got.set_index("source").loc["mono", "diversity_micro"]
+    assert mono == 0          # single repeated token ⇒ zero diversity

@@ -1191,3 +1191,72 @@ def pmi_pairs(ds, k: int = 20, min_pair: int = 5, df_frac: int = 20,
         "tok_b": [r[1] for r in rows],
         "c_ab": pd.array([r[2] for r in rows], dtype="int64"),
         "pmi_micro": pd.array([r[3] for r in rows], dtype="int64")})
+
+
+def token_diversity(ds, group_col: str = "source", text_col: str = "text",
+                    n_parts: int = 64) -> pd.DataFrame:
+    """Simpson lexical diversity per group: ``1 − Σ p_i²`` over the
+    group's token distribution (Simpson 1949's diversity index — the
+    curation signal for template/boilerplate-dominated sources: a source
+    stuck on one phrase scores near 0, a diverse one near 1).
+
+    Exact floored micro units by cross-multiplication — ``1e6 −
+    Σcnt²·1e6 // total²`` — no division until the final fold.  Dataflow:
+    per-block (group, term, c) partials → one (group, term) hash
+    partition (complete term groups ⇒ exact global counts) → each
+    partition pre-folds per-group (Σcnt, Σcnt²) with Σcnt² carried as a
+    DECIMAL STRING (squares of corpus-scale counts pass 2⁶³ — the
+    group_moments HUGEINT-class convention) → constant-bounded driver
+    fold in pure-Python int.  Returns (source, n_tokens,
+    diversity_micro) sorted by source.
+    """
+    import hashlib
+
+    tok_re = re.compile(r"[a-z0-9]+")
+
+    def partial(t: pa.Table) -> pa.Table:
+        gs, ts = [], []
+        for g, txt in zip(t[group_col].to_pylist(),
+                          t[text_col].to_pylist()):
+            toks = tok_re.findall((txt or "").lower())
+            gs.extend([g] * len(toks))
+            ts.extend(toks)
+        df = (pd.DataFrame({"g": gs, "t": ts})
+              .groupby(["g", "t"], as_index=False).size())
+        return pa.table({"g": pa.array(df["g"], pa.string()),
+                         "t": pa.array(df["t"], pa.string()),
+                         "c": pa.array(df["size"].to_numpy(np.int64))})
+
+    def addp(t: pa.Table) -> pa.Table:
+        part = np.fromiter(
+            (int(hashlib.md5(f"{g}\x00{s}".encode()).hexdigest()[:8], 16)
+             % n_parts
+             for g, s in zip(t["g"].to_pylist(), t["t"].to_pylist())),
+            np.int32, count=t.num_rows)
+        return t.append_column("_part", pa.array(part, pa.int32()))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby(["g", "t"], as_index=False)["c"].sum()
+        out = []
+        for src, sub in cnt.groupby("g"):
+            cs = sub["c"].to_numpy(np.int64)
+            sq = sum(int(c) * int(c) for c in cs)     # python int — exact
+            out.append((src, int(cs.sum()), str(sq)))
+        return pd.DataFrame(out, columns=["g", "n", "sq"])
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .map_batches(addp, batch_format="pyarrow")
+             .groupby("_part")
+             .map_groups(lambda g: fold(g.drop(columns="_part")),
+                         batch_format="pandas")
+             .to_pandas())
+    rows = []
+    for src, sub in parts.groupby("g"):
+        n = int(sub["n"].sum())
+        sq = sum(int(s) for s in sub["sq"])
+        rows.append((src, n, 1_000_000 - sq * 1_000_000 // (n * n)))
+    out = pd.DataFrame(rows, columns=["source", "n_tokens",
+                                      "diversity_micro"])
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    out["diversity_micro"] = out["diversity_micro"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)

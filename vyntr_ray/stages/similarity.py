@@ -25,6 +25,7 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["query_vector", "cosine_topk", "ivf_topk", "build_ivf_layout",
+           "mutual_nn",
            "kmeans_cells", "assign_cells", "knn_join",
            "srp_planes", "srp_partition"]
 

@@ -33,6 +33,7 @@ from ..state.filters import _hash64
 from ..rounding import iround_half_away
 
 __all__ = ["hll_sketch_batch", "hll_count_distinct", "group_count_distinct",
+           "kmv_distinct", "join_size_est",
            "tdigest_batch", "tdigest_merge", "tdigest_quantile",
            "group_quantiles_tdigest", "frequent_tokens", "cms_estimates",
            "hll_intersect", "bloom_probe", "minhash_accuracy"]

@@ -22,6 +22,7 @@ import pyarrow.compute as pc
 from ..rounding import iround_half_away, round_half_away
 
 __all__ = ["token_stats_batch", "token_totals", "quality_batch",
+           "token_diversity",
            "fingerprint_batch", "LangId", "lang_id",
            "benchmark_ngrams", "contamination_report", "decontaminate",
            "repetition_batch", "unigram_fit", "unigram_logprob",

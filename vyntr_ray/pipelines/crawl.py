@@ -880,21 +880,27 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
                 collected = frontier.select(policy)
             if len(collected) == 0:
                 break
-            batch = collected["url"].tolist()
-            # url -> frontier partition (domain-hash bucket): every scheduled
-            # row is attributed to the bucket it was selected from, giving the
-            # per-partition fetch lineage the checkpoint records
-            dom_of = dict(zip(collected["url"], collected["domain"]))
-            perm = wave_permutation(len(batch), seed, wave)
-            batch = [batch[i] for i in perm]
-            stats.scheduled += len(batch)
+            # the wave's urls and domains ride as PARALLEL permuted numpy
+            # arrays (r5): the old per-wave python list + {url: domain}
+            # dict were the last Python-object O(wave) driver structures —
+            # domain lookups are now positional (collected rows align
+            # url ↔ domain, and both arrays take the same permutation)
+            urls_arr = collected["url"].to_numpy()
+            doms_arr = collected["domain"].to_numpy()
+            perm = wave_permutation(len(urls_arr), seed, wave)
+            urls_arr = urls_arr[perm]
+            doms_arr = doms_arr[perm]
+            stats.scheduled += len(urls_arr)
             cut_n = max(0, stats.scheduled - max_pages)
             cut_urls: list[str] = []
             cut_bk = None
             if cut_n:
-                cut_urls = batch[len(batch) - cut_n:]
-                cut_bk = frontier.bucket_of([dom_of[u] for u in cut_urls])
-                batch = batch[: len(batch) - cut_n]
+                cut_urls = urls_arr[len(urls_arr) - cut_n:].tolist()
+                cut_bk = frontier.bucket_of(
+                    doms_arr[len(doms_arr) - cut_n:].tolist())
+                urls_arr = urls_arr[: len(urls_arr) - cut_n]
+                doms_arr = doms_arr[: len(doms_arr) - cut_n]
+            n_wave = len(urls_arr)
 
             # --- fetch + parse + analyses-write + link partials: ONE fused pass.
             # The parse stage writes its own analyses partition files (idempotent
@@ -912,7 +918,7 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
             n_fetched = 0
             fused_paths: list[str] | None = None
             fused_blocks = False
-            if not batch:
+            if not n_wave:
                 ds = None
             elif preload_refs is not None:
                 # fused preload: raw tasks over the pinned corpus blocks
@@ -923,10 +929,10 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
             elif store_meta_cached is not None:
                 # bucketed store, disk-resident: fused raw-task fetch+parse
                 ds = None
-                fused_paths = _store_files(pages_path, batch,
+                fused_paths = _store_files(pages_path, urls_arr,
                                            store_meta_cached) or None
             else:
-                ds = _fetch_dataset(pages_path, batch)
+                ds = _fetch_dataset(pages_path, urls_arr.tolist())
             if ds is not None or fused_paths is not None or fused_blocks:
                 wave_out = os.path.join(analyses_dir, f"wave-{wave:05d}")
                 shutil.rmtree(wave_out, ignore_errors=True)  # partial rerun
@@ -936,7 +942,7 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
                 # is_in against it and positions come from index_in — no
                 # pickled dict/set is rebuilt per task (at a 10M-url wave
                 # the old pos_of dict cost O(wave) unpickle PER TASK).
-                vs_ref = ray.put(pa.array(batch, pa.string()))
+                vs_ref = ray.put(pa.array(urls_arr, pa.string()))
                 ladder_ref = (ray.put(fetch_ladder)
                               if fetch_ladder is not None else None)
                 this_wave = wave
@@ -996,7 +1002,7 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
                         batch_size=None if is_preload else parse_batch_size,
                         **({"concurrency": parse_concurrency}
                            if parse_concurrency else {}))
-                if len(batch) > distributed_links_threshold:
+                if n_wave > distributed_links_threshold:
                     _t1 = _time.perf_counter()
                     if fused_refs is not None:
                         import ray.data as _rd
@@ -1080,7 +1086,7 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
                     # returns only (bucket, status) counts — the driver never
                     # gathers the O(wave) fetched-url array or folds a
                     # per-url crosstab
-                    batch_bk = frontier.bucket_of([dom_of[u] for u in batch])
+                    batch_bk = frontier.bucket_of(doms_arr.tolist())
                     sched_path = None
                     if keep_schedule:
                         os.makedirs(schedule_dir, exist_ok=True)
@@ -1094,7 +1100,7 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
                     n_fetched = int(n_fetched)
                     sched_done = True
                     if _timing:
-                        print(f"[wave {wave}] n={len(batch)} "
+                        print(f"[wave {wave}] n={n_wave} "
                               f"prep={_t1 - _t0:.2f} job={_t2 - _t1:.2f} "
                               f"linkjob={_t3 - _t2:.2f} "
                               f"fetchcol={_time.perf_counter() - _t3:.2f}",
@@ -1124,7 +1130,7 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
                     _t4 = _time.perf_counter()
                     ordered_new = [u for u, f in zip(cand, new_flags) if f]
                     if _timing:
-                        print(f"[wave {wave}] n={len(batch)} prep="
+                        print(f"[wave {wave}] n={n_wave} prep="
                               f"{_t1 - _t0:.2f} job={_t2 - _t1:.2f} "
                               f"combine={_t3 - _t2:.2f} seen={_t4 - _t3:.2f}",
                               flush=True)
@@ -1133,20 +1139,20 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
             # lives in exactly one bucket/block), so len() == distinct count
             if not sched_done:
                 n_fetched = len(fetched_arr)
-            n_failed = len(batch) - n_fetched
+            n_failed = n_wave - n_fetched
             stats.fetched += n_fetched
             stats.failed += n_failed
             if fetch_ladder is not None:   # O(wave) metric, matches sim.retried
                 stats.retried += sum(fetch_ladder.outcome(u)[1] - 1
-                                     for u in batch)
+                                     for u in urls_arr.tolist())
             # wave schedule lineage: streaming waves already built + wrote it
             # task-side (`_sched_of_wave`); small/driver-tier waves build it
             # here from the same helper (byte-identical columns)
             if not sched_done:
-                batch_bk = (frontier.bucket_of([dom_of[u] for u in batch])
-                            if batch else [])
+                batch_bk = (frontier.bucket_of(doms_arr.tolist())
+                            if n_wave else [])
                 sched_tbl = _build_sched_tbl(
-                    wave, pa.array(batch, pa.string()), fetched_arr,
+                    wave, pa.array(urls_arr, pa.string()), fetched_arr,
                     batch_bk, cut_urls, cut_bk)
                 if keep_schedule and sched_tbl is not None:
                     os.makedirs(schedule_dir, exist_ok=True)
@@ -1167,7 +1173,7 @@ def run_crawl(pages_path: str, seeds: list[str], workdir: str,
                 print(f"[wave {wave}] post={_time.perf_counter() - _t0:.2f} total",
                       flush=True)
             stats.per_wave.append({
-                "wave": wave, "scheduled": len(batch) + cut_n,
+                "wave": wave, "scheduled": n_wave + cut_n,
                 "fetched": n_fetched, "failed": n_failed,
                 "frontier_after": int(len(frontier))})
             if checkpoint:

@@ -280,6 +280,25 @@ def write_pages_store(n_pages: int, out_dir: str, n_hosts: int | None = None,
         return pa.table({"id": pa.array(ids, pa.int64()),
                          "bucket": pa.array(bks, pa.int32())})
 
+    # per-bucket resume guard: bucket files are only reusable for the
+    # SAME build parameters — a params marker written at build START
+    # (store_meta.json only lands at the end) makes a crashed build
+    # resumable while a params CHANGE wipes stale buckets instead of
+    # silently mixing corpora
+    params = {"n_pages": n_pages, "n_hosts": n_hosts, "seed": seed,
+              "n_buckets": n_buckets, "rich": rich}
+    pmark = os.path.join(out_dir, "_BUILD_PARAMS.json")
+    if os.path.isdir(out_dir):
+        prev = None
+        if os.path.exists(pmark):
+            with open(pmark) as f:
+                prev = json.load(f)
+        if prev != params:
+            shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(pmark, "w") as f:
+        json.dump(params, f)
+
     id_dir = tempfile.mkdtemp(prefix="pages_ids_")
     try:
         par = max(16, n_pages // 100_000)

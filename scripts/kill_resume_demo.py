@@ -46,7 +46,9 @@ if not os.path.exists(os.path.join(store, "_COMPLETE")):
 seeds = make_seed_list({pages}, n_hosts={hosts}, n_seeds=50)
 stats = run_crawl(store, seeds, {wd!r}, max_pages={budget}, seed=42,
                   n_shards=8, keep_schedule=True, checkpoint=True,
-                  preload_pages=True, resume={resume})
+                  preload_pages=True, resume={resume},
+                  distributed_links_threshold={thr},
+                  frontier_actors={actors})
 print("DONE", stats.scheduled, stats.fetched, stats.waves)
 ray.shutdown()
 """
@@ -55,7 +57,9 @@ ray.shutdown()
 def _spawn(args, wd: str, resume: bool) -> subprocess.Popen:
     code = _RUNNER.format(repo=REPO, cpus=args.num_cpus, pages=args.pages,
                           hosts=args.pages // 20, wd=wd,
-                          budget=args.budget, resume=resume)
+                          budget=args.budget, resume=resume,
+                          thr=0 if args.distributed else 100_000,
+                          actors=2 if args.distributed else None)
     return subprocess.Popen([sys.executable, "-c", code],
                             start_new_session=True,
                             stdout=subprocess.PIPE,
@@ -77,6 +81,12 @@ def main() -> int:
     ap.add_argument("--budget", type=int, default=300_000)
     ap.add_argument("--kill-after", type=float, default=40.0)
     ap.add_argument("--num-cpus", type=int, default=16)
+    ap.add_argument("--distributed", action="store_true",
+                    help="kill the SCALE tier: actor frontier + "
+                         "distributed link dedup + task-side schedule "
+                         "writes (threshold=0, frontier_actors=2) — "
+                         "proves the tmp+rename schedule parts and "
+                         "per-worker checkpoints survive SIGKILL")
     args = ap.parse_args()
 
     wd_ref = tempfile.mkdtemp(prefix="kr_ref_")
@@ -106,6 +116,7 @@ def main() -> int:
     match = a.equals(b)
     print(json.dumps({"pages": args.pages, "budget": args.budget,
                       "kill_after_s": args.kill_after,
+                      "distributed": bool(args.distributed),
                       "rows_ref": len(a), "rows_resumed": len(b),
                       "match": bool(match)}))
     return 0 if match else 1
